@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Bronze layer: a deterministic re-expression of the reference's
+  * "unstructured" staging table (`t_sql_source_unstructured`,
+  * `sql/init/01_init_all.sql:5-20`) over the driver's TPC-H-ish testdata.
+  *
+  * The reference generates its staging rows with seeded NumPy randomness and
+  * injected anomalies (`data-pipeline/src/get_dataset.py:6-73`). NumPy RNG
+  * streams cannot be reproduced inside Spark (SURVEY.md §7.5), so we derive
+  * every column — including each anomaly class — *deterministically* from
+  * `orders ⋈ lineitem` via integer-modulo rules. This keeps each anomaly
+  * class present at roughly the reference's rates and, crucially, makes the
+  * frame exactly reproducible in the DuckDB oracle (same SQL semantics ⇒
+  * hash-comparable results).
+  *
+  * Anomaly classes reproduced (reference `get_dataset.py:43-57,63-65`):
+  *   - NULL user_id (~2.7%: custkey%37)          — NULL injection
+  *   - NULL user_name / age / category           — NULL injection
+  *   - negative salary / purchase_amount         — sign anomalies
+  *   - 1000× purchase outliers (suppkey%50)      — magnitude outliers
+  *   - inverted date ranges (orderkey%17)        — `effective_to` < `from`
+  *   - pre-2020 effective_from (orderkey%29)     — stale dates
+  *   - out-of-range transaction_count            — range anomalies
+  *   - ~1.6% exact duplicate rows (id%61)        — duplicate injection (S3)
+  *
+  * Scale note: this is a single narrow projection over a join on the
+  * `l_orderkey`/`o_orderkey` keys. At 100 TB both sides are large, so Spark
+  * plans a shuffle (sort-merge) join on the order key; everything after the
+  * join is stage-local (no extra shuffle) and whole-stage-codegen'd. With
+  * both tables bucketed by order key the shuffle disappears entirely.
+  */
+object Bronze {
+
+  /** Bronze frame before duplicate injection. */
+  def base(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+
+    val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+
+    val userNum = lpad((col("o_custkey") % 100).cast("string"), 4, "0")
+
+    val effFromBase = when(col("l_orderkey") % 29 === 0, to_date(lit("2015-06-15")))
+      .otherwise(date_add(to_date(lit("2023-01-01")), (col("l_orderkey") % 300).cast("int")))
+
+    joined
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        when(col("o_custkey") % 37 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("user_"), userNum)).as("user_id"),
+        when(col("l_partkey") % 43 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("User "), userNum)).as("user_name"),
+        when(col("l_partkey") % 33 === 0, lit(null).cast("int"))
+          .otherwise((col("l_partkey") % 120).cast("int")).as("age"),
+        ((col("l_extendedprice") * 15).cast("decimal(15,2)") - 30000)
+          .cast("decimal(15,2)").as("salary"),
+        when(col("l_suppkey") % 50 === 0, col("l_extendedprice") * 1000)
+          .when(col("l_suppkey") % 47 === 0, -col("l_extendedprice"))
+          .otherwise(col("l_extendedprice"))
+          .cast("decimal(15,2)").as("purchase_amount"),
+        when(col("l_orderkey") % 53 === 0, lit(null).cast("string"))
+          .otherwise(
+            when((col("l_partkey") % 6).cast("int") === 0, "Electronics")
+              .when((col("l_partkey") % 6).cast("int") === 1, "Clothing")
+              .when((col("l_partkey") % 6).cast("int") === 2, "Books")
+              .when((col("l_partkey") % 6).cast("int") === 3, "Home")
+              .when((col("l_partkey") % 6).cast("int") === 4, "Sports")
+              .otherwise("Invalid_Category")).as("product_category"),
+        when((col("o_custkey") % 5).cast("int") === 0, "North")
+          .when((col("o_custkey") % 5).cast("int") === 1, "South")
+          .when((col("o_custkey") % 5).cast("int") === 2, "East")
+          .when((col("o_custkey") % 5).cast("int") === 3, "West")
+          .otherwise("Central").as("region"),
+        when(col("l_linenumber") % 7 === 0, lit(null).cast("string"))
+          .when(col("o_orderstatus") === "O", "Active")
+          .when(col("o_orderstatus") === "F", "inactive")
+          .otherwise("PENDING").as("customer_status"),
+        when(col("l_orderkey") % 13 === 0, lit(-5))
+          .when(col("l_suppkey") % 11 === 0, (col("l_quantity") * 100).cast("int"))
+          .otherwise(col("l_quantity").cast("int")).as("transaction_count"),
+        effFromBase.as("effective_from"),
+        when(col("l_orderkey") % 17 === 0, date_sub(effFromBase, 10))
+          .when(col("l_partkey") % 41 === 0, to_date(lit("2025-06-01")))
+          .otherwise(date_add(effFromBase, (col("l_suppkey") % 380).cast("int")))
+          .as("effective_to"),
+        ((col("l_orderkey") % 10) < 7).as("current_flag")
+      )
+  }
+
+  /** Bronze with ~1.6% exact duplicates appended — the reference's duplicate
+    * injector (`get_dataset.py:63-65`, `df.sample(n=rows*0.02)` + concat),
+    * made deterministic (every row with id % 61 == 0 appears twice).
+    */
+  def apply(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    b.union(b.filter(col("id") % 61 === 0))
+  }
+
+  /** DuckDB rendering of exactly the same frame, used as the oracle prefix
+    * for every downstream pipeline query. Kept textually adjacent to the
+    * DataFrame code above: any change must be made in both.
+    */
+  val sqlCte: String =
+    """bronze_base AS (
+      |  SELECT
+      |    l.l_orderkey * 10 + l.l_linenumber AS id,
+      |    CASE WHEN o.o_custkey % 37 = 0 THEN NULL
+      |         ELSE 'user_' || lpad(CAST(o.o_custkey % 100 AS VARCHAR), 4, '0') END AS user_id,
+      |    CASE WHEN l.l_partkey % 43 = 0 THEN NULL
+      |         ELSE 'User ' || lpad(CAST(o.o_custkey % 100 AS VARCHAR), 4, '0') END AS user_name,
+      |    CASE WHEN l.l_partkey % 33 = 0 THEN NULL ELSE CAST(l.l_partkey % 120 AS INT) END AS age,
+      |    CAST(CAST(l.l_extendedprice * 15 AS DECIMAL(15,2)) - 30000 AS DECIMAL(15,2)) AS salary,
+      |    CAST(CASE WHEN l.l_suppkey % 50 = 0 THEN l.l_extendedprice * 1000
+      |              WHEN l.l_suppkey % 47 = 0 THEN -l.l_extendedprice
+      |              ELSE l.l_extendedprice END AS DECIMAL(15,2)) AS purchase_amount,
+      |    CASE WHEN l.l_orderkey % 53 = 0 THEN NULL
+      |         ELSE CASE CAST(l.l_partkey % 6 AS INT)
+      |                WHEN 0 THEN 'Electronics' WHEN 1 THEN 'Clothing' WHEN 2 THEN 'Books'
+      |                WHEN 3 THEN 'Home' WHEN 4 THEN 'Sports'
+      |                ELSE 'Invalid_Category' END END AS product_category,
+      |    CASE CAST(o.o_custkey % 5 AS INT)
+      |      WHEN 0 THEN 'North' WHEN 1 THEN 'South' WHEN 2 THEN 'East' WHEN 3 THEN 'West'
+      |      ELSE 'Central' END AS region,
+      |    CASE WHEN l.l_linenumber % 7 = 0 THEN NULL
+      |         WHEN o.o_orderstatus = 'O' THEN 'Active'
+      |         WHEN o.o_orderstatus = 'F' THEN 'inactive'
+      |         ELSE 'PENDING' END AS customer_status,
+      |    CASE WHEN l.l_orderkey % 13 = 0 THEN -5
+      |         WHEN l.l_suppkey % 11 = 0 THEN CAST(l.l_quantity * 100 AS INT)
+      |         ELSE CAST(l.l_quantity AS INT) END AS transaction_count,
+      |    CASE WHEN l.l_orderkey % 29 = 0 THEN DATE '2015-06-15'
+      |         ELSE DATE '2023-01-01' + CAST(l.l_orderkey % 300 AS INT) END AS effective_from,
+      |    l.l_orderkey AS _ok, l.l_partkey AS _pk, l.l_suppkey AS _sk,
+      |    (l.l_orderkey % 10) < 7 AS current_flag
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), bronze_pre AS (
+      |  SELECT id, user_id, user_name, age, salary, purchase_amount, product_category,
+      |         region, customer_status, transaction_count, effective_from,
+      |         CASE WHEN _ok % 17 = 0 THEN effective_from - 10
+      |              WHEN _pk % 41 = 0 THEN DATE '2025-06-01'
+      |              ELSE effective_from + CAST(_sk % 380 AS INT) END AS effective_to,
+      |         current_flag
+      |  FROM bronze_base
+      |), bronze AS (
+      |  SELECT * FROM bronze_pre
+      |  UNION ALL
+      |  SELECT * FROM bronze_pre WHERE id % 61 = 0
+      |)""".stripMargin
+}

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gold layer: the reference's star-schema build `fn_dm_data_load`
+  * (`data-pipeline/src/init_database.py:272-347`) — four grow-only
+  * dimensions extracted with `SELECT DISTINCT` + `ON CONFLICT DO NOTHING`
+  * (M2), then the fact assembled with four LEFT equi-joins on the string
+  * natural keys (J1).
+  *
+  * Surrogate keys: the reference uses SERIAL. We need keys that are
+  * deterministic (oracle-comparable) and stable across reruns, so a dim's
+  * key is `row_number() OVER (ORDER BY natural_key NULLS FIRST)` over the
+  * distinct key set — equivalent to loading the dims once in sorted order.
+  * Scale note: the window is single-partition, but it runs AFTER the
+  * distinct aggregation, so at 100 TB the shuffle reduces the input to the
+  * dim's cardinality (≤ a few thousand for these conformed dims) before one
+  * tiny task sorts it — the same shape Spark uses for any global sort of a
+  * small aggregate. For a genuinely high-cardinality dimension swap in
+  * `incrementalKeys` semantics: `maxExistingId + row_number` per batch of
+  * NEW keys only (left_anti against the existing dim), which keeps the
+  * single-partition step bounded by batch novelty, not table size.
+  *
+  * Fact id: the reference's SERIAL fact_id is insertion order, which is
+  * unobservable; we carry the source row id (already unique per source row,
+  * duplicates included) — deterministic and shuffle-free, unlike a global
+  * `row_number()` which would single-partition the full fact at scale.
+  *
+  * The four dims are tiny, so Catalyst auto-broadcasts each join side
+  * (`autoBroadcastJoinThreshold`) — the fact is never shuffled; the plan is
+  * scan → 4 BroadcastHashJoins → project, all in one codegen stage.
+  */
+object Star {
+
+  /** One dimension: distinct natural keys with deterministic surrogate ids. */
+  def dim(silver: DataFrame, naturalKey: String, idCol: String, nkCol: String): DataFrame =
+    silver.select(col(naturalKey).as(nkCol)).distinct()
+      .withColumn(idCol, row_number().over(Window.orderBy(col(nkCol).asc_nulls_first)).cast("long"))
+      .select(col(idCol), col(nkCol))
+
+  def dimCustomer(silver: DataFrame): DataFrame = dim(silver, "user_name", "customer_id", "customer_name")
+  def dimProduct(silver: DataFrame): DataFrame = dim(silver, "product_category", "product_id", "product_category")
+  def dimRegion(silver: DataFrame): DataFrame = dim(silver, "region", "region_id", "region_name")
+  def dimStatus(silver: DataFrame): DataFrame = dim(silver, "customer_status", "status_id", "status_name")
+
+  /** Incremental M2 upsert: grow-only merge of new natural keys into an
+    * existing dim, preserving existing surrogate ids (`ON CONFLICT (nk) DO
+    * NOTHING` + SERIAL, `init_database.py:280-285`). New keys get
+    * `maxExistingId + row_number(ORDER BY nk)`.
+    */
+  def upsertDim(existing: DataFrame, incoming: DataFrame,
+                idCol: String, nkCol: String): DataFrame = {
+    val newKeys = incoming.select(col(nkCol)).distinct()
+      .join(existing, Seq(nkCol), "left_anti")
+    val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)).as("mx"))
+    val assigned = newKeys.crossJoin(maxId)
+      .withColumn(idCol,
+        (col("mx") + row_number().over(Window.orderBy(col(nkCol).asc_nulls_first))).cast("long"))
+      .select(col(idCol), col(nkCol))
+    existing.select(col(idCol), col(nkCol)).union(assigned)
+  }
+
+  /** Fact build: 4-way left join surrogate-key resolution
+    * (`init_database.py:330-343`). NULL natural keys never match
+    * (SQL null equality), leaving a NULL foreign key — exactly the
+    * reference's LEFT JOIN behavior, and what the completeness DQ check
+    * measures.
+    */
+  def fact(silver: DataFrame): DataFrame = {
+    val c = broadcast(dimCustomer(silver))
+    val p = broadcast(dimProduct(silver))
+    val r = broadcast(dimRegion(silver))
+    val st = broadcast(dimStatus(silver))
+    silver
+      .join(c, silver("user_name") === c("customer_name"), "left")
+      .join(p, silver("product_category") === p("product_category"), "left")
+      .join(r, silver("region") === r("region_name"), "left")
+      .join(st, silver("customer_status") === st("status_name"), "left")
+      .select(
+        silver("id").as("fact_id"),
+        c("customer_id"), p("product_id"), r("region_id"), st("status_id"),
+        silver("age"), silver("salary"), silver("purchase_amount"),
+        silver("transaction_count"), silver("effective_from"),
+        silver("effective_to"), silver("current_flag"))
+  }
+
+  /** DuckDB oracle rendering of dims + fact over a `silver` CTE. */
+  val sqlCte: String =
+    """dim_customer AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY customer_name ASC NULLS FIRST) AS BIGINT) AS customer_id,
+      |         customer_name
+      |  FROM (SELECT DISTINCT user_name AS customer_name FROM silver)
+      |), dim_product AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY product_category ASC NULLS FIRST) AS BIGINT) AS product_id,
+      |         product_category
+      |  FROM (SELECT DISTINCT product_category FROM silver)
+      |), dim_region AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY region_name ASC NULLS FIRST) AS BIGINT) AS region_id,
+      |         region_name
+      |  FROM (SELECT DISTINCT region AS region_name FROM silver)
+      |), dim_status AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY status_name ASC NULLS FIRST) AS BIGINT) AS status_id,
+      |         status_name
+      |  FROM (SELECT DISTINCT customer_status AS status_name FROM silver)
+      |), fact AS (
+      |  SELECT s.id AS fact_id,
+      |         c.customer_id, p.product_id, r.region_id, st.status_id,
+      |         s.age, s.salary, s.purchase_amount, s.transaction_count,
+      |         s.effective_from, s.effective_to, s.current_flag
+      |  FROM silver s
+      |  LEFT JOIN dim_customer c ON s.user_name = c.customer_name
+      |  LEFT JOIN dim_product p ON s.product_category = p.product_category
+      |  LEFT JOIN dim_region r ON s.region = r.region_name
+      |  LEFT JOIN dim_status st ON s.customer_status = st.status_name
+      |)""".stripMargin
+}
