@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet table access for the driver testdata layout
-  * (`/root/testdata/sf*/<name>.parquet`, see TESTDATA.md).
+  * (`/root/testdata/sf<sf>/<name>.parquet`, see TESTDATA.md).
   *
   * All reads go through `spark.read.parquet` so Catalyst's parquet source
   * handles column pruning and predicate pushdown; callers must select/filter

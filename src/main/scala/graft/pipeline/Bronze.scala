@@ -94,10 +94,18 @@ object Bronze {
   /** Bronze with ~1.6% exact duplicates appended — the reference's duplicate
     * injector (`get_dataset.py:63-65`, `df.sample(n=rows*0.02)` + concat),
     * made deterministic (every row with id % 61 == 0 appears twice).
+    *
+    * Implemented as a single pass (explode a 1- or 2-element sequence per
+    * row) instead of `b.union(b.filter(...))`, which would re-execute the
+    * orders⋈lineitem join a second time — at 100 TB that self-union is a
+    * second full scan + shuffle of the source. The oracle renders the same
+    * multiset as UNION ALL (row order is irrelevant to the compare).
     */
   def apply(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir)
-    b.union(b.filter(col("id") % 61 === 0))
+    b.withColumn("_copy",
+        explode(sequence(lit(1), when(col("id") % 61 === 0, 2).otherwise(1))))
+      .drop("_copy")
   }
 
   /** DuckDB rendering of exactly the same frame, used as the oracle prefix

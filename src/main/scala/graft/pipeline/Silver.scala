@@ -91,8 +91,8 @@ object Silver {
        |         ELSE LOWER(customer_status) END AS customer_status,
        |    CASE WHEN transaction_count < 0 THEN 0 WHEN transaction_count > 1000 THEN 1000
        |         ELSE transaction_count END AS transaction_count,
-    -- b.-qualified so DuckDB's lateral column aliases cannot rebind the
-    -- CASE to the repaired value (PG CASE sees the source row; quirk kept).
+       |    -- b.-qualified so DuckDB's lateral column aliases cannot rebind the
+       |    -- CASE to the repaired value (PG CASE sees the source row; quirk kept).
        |    CASE WHEN b.effective_from < DATE '2020-01-01' THEN DATE '2023-01-01'
        |         ELSE b.effective_from END AS effective_from,
        |    CASE WHEN b.effective_to < b.effective_from THEN b.effective_from + 30

@@ -34,10 +34,15 @@ import org.apache.spark.sql.functions._
   */
 object Star {
 
-  /** One dimension: distinct natural keys with deterministic surrogate ids. */
+  /** One dimension: distinct natural keys with deterministic surrogate ids.
+    * NULL natural keys are excluded — the reference dims declare the key
+    * `UNIQUE NOT NULL` (`t_dim_tables.sql:4,11,18,25`), so a NULL key can
+    * never enter; the fact's LEFT join then leaves a NULL foreign key for
+    * such rows, which is what the completeness DQ check measures.
+    */
   def dim(silver: DataFrame, naturalKey: String, idCol: String, nkCol: String): DataFrame =
-    silver.select(col(naturalKey).as(nkCol)).distinct()
-      .withColumn(idCol, row_number().over(Window.orderBy(col(nkCol).asc_nulls_first)).cast("long"))
+    silver.select(col(naturalKey).as(nkCol)).filter(col(nkCol).isNotNull).distinct()
+      .withColumn(idCol, row_number().over(Window.orderBy(col(nkCol))).cast("long"))
       .select(col(idCol), col(nkCol))
 
   def dimCustomer(silver: DataFrame): DataFrame = dim(silver, "user_name", "customer_id", "customer_name")
@@ -52,12 +57,15 @@ object Star {
     */
   def upsertDim(existing: DataFrame, incoming: DataFrame,
                 idCol: String, nkCol: String): DataFrame = {
-    val newKeys = incoming.select(col(nkCol)).distinct()
+    // NOT NULL natural keys only (reference constraint); also makes the
+    // left_anti join null-safe — a NULL key would never match an existing
+    // NULL row and would be re-appended with a fresh id on every run.
+    val newKeys = incoming.select(col(nkCol)).filter(col(nkCol).isNotNull).distinct()
       .join(existing, Seq(nkCol), "left_anti")
     val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)).as("mx"))
     val assigned = newKeys.crossJoin(maxId)
       .withColumn(idCol,
-        (col("mx") + row_number().over(Window.orderBy(col(nkCol).asc_nulls_first))).cast("long"))
+        (col("mx") + row_number().over(Window.orderBy(col(nkCol)))).cast("long"))
       .select(col(idCol), col(nkCol))
     existing.select(col(idCol), col(nkCol)).union(assigned)
   }
@@ -89,21 +97,21 @@ object Star {
   /** DuckDB oracle rendering of dims + fact over a `silver` CTE. */
   val sqlCte: String =
     """dim_customer AS (
-      |  SELECT CAST(row_number() OVER (ORDER BY customer_name ASC NULLS FIRST) AS BIGINT) AS customer_id,
+      |  SELECT CAST(row_number() OVER (ORDER BY customer_name) AS BIGINT) AS customer_id,
       |         customer_name
-      |  FROM (SELECT DISTINCT user_name AS customer_name FROM silver)
+      |  FROM (SELECT DISTINCT user_name AS customer_name FROM silver WHERE user_name IS NOT NULL)
       |), dim_product AS (
-      |  SELECT CAST(row_number() OVER (ORDER BY product_category ASC NULLS FIRST) AS BIGINT) AS product_id,
+      |  SELECT CAST(row_number() OVER (ORDER BY product_category) AS BIGINT) AS product_id,
       |         product_category
-      |  FROM (SELECT DISTINCT product_category FROM silver)
+      |  FROM (SELECT DISTINCT product_category FROM silver WHERE product_category IS NOT NULL)
       |), dim_region AS (
-      |  SELECT CAST(row_number() OVER (ORDER BY region_name ASC NULLS FIRST) AS BIGINT) AS region_id,
+      |  SELECT CAST(row_number() OVER (ORDER BY region_name) AS BIGINT) AS region_id,
       |         region_name
-      |  FROM (SELECT DISTINCT region AS region_name FROM silver)
+      |  FROM (SELECT DISTINCT region AS region_name FROM silver WHERE region IS NOT NULL)
       |), dim_status AS (
-      |  SELECT CAST(row_number() OVER (ORDER BY status_name ASC NULLS FIRST) AS BIGINT) AS status_id,
+      |  SELECT CAST(row_number() OVER (ORDER BY status_name) AS BIGINT) AS status_id,
       |         status_name
-      |  FROM (SELECT DISTINCT customer_status AS status_name FROM silver)
+      |  FROM (SELECT DISTINCT customer_status AS status_name FROM silver WHERE customer_status IS NOT NULL)
       |), fact AS (
       |  SELECT s.id AS fact_id,
       |         c.customer_id, p.product_id, r.region_id, st.status_id,

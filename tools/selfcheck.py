@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Self-check harness: mimic the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+
+For each query in <verifyOutDir>/oracle_sql.json: run the oracle SQL in
+DuckDB with views named after the parquet tables in <sfDir>, load the Spark
+result parquet, sort columns by name, sort rows, and compare values.
+This is a builder-side approximation of CORRECTNESS_r{N}.json.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    import datetime
+
+    def norm_dt(v):
+        if isinstance(v, pd.Timestamp) and v == v.normalize():
+            return v.date()
+        return v
+
+    a, b = norm_dt(a), norm_dt(b)
+    if isinstance(a, datetime.date) and isinstance(b, datetime.date):
+        return a == b
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-12)
+        except (TypeError, ValueError):
+            return False
+    return str(a) == str(b)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            expect = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            n_fail += 1
+            continue
+        if list(expect.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(expect.columns)}")
+            n_fail += 1
+            continue
+        if len(expect) != len(got):
+            print(f"FAIL {name}: rows {len(got)} != {len(expect)}")
+            n_fail += 1
+            continue
+        bad = None
+        for c in expect.columns:
+            ev, gv = expect[c].tolist(), got[c].tolist()
+            for i, (x, y) in enumerate(zip(ev, gv)):
+                if not values_equal(x, y):
+                    bad = (c, i, x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, x, y = bad
+            print(f"FAIL {name}: col {c} row {i}: oracle={x!r} spark={y!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
