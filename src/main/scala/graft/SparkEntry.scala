@@ -1,8 +1,7 @@
 package graft
 
-import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.pipeline.{Bronze, Silver, Star}
+import graft.pipeline.{Bronze, Pipeline, Star}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,32 +12,11 @@ import graft.pipeline.{Bronze, Silver, Star}
   */
 object SparkEntry {
 
-  /** The reference pipeline's default ETL window
-    * (`/root/reference/sql/init/01_init_all.sql:64-65`).
-    */
-  val defaultStart: LocalDate = LocalDate.parse("2023-01-01")
-  val defaultEnd: LocalDate = LocalDate.parse("2023-12-31")
-  private val windowSql =
-    " AND effective_from >= DATE '2023-01-01' AND effective_to <= DATE '2023-12-31'"
-
-  /** silver = cleanse(bronze) over the default window — the medallion
-    * materialization point. Persisted because the star build fans out into
-    * 4 dims + the fact over the same silver frame; without it each dim
-    * re-derives silver ← bronze ← the orders⋈lineitem shuffle join (the
-    * round-1 5×-recompute scale bug). At cluster scale the equivalent is
-    * writing silver to date-partitioned parquet (see graft.io.WindowReload).
-    */
-  def silver(spark: SparkSession, dir: String): DataFrame =
-    Silver.cleanse(Bronze(spark, dir), Some(defaultStart), Some(defaultEnd))
-
-  private def silverCached(spark: SparkSession, dir: String): DataFrame =
-    silver(spark, dir).persist()
-
   /** Flagship query: the full bronze→silver→star fact chain.
     * Driver smoke-checks rows>0 on sf0.001.
     */
   def entry(spark: SparkSession): DataFrame =
-    Star.fact(silverCached(spark, "/root/testdata/sf0.001"))
+    Pipeline.fact(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -53,26 +31,21 @@ object SparkEntry {
 
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bronze" -> ((s, dir) => Bronze(s, dir)),
-    "silver" -> ((s, dir) => silver(s, dir)),
-    "dim_customer" -> ((s, dir) => Star.dimCustomer(silver(s, dir))),
-    "dim_product" -> ((s, dir) => Star.dimProduct(silver(s, dir))),
-    "dim_region" -> ((s, dir) => Star.dimRegion(silver(s, dir))),
-    "dim_status" -> ((s, dir) => Star.dimStatus(silver(s, dir))),
-    "fact" -> ((s, dir) => Star.fact(silverCached(s, dir)))
+    "silver" -> ((s, dir) => Pipeline.silver(s, dir)),
+    "dim_customer" -> ((s, dir) => Star.dimCustomer(Pipeline.silver(s, dir))),
+    "dim_product" -> ((s, dir) => Star.dimProduct(Pipeline.silver(s, dir))),
+    "dim_region" -> ((s, dir) => Star.dimRegion(Pipeline.silver(s, dir))),
+    "dim_status" -> ((s, dir) => Star.dimStatus(Pipeline.silver(s, dir))),
+    "fact" -> ((s, dir) => Pipeline.fact(s, dir))
   )
-
-  /** Shared oracle prefix: bronze + windowed silver + star CTEs. */
-  private val starPrefix: String =
-    "WITH " + Bronze.sqlCte + ", " + Silver.sqlCte(windowSql) + ", " + Star.sqlCte
 
   private def pipelineOracles: Map[String, String] = Map(
     "bronze" -> ("WITH " + Bronze.sqlCte + " SELECT * FROM bronze"),
-    "silver" -> ("WITH " + Bronze.sqlCte + ", " + Silver.sqlCte(windowSql) +
-      " SELECT * FROM silver"),
-    "dim_customer" -> (starPrefix + " SELECT * FROM dim_customer"),
-    "dim_product" -> (starPrefix + " SELECT * FROM dim_product"),
-    "dim_region" -> (starPrefix + " SELECT * FROM dim_region"),
-    "dim_status" -> (starPrefix + " SELECT * FROM dim_status"),
-    "fact" -> (starPrefix + " SELECT * FROM fact")
+    "silver" -> (Pipeline.silverPrefix + " SELECT * FROM silver"),
+    "dim_customer" -> (Pipeline.starPrefix + " SELECT * FROM dim_customer"),
+    "dim_product" -> (Pipeline.starPrefix + " SELECT * FROM dim_product"),
+    "dim_region" -> (Pipeline.starPrefix + " SELECT * FROM dim_region"),
+    "dim_status" -> (Pipeline.starPrefix + " SELECT * FROM dim_status"),
+    "fact" -> (Pipeline.starPrefix + " SELECT * FROM fact")
   )
 }

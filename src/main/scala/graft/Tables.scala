@@ -23,7 +23,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects by default. Read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros —
+    * the same truncation DuckDB applies when it reads nanos into its
+    * micros-precision TIMESTAMP, so results stay oracle-comparable.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NB: integer DIV, not `/` — long/long is double division in Spark and
+    // nanos (~1.7e18) exceed double's 53-bit mantissa.
+    apply(spark, dir, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -1,0 +1,188 @@
+package graft.dq
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's DQ dashboard
+  * (`/root/reference/data-pipeline/src/dq_dashboard.py:22-212`): five
+  * analytical queries over the check-results log — overall summary with
+  * FILTER aggregates, per-type rollup, recent-10 top-k, daily trend,
+  * critical top-5 — re-expressed as DataFrames; text rendering stays
+  * driver-side in the reference and is out of scope.
+  *
+  * The reference queries an append-only `t_dq_check_results` log grown
+  * across many runs and anchors its lookback at `CURRENT_DATE`. For a
+  * deterministic, oracle-comparable equivalent we (a) synthesize a
+  * multi-day history from the `events` table ([[history]]) and (b) anchor
+  * the lookback at `max(execution_date)` instead of the wall clock —
+  * a scalar subquery, exactly the `MAX(execution_date)` latest-run idiom
+  * the reference itself uses (`run_data_quality_checks.py:43-46`, A4).
+  *
+  * Deviations (documented): `ORDER BY execution_date DESC` top-k queries
+  * get a `check_id DESC` tiebreak — the reference's order is
+  * nondeterministic on timestamp ties, which a hash-compared result cannot
+  * be. `ROUND(x,2)` on the success rate is expressed as a
+  * `CAST(... AS DECIMAL(10,2))` so both engines produce the identical
+  * exact decimal (IEEE-double `round` bit patterns differ across engines).
+  */
+object Dashboard {
+
+  private val checkTypes = Seq("correctness", "completeness", "consistency",
+    "uniqueness", "validity", "summary")
+
+  /** Deterministic synthetic DQ-results history: one pseudo check result
+    * per event, ~70% passed / 20% failed / 10% error, types round-robin.
+    * Mirrors `t_dq_check_results` (`t_dq_check_results.sql:4-16`).
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val typeCol = element_at(
+      array(checkTypes.map(lit): _*), (col("event_id") % 6).cast("int") + 1)
+    Tables.events(spark, dir).select(
+      col("event_id").as("check_id"),
+      typeCol.as("check_type"),
+      lit("v_dm_task").as("table_name"),
+      concat(lit("check "), typeCol).as("check_name"),
+      col("ts").as("execution_date"),
+      when(col("event_id") % 10 < 7, "passed")
+        .when(col("event_id") % 10 < 9, "failed")
+        .otherwise("error").as("status"),
+      when(col("event_id") % 10 < 7, lit(null).cast("string"))
+        .otherwise(concat(lit("issue in "), col("event_type"))).as("error_message")
+    )
+  }
+
+  val historySql: String =
+    """dq_history AS (
+      |  SELECT event_id AS check_id,
+      |         ['correctness','completeness','consistency','uniqueness','validity','summary']
+      |           [CAST(event_id % 6 AS INT) + 1] AS check_type,
+      |         'v_dm_task' AS table_name,
+      |         'check ' || ['correctness','completeness','consistency','uniqueness','validity','summary']
+      |           [CAST(event_id % 6 AS INT) + 1] AS check_name,
+      |         ts AS execution_date,
+      |         CASE WHEN event_id % 10 < 7 THEN 'passed'
+      |              WHEN event_id % 10 < 9 THEN 'failed' ELSE 'error' END AS status,
+      |         CASE WHEN event_id % 10 < 7 THEN NULL
+      |              ELSE 'issue in ' || event_type END AS error_message
+      |  FROM events
+      |)""".stripMargin
+
+  /** history rows within the last `days` days of the anchor
+    * (`max(execution_date)::DATE - days`), the reference's
+    * `execution_date >= CURRENT_DATE - INTERVAL 'n days'` (F10, P2).
+    */
+  private def lookback(h: DataFrame, days: Int): DataFrame = {
+    val th = h.agg(
+      date_sub(max(col("execution_date")).cast("date"), days).cast("timestamp").as("th"))
+    h.crossJoin(broadcast(th)).filter(col("execution_date") >= col("th")).drop("th")
+  }
+
+  private def lookbackSql(days: Int): String =
+    s"execution_date >= CAST((SELECT CAST(MAX(execution_date) AS DATE) - $days FROM dq_history) AS TIMESTAMP)"
+
+  private val successRate =
+    (count(when(col("status") === "passed", 1)).cast("double") * 100.0 /
+      nullif(count(lit(1)), lit(0)).cast("double")).cast("decimal(10,2)")
+
+  private def nullif(c: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+    when(c === v, lit(null)).otherwise(c)
+
+  /** Overall summary with FILTER aggregates (`dq_dashboard.py:30-39`). */
+  def summary(spark: SparkSession, dir: String, days: Int = 7): DataFrame =
+    lookback(history(spark, dir), days).agg(
+      count(lit(1)).as("total_checks"),
+      count(when(col("status") === "passed", 1)).as("passed_checks"),
+      count(when(col("status") === "failed", 1)).as("failed_checks"),
+      count(when(col("status") === "error", 1)).as("error_checks"),
+      successRate.as("success_rate"))
+
+  /** Per-type rollup (`dq_dashboard.py:66-79`). */
+  def byType(spark: SparkSession, dir: String, days: Int = 7): DataFrame =
+    lookback(history(spark, dir), days)
+      .filter(col("check_type") =!= "summary")
+      .groupBy("check_type").agg(
+        count(lit(1)).as("total"),
+        count(when(col("status") === "passed", 1)).as("passed"),
+        count(when(col("status") === "failed", 1)).as("failed"),
+        count(when(col("status") === "error", 1)).as("errors"),
+        successRate.as("success_rate"))
+      .orderBy("check_type")
+
+  /** Recent-10 check results (`dq_dashboard.py:94-104`), deterministic
+    * tiebreak on check_id.
+    */
+  def recent(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
+    history(spark, dir)
+      .filter(col("check_type") =!= "summary")
+      .orderBy(col("execution_date").desc, col("check_id").desc)
+      .select("check_name", "status", "execution_date", "error_message")
+      .limit(n)
+
+  /** Daily success-rate trend (`dq_dashboard.py:120-131`). */
+  def trend(spark: SparkSession, dir: String, days: Int = 7): DataFrame =
+    lookback(history(spark, dir), days)
+      .filter(col("check_type") =!= "summary")
+      .groupBy(to_date(col("execution_date")).as("check_date")).agg(
+        count(lit(1)).as("total_checks"),
+        count(when(col("status") === "passed", 1)).as("passed_checks"),
+        successRate.as("daily_success_rate"))
+      .orderBy("check_date")
+
+  /** Critical issues top-5 (`dq_dashboard.py:147-157`). */
+  def critical(spark: SparkSession, dir: String, days: Int = 7, n: Int = 5): DataFrame =
+    lookback(history(spark, dir), days)
+      .filter(col("status").isin("failed", "error"))
+      .orderBy(col("execution_date").desc, col("check_id").desc)
+      .select("check_name", "error_message", "execution_date")
+      .limit(n)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_history" -> ((s, dir) => history(s, dir)),
+    "dash_summary" -> ((s, dir) => summary(s, dir)),
+    "dash_by_type" -> ((s, dir) => byType(s, dir)),
+    "dash_recent10" -> ((s, dir) => recent(s, dir)),
+    "dash_trend" -> ((s, dir) => trend(s, dir)),
+    "dash_critical5" -> ((s, dir) => critical(s, dir))
+  )
+
+  private val prefix = "WITH " + historySql
+
+  def oracles: Map[String, String] = Map(
+    "dq_history" -> (prefix + " SELECT * FROM dq_history"),
+    "dash_summary" -> (prefix + s"""
+      | SELECT COUNT(*) AS total_checks,
+      |        COUNT(*) FILTER (WHERE status = 'passed') AS passed_checks,
+      |        COUNT(*) FILTER (WHERE status = 'failed') AS failed_checks,
+      |        COUNT(*) FILTER (WHERE status = 'error') AS error_checks,
+      |        CAST(CAST(COUNT(*) FILTER (WHERE status = 'passed') AS DOUBLE) * 100.0
+      |             / NULLIF(COUNT(*), 0) AS DECIMAL(10,2)) AS success_rate
+      | FROM dq_history WHERE ${lookbackSql(7)}""".stripMargin),
+    "dash_by_type" -> (prefix + s"""
+      | SELECT check_type, COUNT(*) AS total,
+      |        COUNT(*) FILTER (WHERE status = 'passed') AS passed,
+      |        COUNT(*) FILTER (WHERE status = 'failed') AS failed,
+      |        COUNT(*) FILTER (WHERE status = 'error') AS errors,
+      |        CAST(CAST(COUNT(*) FILTER (WHERE status = 'passed') AS DOUBLE) * 100.0
+      |             / NULLIF(COUNT(*), 0) AS DECIMAL(10,2)) AS success_rate
+      | FROM dq_history WHERE ${lookbackSql(7)} AND check_type != 'summary'
+      | GROUP BY check_type ORDER BY check_type""".stripMargin),
+    "dash_recent10" -> (prefix + """
+      | SELECT check_name, status, execution_date, error_message
+      | FROM dq_history WHERE check_type != 'summary'
+      | ORDER BY execution_date DESC, check_id DESC LIMIT 10""".stripMargin),
+    "dash_trend" -> (prefix + s"""
+      | SELECT CAST(execution_date AS DATE) AS check_date,
+      |        COUNT(*) AS total_checks,
+      |        COUNT(*) FILTER (WHERE status = 'passed') AS passed_checks,
+      |        CAST(CAST(COUNT(*) FILTER (WHERE status = 'passed') AS DOUBLE) * 100.0
+      |             / NULLIF(COUNT(*), 0) AS DECIMAL(10,2)) AS daily_success_rate
+      | FROM dq_history WHERE ${lookbackSql(7)} AND check_type != 'summary'
+      | GROUP BY 1 ORDER BY check_date""".stripMargin),
+    "dash_critical5" -> (prefix + s"""
+      | SELECT check_name, error_message, execution_date
+      | FROM dq_history
+      | WHERE status IN ('failed', 'error') AND ${lookbackSql(7)}
+      | ORDER BY execution_date DESC, check_id DESC LIMIT 5""".stripMargin)
+  )
+}

@@ -1,9 +1,33 @@
 package graft.dq
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pipeline.{Pipeline, Star}
 
-/** Registry of DQ-suite + dashboard queries (filled by DqSuite/Dashboard). */
+/** Registry of DQ-suite + dashboard queries for the driver contract. */
 object DqQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++ Dashboard.queries
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks" -> ((s, dir) => {
+      val silver = Pipeline.silverCached(s, dir)
+      DqSuite.run(s, silver, Star.fact(silver))
+    }),
+    "dq_ref_integrity" -> ((s, dir) => {
+      val silver = Pipeline.silverCached(s, dir)
+      val fact = Star.fact(silver)
+      DqSuite.refIntegrity(s, fact, Seq(
+        ("customer", Star.dimCustomer(silver), "customer_id"),
+        ("product", Star.dimProduct(silver), "product_id"),
+        ("region", Star.dimRegion(silver), "region_id"),
+        ("status", Star.dimStatus(silver), "status_id")))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dq_checks" -> (Pipeline.starPrefix + ", " + DqSuite.sqlCte +
+      " SELECT * FROM dq_checks"),
+    "dq_ref_integrity" -> (Pipeline.starPrefix + ", " + DqSuite.refIntegritySql +
+      " SELECT * FROM ref_integrity")
+  ) ++ Dashboard.oracles
 }
