@@ -1,0 +1,84 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.dq.DqSuite
+import graft.io.WindowReload
+import graft.pipeline.{Bronze, Pipeline, Silver, Star}
+
+/** The reference's `main.py` end-to-end pipeline
+  * (`/root/reference/data-pipeline/src/main.py:6-39`) as a Spark batch job:
+  *
+  *   bronze (staging) → silver via the M1 window reload (the
+  *   `fn_etl_data_load` delete+insert, materialized as date-partitioned
+  *   parquet — the medallion materialization point that lets the star
+  *   build fan out without recomputing the source join) → gold dims +
+  *   fact (`fn_dm_data_load`) → DQ checks appended to a results dataset
+  *   (`fn_dq_checks_load`) → row-count report (`final_report.py:22-43`).
+  *
+  * Audit columns (F13): silver carries `processed_at`, gold `created_dt`,
+  * results `run_date` — the reference's CURRENT_TIMESTAMP/CURRENT_DATE
+  * defaults (`01_init_all.sql:19,37`, `t_dim_tables.sql:5`).
+  *
+  * Usage: runMain graft.PipelineRunner <sfDir> <warehouseDir> [start end]
+  */
+object PipelineRunner {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val wh = args(1)
+    val start = if (args.length > 2) LocalDate.parse(args(2)) else Pipeline.defaultStart
+    val end = if (args.length > 3) LocalDate.parse(args(3)) else Pipeline.defaultEnd
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, wh, start, end)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, sfDir: String, wh: String,
+          start: LocalDate, end: LocalDate): Unit = {
+    // 1. silver: cleanse + idempotent window reload (fn_etl_data_load)
+    val cleansed = Silver.cleanse(Bronze(spark, sfDir), Some(start), Some(end))
+      .withColumn("processed_at", current_timestamp())
+    WindowReload.reload(spark, s"$wh/silver", cleansed, start, end)
+    val silver = spark.read.parquet(s"$wh/silver").drop("processed_at")
+    println(s"[runner] silver rows processed: ${silver.count()}")
+
+    // 2. gold: dims then fact (fn_dm_data_load; dims-before-fact ordering
+    //    replaces the reference's single PG transaction)
+    val dims = Seq(
+      ("dim_customer", Star.dimCustomer(silver)),
+      ("dim_product", Star.dimProduct(silver)),
+      ("dim_region", Star.dimRegion(silver)),
+      ("dim_status", Star.dimStatus(silver)))
+    dims.foreach { case (name, df) =>
+      df.withColumn("created_dt", current_date())
+        .write.mode("overwrite").parquet(s"$wh/$name")
+    }
+    Star.fact(silver)
+      .withColumn("created_dt", current_date())
+      .write.mode("overwrite").parquet(s"$wh/fact")
+    val fact = spark.read.parquet(s"$wh/fact")
+
+    // 3. DQ checks appended to the results dataset (fn_dq_checks_load)
+    val results = DqSuite.run(spark, silver, fact.drop("created_dt"))
+    WindowReload.reloadResults(spark, s"$wh/dq_check_results", results, end)
+
+    // 4. final report (final_report.py:22-43): per-table row counts
+    val tables = Seq("silver") ++ dims.map(_._1) ++ Seq("fact", "dq_check_results")
+    tables.foreach { t =>
+      println(s"[runner] $t: ${spark.read.parquet(s"$wh/$t").count()} rows")
+    }
+    val summary = results.filter(col("check_type") === "summary")
+      .select("error_message").head().getString(0)
+    println(s"[runner] DQ summary: $summary")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.io.WindowReload
+
+class WindowReloadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Int, String, String)*): DataFrame =
+    rows.toDF("id", "f", "t")
+      .select(col("id"),
+        col("f").cast("date").as("effective_from"),
+        col("t").cast("date").as("effective_to"))
+
+  private def snapshot(path: String): Set[(Int, String, String)] =
+    spark.read.parquet(path)
+      .select(col("id"), col("effective_from").cast("string"),
+        col("effective_to").cast("string"))
+      .as[(Int, String, String)].collect().toSet
+
+  private val jan1 = LocalDate.parse("2023-01-01")
+  private val jan31 = LocalDate.parse("2023-01-31")
+
+  test("reload is idempotent: same window twice leaves identical state (M1)") {
+    val path = Files.createTempDirectory("wr").toString + "/t"
+    val inc = df((1, "2023-01-05", "2023-01-10"), (2, "2023-01-20", "2023-01-25"))
+    WindowReload.reload(spark, path, inc, jan1, jan31)
+    val first = snapshot(path)
+    WindowReload.reload(spark, path, inc, jan1, jan31)
+    assert(snapshot(path) === first)
+    assert(first.map(_._1) === Set(1, 2))
+  }
+
+  test("reload replaces in-window rows, keeps out-of-window and straddlers") {
+    val path = Files.createTempDirectory("wr").toString + "/t"
+    WindowReload.reload(spark, path,
+      df((1, "2022-12-15", "2022-12-20"),  // before window (kept untouched)
+         (2, "2023-01-05", "2023-01-10"),  // in window (replaced on reload)
+         (3, "2023-01-20", "2023-03-01")), // straddler: from in, to out (kept)
+      LocalDate.parse("2022-12-01"), LocalDate.parse("2023-03-31"))
+
+    WindowReload.reload(spark, path, df((4, "2023-01-07", "2023-01-12")), jan1, jan31)
+
+    // row 2 purged (delete predicate matched, not re-inserted), row 4 in,
+    // rows 1 (outside) and 3 (straddler — never reloaded, only carried) kept
+    assert(snapshot(path).map(_._1) === Set(1, 3, 4))
+  }
+
+  test("reload purges a stale partition that gets no replacement rows") {
+    val path = Files.createTempDirectory("wr").toString + "/t"
+    WindowReload.reload(spark, path, df((1, "2023-01-05", "2023-01-10")), jan1, jan31)
+    // reload same window with data on a DIFFERENT day: day 05 must vanish
+    WindowReload.reload(spark, path, df((2, "2023-01-06", "2023-01-11")), jan1, jan31)
+    assert(snapshot(path).map(_._1) === Set(2))
+  }
+
+  test("incoming rows outside the window are not inserted (P2 both-bounds quirk)") {
+    val path = Files.createTempDirectory("wr").toString + "/t"
+    WindowReload.reload(spark, path,
+      df((1, "2023-01-05", "2023-02-10"),   // to > end → excluded
+         (2, "2022-12-31", "2023-01-10"),   // from < start → excluded
+         (3, "2023-01-05", "2023-01-10")),  // inside → inserted
+      jan1, jan31)
+    assert(snapshot(path).map(_._1) === Set(3))
+  }
+}
