@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over `documents` — the core of a pretraining
+  * data pipeline, designed so nothing is ever all-pairs:
+  *
+  *  - exact dedup: hash-groupBy on a content fingerprint (one shuffle of
+  *    16-byte keys, not text);
+  *  - near-dup: word-3-gram shingles → 16 MinHashes → 4 LSH bands →
+  *    candidate pairs ONLY within equal band buckets → exact Jaccard
+  *    verification on the candidates. At 100 TB the band-bucket join is
+  *    the only pair-producing step and its fan-out is bounded by bucket
+  *    size (near-identical docs), never n².
+  *
+  * MinHash values are MD5 strings (min over the lexicographic order) so
+  * the whole chain — shingle, signature, band key, candidate pair — is
+  * bit-reproducible in the DuckDB oracle; a numeric murmur-based variant
+  * would be faster per byte but not cross-engine checkable. SimHash (the
+  * numeric cousin) lives in [[SimHash]].
+  */
+object Dedup {
+
+  val numHashes = 16
+  val bandSize = 4 // → 4 bands; P(candidate) = 1-(1-j^4)^4, ~1 for j≥0.9
+
+  /** Exact duplicate groups: fingerprint → canonical (min) doc_id + count.
+    * `dropDuplicates` semantics = keep rows where doc_id = canonical_id.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.fingerprint(spark, dir)
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word-3-gram shingles per document. Docs under 3 words yield
+    * no shingles (guard needed: Spark's `sequence(0, n)` runs DESCENDING
+    * for negative n instead of returning empty).
+    */
+  def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(TextMetrics.normalized(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    docs
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ", element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))).as("shingle"))
+      .distinct()
+  }
+
+  /** Per-doc shingle counts (the deterministic stage check). */
+  def shingleStats(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+
+  /** MinHash signature rows: (doc_id, h, mh) where mh = min over shingles
+    * of md5(h ‖ ':' ‖ shingle) — h independent hash functions via salt.
+    */
+  def minhash(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("h"),
+        col("shingle"))
+      .select(col("doc_id"), col("h"),
+        md5(concat(col("h"), lit(":"), col("shingle"))).as("hv"))
+      .groupBy("doc_id", "h").agg(min("hv").as("mh"))
+
+  /** LSH band keys: group the signature into bands of [[bandSize]] rows,
+    * key = md5 of the band's concatenated minhashes (in h order).
+    */
+  def bands(spark: SparkSession, dir: String): DataFrame =
+    minhash(spark, dir)
+      .withColumn("band", (col("h") / bandSize).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws("|",
+        transform(array_sort(collect_list(struct(col("h"), col("mh")))),
+          s => s.getField("mh")))).as("band_key"))
+
+  /** Candidate near-dup pairs: docs sharing any band bucket. */
+  def candidates(spark: SparkSession, dir: String): DataFrame = {
+    val b = bands(spark, dir)
+    val a = b.select(col("band").as("band_a"), col("band_key").as("key_a"),
+      col("doc_id").as("doc_a"))
+    val c = b.select(col("band").as("band_b"), col("band_key").as("key_b"),
+      col("doc_id").as("doc_b"))
+    a.join(c, col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Near-dup verification: exact n-gram Jaccard on the candidates only,
+    * kept at >= `threshold` (default 0.5).
+    */
+  def nearDups(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(spark, dir).persist()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = candidates(spark, dir)
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (coalesce(col("i"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double"))
+          .cast("decimal(10,6)").as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------- DuckDB oracles ----------
+
+  /** Shared CTE: normalized distinct shingles per doc. */
+  val shinglesCte: String =
+    """doc_shingles AS (
+      |  SELECT DISTINCT doc_id, ws[i.i] || ' ' || ws[i.i+1] || ' ' || ws[i.i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |        FROM documents) w
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) i
+      |)""".stripMargin
+
+  val exactSql: String =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+      |       min(doc_id) AS canonical_id, count(*) AS dup_count
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val shingleStatsSql: String =
+    s"WITH $shinglesCte SELECT doc_id, count(*) AS n_shingles FROM doc_shingles GROUP BY 1"
+
+  val bandsCte: String =
+    s"""$shinglesCte, doc_sig AS (
+       |  SELECT doc_id, CAST(h AS INT) AS h, min(md5(h || ':' || shingle)) AS mh
+       |  FROM doc_shingles, range(0, $numHashes) t(h) GROUP BY 1, 2
+       |), doc_bands AS (
+       |  SELECT doc_id, CAST(h // $bandSize AS INT) AS band,
+       |         md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+       |  FROM doc_sig GROUP BY doc_id, h // $bandSize
+       |)""".stripMargin
+
+  val bandsSql: String =
+    s"WITH $bandsCte SELECT doc_id, band, band_key FROM doc_bands"
+
+  val candidatesCte: String =
+    s"""$bandsCte, cand_pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM doc_bands a JOIN doc_bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  val candidatesSql: String =
+    s"WITH $candidatesCte SELECT doc_a, doc_b FROM cand_pairs"
+
+  def nearDupsSql(threshold: Double): String =
+    s"""WITH $candidatesCte, sh_counts AS (
+       |  SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY 1
+       |), pair_inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM cand_pairs p
+       |  JOIN doc_shingles a ON a.doc_id = p.doc_a
+       |  JOIN doc_shingles b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |       CAST(CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |            / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) AS DECIMAL(10,6)) AS jaccard
+       |FROM cand_pairs p
+       |LEFT JOIN pair_inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+       |JOIN sh_counts ca ON ca.doc_id = p.doc_a
+       |JOIN sh_counts cb ON cb.doc_id = p.doc_b
+       |WHERE CAST(CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |           / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) AS DECIMAL(10,6)) >= $threshold""".stripMargin
+}

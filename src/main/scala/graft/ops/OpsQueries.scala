@@ -2,10 +2,47 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Registry of LLM-data-pipeline operator queries (dedup, similarity,
-  * text analysis, events) — filled by the graft.ops modules.
+/** Registry of LLM-data-pipeline operator queries (text analysis, dedup,
+  * similarity search) for the driver contract. `simhash`/`simhash_pairs`
+  * have no oracle entry (no readable ANSI-SQL twin — the driver records a
+  * rows-only check); everything else is DuckDB-verified.
   */
 object OpsQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // text analysis
+    "text_stats" -> ((s, dir) => TextMetrics.stats(s, dir)),
+    "text_lang_id" -> ((s, dir) => TextMetrics.langId(s, dir)),
+    "text_quality" -> ((s, dir) => TextMetrics.quality(s, dir)),
+    "text_fingerprint" -> ((s, dir) => TextMetrics.fingerprint(s, dir)),
+    // dedup
+    "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "dedup_shingle_stats" -> ((s, dir) => Dedup.shingleStats(s, dir)),
+    "dedup_lsh_bands" -> ((s, dir) => Dedup.bands(s, dir)),
+    "dedup_candidates" -> ((s, dir) => Dedup.candidates(s, dir)),
+    "dedup_neardups" -> ((s, dir) => Dedup.nearDups(s, dir)),
+    "simhash" -> ((s, dir) => SimHash.signatures(s, dir)),
+    "simhash_pairs" -> ((s, dir) => SimHash.candidates(s, dir)),
+    // similarity search
+    "ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    "ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(s, dir)),
+    "ann_bucket_stats" -> ((s, dir) => Similarity.bucketStats(s, dir)),
+    "emb_neardups" -> ((s, dir) => Similarity.cosineNearDups(s, dir))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_stats" -> TextMetrics.statsSql,
+    "text_lang_id" -> TextMetrics.langIdSql,
+    "text_quality" -> TextMetrics.qualitySql,
+    "text_fingerprint" -> TextMetrics.fingerprintSql,
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_shingle_stats" -> Dedup.shingleStatsSql,
+    "dedup_lsh_bands" -> Dedup.bandsSql,
+    "dedup_candidates" -> Dedup.candidatesSql,
+    "dedup_neardups" -> Dedup.nearDupsSql(0.5),
+    "ann_topk" -> Similarity.bruteForceSql(),
+    "ann_lsh_buckets" -> Similarity.lshBucketsSql,
+    "ann_bucket_stats" -> Similarity.bucketStatsSql,
+    "emb_neardups" -> Similarity.cosineNearDupsSql()
+  )
 }

@@ -1,0 +1,179 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table
+  * (`vec_id, embedding: array<float>, label`).
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k for a query subset — the
+  *    correctness baseline. All math is `zip_with`/`aggregate` over the
+  *    array column (codegen'd, ordered left-to-right summation so the
+  *    DuckDB oracle reproduces it bit-for-bit); ranking ties broken by
+  *    neighbor id on the DECIMAL(10,6)-rounded cosine.
+  *  - [[lshBuckets]]: random-hyperplane (sign) LSH — the scale path.
+  *    8 hyperplanes with ±1 weights derived from md5(plane‖'_'‖dim), so
+  *    the "random" planes are deterministic and reproducible in SQL.
+  *    At 100 TB: bucketing is a narrow projection (the 8 weight vectors
+  *    are plan literals, broadcast for free); candidate generation is a
+  *    shuffle on the 8-bit bucket key; only within-bucket pairs are
+  *    scored — never all-pairs.
+  */
+object Similarity {
+
+  val numPlanes = 8
+  val dim = 64
+
+  /** Deterministic ±1 hyperplane weights: +1 iff the first hex char of
+    * md5("<plane>_<dim>") is 0-7 (i.e. top bit of the digest is 0).
+    */
+  def planeWeights: IndexedSeq[IndexedSeq[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if ("01234567".contains(hex.charAt(0))) 1.0 else -1.0
+      }
+    }
+  }
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Embeddings with doubles + precomputed L2 norm (one pass). */
+  def normalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** Exact cosine top-k: queries = `vec_id % queryMod == 0`, neighbors
+    * ranked per query by rounded cosine desc, id asc.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     k: Int = 10, queryMod: Int = 50): DataFrame = {
+    val e = normalized(spark, dir)
+    val q = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .cast("decimal(10,6)")
+    import org.apache.spark.sql.expressions.Window
+    q.join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cosine_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-LSH bucket per vector: 8 bits, bit p = (v · w_p >= 0). */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ws = planeWeights
+    val bits = (0 until numPlanes).map { p =>
+      val w = array(ws(p).map(lit): _*)
+      when(dot(col("v"), w) >= 0, "1").otherwise("0")
+    }
+    normalized(spark, dir)
+      .select(col("vec_id"), concat(bits: _*).as("bucket"))
+  }
+
+  /** Bucket histogram — the candidate-generation cost profile. */
+  def bucketStats(spark: SparkSession, dir: String): DataFrame =
+    lshBuckets(spark, dir).groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"))
+
+  /** Within-bucket near-dup pairs, verified by exact cosine ≥ threshold —
+    * the embedding-cosine near-dup dedup path (bucket join, then exact
+    * refine on candidates only).
+    */
+  def cosineNearDups(spark: SparkSession, dir: String,
+                     threshold: Double = 0.9): DataFrame = {
+    val e = normalized(spark, dir).join(lshBuckets(spark, dir), "vec_id")
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .cast("decimal(10,6)").as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
+  // ---------- DuckDB oracles ----------
+
+  /** Embeddings-with-norm CTE; list_dot_product sums sequentially like
+    * Spark's `aggregate`, keeping doubles bit-identical.
+    */
+  val normCte: String =
+    """emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  def bruteForceSql(k: Int = 10, queryMod: Int = 50): String =
+    s"""WITH $normCte, q AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm AS qn FROM emb WHERE vec_id % $queryMod = 0
+       |), pairs AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         CAST(list_dot_product(q.qv, e.v) / (q.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |  FROM q JOIN emb e ON e.vec_id != q.query_id
+       |)
+       |SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM pairs
+       |) WHERE rank <= $k""".stripMargin
+
+  /** Plane-weight CTE mirroring [[planeWeights]] in SQL. */
+  val planesCte: String =
+    s"""planes AS (
+       |  SELECT CAST(p AS INT) AS p,
+       |         list(CASE WHEN substr(md5(p || '_' || i), 1, 1) IN
+       |                ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END
+       |              ORDER BY i) AS w
+       |  FROM range(0, $numPlanes) t(p), range(0, $dim) s(i)
+       |  GROUP BY p
+       |)""".stripMargin
+
+  val lshBucketsSql: String =
+    s"""WITH $normCte, $planesCte, proj AS (
+       |  SELECT e.vec_id, pl.p,
+       |         CASE WHEN list_dot_product(e.v, pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM emb e, planes pl
+       |)
+       |SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+       |FROM proj GROUP BY vec_id""".stripMargin
+
+  val bucketStatsSql: String =
+    s"""WITH $normCte, $planesCte, proj AS (
+       |  SELECT e.vec_id, pl.p,
+       |         CASE WHEN list_dot_product(e.v, pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM emb e, planes pl
+       |), buckets AS (
+       |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
+       |)
+       |SELECT bucket, count(*) AS n_vectors FROM buckets GROUP BY 1""".stripMargin
+
+  def cosineNearDupsSql(threshold: Double = 0.9): String =
+    s"""WITH $normCte, $planesCte, proj AS (
+       |  SELECT e.vec_id, pl.p,
+       |         CASE WHEN list_dot_product(e.v, pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM emb e, planes pl
+       |), buckets AS (
+       |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       CAST(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |JOIN emb ea ON ea.vec_id = a.vec_id
+       |JOIN emb eb ON eb.vec_id = b.vec_id
+       |WHERE CAST(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) AS DECIMAL(10,6)) >= $threshold""".stripMargin
+}

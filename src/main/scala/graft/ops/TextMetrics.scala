@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table (`doc_id, text, lang, source, n_chars`). All are
+  * single-pass narrow projections/aggregations — at 100 TB they scan the
+  * text column once, no shuffle (stats) or one shuffle (fingerprint
+  * groupBy), and stay inside whole-stage codegen (built-in string
+  * functions only, no UDFs).
+  */
+object TextMetrics {
+
+  /** lower + collapse whitespace + trim: the canonical form used for
+    * exact-dedup fingerprinting.
+    */
+  def normalized(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Per-document token/char statistics (token_count: whitespace words +
+    * a BPE-ish regex token count — letter runs, digit runs, or single
+    * non-space symbols).
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("char_len"),
+      size(split(trim(col("text")), "\\s+")).as("word_count"),
+      size(array_distinct(split(normalized(col("text")), " "))).as("unique_words"),
+      regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("subword_count"),
+      (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        nullif(size(split(trim(col("text")), "\\s+")).cast("double")))
+        .cast("decimal(10,4)").as("avg_word_len")
+    )
+
+  private def nullif(c: Column): Column = when(c === 0.0, lit(null)).otherwise(c)
+
+  /** Language-ID heuristic: per-language function-word hit counts
+    * (word-boundary regex), predicted language = argmax with alphabetical
+    * tiebreak, 'und' when nothing matches.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu)\\b",
+    "en" -> "\\b(the|a|of|and|to|in|is|that)\\b",
+    "es" -> "\\b(el|la|los|las|de|que|y|es)\\b",
+    "fr" -> "\\b(le|la|les|des|et|est|que|une)\\b"
+  )
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id") +: langMarkers.map { case (l, re) =>
+        regexp_count(lower(col("text")), lit(re)).as(s"hits_$l")
+      }: _*)
+    // argmax via greatest + cascaded when (alphabetical order breaks ties)
+    val best = greatest(langMarkers.map(m => col(s"hits_${m._1}")): _*)
+    val predAlpha = langMarkers.foldLeft(Option.empty[Column]) {
+      case (None, (l, _)) => Some(when(best > 0 && col(s"hits_$l") === best, l))
+      case (Some(c), (l, _)) => Some(c.when(best > 0 && col(s"hits_$l") === best, l))
+    }.get.otherwise("und")
+    base.select(col("doc_id"), col("hits_de"), col("hits_en"), col("hits_es"),
+      col("hits_fr"), predAlpha.as("predicted_lang"))
+  }
+
+  /** Quality scoring: length, lexical diversity, stopword-rate components
+    * combined into one score (the shape of a pretraining quality filter).
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(split(trim(col("text")), "\\s+")).cast("double")
+    val stopHits = regexp_count(lower(col("text")),
+      lit("\\b(the|a|of|and|to|in|is|that)\\b")).cast("double")
+    val uniq = size(array_distinct(split(normalized(col("text")), " "))).cast("double")
+    val lenScore = least(lit(1.0), length(col("text")).cast("double") / 500.0)
+    val uniqRatio = uniq / nullif(words)
+    val stopRatio = stopHits / nullif(words)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      lenScore.cast("decimal(10,4)").as("len_score"),
+      uniqRatio.cast("decimal(10,4)").as("unique_ratio"),
+      stopRatio.cast("decimal(10,4)").as("stopword_ratio"),
+      ((lenScore * 0.4 + coalesce(uniqRatio, lit(0.0)) * 0.4 +
+        coalesce(stopRatio, lit(0.0)) * 0.2))
+        .cast("decimal(10,4)").as("quality_score")
+    )
+  }
+
+  /** Document fingerprint: md5 of the normalized text — the exact-dedup
+    * key (a content-defined fingerprint both engines compute identically).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), md5(normalized(col("text"))).as("fingerprint"))
+
+  // ---------- DuckDB oracles ----------
+
+  val statsSql: String =
+    """SELECT doc_id,
+      |  length(text) AS char_len,
+      |  len(string_split_regex(trim(text), '\s+')) AS word_count,
+      |  len(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS unique_words,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS subword_count,
+      |  CAST(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |       / NULLIF(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 0)
+      |       AS DECIMAL(10,4)) AS avg_word_len
+      |FROM documents""".stripMargin
+
+  val langIdSql: String = {
+    val hits = langMarkers.map { case (l, re) =>
+      s"len(regexp_extract_all(lower(text), '$re')) AS hits_$l"
+    }.mkString(",\n  ")
+    val best = "GREATEST(hits_de, hits_en, hits_es, hits_fr)"
+    val pred = langMarkers.map { case (l, _) =>
+      s"WHEN $best > 0 AND hits_$l = $best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH h AS (
+       |  SELECT doc_id, $hits
+       |  FROM documents
+       |)
+       |SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+       |       CASE $pred ELSE 'und' END AS predicted_lang
+       |FROM h""".stripMargin
+  }
+
+  val qualitySql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS words,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that)\b')) AS DOUBLE) AS stop_hits,
+      |    CAST(len(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS DOUBLE) AS uniq,
+      |    LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS len_score
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len_score AS DECIMAL(10,4)) AS len_score,
+      |  CAST(uniq / NULLIF(words, 0) AS DECIMAL(10,4)) AS unique_ratio,
+      |  CAST(stop_hits / NULLIF(words, 0) AS DECIMAL(10,4)) AS stopword_ratio,
+      |  CAST(len_score * 0.4 + COALESCE(uniq / NULLIF(words, 0), 0) * 0.4
+      |       + COALESCE(stop_hits / NULLIF(words, 0), 0) * 0.2 AS DECIMAL(10,4)) AS quality_score
+      |FROM q""".stripMargin
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      |FROM documents""".stripMargin
+}

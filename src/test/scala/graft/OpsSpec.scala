@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, SimHash, Similarity, TextMetrics}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("near-dup pipeline finds high-jaccard pairs, never all-pairs") {
+    val pairs = Dedup.nearDups(spark, sf0001).cache()
+    val n = pairs.count()
+    assert(n > 0, "testdata contains planted near-duplicates")
+    // every surviving pair is genuinely similar
+    assert(pairs.filter(col("jaccard") < 0.5).count() === 0)
+    // candidate set is tiny relative to n^2 (LSH, not all-pairs)
+    val docs = Tables.documents(spark, sf0001).count()
+    assert(Dedup.candidates(spark, sf0001).count() < docs * 5)
+  }
+
+  test("exact dedup groups sum to the document count") {
+    val g = Dedup.exact(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001).count()
+    assert(g.agg(sum("dup_count")).head().getLong(0) === docs)
+  }
+
+  test("simhash: near-dup docs are close in Hamming space, others far") {
+    val sigs = SimHash.signatures(spark, sf0001).as[(Long, Long)].collect().toMap
+    val near = Dedup.nearDups(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(near.nonEmpty)
+    val nearDist = near.map { case (a, b) =>
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b)) }
+    assert(nearDist.max < 15, s"near-dup hamming too high: ${nearDist.max}")
+    // random doc pairs should be far (~30 of 60 bits differ)
+    val ids = sigs.keys.toSeq.sorted.take(40)
+    val nearSet = near.flatMap(p => Seq(p, p.swap)).toSet
+    val far = for {
+      Seq(a, b) <- ids.combinations(2).toSeq if !nearSet.contains((a, b))
+    } yield java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(far.sum.toDouble / far.size > 15.0)
+  }
+
+  test("simhash banded candidates include the true near-dups") {
+    val cand = SimHash.candidates(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val near = Dedup.nearDups(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val recall = near.count(cand.contains).toDouble / near.length
+    assert(recall >= 0.9, s"simhash recall $recall")
+  }
+
+  test("ann top-k: k neighbors per query, ranks dense, self excluded") {
+    val topk = Similarity.bruteForceTopK(spark, sf0001, k = 5, queryMod = 100).cache()
+    val queries = topk.select("query_id").distinct().count()
+    assert(queries > 0)
+    assert(topk.count() === queries * 5)
+    assert(topk.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    val ranks = topk.groupBy("query_id").agg(collect_set("rank").as("r"))
+      .select(size(col("r"))).as[Int].collect()
+    assert(ranks.forall(_ === 5))
+  }
+
+  test("lsh buckets partition all vectors into 8-bit keys") {
+    val b = Similarity.lshBuckets(spark, sf0001).cache()
+    assert(b.count() === Tables.embeddings(spark, sf0001).count())
+    assert(b.filter(length(col("bucket")) =!= 8).count() === 0)
+    // buckets spread (not all vectors in one bucket)
+    assert(b.select("bucket").distinct().count() > 10)
+  }
+
+  test("language id predicts a language for every doc") {
+    val l = TextMetrics.langId(spark, sf0001).cache()
+    assert(l.filter(col("predicted_lang").isNull).count() === 0)
+    // synthetic corpus is English-ish function words
+    assert(l.filter(col("predicted_lang") === "en").count() > 0)
+  }
+}
