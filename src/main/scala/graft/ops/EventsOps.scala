@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event/time-series operators over the `events` table
+  * (`event_id, ts, user_id, event_type, value, props`) — the batch twins
+  * of the streaming aggregations in graft.streaming.EventStream.
+  *
+  * Scale notes: the daily rollup is one hash-aggregate shuffle keyed on
+  * (day, type) — low cardinality, map-side partial aggregation does most
+  * of the work. Sessionization shuffles once on user_id and sorts within
+  * partitions by ts (the Window spec); no global sort, no collect.
+  */
+object EventsOps {
+
+  /** A6-style time-bucketed rollup: per (day, event_type) counts + value
+    * stats.
+    */
+  def daily(spark: SparkSession, dir: String): DataFrame = {
+    // Sum DECIMALs, not doubles: a double sum's low bits depend on
+    // accumulation order (partition scheduling), which both breaks oracle
+    // parity and makes reruns non-reproducible at .xxx5 rounding edges.
+    val decSum = sum(col("value").cast("decimal(18,2)"))
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        decSum.cast("decimal(18,2)").as("total_value"),
+        // unrounded double: the decimal sum casts to double exactly the
+        // same in both engines; rounding to DECIMAL would hit engine-
+        // specific half-up-vs-binary behavior at .xxx5 boundaries
+        (decSum.cast("double") / count(lit(1))).as("avg_value"))
+  }
+
+  /** Gap-based sessionization: a session breaks after `gapMinutes` of
+    * user inactivity (lag + running sum of boundaries — the standard
+    * batch formulation; the streaming twin is a session window with
+    * watermarking).
+    */
+  def sessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("session_value"))
+  }
+
+  /** O2-style top-k: highest-value users (deterministic tiebreak). */
+  def topUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(k)
+
+  // ---------- DuckDB oracles ----------
+  // (events ts is TIMESTAMP(NANOS) in parquet; DuckDB truncates to micros
+  //  exactly like Tables.events — see Tables.scala.)
+
+  val dailySql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, event_type,
+      |       COUNT(*) AS n_events,
+      |       COUNT(DISTINCT user_id) AS n_users,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  def sessionsSql(gapMinutes: Int = 30): String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL
+       |                   OR date_diff('second', prev_ts, ts) > ${gapMinutes * 60}
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM lagged
+       |), numbered AS (
+       |  SELECT *, SUM(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged
+       |)
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |       COUNT(*) AS n_events,
+       |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+       |FROM numbered GROUP BY 1, 2""".stripMargin
+
+  def topUsersSql(k: Int = 10): String =
+    s"""SELECT user_id, COUNT(*) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+       |FROM events GROUP BY 1
+       |ORDER BY total_value DESC, user_id LIMIT $k""".stripMargin
+}

@@ -27,7 +27,15 @@ object OpsQueries {
     "ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(s, dir)),
     "ann_bucket_stats" -> ((s, dir) => Similarity.bucketStats(s, dir)),
-    "emb_neardups" -> ((s, dir) => Similarity.cosineNearDups(s, dir))
+    "emb_neardups" -> ((s, dir) => Similarity.cosineNearDups(s, dir)),
+    // events / time series
+    "events_daily" -> ((s, dir) => EventsOps.daily(s, dir)),
+    "events_sessions" -> ((s, dir) => EventsOps.sessions(s, dir)),
+    "events_top_users" -> ((s, dir) => EventsOps.topUsers(s, dir)),
+    // multimodal plumbing (binary payloads; decode stubbed → rows-only)
+    "mm_media" -> ((s, dir) => Multimodal.mediaTable(s, dir)),
+    "mm_features" -> ((s, dir) => Multimodal.features(s, dir)),
+    "mm_frames" -> ((s, dir) => Multimodal.frameSample(s, dir))
   )
 
   def oracles: Map[String, String] = Map(
@@ -43,6 +51,11 @@ object OpsQueries {
     "ann_topk" -> Similarity.bruteForceSql(),
     "ann_lsh_buckets" -> Similarity.lshBucketsSql,
     "ann_bucket_stats" -> Similarity.bucketStatsSql,
-    "emb_neardups" -> Similarity.cosineNearDupsSql()
+    "emb_neardups" -> Similarity.cosineNearDupsSql(),
+    "events_daily" -> EventsOps.dailySql,
+    "events_sessions" -> EventsOps.sessionsSql(),
+    "events_top_users" -> EventsOps.topUsersSql()
+    // mm_* carry BINARY payload columns → rows-only checks (binary values
+    // don't round-trip the hash compare)
   )
 }
