@@ -31,11 +31,11 @@ object SparkEntry {
 
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bronze" -> ((s, dir) => Bronze(s, dir)),
-    "silver" -> ((s, dir) => Pipeline.silver(s, dir)),
-    "dim_customer" -> ((s, dir) => Star.dimCustomer(Pipeline.silver(s, dir))),
-    "dim_product" -> ((s, dir) => Star.dimProduct(Pipeline.silver(s, dir))),
-    "dim_region" -> ((s, dir) => Star.dimRegion(Pipeline.silver(s, dir))),
-    "dim_status" -> ((s, dir) => Star.dimStatus(Pipeline.silver(s, dir))),
+    "silver" -> ((s, dir) => Pipeline.silverCached(s, dir)),
+    "dim_customer" -> ((s, dir) => Star.dimCustomer(Pipeline.silverCached(s, dir))),
+    "dim_product" -> ((s, dir) => Star.dimProduct(Pipeline.silverCached(s, dir))),
+    "dim_region" -> ((s, dir) => Star.dimRegion(Pipeline.silverCached(s, dir))),
+    "dim_status" -> ((s, dir) => Star.dimStatus(Pipeline.silverCached(s, dir))),
     "fact" -> ((s, dir) => Pipeline.fact(s, dir))
   )
 

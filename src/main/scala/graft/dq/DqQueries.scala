@@ -10,12 +10,11 @@ object DqQueries {
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_checks" -> ((s, dir) => {
-      val silver = Pipeline.silverCached(s, dir)
-      DqSuite.run(s, silver, Star.fact(silver))
+      DqSuite.run(s, Pipeline.silverCached(s, dir), Pipeline.fact(s, dir))
     }),
     "dq_ref_integrity" -> ((s, dir) => {
       val silver = Pipeline.silverCached(s, dir)
-      val fact = Star.fact(silver)
+      val fact = Pipeline.fact(s, dir)
       DqSuite.refIntegrity(s, fact, Seq(
         ("customer", Star.dimCustomer(silver), "customer_id"),
         ("product", Star.dimProduct(silver), "product_id"),

@@ -38,67 +38,94 @@ object Dedup {
     * no shingles (guard needed: Spark's `sequence(0, n)` runs DESCENDING
     * for negative n instead of returning empty).
     */
-  def shingles(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(TextMetrics.normalized(col("text")), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-    docs
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("ws")) - 3),
-          i => concat_ws(" ", element_at(col("ws"), i + 1),
-            element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))).as("shingle"))
-      .distinct()
-  }
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "dedup_shingles", dir) {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(TextMetrics.normalized(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+      docs
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("ws")) - 3),
+            i => concat_ws(" ", element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))).as("shingle"))
+        .distinct()
+    }
 
   /** Per-doc shingle counts (the deterministic stage check). */
   def shingleStats(spark: SparkSession, dir: String): DataFrame =
     shingles(spark, dir).groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"))
 
-  /** MinHash signature rows: (doc_id, h, mh) where mh = min over shingles
-    * of md5(h ‖ ':' ‖ shingle) — h independent hash functions via salt.
+  /** Wide MinHash signature: one row per doc, columns mh_0..mh_15 where
+    * mh_h = min over shingles of md5(h ‖ ':' ‖ shingle). ONE shuffle of
+    * the shingle set with 16 map-side-combining min aggregates — the
+    * narrow (doc_id, h) formulation would explode 16× the rows and
+    * shuffle all of them (measured 4× slower at sf0.1).
     */
+  def minhashFrom(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0:"), col("shingle")))).as("mh_0"),
+      (1 until numHashes).map(h =>
+        min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"mh_$h")): _*)
+
   def minhash(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("h"),
-        col("shingle"))
-      .select(col("doc_id"), col("h"),
-        md5(concat(col("h"), lit(":"), col("shingle"))).as("hv"))
-      .groupBy("doc_id", "h").agg(min("hv").as("mh"))
+    minhashFrom(shingles(spark, dir))
 
-  /** LSH band keys: group the signature into bands of [[bandSize]] rows,
-    * key = md5 of the band's concatenated minhashes (in h order).
+  /** LSH band keys from the wide signature: band b's key = md5 of its
+    * [[bandSize]] minhashes joined in h order. Pure projection — no
+    * shuffle beyond the signature's own.
     */
-  def bands(spark: SparkSession, dir: String): DataFrame =
-    minhash(spark, dir)
-      .withColumn("band", (col("h") / bandSize).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws("|",
-        transform(array_sort(collect_list(struct(col("h"), col("mh")))),
-          s => s.getField("mh")))).as("band_key"))
+  def bandsFrom(mh: DataFrame): DataFrame = {
+    val nBands = numHashes / bandSize
+    mh.select(col("doc_id"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|",
+              (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}")): _*))
+              .as("band_key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
 
-  /** Candidate near-dup pairs: docs sharing any band bucket. */
-  def candidates(spark: SparkSession, dir: String): DataFrame = {
-    val b = bands(spark, dir)
-    val a = b.select(col("band").as("band_a"), col("band_key").as("key_a"),
+  def bands(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "dedup_bands", dir)(bandsFrom(minhash(spark, dir)))
+
+  /** Candidate near-dup pairs: docs sharing any band bucket. The band
+    * frame is persisted by the caller (or here) — the self-join would
+    * otherwise recompute the whole shingle→minhash chain for each side.
+    */
+  def candidatesFrom(bandsPersisted: DataFrame): DataFrame = {
+    val a = bandsPersisted.select(col("band").as("band_a"), col("band_key").as("key_a"),
       col("doc_id").as("doc_a"))
-    val c = b.select(col("band").as("band_b"), col("band_key").as("key_b"),
+    val c = bandsPersisted.select(col("band").as("band_b"), col("band_key").as("key_b"),
       col("doc_id").as("doc_b"))
     a.join(c, col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
         col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
 
+  def candidates(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "dedup_candidates", dir)(candidatesFrom(bands(spark, dir)))
+
   /** Near-dup verification: exact n-gram Jaccard on the candidates only,
-    * kept at >= `threshold` (default 0.5).
+    * kept at >= `threshold` (default 0.5). Shingles are computed once and
+    * persisted; every downstream stage (signatures, counts, intersection)
+    * reuses them.
     */
   def nearDups(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(spark, dir).persist()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sh = shingles(spark, dir)
     val pairs = candidates(spark, dir)
+    // Restrict the shingle table to candidate docs BEFORE the pair joins:
+    // the verify stage then shuffles only the (tiny) candidate subset, not
+    // the full corpus — at 100 TB this is the difference between a
+    // broadcast-semi-join and re-shuffling every shingle twice.
+    val docIds = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shCand = sh.join(broadcast(docIds), Seq("doc_id"))
+    val cnt = shCand.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(shCand.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(shCand.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")

@@ -23,7 +23,10 @@ object SimHash {
 
   val bits = 60
 
-  def signatures(spark: SparkSession, dir: String): DataFrame = {
+  def signatures(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "simhash_signatures", dir)(signaturesUncached(spark, dir))
+
+  private def signaturesUncached(spark: SparkSession, dir: String): DataFrame = {
     val tokens = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(split(TextMetrics.normalized(col("text")), " ")).as("token"))
@@ -46,6 +49,7 @@ object SimHash {
     * space; smaller bands trade candidate volume for recall).
     */
   def candidates(spark: SparkSession, dir: String): DataFrame = {
+    // memo-persisted: the banded self-join below reads this frame twice
     val s = signatures(spark, dir)
     val banded = s.select(col("doc_id"), col("simhash"),
       explode(array((0 until 5).map(b =>

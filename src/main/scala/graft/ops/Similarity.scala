@@ -46,11 +46,15 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Embeddings with doubles + precomputed L2 norm (one pass). */
+  /** Embeddings with doubles + precomputed L2 norm (one pass, memoized —
+    * topk/buckets/near-dup queries all start here).
+    */
   def normalized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(
-      col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    graft.Memo(spark, "emb_normalized", dir) {
+      Tables.embeddings(spark, dir).select(
+        col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    }
 
   /** Exact cosine top-k: queries = `vec_id % queryMod == 0`, neighbors
     * ranked per query by rounded cosine desc, id asc.
@@ -72,15 +76,16 @@ object Similarity {
   }
 
   /** Sign-LSH bucket per vector: 8 bits, bit p = (v · w_p >= 0). */
-  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val ws = planeWeights
-    val bits = (0 until numPlanes).map { p =>
-      val w = array(ws(p).map(lit): _*)
-      when(dot(col("v"), w) >= 0, "1").otherwise("0")
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "emb_lsh_buckets", dir) {
+      val ws = planeWeights
+      val bits = (0 until numPlanes).map { p =>
+        val w = array(ws(p).map(lit): _*)
+        when(dot(col("v"), w) >= 0, "1").otherwise("0")
+      }
+      normalized(spark, dir)
+        .select(col("vec_id"), concat(bits: _*).as("bucket"))
     }
-    normalized(spark, dir)
-      .select(col("vec_id"), concat(bits: _*).as("bucket"))
-  }
 
   /** Bucket histogram — the candidate-generation cost profile. */
   def bucketStats(spark: SparkSession, dir: String): DataFrame =

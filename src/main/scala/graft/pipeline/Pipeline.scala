@@ -17,17 +17,19 @@ object Pipeline {
   def silver(spark: SparkSession, dir: String): DataFrame =
     Silver.cleanse(Bronze(spark, dir), Some(defaultStart), Some(defaultEnd))
 
-  /** Persisted silver — the medallion materialization point. The star build
-    * fans out into 4 dims + the fact over the same frame; without caching
-    * each consumer re-derives silver ← bronze ← the orders⋈lineitem shuffle
-    * join. At cluster scale the equivalent is writing silver to
-    * date-partitioned parquet (graft.io.WindowReload).
+  /** Memoized persisted silver — the medallion materialization point. The
+    * star build fans out into 4 dims + the fact over the same frame, and
+    * several registered queries (dims, fact, dq_checks) start from it;
+    * without the session-scoped memo each consumer re-derives silver ←
+    * bronze ← the orders⋈lineitem shuffle join. At cluster scale the
+    * equivalent is writing silver to date-partitioned parquet
+    * (graft.io.WindowReload, as PipelineRunner does).
     */
   def silverCached(spark: SparkSession, dir: String): DataFrame =
-    silver(spark, dir).persist()
+    graft.Memo(spark, "silver", dir)(silver(spark, dir))
 
   def fact(spark: SparkSession, dir: String): DataFrame =
-    Star.fact(silverCached(spark, dir))
+    graft.Memo(spark, "fact", dir)(Star.fact(silverCached(spark, dir)))
 
   /** Oracle prefix: bronze + windowed silver CTEs. */
   val silverPrefix: String =
