@@ -137,7 +137,26 @@ object Dashboard {
       .select("check_name", "error_message", "execution_date")
       .limit(n)
 
+  /** A4/O1 — latest-run selection via MAX scalar subquery + stable
+    * check_id ordering (`run_data_quality_checks.py:40-48`), by run date.
+    */
+  def latestRun(spark: SparkSession, dir: String): DataFrame = {
+    val h = history(spark, dir)
+    val mx = h.agg(max(to_date(col("execution_date"))).as("mxd"))
+    h.crossJoin(broadcast(mx))
+      .filter(to_date(col("execution_date")) === col("mxd"))
+      .drop("mxd")
+      .orderBy("check_id")
+  }
+
+  val latestRunSql: String =
+    """SELECT * FROM dq_history
+      |WHERE CAST(execution_date AS DATE) =
+      |      (SELECT MAX(CAST(execution_date AS DATE)) FROM dq_history)
+      |ORDER BY check_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_latest_run" -> ((s, dir) => latestRun(s, dir)),
     "dq_history" -> ((s, dir) => history(s, dir)),
     "dash_summary" -> ((s, dir) => summary(s, dir)),
     "dash_by_type" -> ((s, dir) => byType(s, dir)),
@@ -150,6 +169,7 @@ object Dashboard {
 
   def oracles: Map[String, String] = Map(
     "dq_history" -> (prefix + " SELECT * FROM dq_history"),
+    "dq_latest_run" -> (prefix + " " + latestRunSql),
     "dash_summary" -> (prefix + s"""
       | SELECT COUNT(*) AS total_checks,
       |        COUNT(*) FILTER (WHERE status = 'passed') AS passed_checks,

@@ -20,13 +20,16 @@ object DqQueries {
         ("product", Star.dimProduct(silver), "product_id"),
         ("region", Star.dimRegion(silver), "region_id"),
         ("status", Star.dimStatus(silver), "status_id")))
-    })
+    }),
+    "quarantine_stats" -> ((s, dir) => graft.pipeline.BronzeIngest.stats(s, dir))
   )
 
   def oracles: Map[String, String] = Map(
     "dq_checks" -> (Pipeline.starPrefix + ", " + DqSuite.sqlCte +
       " SELECT * FROM dq_checks"),
     "dq_ref_integrity" -> (Pipeline.starPrefix + ", " + DqSuite.refIntegritySql +
-      " SELECT * FROM ref_integrity")
+      " SELECT * FROM ref_integrity"),
+    "quarantine_stats" -> ("WITH " + graft.pipeline.Bronze.sqlCte + " " +
+      graft.pipeline.BronzeIngest.statsSql)
   ) ++ Dashboard.oracles
 }
