@@ -36,7 +36,17 @@ object SparkEntry {
     "dim_product" -> ((s, dir) => Star.dimProduct(Pipeline.silverCached(s, dir))),
     "dim_region" -> ((s, dir) => Star.dimRegion(Pipeline.silverCached(s, dir))),
     "dim_status" -> ((s, dir) => Star.dimStatus(Pipeline.silverCached(s, dir))),
-    "fact" -> ((s, dir) => Pipeline.fact(s, dir))
+    "fact" -> ((s, dir) => Pipeline.fact(s, dir)),
+    // F14: string extraction — user number out of the 'user_NNNN' id
+    "bronze_users" -> ((s, dir) =>
+      Bronze(s, dir)
+        .filter(org.apache.spark.sql.functions.col("user_id").isNotNull)
+        .select(org.apache.spark.sql.functions.col("user_id"))
+        .distinct()
+        .withColumn("user_num",
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("user_id"), "_")
+            .getItem(1).cast("int")))
   )
 
   private def pipelineOracles: Map[String, String] = Map(
@@ -46,6 +56,9 @@ object SparkEntry {
     "dim_product" -> (Pipeline.starPrefix + " SELECT * FROM dim_product"),
     "dim_region" -> (Pipeline.starPrefix + " SELECT * FROM dim_region"),
     "dim_status" -> (Pipeline.starPrefix + " SELECT * FROM dim_status"),
-    "fact" -> (Pipeline.starPrefix + " SELECT * FROM fact")
+    "fact" -> (Pipeline.starPrefix + " SELECT * FROM fact"),
+    "bronze_users" -> ("WITH " + Bronze.sqlCte +
+      """ SELECT user_id, CAST(string_split(user_id, '_')[2] AS INT) AS user_num
+        | FROM (SELECT DISTINCT user_id FROM bronze WHERE user_id IS NOT NULL)""".stripMargin)
   )
 }

@@ -35,7 +35,11 @@ object OpsQueries {
     // multimodal plumbing (binary payloads; decode stubbed → rows-only)
     "mm_media" -> ((s, dir) => Multimodal.mediaTable(s, dir)),
     "mm_features" -> ((s, dir) => Multimodal.features(s, dir)),
-    "mm_frames" -> ((s, dir) => Multimodal.frameSample(s, dir))
+    "mm_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)),
+    // winnowing rolling-hash fingerprints (custom Catalyst expression →
+    // rows-only; cross-checked against a reference impl in WinnowSpec)
+    "winnow_fingerprints" -> ((s, dir) => Winnow.fingerprints(s, dir)),
+    "winnow_neardups" -> ((s, dir) => Winnow.nearDups(s, dir))
   )
 
   def oracles: Map[String, String] = Map(

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * the aggregation state key space is (1h window × event_type) — tiny.
   * On a cluster the file source becomes Kafka with identical plan shape.
   */
-object EventStream {
+object EventStream extends Serializable {
 
   /** The events schema as landed by the generator (ts arrives as
     * TIMESTAMP(NANOS) in parquet → read as long, converted below).
@@ -53,6 +53,100 @@ object EventStream {
       .format("memory")
       .queryName(tableName)
       .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  /** start/last are event-time MICROS — java.sql.Timestamp.getTime is
+    * millis and silently drops the micros the parquet data carries.
+    */
+  case class SessionState(start: Long, last: Long, n: Long, value: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long,
+                        session_value: Double)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000 * 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
+
+  /** Custom-state streaming sessionization — the
+    * `flatMapGroupsWithState` twin of `EventsOps.sessions`: per-user
+    * state holds the open session; an event past the gap (or a state
+    * timeout at watermark) closes and emits it. State size is O(users),
+    * eviction driven by event-time timeout — the canonical unbounded-
+    * stream shape the batch lag/running-sum formulation can't express.
+    */
+  def sessionize(spark: SparkSession, dir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapSec = gapMinutes * 60L
+
+    val events = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+
+    def close(uid: Long, s: SessionState): SessionOut =
+      SessionOut(uid, toTs(s.start), toTs(s.last), s.n, s.value)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, batch, state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(close(uid, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                // gap on floored SECONDS — identical to the batch
+                // formulation's ts.cast(long) comparison
+                case Some(s) if t / 1000000 - s.last / 1000000 > gapSec =>
+                  closed ::= close(uid, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    value = s.value + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // evict once the watermark passes the gap after last event
+              state.setTimeoutTimestamp(s.last / 1000 + gapSec * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF()
+  }
+
+  /** Drive [[sessionize]] over a static directory until exhausted; open
+    * sessions at end-of-stream stay in state (append mode only emits
+    * closed sessions).
+    */
+  def sessionizeToMemory(spark: SparkSession, dir: String,
+                         tableName: String): StreamingQuery = {
+    val q = sessionize(spark, dir).writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
       .start()
     q.processAllAvailable()
     q

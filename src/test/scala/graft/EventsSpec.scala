@@ -44,6 +44,30 @@ class EventsSpec extends SparkSpec {
     assert(joined.count() === streamed.count())
   }
 
+  test("stateful streaming sessionization agrees with the batch formulation") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_sessions")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    EventStream.sessionizeToMemory(spark, dir.toString, "stream_sessions").stop()
+    val streamed = spark.table("stream_sessions")
+    val batch = EventsOps.sessions(spark, sf0001).cache()
+
+    // append mode emits only CLOSED sessions (watermark at end-of-stream
+    // leaves each user's final session open) — so streamed sessions must
+    // be a subset of batch sessions, matched on (user, start, end, count)
+    val streamedKeys = streamed
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    val batchKeys = batch
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    assert(streamedKeys.count() > 0)
+    assert(streamedKeys.exceptAll(batchKeys).count() === 0,
+      "every closed streaming session must exist identically in batch")
+    // and the closed set should be nearly all of them (one open per user)
+    val users = batch.select("user_id").distinct().count()
+    assert(streamedKeys.count() >= batch.count() - users)
+  }
+
   test("multimodal features: fixed-width vectors, one per media row") {
     val media = Multimodal.mediaTable(spark, sf0001).cache()
     val feats = Multimodal.features(spark, sf0001).cache()
