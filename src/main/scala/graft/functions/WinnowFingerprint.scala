@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * registrable in the SQL function registry ([[GraftFunctions.register]])
   * so `spark.sql("SELECT winnow_fingerprint(text) …")` works.
   */
-case class WinnowFingerprint(child: Expression, k: Int = 5, window: Int = 4)
+case class WinnowFingerprint(child: Expression, k: Int = 12, window: Int = 8)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

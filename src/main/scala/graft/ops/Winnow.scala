@@ -29,12 +29,19 @@ object Winnow {
     * (containment = |A∩B| / min(|A|,|B|)).
     */
   def nearDups(spark: SparkSession, dir: String,
-               threshold: Double = 0.5): DataFrame = {
+               threshold: Double = 0.5, maxDocFreq: Int = 50): DataFrame = {
     val fp = fingerprints(spark, dir)
       .select(col("doc_id"), col("fingerprints"),
         size(col("fingerprints")).as("n"))
-    val posting = fp.select(col("doc_id"), col("n"),
+    val postingAll = fp.select(col("doc_id"), col("n"),
       explode(col("fingerprints")).as("f"))
+    // Posting-list pruning: a fingerprint present in d docs yields d² pair
+    // rows, so stop-fingerprints (common phrases) make the join
+    // quasi-cartesian while carrying no near-dup signal. Cap doc-freq.
+    val rare = postingAll.groupBy("f")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+      .select("f")
+    val posting = postingAll.join(rare, Seq("f"))
     val a = posting.select(col("f"), col("doc_id").as("doc_a"), col("n").as("na"))
     val b = posting.select(col("f"), col("doc_id").as("doc_b"), col("n").as("nb"))
     a.join(b, Seq("f"))

@@ -10,7 +10,7 @@ class WinnowSpec extends SparkSpec {
   /** Plain-Scala reference implementation (independent of the Expression
     * code path): k-gram hashes, leftward window scan, rightmost min.
     */
-  private def reference(s: String, k: Int = 5, w: Int = 4): Seq[Long] = {
+  private def reference(s: String, k: Int = 12, w: Int = 8): Seq[Long] = {
     val hashes = WinnowUtil.rollingHashes(s.getBytes("UTF-8"), k)
     if (hashes.isEmpty) return Seq.empty
     val sel = scala.collection.mutable.LinkedHashSet.empty[Long]
@@ -30,7 +30,7 @@ class WinnowSpec extends SparkSpec {
       "the quick brown fox jumps over the lazy dog",
       "abcdefghijklmnopqrstuvwxyz",
       "aaaaaaaaaaaaaaaa", // degenerate: identical hashes → tie-breaking
-      "short",            // < k chars → single-window fallback? (k=5 → 1 hash)
+      "exactly12chr",     // == k chars → single hash
       "tiny"              // < k chars → empty
     )
     GraftFunctions.register(spark)
