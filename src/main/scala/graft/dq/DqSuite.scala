@@ -48,10 +48,16 @@ object DqSuite {
   def run(spark: SparkSession, silver: DataFrame, fact: DataFrame): DataFrame = {
     // Shared aggregates, each its own Try so a failing input poisons only
     // the checks that depend on it (fn_dq_checks_load.sql:48-54 et al.).
-    val expectedSum: Try[Double] = Try {
+    // The three jobs are independent → submitted concurrently; each is a
+    // scalar aggregate, so the driver holds three rows, not data.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
+    val expectedSumF = Future(Try {
       silver.agg(coalesce(sum("purchase_amount"), lit(0)).cast("double")).head.getDouble(0)
-    }
-    val factStats: Try[FactStats] = Try {
+    })
+    val factStatsF = Future(Try {
       val r = fact.agg(
         coalesce(sum("purchase_amount"), lit(0)).cast("double"),
         count(when(col("customer_id").isNull, 1)),
@@ -66,11 +72,14 @@ object DqSuite {
         // oracle computes it (fn_dq_checks_load.sql:60-62).
         if (total == 0) None else Some(r.getLong(1).toDouble * 100.0 / total.toDouble),
         r.getLong(3), r.getLong(4))
-    }
-    val dupGroups: Try[Long] = Try {
+    })
+    val dupGroupsF = Future(Try {
       fact.groupBy("fact_id", "customer_id", "effective_from")
         .count().filter(col("count") > 1).count()
-    }
+    })
+    val expectedSum = Await.result(expectedSumF, Duration.Inf)
+    val factStats = Await.result(factStatsF, Duration.Inf)
+    val dupGroups = Await.result(dupGroupsF, Duration.Inf)
 
     val correctness = (expectedSum, factStats) match {
       case (Success(e), Success(f)) =>
@@ -212,11 +221,18 @@ object DqSuite {
     */
   def refIntegrity(spark: SparkSession, fact: DataFrame, dims: Seq[(String, DataFrame, String)]): DataFrame = {
     import spark.implicits._
-    dims.map { case (name, dim, idCol) =>
-      val orphans = fact.filter(col(idCol).isNotNull)
-        .join(dim, Seq(idCol), "left_anti").count()
-      (name, orphans)
-    }.toDF("dim_name", "orphan_count")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // four independent anti-join counts — run concurrently
+    val counts = dims.map { case (name, dim, idCol) =>
+      Future {
+        val orphans = fact.filter(col(idCol).isNotNull)
+          .join(dim, Seq(idCol), "left_anti").count()
+        (name, orphans)
+      }
+    }
+    counts.map(Await.result(_, Duration.Inf)).toDF("dim_name", "orphan_count")
   }
 
   val refIntegritySql: String =
