@@ -28,10 +28,15 @@ object OpsQueries {
     "ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(s, dir)),
     "ann_bucket_stats" -> ((s, dir) => Similarity.bucketStats(s, dir)),
     "emb_neardups" -> ((s, dir) => Similarity.cosineNearDups(s, dir)),
+    "ivf_assign" -> ((s, dir) => Ivf.assignments(s, dir)),
+    "ivf_list_stats" -> ((s, dir) => Ivf.listStats(s, dir)),
+    "ivf_topk" -> ((s, dir) => Ivf.topK(s, dir)),
     // events / time series
     "events_daily" -> ((s, dir) => EventsOps.daily(s, dir)),
     "events_sessions" -> ((s, dir) => EventsOps.sessions(s, dir)),
     "events_top_users" -> ((s, dir) => EventsOps.topUsers(s, dir)),
+    // identical semantics through the skew-safe two-phase salted plan
+    "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
     // multimodal plumbing (binary payloads; decode stubbed → rows-only)
     "mm_media" -> ((s, dir) => Multimodal.mediaTable(s, dir)),
     "mm_features" -> ((s, dir) => Multimodal.features(s, dir)),
@@ -56,9 +61,14 @@ object OpsQueries {
     "ann_lsh_buckets" -> Similarity.lshBucketsSql,
     "ann_bucket_stats" -> Similarity.bucketStatsSql,
     "emb_neardups" -> Similarity.cosineNearDupsSql(),
+    "ivf_assign" -> Ivf.assignmentsSql,
+    "ivf_list_stats" -> Ivf.listStatsSql,
+    "ivf_topk" -> Ivf.topKSql(),
     "events_daily" -> EventsOps.dailySql,
     "events_sessions" -> EventsOps.sessionsSql(),
-    "events_top_users" -> EventsOps.topUsersSql()
+    "events_top_users" -> EventsOps.topUsersSql(),
+    // the salted plan must produce byte-identical results to the plain one
+    "events_top_users_salted" -> EventsOps.topUsersSql()
     // mm_* carry BINARY payload columns → rows-only checks (binary values
     // don't round-trip the hash compare)
   )

@@ -60,6 +60,24 @@ class OpsSpec extends SparkSpec {
     assert(ranks.forall(_ === 5))
   }
 
+  test("ivf: every vector assigned to one list; topk recall vs brute force") {
+    val assign = graft.ops.Ivf.assignments(spark, sf0001).cache()
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(assign.count() === n)
+    assert(assign.select("vec_id").distinct().count() === n)
+
+    val ivf = graft.ops.Ivf.topK(spark, sf0001, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = graft.ops.Similarity.bruteForceTopK(spark, sf0001, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // IVF with nprobe=4/16 lists searches ~25% of the corpus; on near-
+    // random embeddings recall is roughly that fraction — assert sane
+    // bounds (it IS approximate) and exact subset behavior per query
+    val recall = brute.count(ivf.contains).toDouble / brute.length
+    assert(recall > 0.15, s"ivf recall $recall")
+    assert(ivf.size === brute.length, "same k per query")
+  }
+
   test("lsh buckets partition all vectors into 8-bit keys") {
     val b = Similarity.lshBuckets(spark, sf0001).cache()
     assert(b.count() === Tables.embeddings(spark, sf0001).count())

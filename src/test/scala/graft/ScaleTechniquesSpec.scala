@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import graft.ops.{EventsOps, Salting}
+
+/** Evidence for the scale techniques the 100 TB design leans on:
+  * salting produces identical results through a skew-immune plan, and
+  * bucketing eliminates the join shuffle entirely (the claim in
+  * Bronze.scala's scaladoc, made checkable).
+  */
+class ScaleTechniquesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation returns exactly the plain groupBy result") {
+    val plain = EventsOps.topUsers(spark, sf0001, k = 1000)
+      .as[(Long, Long, java.math.BigDecimal)].collect().toSeq
+    val salted = Salting.topUsersSalted(spark, sf0001, k = 1000)
+      .as[(Long, Long, java.math.BigDecimal)].collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("salted plan spreads the hot key over (key, salt) partial groups") {
+    val partials = Salting.saltedUserTotals(Tables.events(spark, sf0001))
+    // the partial stage really fans a user across multiple salt groups
+    val fanout = Tables.events(spark, sf0001)
+      .withColumn("_salt", pmod(col("event_id"), lit(16)))
+      .groupBy("user_id").agg(countDistinct("_salt").as("s"))
+      .agg(max("s")).head().getLong(0)
+    assert(fanout > 1)
+    assert(partials.columns.toSeq === Seq("user_id", "n_events", "total_value"))
+  }
+
+  private def shuffles(plan: SparkPlan): Int =
+    plan.collect { case _: ShuffleExchangeExec => 1 }.sum
+
+  test("bucketed tables join without a shuffle (the Bronze bucketing claim)") {
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.lineitem(spark, sf0001)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, sf0001)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+
+    val bucketed = spark.table("li_b")
+      .join(spark.table("ord_b"),
+        col("l_orderkey") === col("o_orderkey"))
+    // AQE off-path: examine the compiled plan
+    val plan = bucketed.queryExecution.executedPlan
+    assert(shuffles(plan) === 0,
+      s"bucketed join must not shuffle:\n${plan.treeString}")
+
+    // sanity: same row count as the plain join
+    val plainCount = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(bucketed.count() === plainCount)
+  }
+}
