@@ -129,9 +129,11 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("winnow_fingerprint"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
       (args: Seq[Expression]) => WinnowFingerprint(args.head)))
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
+  }
 }

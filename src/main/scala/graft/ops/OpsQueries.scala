@@ -44,7 +44,13 @@ object OpsQueries {
     // winnowing rolling-hash fingerprints (custom Catalyst expression →
     // rows-only; cross-checked against a reference impl in WinnowSpec)
     "winnow_fingerprints" -> ((s, dir) => Winnow.fingerprints(s, dir)),
-    "winnow_neardups" -> ((s, dir) => Winnow.nearDups(s, dir))
+    "winnow_neardups" -> ((s, dir) => Winnow.nearDups(s, dir)),
+    // native per-key top-k operator (custom LogicalPlan/Strategy/Exec)
+    "topk_native" -> ((s, dir) =>
+      graft.plans.TopK.perKey(s,
+        graft.Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+        Seq("user_id"), Seq("ts" -> false, "event_id" -> false), 3))
   )
 
   def oracles: Map[String, String] = Map(
@@ -68,7 +74,15 @@ object OpsQueries {
     "events_sessions" -> EventsOps.sessionsSql(),
     "events_top_users" -> EventsOps.topUsersSql(),
     // the salted plan must produce byte-identical results to the plain one
-    "events_top_users_salted" -> EventsOps.topUsersSql()
+    "events_top_users_salted" -> EventsOps.topUsersSql(),
+    // native operator vs the standard window formulation
+    "topk_native" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events
+        |) WHERE rk <= 3""".stripMargin
     // mm_* carry BINARY payload columns → rows-only checks (binary values
     // don't round-trip the hash compare)
   )
