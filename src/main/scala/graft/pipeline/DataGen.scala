@@ -81,4 +81,19 @@ object DataGen {
       .withColumn("_c",
         explode(sequence(lit(1), when(rand(seed + 6) < 0.02, 2).otherwise(1))))
       .drop("_c")
+
+  /** The generator's final clip/round-trip step (`get_dataset.py:66-71`,
+    * S3/F15/F16): clip age to [0,120] and purchase to ≤ 1e6 via
+    * least/greatest, then the `fillna(0).replace(0, None)` null
+    * round-trip on transaction_count — zero and NULL unify to NULL
+    * (quirk preserved: genuine zeros are also nulled).
+    */
+  def clipped(df: DataFrame): DataFrame =
+    df
+      .withColumn("age", least(greatest(col("age"), lit(0)), lit(120)))
+      .withColumn("purchase_amount",
+        least(col("purchase_amount"), lit(1000000).cast("decimal(15,2)")))
+      .withColumn("transaction_count",
+        when(coalesce(col("transaction_count"), lit(0)) === 0,
+          lit(null).cast("int")).otherwise(col("transaction_count")))
 }

@@ -58,6 +58,18 @@ object EventStream extends Serializable {
     q
   }
 
+  /** Streaming exact-dedup: drop events whose `event_id` reappears within
+    * the watermark window — the streaming twin of `Dedup.exact`, with
+    * state bounded by the watermark instead of the full history.
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   /** start/last are event-time MICROS — java.sql.Timestamp.getTime is

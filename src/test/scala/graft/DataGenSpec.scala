@@ -37,6 +37,15 @@ class DataGenSpec extends SparkSpec {
     assert(math.abs(rate - 0.02) < 0.01, s"dup rate $rate")
   }
 
+  test("clip + null round-trip (S3/F15/F16 quirks)") {
+    val c = DataGen.clipped(df)
+    assert(c.filter(col("age") < 0 || col("age") > 120).count() === 0)
+    assert(c.filter(col("purchase_amount") > 1000000).count() === 0)
+    // fillna(0).replace(0, None): no zeros survive, NULLs exist
+    assert(c.filter(col("transaction_count") === 0).count() === 0)
+    assert(c.filter(col("transaction_count").isNull).count() > 0)
+  }
+
   test("generated data flows through the silver cleanse") {
     val silver = Silver.cleanse(df.limit(5000))
     assert(silver.filter(col("salary") < 0).count() === 0)

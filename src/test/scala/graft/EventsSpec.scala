@@ -68,6 +68,22 @@ class EventsSpec extends SparkSpec {
     assert(streamedKeys.count() >= batch.count() - users)
   }
 
+  test("streaming dedup drops within-watermark duplicate event_ids") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_dedup")
+    // stage the file twice → every event_id arrives (at least) twice
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), dir.resolve("b.parquet"))
+    val q = EventStream.dedupStream(spark, dir.toString).writeStream
+      .format("memory").queryName("stream_dedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_dedup")
+    val distinctIds = Tables.events(spark, sf0001).count()
+    assert(got.count() === distinctIds)
+    assert(got.select("event_id").distinct().count() === distinctIds)
+  }
+
   test("multimodal features: fixed-width vectors, one per media row") {
     val media = Multimodal.mediaTable(spark, sf0001).cache()
     val feats = Multimodal.features(spark, sf0001).cache()
