@@ -47,6 +47,10 @@ object OpsQueries {
     // rows-only; cross-checked against a reference impl in WinnowSpec)
     "winnow_fingerprints" -> ((s, dir) => Winnow.fingerprints(s, dir)),
     "winnow_neardups" -> ((s, dir) => Winnow.nearDups(s, dir)),
+    // training-shard prep: chunking, vocabulary, embedding quantization
+    "text_chunks" -> ((s, dir) => TextPrep.chunks(s, dir)),
+    "text_vocab" -> ((s, dir) => TextPrep.vocabulary(s, dir)),
+    "emb_quantize" -> ((s, dir) => TextPrep.quantize(s, dir)),
     // native per-key top-k operator (custom LogicalPlan/Strategy/Exec)
     "topk_native" -> ((s, dir) =>
       graft.plans.TopK.perKey(s,
@@ -77,6 +81,9 @@ object OpsQueries {
     "events_top_users" -> EventsOps.topUsersSql(),
     // the salted plan must produce byte-identical results to the plain one
     "events_top_users_salted" -> EventsOps.topUsersSql(),
+    "text_chunks" -> TextPrep.chunksSql(),
+    "text_vocab" -> TextPrep.vocabularySql(),
+    "emb_quantize" -> TextPrep.quantizeSql,
     // native operator vs the standard window formulation
     "topk_native" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data preparation operators: chunking, vocabulary building,
+  * and embedding quantization — the steps between "clean corpus" and
+  * "training shards".
+  */
+object TextPrep {
+
+  /** Split documents into fixed-size word chunks with overlap — the LLM
+    * context-window packing primitive. Pure column ops: word array →
+    * stride sequence → slice+join per chunk; one narrow pass, no shuffle.
+    */
+  def chunks(spark: SparkSession, dir: String,
+             chunkWords: Int = 64, overlap: Int = 16): DataFrame = {
+    val stride = chunkWords - overlap
+    val ws = split(TextMetrics.normalized(col("text")), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor(greatest((size(col("ws")) - overlap - 1), lit(0)) / stride).cast("int")),
+          i => concat_ws(" ", slice(col("ws"), i * stride + 1, lit(chunkWords))))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_text")
+      .filter(length(col("chunk_text")) > 0)
+      .withColumn("chunk_words",
+        size(split(col("chunk_text"), " ")))
+  }
+
+  def chunksSql(chunkWords: Int = 64, overlap: Int = 16): String = {
+    val stride = chunkWords - overlap
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents
+       |), ch AS (
+       |  SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+       |         array_to_string(ws[(i.i * $stride + 1):(i.i * $stride + $chunkWords)], ' ') AS chunk_text
+       |  FROM w CROSS JOIN LATERAL (
+       |    SELECT unnest(generate_series(0,
+       |      GREATEST(len(ws) - $overlap - 1, 0) // $stride)) AS i) i
+       |)
+       |SELECT doc_id, chunk_idx, chunk_text,
+       |       len(string_split(chunk_text, ' ')) AS chunk_words
+       |FROM ch WHERE length(chunk_text) > 0""".stripMargin
+  }
+
+  /** Corpus vocabulary: token → term frequency + document frequency.
+    * One explode + one aggregation; the shuffle key is the token.
+    */
+  def vocabulary(spark: SparkSession, dir: String, minCount: Long = 2): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(TextMetrics.normalized(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("term_freq"),
+        count_distinct(col("doc_id")).as("doc_freq"))
+      .filter(col("term_freq") >= minCount)
+
+  def vocabularySql(minCount: Long = 2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+       |  FROM documents
+       |)
+       |SELECT token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+       |FROM toks WHERE length(token) > 0
+       |GROUP BY token HAVING COUNT(*) >= $minCount""".stripMargin
+
+  /** Symmetric int8 quantization per embedding: scale = max|x|/127,
+    * q_i = round(x_i / scale). The storage/bandwidth primitive for
+    * embedding tables — 4× smaller than float32, dequantizes to
+    * scale·q_i. Scale and codes are exact decimals/ints so the oracle
+    * compares bit-for-bit.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val absMax = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), v.as("v"), absMax.as("m"))
+      .select(col("vec_id"),
+        // scale stays DOUBLE: a decimal cast rounds, and the two engines
+        // disagree on double→decimal rounding at representation edges
+        (col("m") / 127.0).as("scale"),
+        posexplode(transform(col("v"), x =>
+          when(col("m") === 0.0, 0)
+            .otherwise(round(x * 127.0 / col("m"), 0)).cast("int"))))
+      .withColumnRenamed("pos", "dim")
+      .withColumnRenamed("col", "q")
+  }
+
+  val quantizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), m AS (
+      |  SELECT vec_id, v,
+      |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+      |  FROM e
+      |)
+      |SELECT vec_id, m / 127.0 AS scale,
+      |       CAST(i.i AS INT) - 1 AS dim,
+      |       CAST(CASE WHEN m = 0 THEN 0
+      |                 ELSE round(v[CAST(i.i AS INT)] * 127.0 / m, 0) END AS INT) AS q
+      |FROM m CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i""".stripMargin
+}
