@@ -18,6 +18,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKRewrite.register(spark)
     // JVM/codegen warm-up so the first measured query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

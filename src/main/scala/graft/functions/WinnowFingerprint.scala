@@ -135,5 +135,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
       (args: Seq[Expression]) => WinnowFingerprint(args.head)))
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }

@@ -37,6 +37,32 @@ class TopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"native top-k must not sort:\n${plan.treeString}")
   }
 
+  test("rewrite rule: window row_number filter plans through TopKPerKeyExec") {
+    graft.plans.TopKRewrite.register(spark)
+    val df = events
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rk") <= 3)
+    val rows = df.select("event_id", "user_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    val plan = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) { case e: TopKPerKeyExec => e }.nonEmpty,
+      s"rule did not fire:\n${df.queryExecution.optimizedPlan.treeString}")
+
+    // ranks and rows must be identical to the unrewritten formulation
+    val spark2 = spark.newSession()
+    val plain = Tables.events(spark2, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rk") <= 3)
+      .select("event_id", "user_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows === plain)
+  }
+
   test("ascending order and k larger than group size work") {
     val df = Seq((1, 10), (1, 20), (1, 30), (2, 5)).toDF("k", "v")
     val got = TopK.perKey(spark, df, Seq("k"), Seq("v" -> true), 2)
