@@ -19,8 +19,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopKRewrite.register(spark)
-    // JVM/codegen warm-up so the first measured query isn't charged for it
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    // Warm-up: run every query once at the smallest SF (6k rows) so the
+    // timed loop measures execution, not JIT + whole-stage-codegen
+    // compilation (the generated source is data-independent, so the
+    // compiled-class cache carries over; Memo results are keyed by dir
+    // and do NOT carry over — no result reuse).
+    val warmDir = "/root/testdata/sf0.001"
+    if (warmDir != sfDir) SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
