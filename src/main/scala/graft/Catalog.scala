@@ -78,9 +78,8 @@ object Catalog {
       .foreach(t => Tables(spark, dir, t).createOrReplaceTempView(t))
     Tables.events(spark, dir).createOrReplaceTempView("events")
     pipeline.Bronze(spark, dir).createOrReplaceTempView("t_sql_source_unstructured")
-    pipeline.Pipeline.silverCached(spark, dir)
-      .createOrReplaceTempView("t_sql_source_structured")
     val silver = pipeline.Pipeline.silverCached(spark, dir)
+    silver.createOrReplaceTempView("t_sql_source_structured")
     pipeline.Star.dimCustomer(silver).createOrReplaceTempView("t_dim_customer")
     pipeline.Star.dimProduct(silver).createOrReplaceTempView("t_dim_product")
     pipeline.Star.dimRegion(silver).createOrReplaceTempView("t_dim_region")

@@ -16,11 +16,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * MEMORY_AND_DISK, so eviction degrades to recompute, never OOM.
   */
 object Memo {
-  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
+  // Key includes the session object itself (not a hash — identityHashCode
+  // can collide after GC and would hand a dead session's frame to a new
+  // one). Entries for stopped sessions are dropped on the next lookup.
+  private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def apply(spark: SparkSession, name: String, dir: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = cache.synchronized {
+    cache.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .toList.foreach(cache.remove)
+    // synchronized: TrieMap.getOrElseUpdate may run the builder twice
+    // under a race, persisting an orphan frame nothing ever unpersists
     cache.getOrElseUpdate(
-      (System.identityHashCode(spark), name, dir),
+      (spark, name, dir),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 }

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -31,6 +32,14 @@ case class WinnowFingerprint(child: Expression, k: Int = 12, window: Int = 8)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // a non-string argument becomes a clean analysis error, not a Janino
+  // compile failure at execution time (ExpectsInputTypes is unusable
+  // outside Spark: AbstractDataType is private[sql])
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprint requires a string argument, got ${child.dataType.sql}")
 
   override def nullSafeEval(input: Any): Any =
     WinnowUtil.fingerprint(input.asInstanceOf[UTF8String], k, window)

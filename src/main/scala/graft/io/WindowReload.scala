@@ -81,9 +81,14 @@ object WindowReload {
       fs.listStatus(p).foreach { st =>
         val name = st.getPath.getName
         if (name.startsWith("effective_from=")) {
-          val d = LocalDate.parse(name.stripPrefix("effective_from="))
-          if (!d.isBefore(start) && !d.isAfter(end) && !written.contains(d))
-            fs.delete(st.getPath, true)
+          // skip unparseable partition names (e.g. a NULL-date partition
+          // __HIVE_DEFAULT_PARTITION__ from a foreign bootstrap) — they
+          // can't be inside the [start, end] window
+          scala.util.Try(LocalDate.parse(name.stripPrefix("effective_from=")))
+            .foreach { d =>
+              if (!d.isBefore(start) && !d.isAfter(end) && !written.contains(d))
+                fs.delete(st.getPath, true)
+            }
         }
       }
     }

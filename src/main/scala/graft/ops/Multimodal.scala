@@ -33,7 +33,8 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
         (col("doc_id") % 3).cast("int") + 1).as("media_type"),
-      length(col("text")).as("payload_bytes"))
+      // octet length of the BINARY payload, not character count of text
+      length(encode(col("text"), "UTF-8")).as("payload_bytes"))
 
   /** Batched "decode + feature-extract": one fixed-width float vector per
     * payload. STUB — deterministic bytes-of-md5 features instead of a real

@@ -30,7 +30,10 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, w: Window) if w.orderSpec.nonEmpty =>
+    // partitionSpec must be non-empty: ClusteredDistribution(Nil) is
+    // rejected by Spark, and a global top-k has no per-key win anyway
+    case f @ Filter(cond, w: Window)
+        if w.orderSpec.nonEmpty && w.partitionSpec.nonEmpty =>
       rowNumberAlias(w) match {
         case Some(alias) =>
           val k = cond match {

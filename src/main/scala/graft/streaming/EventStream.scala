@@ -140,8 +140,13 @@ object EventStream extends Serializable {
             }
             cur.foreach { s =>
               state.update(s)
-              // evict once the watermark passes the gap after last event
-              state.setTimeoutTimestamp(s.last / 1000 + gapSec * 1000)
+              // evict once the watermark passes the gap after the last
+              // event — clamped above the current watermark: for gaps
+              // shorter than the watermark delay, last+gap can already be
+              // in the past and setTimeoutTimestamp would throw
+              val target = s.last / 1000 + gapSec * 1000
+              val floor = state.getCurrentWatermarkMs() + 1
+              state.setTimeoutTimestamp(math.max(target, floor))
             }
             closed.reverseIterator
           }

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.functions._
@@ -12,7 +13,7 @@ import graft.ops.{EventsOps, Salting}
   * bucketing eliminates the join shuffle entirely (the claim in
   * Bronze.scala's scaladoc, made checkable).
   */
-class ScaleTechniquesSpec extends SparkSpec {
+class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   test("salted aggregation returns exactly the plain groupBy result") {
@@ -34,10 +35,21 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(partials.columns.toSeq === Seq("user_id", "n_events", "total_value"))
   }
 
+  // collectWithSubqueries descends into AdaptiveSparkPlanExec (a leaf to
+  // plain collect — a bare plan.collect would make this check vacuous)
   private def shuffles(plan: SparkPlan): Int =
-    plan.collect { case _: ShuffleExchangeExec => 1 }.sum
+    collectWithSubqueries(plan) { case _: ShuffleExchangeExec => 1 }.sum
 
   test("bucketed tables join without a shuffle (the Bronze bucketing claim)") {
+    // force sort-merge joins: at this SF everything fits the broadcast
+    // threshold and BOTH joins would be shuffle-free, proving nothing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try bucketedJoinCheck()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  private def bucketedJoinCheck(): Unit = {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
     Tables.lineitem(spark, sf0001)
@@ -50,15 +62,19 @@ class ScaleTechniquesSpec extends SparkSpec {
     val bucketed = spark.table("li_b")
       .join(spark.table("ord_b"),
         col("l_orderkey") === col("o_orderkey"))
-    // AQE off-path: examine the compiled plan
-    val plan = bucketed.queryExecution.executedPlan
-    assert(shuffles(plan) === 0,
-      s"bucketed join must not shuffle:\n${plan.treeString}")
-
-    // sanity: same row count as the plain join
+    // sanity: same row count as the plain join (also finalizes AQE)
     val plainCount = Tables.lineitem(spark, sf0001)
       .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
       .count()
     assert(bucketed.count() === plainCount)
+    val plan = bucketed.queryExecution.executedPlan
+    assert(shuffles(plan) === 0,
+      s"bucketed join must not shuffle:\n${plan.treeString}")
+    // negative control: the same check MUST see the shuffles of the
+    // non-bucketed join (guards against a vacuous traversal)
+    val plain = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+    plain.count()
+    assert(shuffles(plain.queryExecution.executedPlan) > 0)
   }
 }

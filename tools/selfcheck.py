@@ -59,6 +59,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"FAIL: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
