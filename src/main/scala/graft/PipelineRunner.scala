@@ -53,17 +53,32 @@ object PipelineRunner {
     println(s"[runner] silver rows processed: ${silver.count()}")
 
     // 2. gold: dims then fact (fn_dm_data_load; dims-before-fact ordering
-    //    replaces the reference's single PG transaction)
+    //    replaces the reference's single PG transaction). Dims are
+    //    GROW-ONLY across runs (M2, `ON CONFLICT (nk) DO NOTHING` +
+    //    SERIAL): existing surrogate ids are preserved, only new natural
+    //    keys get fresh ids — a rebuild would renumber ids and silently
+    //    re-key every previously-written fact row.
     val dims = Seq(
-      ("dim_customer", Star.dimCustomer(silver)),
-      ("dim_product", Star.dimProduct(silver)),
-      ("dim_region", Star.dimRegion(silver)),
-      ("dim_status", Star.dimStatus(silver)))
-    dims.foreach { case (name, df) =>
-      df.withColumn("created_dt", current_date())
-        .write.mode("overwrite").parquet(s"$wh/$name")
+      ("dim_customer", "customer_id", "customer_name", "user_name"),
+      ("dim_product", "product_id", "product_category", "product_category"),
+      ("dim_region", "region_id", "region_name", "region"),
+      ("dim_status", "status_id", "status_name", "customer_status"))
+    dims.foreach { case (name, idCol, nkCol, srcCol) =>
+      val incoming = silver.select(col(srcCol).as(nkCol))
+      val path = s"$wh/$name"
+      val merged =
+        if (exists(spark, path)) {
+          val existing = spark.read.parquet(path).select(idCol, nkCol)
+          Star.upsertDim(existing, incoming, idCol, nkCol).localCheckpoint(true)
+        } else Star.dim(silver.select(col(srcCol)), srcCol, idCol, nkCol)
+      merged.withColumn("created_dt", current_date())
+        .write.mode("overwrite").parquet(path)
     }
-    Star.fact(silver)
+    val dimFrames = dims.map { case (name, idCol, nkCol, _) =>
+      (name, spark.read.parquet(s"$wh/$name").select(idCol, nkCol), idCol, nkCol)
+    }
+    Star.factWithDims(silver,
+      dimFrames.map { case (_, df, _, _) => df })
       .withColumn("created_dt", current_date())
       .write.mode("overwrite").parquet(s"$wh/fact")
     val fact = spark.read.parquet(s"$wh/fact")
@@ -74,11 +89,18 @@ object PipelineRunner {
 
     // 4. final report (final_report.py:22-43): per-table row counts
     val tables = Seq("silver") ++ dims.map(_._1) ++ Seq("fact", "dq_check_results")
+
     tables.foreach { t =>
       println(s"[runner] $t: ${spark.read.parquet(s"$wh/$t").count()} rows")
     }
     val summary = results.filter(col("check_type") === "summary")
       .select("error_message").head().getString(0)
     println(s"[runner] DQ summary: $summary")
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 }

@@ -50,7 +50,12 @@ object OpsQueries {
     // training-shard prep: chunking, vocabulary, embedding quantization
     "text_chunks" -> ((s, dir) => TextPrep.chunks(s, dir)),
     "text_vocab" -> ((s, dir) => TextPrep.vocabulary(s, dir)),
+    "text_tfidf" -> ((s, dir) => TextPrep.tfIdf(s, dir)),
+    "text_shards" -> ((s, dir) => TextPrep.shards(s, dir)),
     "emb_quantize" -> ((s, dir) => TextPrep.quantize(s, dir)),
+    // deterministic hash-based sampling / splitting
+    "sample_stratified" -> ((s, dir) => Sampling.stratifiedDocs(s, dir)),
+    "sample_split" -> ((s, dir) => Sampling.split(s, dir)),
     // native per-key top-k operator (custom LogicalPlan/Strategy/Exec)
     "topk_native" -> ((s, dir) =>
       graft.plans.TopK.perKey(s,
@@ -83,7 +88,11 @@ object OpsQueries {
     "events_top_users_salted" -> EventsOps.topUsersSql(),
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),
+    "text_tfidf" -> TextPrep.tfIdfSql(),
+    "text_shards" -> TextPrep.shardsSql(),
     "emb_quantize" -> TextPrep.quantizeSql,
+    "sample_stratified" -> Sampling.stratifiedDocsSql(),
+    "sample_split" -> Sampling.splitSql(),
     // native operator vs the standard window formulation
     "topk_native" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (

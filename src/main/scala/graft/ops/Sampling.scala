@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic sampling and dataset splitting — reproducible across
+  * runs, engines, and cluster sizes because the randomness is a salted
+  * content hash of the row key, not an RNG stream: the same row always
+  * lands in the same sample/split no matter how the data is partitioned.
+  * This is the property a training pipeline needs for stable train/val
+  * membership under re-sharding (Spark's `sample()` is seed-stable only
+  * for identical partitioning).
+  */
+object Sampling {
+
+  /** Uniform [0,1) from a salted md5 of the key (first 8 hex chars). */
+  def hashUniform(key: Column, salt: String): Column =
+    (conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double") / 4294967296.0)
+
+  private def hashUniformSql(keyExpr: String, salt: String): String =
+    s"CAST(CAST('0x' || substr(md5('$salt' || ':' || CAST($keyExpr AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0"
+
+  /** Per-language stratified document sample (a `sampleBy` with
+    * deterministic membership): en kept at 10%, others at 50%.
+    */
+  def stratifiedDocs(spark: SparkSession, dir: String, salt: String = "s1"): DataFrame = {
+    val u = hashUniform(col("doc_id"), salt)
+    val keep = when(col("lang") === "en", u < 0.1).otherwise(u < 0.5)
+    Tables.documents(spark, dir)
+      .filter(keep)
+      .select("doc_id", "lang", "source")
+  }
+
+  def stratifiedDocsSql(salt: String = "s1"): String = {
+    val u = hashUniformSql("doc_id", salt)
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE CASE WHEN lang = 'en' THEN $u < 0.1 ELSE $u < 0.5 END""".stripMargin
+  }
+
+  /** Train/val/test assignment by hash thresholds (90/5/5). */
+  def split(spark: SparkSession, dir: String, salt: String = "split1"): DataFrame = {
+    val u = hashUniform(col("doc_id"), salt)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test").as("split"))
+  }
+
+  def splitSql(salt: String = "split1"): String = {
+    val u = hashUniformSql("doc_id", salt)
+    s"""SELECT doc_id,
+       |       CASE WHEN $u < 0.9 THEN 'train'
+       |            WHEN $u < 0.95 THEN 'val' ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+}

@@ -72,6 +72,71 @@ object TextPrep {
        |FROM toks WHERE length(token) > 0
        |GROUP BY token HAVING COUNT(*) >= $minCount""".stripMargin
 
+  /** TF-IDF over the corpus vocabulary: tf · ln(N/df) per (doc, token).
+    * Two aggregations (token df, per-doc tf) joined on the token — the
+    * join side carrying df is vocabulary-sized and broadcasts.
+    */
+  def tfIdf(spark: SparkSession, dir: String, minCount: Long = 2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count().toDouble
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(TextMetrics.normalized(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = vocabulary(spark, dir, minCount).select("token", "doc_freq")
+    tf.join(broadcast(df), "token")
+      .select(col("doc_id"), col("token"), col("tf"),
+        (col("tf").cast("double") * log(lit(n) / col("doc_freq").cast("double")))
+          .cast("decimal(18,6)").as("tfidf"))
+  }
+
+  def tfIdfSql(minCount: Long = 2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       |  WHERE length(token) > 0 GROUP BY 1, 2
+       |), vocab AS (
+       |  SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
+       |  FROM toks WHERE length(token) > 0
+       |  GROUP BY token HAVING COUNT(*) >= $minCount
+       |), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+       |SELECT tf.doc_id, tf.token, tf.tf,
+       |       CAST(CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(vocab.doc_freq AS DOUBLE))
+       |            AS DECIMAL(18,6)) AS tfidf
+       |FROM tf JOIN vocab USING (token), n""".stripMargin
+
+  /** Pack chunks into training shards of ≈`shardWords` words, per source
+    * group (the partition key keeps the running sum parallel — a single
+    * global ordering would funnel everything through one task).
+    */
+  def shards(spark: SparkSession, dir: String, shardWords: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy("doc_id", "chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .withColumn("cum_words", sum(col("chunk_words")).over(w))
+      .select(col("source"), col("doc_id"), col("chunk_idx"), col("chunk_words"),
+        floor((col("cum_words") - col("chunk_words")) / shardWords)
+          .cast("int").as("shard_id"))
+  }
+
+  def shardsSql(shardWords: Int = 2000): String =
+    s"""WITH ch AS (${chunksSql()}),
+       |joined AS (
+       |  SELECT d.source, c.doc_id, c.chunk_idx, c.chunk_words
+       |  FROM ch c JOIN documents d USING (doc_id)
+       |)
+       |SELECT source, doc_id, chunk_idx, chunk_words,
+       |       CAST(FLOOR((SUM(chunk_words) OVER (
+       |              PARTITION BY source ORDER BY doc_id, chunk_idx
+       |              ROWS UNBOUNDED PRECEDING) - chunk_words) / $shardWords) AS INT) AS shard_id
+       |FROM joined""".stripMargin
+
   /** Symmetric int8 quantization per embedding: scale = max|x|/127,
     * q_i = round(x_i / scale). The storage/bandwidth primitive for
     * embedding tables — 4× smaller than float32, dequantizes to

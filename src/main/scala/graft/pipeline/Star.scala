@@ -76,11 +76,20 @@ object Star {
     * reference's LEFT JOIN behavior, and what the completeness DQ check
     * measures.
     */
-  def fact(silver: DataFrame): DataFrame = {
-    val c = broadcast(dimCustomer(silver))
-    val p = broadcast(dimProduct(silver))
-    val r = broadcast(dimRegion(silver))
-    val st = broadcast(dimStatus(silver))
+  def fact(silver: DataFrame): DataFrame =
+    factWithDims(silver, Seq(dimCustomer(silver), dimProduct(silver),
+      dimRegion(silver), dimStatus(silver)))
+
+  /** Fact build against externally-supplied dims (the incremental-upsert
+    * path: dims carry ids assigned in PRIOR runs, which a fresh
+    * `dim(silver)` rebuild would renumber).
+    */
+  def factWithDims(silver: DataFrame, dims: Seq[DataFrame]): DataFrame = {
+    require(dims.size == 4, "expected customer, product, region, status dims")
+    val c = broadcast(dims(0))
+    val p = broadcast(dims(1))
+    val r = broadcast(dims(2))
+    val st = broadcast(dims(3))
     silver
       .join(c, silver("user_name") === c("customer_name"), "left")
       .join(p, silver("product_category") === p("product_category"), "left")
