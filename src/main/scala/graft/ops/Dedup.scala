@@ -138,6 +138,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Multi-signal near-dup scoring: the text-level candidates (banded
+    * MinHash → Jaccard) joined with the embedding-level cosine of the
+    * same pair (`vec_id` and `doc_id` share the id space in the
+    * testdata). Agreement between independent signals is the standard
+    * precision filter before destructive dedup at scale — both inputs
+    * are candidate-bounded, so the join is pair-count sized.
+    */
+  def multiSignal(spark: SparkSession, dir: String,
+                  threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDups(spark, dir, threshold)
+    val e = Similarity.normalized(spark, dir)
+      .select(col("vec_id"), col("v"), col("norm"))
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    pairs
+      .join(e.select(col("vec_id").as("doc_a"), col("v").as("va"), col("norm").as("na")), Seq("doc_a"))
+      .join(e.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("norm").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .cast("decimal(10,6)").as("cosine_sim"))
+  }
+
+  def multiSignalSql(threshold: Double = 0.5): String =
+    s"""WITH nd AS (
+       |${nearDupsSql(threshold)}
+       |), emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings
+       |)
+       |SELECT nd.doc_a, nd.doc_b, nd.jaccard,
+       |       CAST(list_dot_product(a.v, b.v) / (a.norm * b.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |FROM nd JOIN emb a ON a.vec_id = nd.doc_a
+       |JOIN emb b ON b.vec_id = nd.doc_b""".stripMargin
+
   // ---------- DuckDB oracles ----------
 
   /** Shared CTE: normalized distinct shingles per doc. */

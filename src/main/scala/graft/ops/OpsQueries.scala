@@ -21,6 +21,7 @@ object OpsQueries {
     "dedup_lsh_bands" -> ((s, dir) => Dedup.bands(s, dir)),
     "dedup_candidates" -> ((s, dir) => Dedup.candidates(s, dir)),
     "dedup_neardups" -> ((s, dir) => Dedup.nearDups(s, dir)),
+    "dedup_multisignal" -> ((s, dir) => Dedup.multiSignal(s, dir)),
     "simhash" -> ((s, dir) => SimHash.signatures(s, dir)),
     "simhash_pairs" -> ((s, dir) => SimHash.candidates(s, dir)),
     // similarity search
@@ -74,6 +75,7 @@ object OpsQueries {
     "dedup_lsh_bands" -> Dedup.bandsSql,
     "dedup_candidates" -> Dedup.candidatesSql,
     "dedup_neardups" -> Dedup.nearDupsSql(0.5),
+    "dedup_multisignal" -> Dedup.multiSignalSql(0.5),
     "ann_topk" -> Similarity.bruteForceSql(),
     "ann_lsh_buckets" -> Similarity.lshBucketsSql,
     "ann_bucket_stats" -> Similarity.bucketStatsSql,
