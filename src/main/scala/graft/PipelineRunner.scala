@@ -67,18 +67,27 @@ object PipelineRunner {
       val incoming = silver.select(col(srcCol).as(nkCol))
       val path = s"$wh/$name"
       val merged =
-        if (exists(spark, path)) {
-          val existing = spark.read.parquet(path).select(idCol, nkCol)
-          Star.upsertDim(existing, incoming, idCol, nkCol).localCheckpoint(true)
+        if (graft.io.FsUtil.exists(spark, path)) {
+          val existing = spark.read.parquet(path)
+          val upserted = Star.upsertDim(
+            existing.select(idCol, nkCol), incoming, idCol, nkCol)
+          // keep each existing row's original created_dt (the reference's
+          // ON CONFLICT DO NOTHING leaves conflicting rows untouched);
+          // only genuinely new keys get today's date
+          upserted
+            .join(existing.select(col(nkCol), col("created_dt")), Seq(nkCol), "left")
+            .withColumn("created_dt", coalesce(col("created_dt"), current_date()))
+            .localCheckpoint(true)
         } else Star.dim(silver.select(col(srcCol)), srcCol, idCol, nkCol)
-      merged.withColumn("created_dt", current_date())
-        .write.mode("overwrite").parquet(path)
-    }
-    val dimFrames = dims.map { case (name, idCol, nkCol, _) =>
-      (name, spark.read.parquet(s"$wh/$name").select(idCol, nkCol), idCol, nkCol)
+          .withColumn("created_dt", current_date())
+      // id history is not rebuildable from source → crash-safe swap, not
+      // a delete-then-write overwrite
+      graft.io.FsUtil.safeReplace(spark, merged, path)
     }
     Star.factWithDims(silver,
-      dimFrames.map { case (_, df, _, _) => df })
+      dims.map { case (name, idCol, nkCol, _) =>
+        spark.read.parquet(s"$wh/$name").select(idCol, nkCol)
+      })
       .withColumn("created_dt", current_date())
       .write.mode("overwrite").parquet(s"$wh/fact")
     val fact = spark.read.parquet(s"$wh/fact")
@@ -96,11 +105,5 @@ object PipelineRunner {
     val summary = results.filter(col("check_type") === "summary")
       .select("error_message").head().getString(0)
     println(s"[runner] DQ summary: $summary")
-  }
-
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 }

@@ -111,9 +111,6 @@ object WindowReload {
       .write.mode("overwrite").partitionBy("run_date").parquet(targetPath)
   }
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
-  }
+  private def exists(spark: SparkSession, path: String): Boolean =
+    FsUtil.exists(spark, path)
 }

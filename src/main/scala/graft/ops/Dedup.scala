@@ -150,13 +150,16 @@ object Dedup {
     val pairs = nearDups(spark, dir, threshold)
     val e = Similarity.normalized(spark, dir)
       .select(col("vec_id"), col("v"), col("norm"))
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    // LEFT joins: a pair without embedding coverage keeps its text signal
+    // with a NULL cosine — an inner join would silently declare it
+    // "not a duplicate" (embeddings cover fewer ids than documents)
     pairs
-      .join(e.select(col("vec_id").as("doc_a"), col("v").as("va"), col("norm").as("na")), Seq("doc_a"))
-      .join(e.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("norm").as("nb")), Seq("doc_b"))
+      .join(e.select(col("vec_id").as("doc_a"), col("v").as("va"), col("norm").as("na")),
+        Seq("doc_a"), "left")
+      .join(e.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("norm").as("nb")),
+        Seq("doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .cast("decimal(10,6)").as("cosine_sim"))
   }
 
@@ -170,8 +173,8 @@ object Dedup {
        |)
        |SELECT nd.doc_a, nd.doc_b, nd.jaccard,
        |       CAST(list_dot_product(a.v, b.v) / (a.norm * b.norm) AS DECIMAL(10,6)) AS cosine_sim
-       |FROM nd JOIN emb a ON a.vec_id = nd.doc_a
-       |JOIN emb b ON b.vec_id = nd.doc_b""".stripMargin
+       |FROM nd LEFT JOIN emb a ON a.vec_id = nd.doc_a
+       |LEFT JOIN emb b ON b.vec_id = nd.doc_b""".stripMargin
 
   // ---------- DuckDB oracles ----------
 

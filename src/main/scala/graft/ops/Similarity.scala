@@ -43,7 +43,11 @@ object Similarity {
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
+  /** Ordered left-to-right double summation — bit-reproducible against
+    * DuckDB's `list_dot_product` (package-visible so other ops reuse THIS
+    * contract instead of re-deriving it).
+    */
+  private[ops] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Embeddings with doubles + precomputed L2 norm (one pass, memoized —

@@ -79,12 +79,20 @@ object TextPrep {
   def tfIdf(spark: SparkSession, dir: String, minCount: Long = 2): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = docs.count().toDouble
-    val toks = docs
+    // tf is the shared base: both the per-doc counts and the doc-freq
+    // rollup derive from it, so the text is normalized/exploded ONCE
+    // (df-from-tf = count of docs per token, identical to counting
+    // distinct doc_ids in the raw token stream)
+    val tf = docs
       .select(col("doc_id"),
         explode(split(TextMetrics.normalized(col("text")), " ")).as("token"))
       .filter(length(col("token")) > 0)
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = vocabulary(spark, dir, minCount).select("token", "doc_freq")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = tf.groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"), sum("tf").as("term_freq"))
+      .filter(col("term_freq") >= minCount)
+      .select("token", "doc_freq")
     tf.join(broadcast(df), "token")
       .select(col("doc_id"), col("token"), col("tf"),
         (col("tf").cast("double") * log(lit(n) / col("doc_freq").cast("double")))
