@@ -67,6 +67,37 @@ object EventsOps {
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(k)
 
+  /** Pivot: daily event counts, one column per event type. Spark's
+    * `pivot` with an explicit value list compiles to the same conditional
+    * aggregation the oracle spells out — no extra pass to discover keys.
+    */
+  def dailyPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+
+  /** Exact interpolated quantiles of `value` per event type (Spark
+    * `percentile` ≙ DuckDB `quantile_cont`: both rank at (n−1)·p with
+    * linear interpolation over the sorted doubles).
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("percentile(value, 0.99)").as("p99"))
+
+  /** ROLLUP subtotals: (day, type) → per-day → grand total, NULL-marked
+    * like SQL ROLLUP; one shuffle, Catalyst expands the grouping sets.
+    */
+  def dailyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+
   // ---------- DuckDB oracles ----------
   // (events ts is TIMESTAMP(NANOS) in parquet; DuckDB truncates to micros
   //  exactly like Tables.events — see Tables.scala.)
@@ -100,6 +131,28 @@ object EventsOps {
        |       MIN(ts) AS session_start, MAX(ts) AS session_end,
        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
        |FROM numbered GROUP BY 1, 2""".stripMargin
+
+  val dailyPivotSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date,
+      |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  val valueQuantilesSql: String =
+    """SELECT event_type,
+      |       quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.95) AS p95,
+      |       quantile_cont(value, 0.99) AS p99
+      |FROM events GROUP BY 1""".stripMargin
+
+  val dailyRollupSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      |FROM events GROUP BY ROLLUP (1, 2)""".stripMargin
 
   def topUsersSql(k: Int = 10): String =
     s"""SELECT user_id, COUNT(*) AS n_events,

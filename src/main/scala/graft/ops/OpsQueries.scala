@@ -38,6 +38,9 @@ object OpsQueries {
     "events_daily" -> ((s, dir) => EventsOps.daily(s, dir)),
     "events_sessions" -> ((s, dir) => EventsOps.sessions(s, dir)),
     "events_top_users" -> ((s, dir) => EventsOps.topUsers(s, dir)),
+    "events_pivot" -> ((s, dir) => EventsOps.dailyPivot(s, dir)),
+    "events_quantiles" -> ((s, dir) => EventsOps.valueQuantiles(s, dir)),
+    "events_rollup" -> ((s, dir) => EventsOps.dailyRollup(s, dir)),
     // identical semantics through the skew-safe two-phase salted plan
     "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
     // multimodal plumbing (binary payloads; decode stubbed → rows-only)
@@ -86,6 +89,9 @@ object OpsQueries {
     "events_daily" -> EventsOps.dailySql,
     "events_sessions" -> EventsOps.sessionsSql(),
     "events_top_users" -> EventsOps.topUsersSql(),
+    "events_pivot" -> EventsOps.dailyPivotSql,
+    "events_quantiles" -> EventsOps.valueQuantilesSql,
+    "events_rollup" -> EventsOps.dailyRollupSql,
     // the salted plan must produce byte-identical results to the plain one
     "events_top_users_salted" -> EventsOps.topUsersSql(),
     "text_chunks" -> TextPrep.chunksSql(),
