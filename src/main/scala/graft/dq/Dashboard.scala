@@ -155,6 +155,46 @@ object Dashboard {
       |      (SELECT MAX(CAST(execution_date AS DATE)) FROM dq_history)
       |ORDER BY check_id""".stripMargin
 
+  /** Driver-side text rendering (`dq_dashboard.py:47-63,88-92,...`):
+    * summary with a pass/fail progress bar, per-type table, daily trend
+    * with arrows, critical issues — the reference's console dashboard.
+    * Only the five small aggregate results reach the driver.
+    */
+  def render(spark: SparkSession, dir: String, days: Int = 7): String = {
+    val sb = new StringBuilder
+    val sumRow = summary(spark, dir, days).head()
+    val (total, passed, failed, errors) =
+      (sumRow.getLong(0), sumRow.getLong(1), sumRow.getLong(2), sumRow.getLong(3))
+    val rate = Option(sumRow.getDecimal(4)).fold("n/a")(_.toString)
+    sb.append(s"Period: last $days days\n")
+    sb.append(s"Total checks: $total\nPassed: $passed ($rate%)\n")
+    sb.append(s"Failed: $failed\nErrors: $errors\n")
+    if (total > 0) {
+      val width = 40
+      val p = (passed * width / total).toInt
+      val f = (failed * width / total).toInt
+      sb.append("Progress: [" + "#" * p + "-" * f + " " * (width - p - f) + "]\n")
+    }
+    sb.append("\nBy check type:\n")
+    byType(spark, dir, days).collect().foreach { r =>
+      sb.append(f"  ${r.getString(0)}%-15s total=${r.getLong(1)}%-5d passed=${r.getLong(2)}%-5d failed=${r.getLong(3)}%-5d errors=${r.getLong(4)}%-5d ${r.getDecimal(5)}%s%%\n")
+    }
+    sb.append("\nDaily trend:\n")
+    trend(spark, dir, days).collect().foreach { r =>
+      val rr = r.getDecimal(3)
+      val arrow =
+        if (rr == null) "?"
+        else if (rr.doubleValue >= 95) "up"
+        else if (rr.doubleValue <= 80) "down" else "flat"
+      sb.append(s"  ${r.getDate(0)} checks=${r.getLong(1)} passed=${r.getLong(2)} rate=$rr% [$arrow]\n")
+    }
+    sb.append("\nCritical issues:\n")
+    critical(spark, dir, days).collect().zipWithIndex.foreach { case (r, i) =>
+      sb.append(s"  ${i + 1}. ${r.getString(0)} (${r.getTimestamp(2)}) ${Option(r.getString(1)).getOrElse("")}\n")
+    }
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_latest_run" -> ((s, dir) => latestRun(s, dir)),
     "dq_history" -> ((s, dir) => history(s, dir)),

@@ -67,6 +67,28 @@ object EventsOps {
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(k)
 
+  /** Semi-structured props: extract the JSON payload's `k` field and
+    * aggregate per event type — `get_json_object` is codegen'd; no UDF,
+    * no driver-side parsing. (The reference has no JSON anywhere; the
+    * events stream carries it, so the engine must handle it.)
+    */
+  def propsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(when(col("k").isNotNull, 1)).as("n_with_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        sum(col("k").cast("long")).as("sum_k"))
+
+  val propsStatsSql: String =
+    """SELECT event_type,
+      |       COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS n_with_k,
+      |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Pivot: daily event counts, one column per event type. Spark's
     * `pivot` with an explicit value list compiles to the same conditional
     * aggregation the oracle spells out — no extra pass to discover keys.

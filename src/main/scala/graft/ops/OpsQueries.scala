@@ -39,6 +39,7 @@ object OpsQueries {
     "events_sessions" -> ((s, dir) => EventsOps.sessions(s, dir)),
     "events_top_users" -> ((s, dir) => EventsOps.topUsers(s, dir)),
     "events_pivot" -> ((s, dir) => EventsOps.dailyPivot(s, dir)),
+    "events_props" -> ((s, dir) => EventsOps.propsStats(s, dir)),
     "events_quantiles" -> ((s, dir) => EventsOps.valueQuantiles(s, dir)),
     "events_rollup" -> ((s, dir) => EventsOps.dailyRollup(s, dir)),
     // identical semantics through the skew-safe two-phase salted plan
@@ -90,6 +91,7 @@ object OpsQueries {
     "events_sessions" -> EventsOps.sessionsSql(),
     "events_top_users" -> EventsOps.topUsersSql(),
     "events_pivot" -> EventsOps.dailyPivotSql,
+    "events_props" -> EventsOps.propsStatsSql,
     "events_quantiles" -> EventsOps.valueQuantilesSql,
     "events_rollup" -> EventsOps.dailyRollupSql,
     // the salted plan must produce byte-identical results to the plain one

@@ -84,6 +84,18 @@ class EventsSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() === distinctIds)
   }
 
+  test("dashboard text rendering includes all five sections") {
+    val out = graft.dq.Dashboard.render(spark, sf0001)
+    assert(out.contains("Total checks:"))
+    assert(out.contains("Progress: ["))
+    assert(out.contains("By check type:"))
+    assert(out.contains("Daily trend:"))
+    assert(out.contains("Critical issues:"))
+    // type table carries the four non-summary check types
+    Seq("correctness", "completeness", "consistency", "uniqueness", "validity")
+      .foreach(t => assert(out.contains(t), s"missing $t"))
+  }
+
   test("multimodal features: fixed-width vectors, one per media row") {
     val media = Multimodal.mediaTable(spark, sf0001).cache()
     val feats = Multimodal.features(spark, sf0001).cache()
