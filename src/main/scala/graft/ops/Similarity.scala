@@ -66,8 +66,11 @@ object Similarity {
   def bruteForceTopK(spark: SparkSession, dir: String,
                      k: Int = 10, queryMod: Int = 50): DataFrame = {
     val e = normalized(spark, dir)
-    val q = e.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    // the QUERY subset is the broadcast side — without the hint Spark may
+    // build the corpus side of this nested-loop join, which is fatal when
+    // the corpus is the 100 TB relation and the queries are a handful
+    val q = broadcast(e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn")))
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
       .cast("decimal(10,6)")
     import org.apache.spark.sql.expressions.Window
