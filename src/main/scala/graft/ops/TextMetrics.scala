@@ -29,9 +29,12 @@ object TextMetrics {
       size(split(trim(col("text")), "\\s+")).as("word_count"),
       size(array_distinct(split(normalized(col("text")), " "))).as("unique_words"),
       regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("subword_count"),
+      // raw double — a DECIMAL cast rounds, and the engines disagree on
+      // double→decimal rounding when the true ratio terminates in decimal
+      // but not in binary (e.g. chars/80 landing on .xxxx5)
       (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
         nullif(size(split(trim(col("text")), "\\s+")).cast("double")))
-        .cast("decimal(10,4)").as("avg_word_len")
+        .as("avg_word_len")
     )
 
   private def nullif(c: Column): Column = when(c === 0.0, lit(null)).otherwise(c)
@@ -73,14 +76,16 @@ object TextMetrics {
     val lenScore = least(lit(1.0), length(col("text")).cast("double") / 500.0)
     val uniqRatio = uniq / nullif(words)
     val stopRatio = stopHits / nullif(words)
+    // raw doubles throughout (see avg_word_len note): identical IEEE
+    // arithmetic in both engines, no rounding step to diverge on
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      lenScore.cast("decimal(10,4)").as("len_score"),
-      uniqRatio.cast("decimal(10,4)").as("unique_ratio"),
-      stopRatio.cast("decimal(10,4)").as("stopword_ratio"),
+      lenScore.as("len_score"),
+      uniqRatio.as("unique_ratio"),
+      stopRatio.as("stopword_ratio"),
       ((lenScore * 0.4 + coalesce(uniqRatio, lit(0.0)) * 0.4 +
         coalesce(stopRatio, lit(0.0)) * 0.2))
-        .cast("decimal(10,4)").as("quality_score")
+        .as("quality_score")
     )
   }
 
@@ -99,9 +104,8 @@ object TextMetrics {
       |  len(string_split_regex(trim(text), '\s+')) AS word_count,
       |  len(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS unique_words,
       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS subword_count,
-      |  CAST(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-      |       / NULLIF(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 0)
-      |       AS DECIMAL(10,4)) AS avg_word_len
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |       / NULLIF(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 0) AS avg_word_len
       |FROM documents""".stripMargin
 
   val langIdSql: String = {
@@ -131,11 +135,11 @@ object TextMetrics {
       |  FROM documents
       |)
       |SELECT doc_id,
-      |  CAST(len_score AS DECIMAL(10,4)) AS len_score,
-      |  CAST(uniq / NULLIF(words, 0) AS DECIMAL(10,4)) AS unique_ratio,
-      |  CAST(stop_hits / NULLIF(words, 0) AS DECIMAL(10,4)) AS stopword_ratio,
-      |  CAST(len_score * 0.4 + COALESCE(uniq / NULLIF(words, 0), 0) * 0.4
-      |       + COALESCE(stop_hits / NULLIF(words, 0), 0) * 0.2 AS DECIMAL(10,4)) AS quality_score
+      |  len_score,
+      |  uniq / NULLIF(words, 0) AS unique_ratio,
+      |  stop_hits / NULLIF(words, 0) AS stopword_ratio,
+      |  len_score * 0.4 + COALESCE(uniq / NULLIF(words, 0), 0) * 0.4
+      |       + COALESCE(stop_hits / NULLIF(words, 0), 0) * 0.2 AS quality_score
       |FROM q""".stripMargin
 
   val fingerprintSql: String =
