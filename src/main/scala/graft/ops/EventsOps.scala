@@ -86,7 +86,7 @@ object EventsOps {
       |       COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS n_with_k,
       |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
       |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1""".stripMargin
 
   /** Pivot: daily event counts, one column per event type. Spark's

@@ -100,17 +100,17 @@ object TextMetrics {
 
   val statsSql: String =
     """SELECT doc_id,
-      |  length(text) AS char_len,
-      |  len(string_split_regex(trim(text), '\s+')) AS word_count,
-      |  len(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS unique_words,
-      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS subword_count,
+      |  CAST(length(text) AS INT) AS char_len,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS word_count,
+      |  CAST(len(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS INT) AS unique_words,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS subword_count,
       |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
       |       / NULLIF(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 0) AS avg_word_len
       |FROM documents""".stripMargin
 
   val langIdSql: String = {
     val hits = langMarkers.map { case (l, re) =>
-      s"len(regexp_extract_all(lower(text), '$re')) AS hits_$l"
+      s"CAST(len(regexp_extract_all(lower(text), '$re')) AS INT) AS hits_$l"
     }.mkString(",\n  ")
     val best = "GREATEST(hits_de, hits_en, hits_es, hits_fr)"
     val pred = langMarkers.map { case (l, _) =>

@@ -46,7 +46,7 @@ object TextPrep {
        |      GREATEST(len(ws) - $overlap - 1, 0) // $stride)) AS i) i
        |)
        |SELECT doc_id, chunk_idx, chunk_text,
-       |       len(string_split(chunk_text, ' ')) AS chunk_words
+       |       CAST(len(string_split(chunk_text, ' ')) AS INT) AS chunk_words
        |FROM ch WHERE length(chunk_text) > 0""".stripMargin
   }
 
