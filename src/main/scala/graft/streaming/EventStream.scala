@@ -58,6 +58,19 @@ object EventStream extends Serializable {
     q
   }
 
+  /** Stream–static join: enrich the event stream with a batch-derived
+    * user-tier dimension (top-quartile spenders = 'high'). The static
+    * side is broadcast per micro-batch; no stream state beyond the
+    * source offsets — the standard dimension-enrichment shape.
+    */
+  def enriched(spark: SparkSession, dir: String, userTiers: DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .join(broadcast(userTiers), Seq("user_id"), "left")
+      .withColumn("tier", coalesce(col("tier"), lit("standard")))
+  }
+
   /** Streaming exact-dedup: drop events whose `event_id` reappears within
     * the watermark window — the streaming twin of `Dedup.exact`, with
     * state bounded by the watermark instead of the full history.

@@ -84,6 +84,24 @@ class EventsSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() === distinctIds)
   }
 
+  test("stream-static join enriches events with the batch tier dim") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), dir.resolve("events.parquet"))
+    val tiers = EventsOps.topUsers(spark, sf0001, k = 5)
+      .select(col("user_id"), lit("high").as("tier"))
+    val q = EventStream.enriched(spark, dir.toString, tiers).writeStream
+      .format("memory").queryName("stream_enriched").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_enriched")
+    assert(got.count() === Tables.events(spark, sf0001).count())
+    // exactly the top-5 users' events are 'high', everyone else 'standard'
+    val topIds = tiers.select("user_id").as[Long].collect().toSet
+    assert(got.filter(col("tier") === "high")
+      .select("user_id").distinct().as[Long].collect().toSet === topIds)
+    assert(got.filter(col("tier").isNull).count() === 0)
+  }
+
   test("dashboard text rendering includes all five sections") {
     val out = graft.dq.Dashboard.render(spark, sf0001)
     assert(out.contains("Total checks:"))
