@@ -57,6 +57,27 @@ object Multimodal {
     }.toDF("media_id", "feature_vec")
   }
 
+  /** Resize: deterministic downsample of the payload to ≈`targetBytes`
+    * by keeping every ceil(len/target)-th byte — the STUB body of an
+    * image-resize; the real contract is the plumbing: binary in, smaller
+    * binary + original/new dims out, pure column ops, no driver hop.
+    */
+  def resize(spark: SparkSession, dir: String, targetBytes: Int = 256): DataFrame = {
+    val n = length(col("payload"))
+    val stride = greatest(ceil(n.cast("double") / targetBytes).cast("int"), lit(1))
+    mediaTable(spark, dir)
+      .withColumn("resized",
+        // sample byte positions 1, 1+stride, 1+2*stride, ... and re-join
+        aggregate(
+          transform(sequence(lit(1), n, stride),
+            i => substring(col("payload"), i, lit(1))),
+          lit(Array.emptyByteArray),
+          (acc, b) => concat(acc, b)))
+      .select(col("media_id"), col("media_type"),
+        n.as("orig_bytes"), length(col("resized")).as("resized_bytes"),
+        col("resized"))
+  }
+
   /** Frame sampling: every `stride`-th fixed-size byte slice of the
     * payload (a video frame-sampler's plumbing; pure column ops).
     */

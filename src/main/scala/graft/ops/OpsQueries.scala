@@ -48,6 +48,7 @@ object OpsQueries {
     "mm_media" -> ((s, dir) => Multimodal.mediaTable(s, dir)),
     "mm_features" -> ((s, dir) => Multimodal.features(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)),
+    "mm_resize" -> ((s, dir) => Multimodal.resize(s, dir)),
     // winnowing rolling-hash fingerprints (custom Catalyst expression →
     // rows-only; cross-checked against a reference impl in WinnowSpec)
     "winnow_fingerprints" -> ((s, dir) => Winnow.fingerprints(s, dir)),

@@ -126,6 +126,18 @@ class EventsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("resize downsamples payloads to about the target size") {
+    val r = graft.ops.Multimodal.resize(spark, sf0001, targetBytes = 100).cache()
+    assert(r.count() === graft.ops.Multimodal.mediaTable(spark, sf0001).count())
+    assert(r.filter(col("resized_bytes") > 120).count() === 0)
+    assert(r.filter(col("resized_bytes") < 1).count() === 0)
+    // deterministic: same input → same bytes
+    val a = r.orderBy("media_id").limit(3).select("resized").as[Array[Byte]].collect()
+    val b = graft.ops.Multimodal.resize(spark, sf0001, targetBytes = 100)
+      .orderBy("media_id").limit(3).select("resized").as[Array[Byte]].collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("frame sampling emits dense frame indices of fixed size") {
     val frames = Multimodal.frameSample(spark, sf0001).cache()
     assert(frames.count() > 0)
