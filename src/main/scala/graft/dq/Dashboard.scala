@@ -88,19 +88,20 @@ object Dashboard {
   private def nullif(c: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
     when(c === v, lit(null)).otherwise(c)
 
-  /** Overall summary with FILTER aggregates (`dq_dashboard.py:30-39`). */
-  def summary(spark: SparkSession, dir: String, days: Int = 7): DataFrame =
-    lookback(history(spark, dir), days).agg(
+  private def summaryFrom(lb: DataFrame): DataFrame =
+    lb.agg(
       count(lit(1)).as("total_checks"),
       count(when(col("status") === "passed", 1)).as("passed_checks"),
       count(when(col("status") === "failed", 1)).as("failed_checks"),
       count(when(col("status") === "error", 1)).as("error_checks"),
       successRate.as("success_rate"))
 
-  /** Per-type rollup (`dq_dashboard.py:66-79`). */
-  def byType(spark: SparkSession, dir: String, days: Int = 7): DataFrame =
-    lookback(history(spark, dir), days)
-      .filter(col("check_type") =!= "summary")
+  /** Overall summary with FILTER aggregates (`dq_dashboard.py:30-39`). */
+  def summary(spark: SparkSession, dir: String, days: Int = 7): DataFrame =
+    summaryFrom(lookback(history(spark, dir), days))
+
+  private def byTypeFrom(lb: DataFrame): DataFrame =
+    lb.filter(col("check_type") =!= "summary")
       .groupBy("check_type").agg(
         count(lit(1)).as("total"),
         count(when(col("status") === "passed", 1)).as("passed"),
@@ -108,6 +109,10 @@ object Dashboard {
         count(when(col("status") === "error", 1)).as("errors"),
         successRate.as("success_rate"))
       .orderBy("check_type")
+
+  /** Per-type rollup (`dq_dashboard.py:66-79`). */
+  def byType(spark: SparkSession, dir: String, days: Int = 7): DataFrame =
+    byTypeFrom(lookback(history(spark, dir), days))
 
   /** Recent-10 check results (`dq_dashboard.py:94-104`), deterministic
     * tiebreak on check_id.
@@ -119,23 +124,27 @@ object Dashboard {
       .select("check_name", "status", "execution_date", "error_message")
       .limit(n)
 
-  /** Daily success-rate trend (`dq_dashboard.py:120-131`). */
-  def trend(spark: SparkSession, dir: String, days: Int = 7): DataFrame =
-    lookback(history(spark, dir), days)
-      .filter(col("check_type") =!= "summary")
+  private def trendFrom(lb: DataFrame): DataFrame =
+    lb.filter(col("check_type") =!= "summary")
       .groupBy(to_date(col("execution_date")).as("check_date")).agg(
         count(lit(1)).as("total_checks"),
         count(when(col("status") === "passed", 1)).as("passed_checks"),
         successRate.as("daily_success_rate"))
       .orderBy("check_date")
 
-  /** Critical issues top-5 (`dq_dashboard.py:147-157`). */
-  def critical(spark: SparkSession, dir: String, days: Int = 7, n: Int = 5): DataFrame =
-    lookback(history(spark, dir), days)
-      .filter(col("status").isin("failed", "error"))
+  /** Daily success-rate trend (`dq_dashboard.py:120-131`). */
+  def trend(spark: SparkSession, dir: String, days: Int = 7): DataFrame =
+    trendFrom(lookback(history(spark, dir), days))
+
+  private def criticalFrom(lb: DataFrame, n: Int): DataFrame =
+    lb.filter(col("status").isin("failed", "error"))
       .orderBy(col("execution_date").desc, col("check_id").desc)
       .select("check_name", "error_message", "execution_date")
       .limit(n)
+
+  /** Critical issues top-5 (`dq_dashboard.py:147-157`). */
+  def critical(spark: SparkSession, dir: String, days: Int = 7, n: Int = 5): DataFrame =
+    criticalFrom(lookback(history(spark, dir), days), n)
 
   /** A4/O1 — latest-run selection via MAX scalar subquery + stable
     * check_id ordering (`run_data_quality_checks.py:40-48`), by run date.
@@ -161,8 +170,16 @@ object Dashboard {
     * Only the five small aggregate results reach the driver.
     */
   def render(spark: SparkSession, dir: String, days: Int = 7): String = {
+    // history + lookback computed ONCE for all four sections — the naive
+    // per-section calls would rescan the events table eight times
+    val lb = lookback(history(spark, dir), days).persist()
+    try renderFrom(lb, days)
+    finally lb.unpersist()
+  }
+
+  private def renderFrom(lb: DataFrame, days: Int): String = {
     val sb = new StringBuilder
-    val sumRow = summary(spark, dir, days).head()
+    val sumRow = summaryFrom(lb).head()
     val (total, passed, failed, errors) =
       (sumRow.getLong(0), sumRow.getLong(1), sumRow.getLong(2), sumRow.getLong(3))
     val rate = Option(sumRow.getDecimal(4)).fold("n/a")(_.toString)
@@ -176,11 +193,11 @@ object Dashboard {
       sb.append("Progress: [" + "#" * p + "-" * f + " " * (width - p - f) + "]\n")
     }
     sb.append("\nBy check type:\n")
-    byType(spark, dir, days).collect().foreach { r =>
+    byTypeFrom(lb).collect().foreach { r =>
       sb.append(f"  ${r.getString(0)}%-15s total=${r.getLong(1)}%-5d passed=${r.getLong(2)}%-5d failed=${r.getLong(3)}%-5d errors=${r.getLong(4)}%-5d ${r.getDecimal(5)}%s%%\n")
     }
     sb.append("\nDaily trend:\n")
-    trend(spark, dir, days).collect().foreach { r =>
+    trendFrom(lb).collect().foreach { r =>
       val rr = r.getDecimal(3)
       val arrow =
         if (rr == null) "?"
@@ -189,7 +206,7 @@ object Dashboard {
       sb.append(s"  ${r.getDate(0)} checks=${r.getLong(1)} passed=${r.getLong(2)} rate=$rr% [$arrow]\n")
     }
     sb.append("\nCritical issues:\n")
-    critical(spark, dir, days).collect().zipWithIndex.foreach { case (r, i) =>
+    criticalFrom(lb, 5).collect().zipWithIndex.foreach { case (r, i) =>
       sb.append(s"  ${i + 1}. ${r.getString(0)} (${r.getTimestamp(2)}) ${Option(r.getString(1)).getOrElse("")}\n")
     }
     sb.toString

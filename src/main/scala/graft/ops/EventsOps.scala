@@ -75,19 +75,30 @@ object EventsOps {
   def propsStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        // try_cast: a non-numeric k is NULL, not a runtime error (Spark 4
+        // runs ANSI mode by default, where a plain cast would throw)
+        expr("try_cast(get_json_object(props, '$.k') AS int)").as("k"))
       .groupBy("event_type")
       .agg(count(when(col("k").isNotNull, 1)).as("n_with_k"),
         min("k").as("min_k"), max("k").as("max_k"),
         sum(col("k").cast("long")).as("sum_k"))
 
+  // TRY_CAST + json_valid guard: malformed JSON or a non-numeric k is
+  // NULL on the Spark side (get_json_object + cast), so the oracle must
+  // null them too instead of erroring out mid-aggregate
   val propsStatsSql: String =
-    """SELECT event_type,
-      |       COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS n_with_k,
-      |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-      |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-      |FROM events GROUP BY 1""".stripMargin
+    """WITH pk AS (
+      |  SELECT event_type,
+      |         TRY_CAST(CASE WHEN json_valid(props)
+      |                       THEN json_extract_string(props, '$.k') END AS INT) AS k
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |       COUNT(*) FILTER (WHERE k IS NOT NULL) AS n_with_k,
+      |       MIN(k) AS min_k,
+      |       MAX(k) AS max_k,
+      |       CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM pk GROUP BY 1""".stripMargin
 
   /** Pivot: daily event counts, one column per event type. Spark's
     * `pivot` with an explicit value list compiles to the same conditional
@@ -98,6 +109,9 @@ object EventsOps {
       .groupBy(to_date(col("ts")).as("event_date"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
+      // pivot emits NULL for a (date, type) with no rows; the COUNT
+      // FILTER formulation (and the oracle) emits 0 — align on 0
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
 
   /** Exact interpolated quantiles of `value` per event type (Spark
     * `percentile` ≙ DuckDB `quantile_cont`: both rank at (n−1)·p with

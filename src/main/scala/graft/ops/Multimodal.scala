@@ -67,14 +67,18 @@ object Multimodal {
     val stride = greatest(ceil(n.cast("double") / targetBytes).cast("int"), lit(1))
     mediaTable(spark, dir)
       .withColumn("resized",
-        // sample byte positions 1, 1+stride, 1+2*stride, ... and re-join
-        aggregate(
-          transform(sequence(lit(1), n, stride),
-            i => substring(col("payload"), i, lit(1))),
-          lit(Array.emptyByteArray),
-          (acc, b) => concat(acc, b)))
+        // sample byte positions 1, 1+stride, 1+2*stride, ... and re-join;
+        // empty payloads short-circuit (sequence(1, 0) is an error, and
+        // CaseWhen evaluates branches lazily per row)
+        when(n === 0, lit(Array.emptyByteArray))
+          .otherwise(aggregate(
+            transform(sequence(lit(1), n, stride),
+              i => substring(col("payload"), i, lit(1))),
+            lit(Array.emptyByteArray),
+            (acc, b) => concat(acc, b))))
       .select(col("media_id"), col("media_type"),
-        n.as("orig_bytes"), length(col("resized")).as("resized_bytes"),
+        col("payload_bytes").as("orig_bytes"),
+        length(col("resized")).as("resized_bytes"),
         col("resized"))
   }
 

@@ -39,13 +39,19 @@ object Sampling {
        |WHERE CASE WHEN lang = 'en' THEN $u < 0.1 ELSE $u < 0.5 END""".stripMargin
   }
 
-  /** Train/val/test assignment by hash thresholds (90/5/5). */
-  def split(spark: SparkSession, dir: String, salt: String = "split1"): DataFrame = {
-    val u = hashUniform(col("doc_id"), salt)
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test").as("split"))
+  /** The train/val/test assignment column (90/5/5) for any key — single
+    * source of truth shared by [[split]] and the repartition-stability
+    * spec.
+    */
+  def splitCol(key: Column, salt: String = "split1"): Column = {
+    val u = hashUniform(key, salt)
+    when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test")
   }
+
+  /** Train/val/test assignment by hash thresholds (90/5/5). */
+  def split(spark: SparkSession, dir: String, salt: String = "split1"): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), splitCol(col("doc_id"), salt).as("split"))
 
   def splitSql(salt: String = "split1"): String = {
     val u = hashUniformSql("doc_id", salt)

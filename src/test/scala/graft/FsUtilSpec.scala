@@ -35,10 +35,7 @@ class FsUtilSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     val b = Sampling.split(spark, sf0001)
     val reparted = Tables.documents(spark, sf0001).repartition(7)
-      .select(col("doc_id"),
-        when(Sampling.hashUniform(col("doc_id"), "split1") < 0.9, "train")
-          .when(Sampling.hashUniform(col("doc_id"), "split1") < 0.95, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), Sampling.splitCol(col("doc_id")).as("split"))
       .as[(Long, String)].collect().toMap
     assert(reparted === a)
     assert(b.as[(Long, String)].collect().toMap === a)
