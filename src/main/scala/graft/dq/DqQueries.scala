@@ -12,6 +12,12 @@ object DqQueries {
     "dq_checks" -> ((s, dir) => {
       DqSuite.run(s, Pipeline.silverCached(s, dir), Pipeline.fact(s, dir))
     }),
+    // the reference function's optional date-window parameters, exercised
+    "dq_checks_windowed" -> ((s, dir) => {
+      DqSuite.run(s, Pipeline.silverCached(s, dir), Pipeline.fact(s, dir),
+        Some(java.time.LocalDate.parse("2023-03-01")),
+        Some(java.time.LocalDate.parse("2023-09-30")))
+    }),
     "dq_ref_integrity" -> ((s, dir) => {
       val silver = Pipeline.silverCached(s, dir)
       val fact = Pipeline.fact(s, dir)
@@ -26,6 +32,9 @@ object DqQueries {
 
   def oracles: Map[String, String] = Map(
     "dq_checks" -> (Pipeline.starPrefix + ", " + DqSuite.sqlCte +
+      " SELECT * FROM dq_checks"),
+    "dq_checks_windowed" -> (Pipeline.starPrefix + ", " + DqSuite.sqlCteWindowed(
+      " AND effective_from >= DATE '2023-03-01' AND effective_to <= DATE '2023-09-30'") +
       " SELECT * FROM dq_checks"),
     "dq_ref_integrity" -> (Pipeline.starPrefix + ", " + DqSuite.refIntegritySql +
       " SELECT * FROM ref_integrity"),

@@ -43,9 +43,22 @@ object DqSuite {
                                badDates: Long, badSalary: Long)
 
   /** Run the five checks + summary over silver ("source") and fact
-    * ("mart"), exactly the reference semantics with NULL window params.
+    * ("mart"). The optional date window mirrors the reference's NULL-able
+    * `start_dt`/`end_dt` parameters (P3): each bound is applied only when
+    * set, as a plain range predicate on both frames — built conditionally
+    * in Scala so a set bound prunes, never a literal `IS NULL OR`.
     */
-  def run(spark: SparkSession, silver: DataFrame, fact: DataFrame): DataFrame = {
+  def run(spark: SparkSession, silver: DataFrame, fact: DataFrame,
+          start: Option[java.time.LocalDate] = None,
+          end: Option[java.time.LocalDate] = None): DataFrame = {
+    def windowed(df: DataFrame): DataFrame = Seq(
+      start.map(d => col("effective_from") >= lit(java.sql.Date.valueOf(d))),
+      end.map(d => col("effective_to") <= lit(java.sql.Date.valueOf(d)))
+    ).flatten.foldLeft(df)(_ filter _)
+    runOn(spark, windowed(silver), windowed(fact))
+  }
+
+  private def runOn(spark: SparkSession, silver: DataFrame, fact: DataFrame): DataFrame = {
     // Shared aggregates, each its own Try so a failing input poisons only
     // the checks that depend on it (fn_dq_checks_load.sql:48-54 et al.).
     // The three jobs are independent → submitted concurrently; each is a
@@ -147,8 +160,15 @@ object DqSuite {
 
   /** DuckDB oracle over `silver` + `fact` CTEs producing the identical six
     * rows. Doubles are cast explicitly so both engines do IEEE-double math
-    * (DuckDB would otherwise use DECIMAL for the literals).
+    * (DuckDB would otherwise use DECIMAL for the literals). `windowSql`
+    * (e.g. " AND effective_from >= DATE '…' AND effective_to <= DATE '…'")
+    * mirrors the optional parameters of [[run]].
     */
+  def sqlCteWindowed(windowSql: String): String =
+    sqlCte
+      .replace("FROM silver", s"FROM (SELECT * FROM silver WHERE 1=1$windowSql)")
+      .replace("FROM fact", s"FROM (SELECT * FROM fact WHERE 1=1$windowSql)")
+
   val sqlCte: String =
     """dq_m AS (
       |  SELECT CAST(COALESCE(SUM(purchase_amount), 0) AS DOUBLE) AS exp FROM silver
