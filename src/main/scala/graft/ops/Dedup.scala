@@ -138,6 +138,62 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Canonical assignment — the step that makes near-dedup actionable:
+    * connected components over the verified near-dup pair graph, each
+    * component labeled by its minimum doc_id ("keep the lowest id, drop
+    * the rest"). Computed by iterative min-label propagation over the
+    * edge list: each round every node adopts the smallest label among
+    * itself and its neighbors; converges in O(graph diameter) rounds —
+    * near-dup components are tiny cliques, so 2-3 rounds in practice,
+    * each one join+aggregate over the (candidate-bounded) edge list,
+    * never the corpus.
+    */
+  def canonical(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val edges = nearDups(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).persist()
+    // undirected: propagate both ways
+    val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("lbl", "nlbl"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min("nlbl").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .persist()
+      converged = updated.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = updated
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("canonical_id"))
+  }
+
+  /** WITH RECURSIVE min-label closure — fixpoint semantics identical to
+    * the iterative propagation.
+    */
+  def canonicalSql(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE nd AS (
+       |${nearDupsSql(threshold)}
+       |), sym AS (
+       |  SELECT doc_a, doc_b FROM nd
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM nd
+       |), reach(doc_id, lbl) AS (
+       |  SELECT doc_a, doc_a FROM sym
+       |  UNION
+       |  SELECT s.doc_a, r.lbl FROM sym s JOIN reach r ON r.doc_id = s.doc_b
+       |)
+       |SELECT doc_id, MIN(lbl) AS canonical_id
+       |FROM reach GROUP BY doc_id""".stripMargin
+
   /** Multi-signal near-dup scoring: the text-level candidates (banded
     * MinHash → Jaccard) joined with the embedding-level cosine of the
     * same pair (`vec_id` and `doc_id` share the id space in the

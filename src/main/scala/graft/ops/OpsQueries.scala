@@ -22,6 +22,7 @@ object OpsQueries {
     "dedup_candidates" -> ((s, dir) => Dedup.candidates(s, dir)),
     "dedup_neardups" -> ((s, dir) => Dedup.nearDups(s, dir)),
     "dedup_multisignal" -> ((s, dir) => Dedup.multiSignal(s, dir)),
+    "dedup_canonical" -> ((s, dir) => Dedup.canonical(s, dir)),
     "simhash" -> ((s, dir) => SimHash.signatures(s, dir)),
     "simhash_pairs" -> ((s, dir) => SimHash.candidates(s, dir)),
     // similarity search
@@ -81,6 +82,7 @@ object OpsQueries {
     "dedup_candidates" -> Dedup.candidatesSql,
     "dedup_neardups" -> Dedup.nearDupsSql(0.5),
     "dedup_multisignal" -> Dedup.multiSignalSql(0.5),
+    "dedup_canonical" -> Dedup.canonicalSql(0.5),
     "ann_topk" -> Similarity.bruteForceSql(),
     "ann_lsh_buckets" -> Similarity.lshBucketsSql,
     "ann_bucket_stats" -> Similarity.bucketStatsSql,

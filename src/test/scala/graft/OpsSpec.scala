@@ -17,6 +17,23 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.candidates(spark, sf0001).count() < docs * 5)
   }
 
+  test("canonical assignment: valid union-find labeling of near-dup components") {
+    val canon = graft.ops.Dedup.canonical(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val pairs = graft.ops.Dedup.nearDups(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(canon.nonEmpty)
+    // canonical is the component minimum: ≤ member, and itself canonical
+    canon.foreach { case (doc, c) =>
+      assert(c <= doc)
+      assert(canon(c) === c, s"canonical $c of $doc is not its own canonical")
+    }
+    // both endpoints of every near-dup pair share a canonical
+    pairs.foreach { case (a, b) =>
+      assert(canon(a) === canon(b), s"pair ($a,$b) split across components")
+    }
+  }
+
   test("exact dedup groups sum to the document count") {
     val g = Dedup.exact(spark, sf0001)
     val docs = Tables.documents(spark, sf0001).count()
