@@ -151,11 +151,41 @@ object Dedup {
   def canonical(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val edges = nearDups(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b")).persist()
+    val edgeCount = edges.count()
+    // Hybrid: the verified near-dup graph is orders of magnitude smaller
+    // than the corpus. Under ~1M edges, driver-side union-find beats the
+    // iterative join loop (which pays several Spark jobs per round); the
+    // distributed label-propagation path takes over beyond that.
+    if (edgeCount <= 1000000L) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        parent(x) = r
+        r
+      }
+      edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.toSeq.sorted.map(d => (d, find(d)))
+        .toDF("doc_id", "canonical_id")
+    } else canonicalDistributed(spark, edges)
+  }
+
+  /** Distributed min-label propagation for graphs too large to collect. */
+  private def canonicalDistributed(spark: SparkSession, edges: DataFrame): DataFrame = {
     // undirected: propagate both ways
     val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
+    // localCheckpoint per round: iterative joins otherwise grow the
+    // logical plan linearly and Catalyst re-analyzes the whole history
+    // every round — planning time, not data, dominated without it
     var labels = sym.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -167,7 +197,7 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .persist()
+        .localCheckpoint(true)
       converged = updated.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
         .filter(col("lbl") =!= col("old")).isEmpty
       labels = updated
