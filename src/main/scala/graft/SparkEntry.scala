@@ -18,9 +18,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Pipeline.fact(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every query is
+    * wrapped in [[Parity.doublify]] so no DECIMAL column ever reaches the
+    * driver's comparator (see Parity.scala for why); the matching oracles
+    * cast the same columns to DOUBLE in their outermost SELECT.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    pipelineQueries ++ graft.dq.DqQueries.queries ++ graft.ops.OpsQueries.queries
+    (pipelineQueries ++ graft.dq.DqQueries.queries ++ graft.ops.OpsQueries.queries)
+      .map { case (name, f) =>
+        name -> ((s: SparkSession, dir: String) => Parity.doublify(f(s, dir)))
+      }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (the
@@ -49,14 +56,20 @@ object SparkEntry {
             .getItem(1).cast("int")))
   )
 
+  // `* REPLACE`: DuckDB's project-all-but-recast — the salary/purchase
+  // DECIMAL(15,2) accumulation columns become DOUBLE at the output edge,
+  // matching Parity.doublify on the Spark side.
+  private val moneyToDouble =
+    "* REPLACE (CAST(salary AS DOUBLE) AS salary, CAST(purchase_amount AS DOUBLE) AS purchase_amount)"
+
   private def pipelineOracles: Map[String, String] = Map(
-    "bronze" -> ("WITH " + Bronze.sqlCte + " SELECT * FROM bronze"),
-    "silver" -> (Pipeline.silverPrefix + " SELECT * FROM silver"),
+    "bronze" -> ("WITH " + Bronze.sqlCte + s" SELECT $moneyToDouble FROM bronze"),
+    "silver" -> (Pipeline.silverPrefix + s" SELECT $moneyToDouble FROM silver"),
     "dim_customer" -> (Pipeline.starPrefix + " SELECT * FROM dim_customer"),
     "dim_product" -> (Pipeline.starPrefix + " SELECT * FROM dim_product"),
     "dim_region" -> (Pipeline.starPrefix + " SELECT * FROM dim_region"),
     "dim_status" -> (Pipeline.starPrefix + " SELECT * FROM dim_status"),
-    "fact" -> (Pipeline.starPrefix + " SELECT * FROM fact"),
+    "fact" -> (Pipeline.starPrefix + s" SELECT $moneyToDouble FROM fact"),
     "bronze_users" -> ("WITH " + Bronze.sqlCte +
       """ SELECT user_id, CAST(string_split(user_id, '_')[2] AS INT) AS user_num
         | FROM (SELECT DISTINCT user_id FROM bronze WHERE user_id IS NOT NULL)""".stripMargin)

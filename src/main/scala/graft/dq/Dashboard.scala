@@ -232,16 +232,16 @@ object Dashboard {
       |        COUNT(*) FILTER (WHERE status = 'passed') AS passed_checks,
       |        COUNT(*) FILTER (WHERE status = 'failed') AS failed_checks,
       |        COUNT(*) FILTER (WHERE status = 'error') AS error_checks,
-      |        CAST(CAST(COUNT(*) FILTER (WHERE status = 'passed') AS DOUBLE) * 100.0
-      |             / NULLIF(COUNT(*), 0) AS DECIMAL(10,2)) AS success_rate
+      |        CAST(CAST(CAST(COUNT(*) FILTER (WHERE status = 'passed') AS DOUBLE) * 100.0
+      |             / NULLIF(COUNT(*), 0) AS DECIMAL(10,2)) AS DOUBLE) AS success_rate
       | FROM dq_history WHERE ${lookbackSql(7)}""".stripMargin),
     "dash_by_type" -> (prefix + s"""
       | SELECT check_type, COUNT(*) AS total,
       |        COUNT(*) FILTER (WHERE status = 'passed') AS passed,
       |        COUNT(*) FILTER (WHERE status = 'failed') AS failed,
       |        COUNT(*) FILTER (WHERE status = 'error') AS errors,
-      |        CAST(CAST(COUNT(*) FILTER (WHERE status = 'passed') AS DOUBLE) * 100.0
-      |             / NULLIF(COUNT(*), 0) AS DECIMAL(10,2)) AS success_rate
+      |        CAST(CAST(CAST(COUNT(*) FILTER (WHERE status = 'passed') AS DOUBLE) * 100.0
+      |             / NULLIF(COUNT(*), 0) AS DECIMAL(10,2)) AS DOUBLE) AS success_rate
       | FROM dq_history WHERE ${lookbackSql(7)} AND check_type != 'summary'
       | GROUP BY check_type ORDER BY check_type""".stripMargin),
     "dash_recent10" -> (prefix + """
@@ -252,8 +252,8 @@ object Dashboard {
       | SELECT CAST(execution_date AS DATE) AS check_date,
       |        COUNT(*) AS total_checks,
       |        COUNT(*) FILTER (WHERE status = 'passed') AS passed_checks,
-      |        CAST(CAST(COUNT(*) FILTER (WHERE status = 'passed') AS DOUBLE) * 100.0
-      |             / NULLIF(COUNT(*), 0) AS DECIMAL(10,2)) AS daily_success_rate
+      |        CAST(CAST(CAST(COUNT(*) FILTER (WHERE status = 'passed') AS DOUBLE) * 100.0
+      |             / NULLIF(COUNT(*), 0) AS DECIMAL(10,2)) AS DOUBLE) AS daily_success_rate
       | FROM dq_history WHERE ${lookbackSql(7)} AND check_type != 'summary'
       | GROUP BY 1 ORDER BY check_date""".stripMargin),
     "dash_critical5" -> (prefix + s"""

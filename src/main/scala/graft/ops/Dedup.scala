@@ -257,8 +257,8 @@ object Dedup {
        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
        |  FROM embeddings
        |)
-       |SELECT nd.doc_a, nd.doc_b, nd.jaccard,
-       |       CAST(list_dot_product(a.v, b.v) / (a.norm * b.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |SELECT nd.doc_a, nd.doc_b, CAST(nd.jaccard AS DOUBLE) AS jaccard,
+       |       CAST(CAST(list_dot_product(a.v, b.v) / (a.norm * b.norm) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
        |FROM nd LEFT JOIN emb a ON a.vec_id = nd.doc_a
        |LEFT JOIN emb b ON b.vec_id = nd.doc_b""".stripMargin
 
@@ -303,6 +303,15 @@ object Dedup {
 
   val candidatesSql: String =
     s"WITH $candidatesCte SELECT doc_a, doc_b FROM cand_pairs"
+
+  /** Registered-query form of [[nearDupsSql]]: the threshold filter stays
+    * on the exact DECIMAL(10,6), only the output column becomes DOUBLE
+    * (graft.Parity contract).
+    */
+  def nearDupsOutSql(threshold: Double): String =
+    s"""WITH nd AS (
+       |${nearDupsSql(threshold)}
+       |) SELECT doc_a, doc_b, CAST(jaccard AS DOUBLE) AS jaccard FROM nd""".stripMargin
 
   def nearDupsSql(threshold: Double): String =
     s"""WITH $candidatesCte, sh_counts AS (

@@ -138,11 +138,13 @@ object EventsOps {
   // (events ts is TIMESTAMP(NANOS) in parquet; DuckDB truncates to micros
   //  exactly like Tables.events — see Tables.scala.)
 
+  // total_value: DECIMAL accumulation (order-independent), DOUBLE at the
+  // output edge — see graft.Parity
   val dailySql: String =
     """SELECT CAST(ts AS DATE) AS event_date, event_type,
       |       COUNT(*) AS n_events,
       |       COUNT(DISTINCT user_id) AS n_users,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
@@ -165,7 +167,7 @@ object EventsOps {
        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        |       COUNT(*) AS n_events,
        |       MIN(ts) AS session_start, MAX(ts) AS session_end,
-       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
        |FROM numbered GROUP BY 1, 2""".stripMargin
 
   val dailyPivotSql: String =
@@ -187,12 +189,15 @@ object EventsOps {
   val dailyRollupSql: String =
     """SELECT CAST(ts AS DATE) AS event_date, event_type,
       |       COUNT(*) AS n_events,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY ROLLUP (1, 2)""".stripMargin
 
+  // ORDER BY the exact decimal sum (not the double output): Spark ranks on
+  // the decimal before the output cast, and two distinct DECIMAL(18,2)
+  // values beyond 2^53 could collapse to one double
   def topUsersSql(k: Int = 10): String =
     s"""SELECT user_id, COUNT(*) AS n_events,
-       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
        |FROM events GROUP BY 1
-       |ORDER BY total_value DESC, user_id LIMIT $k""".stripMargin
+       |ORDER BY SUM(CAST(value AS DECIMAL(18,2))) DESC, user_id LIMIT $k""".stripMargin
 }

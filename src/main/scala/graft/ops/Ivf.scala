@@ -124,7 +124,7 @@ object Ivf {
        |  FROM probes p JOIN ea e USING (centroid_id)
        |  WHERE e.vec_id != p.query_id
        |)
-       |SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+       |SELECT query_id, neighbor_id, CAST(cosine_sim AS DOUBLE) AS cosine_sim, rank FROM (
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
        |  FROM scored

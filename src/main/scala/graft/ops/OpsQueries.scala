@@ -80,7 +80,7 @@ object OpsQueries {
     "dedup_shingle_stats" -> Dedup.shingleStatsSql,
     "dedup_lsh_bands" -> Dedup.bandsSql,
     "dedup_candidates" -> Dedup.candidatesSql,
-    "dedup_neardups" -> Dedup.nearDupsSql(0.5),
+    "dedup_neardups" -> Dedup.nearDupsOutSql(0.5),
     "dedup_multisignal" -> Dedup.multiSignalSql(0.5),
     "dedup_canonical" -> Dedup.canonicalSql(0.5),
     "ann_topk" -> Similarity.bruteForceSql(),

@@ -138,7 +138,7 @@ object Similarity {
        |         CAST(list_dot_product(q.qv, e.v) / (q.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim
        |  FROM q JOIN emb e ON e.vec_id != q.query_id
        |)
-       |SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+       |SELECT query_id, neighbor_id, CAST(cosine_sim AS DOUBLE) AS cosine_sim, rank FROM (
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
        |  FROM pairs
@@ -183,7 +183,7 @@ object Similarity {
        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
        |)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       CAST(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |       CAST(CAST(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
        |FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |JOIN emb ea ON ea.vec_id = a.vec_id
        |JOIN emb eb ON eb.vec_id = b.vec_id

@@ -112,8 +112,8 @@ object TextPrep {
        |  GROUP BY token HAVING COUNT(*) >= $minCount
        |), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
        |SELECT tf.doc_id, tf.token, tf.tf,
-       |       CAST(CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(vocab.doc_freq AS DOUBLE))
-       |            AS DECIMAL(18,6)) AS tfidf
+       |       CAST(CAST(CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(vocab.doc_freq AS DOUBLE))
+       |            AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
        |FROM tf JOIN vocab USING (token), n""".stripMargin
 
   /** Pack chunks into training shards of ≈`shardWords` words, per source

@@ -79,9 +79,12 @@ object Bronze {
           .when(col("o_orderstatus") === "O", "Active")
           .when(col("o_orderstatus") === "F", "inactive")
           .otherwise("PENDING").as("customer_status"),
+        // explicit floor: a bare double→INT cast truncates in Spark but
+        // rounds in DuckDB (CAST(17.5 AS INT) = 17 vs 18) — pin the
+        // semantics instead of relying on l_quantity being integral
         when(col("l_orderkey") % 13 === 0, lit(-5))
-          .when(col("l_suppkey") % 11 === 0, (col("l_quantity") * 100).cast("int"))
-          .otherwise(col("l_quantity").cast("int")).as("transaction_count"),
+          .when(col("l_suppkey") % 11 === 0, floor(col("l_quantity") * 100).cast("int"))
+          .otherwise(floor(col("l_quantity")).cast("int")).as("transaction_count"),
         effFromBase.as("effective_from"),
         when(col("l_orderkey") % 17 === 0, date_sub(effFromBase, 10))
           .when(col("l_partkey") % 41 === 0, to_date(lit("2025-06-01")))
@@ -138,8 +141,8 @@ object Bronze {
       |         WHEN o.o_orderstatus = 'F' THEN 'inactive'
       |         ELSE 'PENDING' END AS customer_status,
       |    CASE WHEN l.l_orderkey % 13 = 0 THEN -5
-      |         WHEN l.l_suppkey % 11 = 0 THEN CAST(l.l_quantity * 100 AS INT)
-      |         ELSE CAST(l.l_quantity AS INT) END AS transaction_count,
+      |         WHEN l.l_suppkey % 11 = 0 THEN CAST(FLOOR(l.l_quantity * 100) AS INT)
+      |         ELSE CAST(FLOOR(l.l_quantity) AS INT) END AS transaction_count,
       |    CASE WHEN l.l_orderkey % 29 = 0 THEN DATE '2015-06-15'
       |         ELSE DATE '2023-01-01' + CAST(l.l_orderkey % 300 AS INT) END AS effective_from,
       |    l.l_orderkey AS _ok, l.l_partkey AS _pk, l.l_suppkey AS _sk,
