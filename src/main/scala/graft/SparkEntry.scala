@@ -53,7 +53,12 @@ object SparkEntry {
         .withColumn("user_num",
           org.apache.spark.sql.functions.split(
             org.apache.spark.sql.functions.col("user_id"), "_")
-            .getItem(1).cast("int")))
+            .getItem(1).cast("int"))),
+    // write-path proofs (M1/M3/S5/S7/S8): reload/migrate into a temp
+    // target, re-read, compare against the ordinary read-side oracle
+    "silver_reloaded" -> ((s, dir) => graft.io.ReloadChecks.silverReloaded(s, dir)),
+    "dq_reloaded" -> ((s, dir) => graft.io.ReloadChecks.dqReloaded(s, dir)),
+    "export_reconcile" -> ((s, dir) => graft.io.ReloadChecks.exportReconcile(s, dir))
   )
 
   // `* REPLACE`: DuckDB's project-all-but-recast — the salary/purchase
@@ -72,6 +77,16 @@ object SparkEntry {
     "fact" -> (Pipeline.starPrefix + s" SELECT $moneyToDouble FROM fact"),
     "bronze_users" -> ("WITH " + Bronze.sqlCte +
       """ SELECT user_id, CAST(string_split(user_id, '_')[2] AS INT) AS user_num
-        | FROM (SELECT DISTINCT user_id FROM bronze WHERE user_id IS NOT NULL)""".stripMargin)
+        | FROM (SELECT DISTINCT user_id FROM bronze WHERE user_id IS NOT NULL)""".stripMargin),
+    // the write path must be lossless + idempotent → same oracles as the
+    // read side (plus the constant run_date / the count reconciliation)
+    "silver_reloaded" -> (Pipeline.silverPrefix + s" SELECT $moneyToDouble FROM silver"),
+    "dq_reloaded" -> (Pipeline.starPrefix + ", " + graft.dq.DqSuite.sqlCte +
+      " SELECT *, DATE '2024-01-15' AS run_date FROM dq_checks"),
+    "export_reconcile" -> (Pipeline.starPrefix +
+      """ SELECT CAST(count(*) AS BIGINT) AS staged_rows,
+        |        CAST(count(*) AS BIGINT) AS loaded_rows,
+        |        TRUE AS reconciled
+        | FROM fact""".stripMargin)
   )
 }

@@ -1,0 +1,73 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pipeline
+
+/** Driver-visible checks for the WRITE path (M1/M3 window reloads, S5
+  * truncate-before-load, S7/S8 export→stage→load): each registered query
+  * physically writes through the reload/migrate machinery into a temp
+  * target, re-reads the files, and returns a frame the driver compares
+  * against the ordinary read-side oracle. This is the difference between
+  * "the writers are spec-tested" and "the writers are proven against the
+  * oracle": a bug in partition overwrite, straddler carry, or the staging
+  * hop shows up as a hash mismatch on these entries.
+  *
+  * Each body runs the reload TWICE with the same window — the reference's
+  * signature semantic (`sql/init/01_init_all.sql:72-73` delete+insert) is
+  * idempotent on the final state, so the second run must change nothing.
+  */
+object ReloadChecks {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  /** M1: silver → partitioned window reload → re-read. Oracle = the plain
+    * silver oracle (the reload must be lossless and idempotent).
+    */
+  def silverReloaded(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "silver_reloaded", dir) {
+      val silver = Pipeline.silverCached(spark, dir)
+      val target = tmpDir("graft_silver_reload") + "/silver"
+      WindowReload.reload(spark, target, silver,
+        Pipeline.defaultStart, Pipeline.defaultEnd)
+      WindowReload.reload(spark, target, silver,
+        Pipeline.defaultStart, Pipeline.defaultEnd)
+      // partitionBy moved effective_from to the end; restore silver's order
+      spark.read.parquet(target)
+        .select(silver.columns.map(col).toIndexedSeq: _*)
+    }
+
+  /** M3: DQ results → run_date-partitioned purge+append → re-read.
+    * Oracle = the dq_checks oracle plus the constant run_date.
+    */
+  def dqReloaded(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "dq_reloaded", dir) {
+      val results = graft.dq.DqSuite.run(spark,
+        Pipeline.silverCached(spark, dir), Pipeline.fact(spark, dir))
+      val target = tmpDir("graft_dq_reload") + "/dq_results"
+      val runDate = java.time.LocalDate.parse("2024-01-15")
+      WindowReload.reloadResults(spark, target, results, runDate)
+      WindowReload.reloadResults(spark, target, results, runDate)
+      spark.read.parquet(target)
+        .select((results.columns :+ "run_date").map(col).toIndexedSeq: _*)
+    }
+
+  /** S7/S8: fact → staging parquet (S5 overwrite) → window reload into the
+    * target mart → row-count reconciliation (`migrate_to_mysql.py:84-88`).
+    * Oracle = fact counts (the staged and loaded sides must both equal the
+    * windowed fact, and agree).
+    */
+  def exportReconcile(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "export_reconcile", dir) {
+      import spark.implicits._
+      val fact = Pipeline.fact(spark, dir)
+      val base = tmpDir("graft_export")
+      val rec = Export.migrate(spark, fact, s"$base/staging", s"$base/mart",
+        Pipeline.defaultStart, Pipeline.defaultEnd)
+      Seq((rec.staged, rec.loaded, rec.ok))
+        .toDF("staged_rows", "loaded_rows", "reconciled")
+    }
+}

@@ -97,4 +97,86 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame")
   }
+
+  // ---------- driver-check projections + DuckDB oracles ----------
+  //
+  // The BINARY payload / ARRAY feature columns themselves can't round-trip
+  // the driver's hash compare (pandas can't sort array cells; binary
+  // doesn't hash), so the REGISTERED queries project md5 digests + byte
+  // counts instead — full-strength content checks over scalar columns.
+  // The oracles recompute the digests from `documents.text` in DuckDB;
+  // this corpus is pure ASCII (length == octet_length for every row at
+  // every SF), so DuckDB character slicing equals Spark byte slicing.
+
+  /** [[mediaTable]] with the payload projected to its md5 digest. */
+  def mediaCheck(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).select(
+      col("media_id"), md5(col("payload")).as("payload_md5"),
+      col("media_type"), col("payload_bytes"))
+
+  private val mediaTypeSql =
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END"
+
+  val mediaCheckSql: String =
+    s"""SELECT doc_id AS media_id, md5(text) AS payload_md5,
+       |       $mediaTypeSql AS media_type,
+       |       CAST(length(text) AS INT) AS payload_bytes
+       |FROM documents""".stripMargin
+
+  /** [[features]] exploded to one scalar row per vector dimension; the
+    * float is mapped back to the exact md5 byte it was derived from, so
+    * the oracle is an integer compare (no float-vs-double noise).
+    */
+  def featuresCheck(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir)
+      .select(col("media_id"), posexplode(col("feature_vec")))
+      .select(col("media_id"), col("pos").cast("int").as("dim_idx"),
+        round(col("col").cast("double") * 255.0).cast("int").as("byte_val"))
+
+  val featuresCheckSql: String =
+    s"""SELECT doc_id AS media_id, CAST(t.i AS INT) AS dim_idx,
+       |       CAST(('0x' || substr(md5(text), 2 * CAST(t.i AS INT) + 1, 2))::BIGINT AS INT) AS byte_val
+       |FROM documents, range(0, $featureDim) t(i)""".stripMargin
+
+  /** [[resize]] with the resized payload projected to its md5 digest. */
+  def resizeCheck(spark: SparkSession, dir: String): DataFrame =
+    resize(spark, dir).select(
+      col("media_id"), col("media_type"), col("orig_bytes"),
+      col("resized_bytes"), md5(col("resized")).as("resized_md5"))
+
+  /** Strided-sample twin of [[resize]] (targetBytes = 256): positions
+    * 1, 1+stride, … via a bounded range cross-join (this DuckDB build has
+    * no lateral generate_series).
+    */
+  val resizeCheckSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, $mediaTypeSql AS media_type, text,
+       |         CAST(length(text) AS INT) AS n,
+       |         GREATEST(CAST(CEIL(CAST(length(text) AS DOUBLE) / 256.0) AS INT), 1) AS stride
+       |  FROM documents
+       |), sampled AS (
+       |  SELECT m.media_id, m.media_type, m.n,
+       |         string_agg(substr(m.text, CAST(p.p AS INT), 1), '' ORDER BY p.p) AS resized
+       |  FROM m JOIN range(1, 8192) p(p)
+       |    ON p.p <= m.n AND (p.p - 1) % m.stride = 0
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT media_id, media_type, n AS orig_bytes,
+       |       CAST(length(resized) AS INT) AS resized_bytes,
+       |       md5(resized) AS resized_md5
+       |FROM sampled""".stripMargin
+
+  /** [[frameSample]] with each frame projected to its md5 digest. */
+  def framesCheck(spark: SparkSession, dir: String): DataFrame =
+    frameSample(spark, dir).select(
+      col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+
+  /** frameBytes = 64, stride = 4 → one full 64-byte frame per 256 bytes;
+    * `f < floor(len/256)` guarantees every frame is full-width.
+    */
+  val framesCheckSql: String =
+    """SELECT doc_id AS media_id, CAST(t.f AS INT) AS frame_idx,
+      |       md5(substr(text, CAST(t.f AS INT) * 256 + 1, 64)) AS frame_md5
+      |FROM documents, range(0, 64) t(f)
+      |WHERE t.f < CAST(floor(length(text) / 256.0) AS INT)""".stripMargin
 }

@@ -3,9 +3,12 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Registry of LLM-data-pipeline operator queries (text analysis, dedup,
-  * similarity search) for the driver contract. `simhash`/`simhash_pairs`
-  * have no oracle entry (no readable ANSI-SQL twin — the driver records a
-  * rows-only check); everything else is DuckDB-verified.
+  * similarity search) for the driver contract. Binary/array-valued
+  * operators are registered through their scalar `*Check` projections
+  * (md5 digests + counts) so every query is hash-comparable;
+  * `winnow_fingerprints`/`winnow_neardups` stay rows-only (the mod-2⁶⁴
+  * rolling hash has no ANSI-SQL twin), everything else is
+  * DuckDB-verified.
   */
 object OpsQueries {
 
@@ -45,14 +48,15 @@ object OpsQueries {
     "events_rollup" -> ((s, dir) => EventsOps.dailyRollup(s, dir)),
     // identical semantics through the skew-safe two-phase salted plan
     "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
-    // multimodal plumbing (binary payloads; decode stubbed → rows-only)
-    "mm_media" -> ((s, dir) => Multimodal.mediaTable(s, dir)),
-    "mm_features" -> ((s, dir) => Multimodal.features(s, dir)),
-    "mm_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)),
-    "mm_resize" -> ((s, dir) => Multimodal.resize(s, dir)),
+    // multimodal plumbing (binary payloads; decode stubbed) — registered
+    // via scalar md5-digest projections so the driver can hash-compare
+    "mm_media" -> ((s, dir) => Multimodal.mediaCheck(s, dir)),
+    "mm_features" -> ((s, dir) => Multimodal.featuresCheck(s, dir)),
+    "mm_frames" -> ((s, dir) => Multimodal.framesCheck(s, dir)),
+    "mm_resize" -> ((s, dir) => Multimodal.resizeCheck(s, dir)),
     // winnowing rolling-hash fingerprints (custom Catalyst expression →
     // rows-only; cross-checked against a reference impl in WinnowSpec)
-    "winnow_fingerprints" -> ((s, dir) => Winnow.fingerprints(s, dir)),
+    "winnow_fingerprints" -> ((s, dir) => Winnow.fingerprintsCheck(s, dir)),
     "winnow_neardups" -> ((s, dir) => Winnow.nearDups(s, dir)),
     // training-shard prep: chunking, vocabulary, embedding quantization
     "text_chunks" -> ((s, dir) => TextPrep.chunks(s, dir)),
@@ -113,8 +117,15 @@ object OpsQueries {
         |         row_number() OVER (PARTITION BY user_id
         |                            ORDER BY ts DESC, event_id DESC) AS rk
         |  FROM events
-        |) WHERE rk <= 3""".stripMargin
-    // mm_* carry BINARY payload columns → rows-only checks (binary values
-    // don't round-trip the hash compare)
+        |) WHERE rk <= 3""".stripMargin,
+    // simhash: mechanically generated 60-bit twin (DuckDB bit ops)
+    "simhash" -> SimHash.signaturesSql,
+    "simhash_pairs" -> SimHash.candidatesSql,
+    // multimodal digests recomputed from documents.text (ASCII corpus:
+    // char slicing == byte slicing)
+    "mm_media" -> Multimodal.mediaCheckSql,
+    "mm_features" -> Multimodal.featuresCheckSql,
+    "mm_frames" -> Multimodal.framesCheckSql,
+    "mm_resize" -> Multimodal.resizeCheckSql
   )
 }

@@ -15,9 +15,11 @@ import graft.Tables
   * groupBy(doc_id) with 60 conditional-sum aggregates — one shuffle of
   * (doc_id, token-hash) pairs, no UDFs, codegen throughout.
   *
-  * Not oracle-checked (a 60-column bit-twiddling aggregate has no
-  * readable ANSI-SQL twin); covered by SimHashSpec invariants instead
-  * (the driver records a rows-only check).
+  * Oracle-checked: the 60 conditional sums and the bit assembly are
+  * mechanically generated for DuckDB too ([[signaturesSql]] /
+  * [[candidatesSql]] — `('0x'‖hex)::BIGINT` parses the top-60-bit token
+  * hash, `xor`/`bit_count` compute the Hamming distance), on top of the
+  * OpsSpec invariants.
   */
 object SimHash {
 
@@ -64,4 +66,44 @@ object SimHash {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
   }
+
+  // ---------- DuckDB oracles ----------
+
+  /** CTE chain ending in `sig(doc_id, simhash)` — the same tokenization
+    * as the Spark side (TextMetrics.normalized + split on ' '), the same
+    * top-60-bits-of-md5 token hash, the same ±1 bit sums.
+    */
+  private val sigCte: String = {
+    val bitSums = (0 until bits)
+      .map(b => s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val assemble = (0 until bits)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << $b)")
+      .mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS th FROM toks
+       |), bitsums AS (
+       |  SELECT doc_id, $bitSums FROM th GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, $assemble AS simhash FROM bitsums
+       |)""".stripMargin
+  }
+
+  val signaturesSql: String =
+    s"WITH $sigCte SELECT doc_id, simhash FROM sig"
+
+  val candidatesSql: String =
+    s"""WITH $sigCte, banded AS (
+       |  SELECT doc_id, simhash, CAST(b.b AS INT) AS band,
+       |         (simhash >> (CAST(b.b AS INT) * 12)) & 4095 AS bandval
+       |  FROM sig, range(0, 5) b(b)
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id""".stripMargin
 }

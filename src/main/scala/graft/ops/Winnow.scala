@@ -25,6 +25,21 @@ object Winnow {
           TextMetrics.normalized(col("text"))).as("fingerprints"))
     }
 
+  /** Driver-check projection of [[fingerprints]]: the raw `array<long>`
+    * crashes the comparator's pandas sort, so the registered query emits
+    * per-doc scalars — count + md5 over the sorted fingerprint list. No
+    * DuckDB oracle (the mod-2⁶⁴ polynomial rolling hash has no ANSI-SQL
+    * twin — BIGINT overflow is an error there, not a wrap); the driver
+    * records a rows-only check and WinnowPropertySpec carries the
+    * algorithmic guarantees.
+    */
+  def fingerprintsCheck(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(spark, dir).select(
+      col("doc_id"),
+      size(col("fingerprints")).as("n_fingerprints"),
+      md5(concat_ws(",", transform(col("fingerprints"), _.cast("string"))))
+        .as("fp_digest"))
+
   /** Candidate pairs by shared-fingerprint containment ≥ `threshold`
     * (containment = |A∩B| / min(|A|,|B|)).
     */
