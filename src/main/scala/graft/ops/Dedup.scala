@@ -151,28 +151,31 @@ object Dedup {
   def canonical(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val edges = nearDups(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b")).persist()
-    val edgeCount = edges.count()
-    // Hybrid: the verified near-dup graph is orders of magnitude smaller
-    // than the corpus. Under ~1M edges, driver-side union-find beats the
-    // iterative join loop (which pays several Spark jobs per round); the
-    // distributed label-propagation path takes over beyond that.
-    if (edgeCount <= 1000000L) {
-      import spark.implicits._
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        parent(x) = r
-        r
-      }
-      edges.as[(Long, Long)].collect().foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      parent.keys.toSeq.sorted.map(d => (d, find(d)))
-        .toDF("doc_id", "canonical_id")
-    } else canonicalDistributed(spark, edges)
+    try {
+      val edgeCount = edges.count()
+      // Hybrid: the verified near-dup graph is orders of magnitude smaller
+      // than the corpus. Under ~1M edges (16 bytes each → ≤16 MB on the
+      // driver), driver-side union-find beats the iterative join loop
+      // (which pays several Spark jobs per round); the distributed
+      // label-propagation path takes over beyond that.
+      if (edgeCount * 16L <= 16L * 1024 * 1024) {
+        import spark.implicits._
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          parent(x) = r
+          r
+        }
+        edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keys.toSeq.sorted.map(d => (d, find(d)))
+          .toDF("doc_id", "canonical_id")
+      } else canonicalDistributed(spark, edges)
+    } finally edges.unpersist()
   }
 
   /** Distributed min-label propagation for graphs too large to collect. */
@@ -203,6 +206,9 @@ object Dedup {
       labels = updated
       rounds += 1
     }
+    // the final labels are localCheckpoint-materialized, so the edge frame
+    // is no longer needed by the returned plan
+    sym.unpersist()
     labels.select(col("doc_id"), col("lbl").as("canonical_id"))
   }
 

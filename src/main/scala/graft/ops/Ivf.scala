@@ -10,16 +10,16 @@ import org.apache.spark.sql.functions._
   * centroid→vectors inverted lists, and answer top-k by scanning only the
   * query's `nprobe` nearest lists.
   *
-  * Centroids are the first [[nCentroids]] corpus vectors — deterministic
-  * and oracle-reproducible. A production build would k-means-refine them;
-  * the plan shape (broadcast centroids, partition-by-list search) is
-  * identical either way, which is what matters at 100 TB: the corpus is
-  * hash-partitioned by cluster_id once, and a query touches nprobe
-  * partitions instead of all of them.
+  * Centroids are the first k corpus vectors, k = [[AnnParams.nCentroids]]
+  * ≈ √(n/4) — deterministic, oracle-reproducible, and √-law balanced
+  * (fixed k would make each probe scan O(n/k) = O(n)). A production
+  * build would k-means-refine them; the plan shape (broadcast centroids,
+  * partition-by-list search) is identical either way, which is what
+  * matters at 100 TB: the corpus is hash-partitioned by cluster_id once,
+  * and a query touches nprobe partitions instead of all of them.
   */
 object Ivf {
 
-  val nCentroids = 16
   val nProbe = 4
 
   private def dot(a: Column, b: Column): Column =
@@ -27,7 +27,8 @@ object Ivf {
 
   private def centroids(spark: SparkSession, dir: String): DataFrame =
     Similarity.normalized(spark, dir)
-      .filter(col("vec_id") < nCentroids)
+      .filter(col("vec_id") <
+        AnnParams.nCentroids(AnnParams.corpusSize(spark, dir)))
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
         col("norm").as("cnorm"))
 
@@ -84,9 +85,9 @@ object Ivf {
   // ---------- DuckDB oracles ----------
 
   val centroidsCte: String =
-    s"""ivf_centroids AS (
+    s"""${AnnParams.nCentroidsSql}, ivf_centroids AS (
        |  SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm
-       |  FROM emb WHERE vec_id < $nCentroids
+       |  FROM emb WHERE vec_id < (SELECT nc FROM ivf_params)
        |), ivf_assign AS (
        |  SELECT vec_id, centroid_id FROM (
        |    SELECT e.vec_id, c.centroid_id,

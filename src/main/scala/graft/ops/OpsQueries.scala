@@ -48,6 +48,8 @@ object OpsQueries {
     "events_rollup" -> ((s, dir) => EventsOps.dailyRollup(s, dir)),
     // identical semantics through the skew-safe two-phase salted plan
     "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
+    // Structured Streaming rollup run to completion == the batch rollup
+    "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.hourlyCheck(s, dir)),
     // multimodal plumbing (binary payloads; decode stubbed) — registered
     // via scalar md5-digest projections so the driver can hash-compare
     "mm_media" -> ((s, dir) => Multimodal.mediaCheck(s, dir)),
@@ -103,6 +105,7 @@ object OpsQueries {
     "events_rollup" -> EventsOps.dailyRollupSql,
     // the salted plan must produce byte-identical results to the plain one
     "events_top_users_salted" -> EventsOps.topUsersSql(),
+    "stream_hourly" -> graft.streaming.EventStream.hourlyCheckSql,
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),
     "text_tfidf" -> TextPrep.tfIdfSql(),

@@ -15,22 +15,24 @@ import graft.Tables
   *    DuckDB oracle reproduces it bit-for-bit); ranking ties broken by
   *    neighbor id on the DECIMAL(10,6)-rounded cosine.
   *  - [[lshBuckets]]: random-hyperplane (sign) LSH — the scale path.
-  *    8 hyperplanes with ±1 weights derived from md5(plane‖'_'‖dim), so
-  *    the "random" planes are deterministic and reproducible in SQL.
-  *    At 100 TB: bucketing is a narrow projection (the 8 weight vectors
+  *    Hyperplanes with ±1 weights derived from md5(plane‖'_'‖dim), so
+  *    the "random" planes are deterministic and reproducible in SQL; the
+  *    plane COUNT scales with the corpus ([[AnnParams.numPlanes]] ≈
+  *    log₂(n/targetBucket)), keeping expected bucket occupancy constant —
+  *    a fixed plane count would make the within-bucket refine O(n²).
+  *    At 100 TB: bucketing is a narrow projection (the weight vectors
   *    are plan literals, broadcast for free); candidate generation is a
-  *    shuffle on the 8-bit bucket key; only within-bucket pairs are
-  *    scored — never all-pairs.
+  *    shuffle on the bucket key; only within-bucket pairs are scored —
+  *    never all-pairs.
   */
 object Similarity {
 
-  val numPlanes = 8
   val dim = 64
 
   /** Deterministic ±1 hyperplane weights: +1 iff the first hex char of
     * md5("<plane>_<dim>") is 0-7 (i.e. top bit of the digest is 0).
     */
-  def planeWeights: IndexedSeq[IndexedSeq[Double]] = {
+  def planeWeights(numPlanes: Int): IndexedSeq[IndexedSeq[Double]] = {
     val md = MessageDigest.getInstance("MD5")
     (0 until numPlanes).map { p =>
       (0 until dim).map { i =>
@@ -82,11 +84,14 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Sign-LSH bucket per vector: 8 bits, bit p = (v · w_p >= 0). */
+  /** Sign-LSH bucket per vector: one bit per plane, bit p = (v·w_p >= 0);
+    * plane count derived from the corpus size (see [[AnnParams]]).
+    */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "emb_lsh_buckets", dir) {
-      val ws = planeWeights
-      val bits = (0 until numPlanes).map { p =>
+      val planes = AnnParams.numPlanes(AnnParams.corpusSize(spark, dir))
+      val ws = planeWeights(planes)
+      val bits = (0 until planes).map { p =>
         val w = array(ws(p).map(lit): _*)
         when(dot(col("v"), w) >= 0, "1").otherwise("0")
       }
@@ -144,14 +149,18 @@ object Similarity {
        |  FROM pairs
        |) WHERE rank <= $k""".stripMargin
 
-  /** Plane-weight CTE mirroring [[planeWeights]] in SQL. */
+  /** Plane-weight CTE mirroring [[planeWeights]] in SQL; the plane count
+    * comes from the [[AnnParams.numPlanesSql]] scalar (same formula as
+    * the Spark side, so the oracle adapts with the corpus).
+    */
   val planesCte: String =
-    s"""planes AS (
+    s"""${AnnParams.numPlanesSql}, planes AS (
        |  SELECT CAST(p AS INT) AS p,
        |         list(CASE WHEN substr(md5(p || '_' || i), 1, 1) IN
        |                ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END
        |              ORDER BY i) AS w
-       |  FROM range(0, $numPlanes) t(p), range(0, $dim) s(i)
+       |  FROM range(0, 64) t(p), range(0, $dim) s(i)
+       |  WHERE p < (SELECT nplanes FROM ann_params)
        |  GROUP BY p
        |)""".stripMargin
 

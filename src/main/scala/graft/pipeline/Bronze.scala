@@ -56,6 +56,9 @@ object Bronze {
           .otherwise(concat(lit("User "), userNum)).as("user_name"),
         when(col("l_partkey") % 33 === 0, lit(null).cast("int"))
           .otherwise((col("l_partkey") % 120).cast("int")).as("age"),
+        // NOTE: any NEW decimal money column added to bronze/silver/fact
+        // must also be added to SparkEntry.moneyToDouble — the Spark side
+        // is auto-doublified by Parity, the oracle's REPLACE list is not
         ((col("l_extendedprice") * 15).cast("decimal(15,2)") - 30000)
           .cast("decimal(15,2)").as("salary"),
         when(col("l_suppkey") % 50 === 0, col("l_extendedprice") * 1000)

@@ -29,27 +29,58 @@ object EventStream extends Serializable {
     StructField("props", StringType)
   ))
 
-  /** Hourly per-type rollup over a streaming read of a parquet directory. */
-  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** Hourly per-type rollup over a streaming read of a parquet directory
+    * (`glob` narrows the directory to matching files — the file source
+    * rejects a bare file path as its basePath).
+    */
+  def hourlyCounts(spark: SparkSession, dir: String,
+                   glob: Option[String] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // sum DECIMALs, not doubles: micro-batch arrival order must not be
+      // able to change the low bits (same discipline as EventsOps.daily)
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).cast("decimal(18,2)").as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Driver-check: run the streaming rollup to completion over the static
+    * events file and return the final complete-mode table. The whole
+    * directory is one micro-batch, so no row is ever behind the watermark
+    * and the result must equal the batch hourly rollup — the oracle is
+    * plain GROUP BY date_trunc('hour') SQL. This is the streaming path's
+    * oracle-checked equivalence entry (the specs cover incremental /
+    * late-data behavior).
+    */
+  def hourlyCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_hourly", dir) {
+      val tbl = "stream_hourly_" + java.lang.Integer.toHexString(dir.hashCode)
+      val q = runToMemory(spark, dir, tbl, glob = Some("events.parquet"))
+      q.stop()
+      spark.table(tbl)
+    }
+
+  val hourlyCheckSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start,
+      |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+      |       event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   /** Run the stream into an in-memory table until all available input is
     * processed; returns the finished query (test/demo harness).
     */
-  def runToMemory(spark: SparkSession, dir: String, tableName: String): StreamingQuery = {
-    val q = hourlyCounts(spark, dir).writeStream
+  def runToMemory(spark: SparkSession, dir: String, tableName: String,
+                  glob: Option[String] = None): StreamingQuery = {
+    val q = hourlyCounts(spark, dir, glob).writeStream
       .format("memory")
       .queryName(tableName)
       .outputMode("complete")

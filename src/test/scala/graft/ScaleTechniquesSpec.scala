@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.functions._
-import graft.ops.{EventsOps, Salting}
+import graft.ops.{AnnParams, EventsOps, Ivf, Salting, Similarity}
 
 /** Evidence for the scale techniques the 100 TB design leans on:
   * salting produces identical results through a skew-immune plan, and
@@ -33,6 +33,38 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .agg(max("s")).head().getLong(0)
     assert(fanout > 1)
     assert(partials.columns.toSeq === Seq("user_id", "n_events", "total_value"))
+  }
+
+  test("ANN knobs scale with the corpus, not as constants") {
+    // plane count keeps expected bucket occupancy ≤ targetBucket at ANY n:
+    // 2^planes ≥ n / targetBucket (the sub-quadratic candidate guarantee)
+    for (n <- Seq(1L, 500L, 2000L, 1000000L, 10000000000L)) {
+      val p = AnnParams.numPlanes(n)
+      assert(p >= 8)
+      assert(math.pow(2.0, p) * AnnParams.targetBucket >= n,
+        s"2^$p buckets x ${AnnParams.targetBucket} must cover n=$n")
+    }
+    assert(AnnParams.numPlanes(2000) === 8) // test-SF regime: unchanged
+    assert(AnnParams.numPlanes(10000000000L) === 27) // 100 TB regime
+    // centroids follow the sqrt law: probe cost ~ nProbe * sqrt(n), not n/16
+    assert(AnnParams.nCentroids(500) === 16)
+    assert(AnnParams.nCentroids(10000000000L) === 50000)
+    assert(AnnParams.ceilLog2(1) === 0)
+    assert(AnnParams.ceilLog2(2) === 1)
+    assert(AnnParams.ceilLog2(3) === 2)
+    assert(AnnParams.ceilLog2(1L << 40) === 40)
+  }
+
+  test("LSH buckets and IVF lists stay bounded on real data") {
+    val n = AnnParams.corpusSize(spark, sf0001)
+    val buckets = Similarity.bucketStats(spark, sf0001)
+      .agg(max("n_vectors"), count(lit(1))).head()
+    val (maxBucket, nBuckets) = (buckets.getLong(0), buckets.getLong(1))
+    assert(nBuckets > 1, "LSH must actually spread the corpus")
+    assert(maxBucket <= AnnParams.targetBucket,
+      s"max bucket $maxBucket exceeds the occupancy target")
+    val maxList = Ivf.listStats(spark, sf0001).agg(max("n_vectors")).head().getLong(0)
+    assert(maxList < n, "IVF must not collapse into one list")
   }
 
   // collectWithSubqueries descends into AdaptiveSparkPlanExec (a leaf to
