@@ -5,10 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Registry of LLM-data-pipeline operator queries (text analysis, dedup,
   * similarity search) for the driver contract. Binary/array-valued
   * operators are registered through their scalar `*Check` projections
-  * (md5 digests + counts) so every query is hash-comparable;
-  * `winnow_fingerprints`/`winnow_neardups` stay rows-only (the mod-2⁶⁴
-  * rolling hash has no ANSI-SQL twin), everything else is
-  * DuckDB-verified.
+  * (md5 digests + counts) so every query is hash-comparable; every entry
+  * is DuckDB-verified.
   */
 object OpsQueries {
 
@@ -56,8 +54,8 @@ object OpsQueries {
     "mm_features" -> ((s, dir) => Multimodal.featuresCheck(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.framesCheck(s, dir)),
     "mm_resize" -> ((s, dir) => Multimodal.resizeCheck(s, dir)),
-    // winnowing rolling-hash fingerprints (custom Catalyst expression →
-    // rows-only; cross-checked against a reference impl in WinnowSpec)
+    // winnowing rolling-hash fingerprints (custom Catalyst expression;
+    // the oracle recomputes the mod-2^64 hash in HUGEINT SQL)
     "winnow_fingerprints" -> ((s, dir) => Winnow.fingerprintsCheck(s, dir)),
     "winnow_neardups" -> ((s, dir) => Winnow.nearDups(s, dir)),
     // training-shard prep: chunking, vocabulary, embedding quantization
@@ -129,6 +127,9 @@ object OpsQueries {
     "mm_media" -> Multimodal.mediaCheckSql,
     "mm_features" -> Multimodal.featuresCheckSql,
     "mm_frames" -> Multimodal.framesCheckSql,
-    "mm_resize" -> Multimodal.resizeCheckSql
+    "mm_resize" -> Multimodal.resizeCheckSql,
+    // winnowing: direct-sum rolling hash in HUGEINT + window-min
+    "winnow_fingerprints" -> Winnow.fingerprintsCheckSql(),
+    "winnow_neardups" -> Winnow.nearDupsSql()
   )
 }

@@ -27,11 +27,8 @@ object Winnow {
 
   /** Driver-check projection of [[fingerprints]]: the raw `array<long>`
     * crashes the comparator's pandas sort, so the registered query emits
-    * per-doc scalars — count + md5 over the sorted fingerprint list. No
-    * DuckDB oracle (the mod-2⁶⁴ polynomial rolling hash has no ANSI-SQL
-    * twin — BIGINT overflow is an error there, not a wrap); the driver
-    * records a rows-only check and WinnowPropertySpec carries the
-    * algorithmic guarantees.
+    * per-doc scalars — count + md5 over the sorted fingerprint list —
+    * oracle-checked against [[fingerprintsCheckSql]].
     */
   def fingerprintsCheck(spark: SparkSession, dir: String): DataFrame =
     fingerprints(spark, dir).select(
@@ -68,4 +65,86 @@ object Winnow {
           .cast("decimal(10,6)").as("containment"))
       .filter(col("containment") >= threshold)
   }
+
+  // ---------- DuckDB oracles ----------
+  //
+  // The mod-2⁶⁴ polynomial rolling hash IS SQL-expressible after all: not
+  // as the iterated recurrence (BIGINT overflow is an error in DuckDB,
+  // not a wrap), but as the direct k-term sum
+  // h(p) = Σⱼ byte(p+j)·257^(k−1−j) (mod 2⁶⁴) in HUGEINT arithmetic —
+  // ≤ 2⁷⁶ before the final modulo, comfortably inside int128. The
+  // winnowing window-min then falls out of a row_number over (h ASC,
+  // pos DESC) — ORDER BY on the 0..2⁶⁴−1 HUGEINT is exactly the unsigned
+  // comparison the Scala side does, and pos DESC keeps the RIGHTMOST
+  // minimum. Only at the end is each hash wrapped to Spark's signed Long.
+  // (The corpus is ASCII, so ascii(char) == UTF-8 byte.)
+
+  /** CTE chain ending in `fps(doc_id, f BIGINT)` — the distinct signed
+    * fingerprints per document, matching [[WinnowUtil.fingerprint]].
+    */
+  private def fpsCte(k: Int, w: Int): String = {
+    val two64 = BigInt(2).pow(64)
+    val terms = (0 until k).map { j =>
+      val pow = BigInt(257).modPow(BigInt(k - 1 - j), two64)
+      s"CAST(ascii(substr(norm, CAST(p.p AS INT) + $j, 1)) AS HUGEINT) * $pow::HUGEINT"
+    }.mkString(" +\n           ")
+    s"""wnorm AS (
+       |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents
+       |), kg AS (
+       |  SELECT doc_id, CAST(p.p AS INT) - 1 AS g,
+       |         ($terms) % 18446744073709551616::HUGEINT AS h
+       |  FROM wnorm CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(1, CAST(length(norm) AS INT) - $k + 1)) AS p) p
+       |), nk AS (
+       |  SELECT doc_id, count(*) AS n FROM kg GROUP BY doc_id
+       |), sel AS (
+       |  SELECT doc_id, s, h FROM (
+       |    SELECT kg.doc_id, s.s, kg.h,
+       |           row_number() OVER (PARTITION BY kg.doc_id, s.s
+       |                              ORDER BY kg.h ASC, kg.g DESC) AS rk
+       |    FROM kg JOIN nk USING (doc_id) CROSS JOIN LATERAL
+       |      (SELECT unnest(generate_series(0, CAST(GREATEST(nk.n - $w, 0) AS INT))) AS s) s
+       |    WHERE kg.g >= s.s AND kg.g < s.s + $w
+       |  ) WHERE rk = 1
+       |), fps AS (
+       |  SELECT DISTINCT doc_id,
+       |         CASE WHEN h >= 9223372036854775808::HUGEINT
+       |              THEN CAST(h - 18446744073709551616::HUGEINT AS BIGINT)
+       |              ELSE CAST(h AS BIGINT) END AS f
+       |  FROM sel
+       |)""".stripMargin
+  }
+
+  def fingerprintsCheckSql(k: Int = 12, w: Int = 8): String =
+    s"""WITH ${fpsCte(k, w)}, agg AS (
+       |  SELECT doc_id, count(*) AS nf,
+       |         string_agg(CAST(f AS VARCHAR), ',' ORDER BY f) AS joined
+       |  FROM fps GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(COALESCE(a.nf, 0) AS INT) AS n_fingerprints,
+       |       md5(COALESCE(a.joined, '')) AS fp_digest
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  def nearDupsSql(threshold: Double = 0.5, maxDocFreq: Int = 50,
+                  k: Int = 12, w: Int = 8): String =
+    s"""WITH ${fpsCte(k, w)}, sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id
+       |), rare AS (
+       |  SELECT f FROM fps GROUP BY f HAVING count(*) <= $maxDocFreq
+       |), pr AS (
+       |  SELECT fps.doc_id, fps.f FROM fps JOIN rare USING (f)
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM pr a JOIN pr b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, CAST(containment AS DOUBLE) AS containment FROM (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(CAST(p.shared AS DOUBLE) / LEAST(na.n, nb.n)
+       |              AS DECIMAL(10,6)) AS containment
+       |  FROM pairs p
+       |  JOIN sizes na ON na.doc_id = p.doc_a
+       |  JOIN sizes nb ON nb.doc_id = p.doc_b
+       |) WHERE containment >= $threshold""".stripMargin
 }
