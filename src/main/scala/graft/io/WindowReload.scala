@@ -63,7 +63,13 @@ object WindowReload {
       } else windowed
     ).localCheckpoint(true)
 
-    toWrite.write
+    // REBALANCE on the partition column before partitionBy: without it each
+    // of the N upstream tasks writes a file into every date dir it touches
+    // (N × days tiny files — at 1000 executors a small-file explosion and
+    // a file-listing bottleneck on every subsequent scan). The AQE rebalance
+    // shuffle yields ~one right-sized file per date and splits skewed dates
+    // into multiple files instead of one giant task.
+    toWrite.hint("rebalance", col("effective_from")).write
       .mode("overwrite")
       .partitionBy("effective_from")
       .parquet(targetPath)
