@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Benchmark-contamination detection — the decontamination step of a
+  * pretraining data pipeline (the published practice: flag or drop
+  * training documents that share long word n-grams with evaluation
+  * data, as done for GPT-3/Gopher-style training sets).
+  *
+  * Here the "benchmark suite" is the deterministic slice
+  * `doc_id % 97 == 0` of `documents` (a stand-in for an external eval
+  * set; swapping in a real one is a one-line change to [[evalSet]]).
+  * Every other document is scored by the fraction of its distinct word
+  * [[n]]-grams that also occur in the eval set.
+  *
+  * Scale shape: the eval side is tiny at any corpus size (benchmark
+  * suites are MBs, the training corpus is TBs), so the n-gram join is a
+  * broadcast hash join — the training side streams through in one pass,
+  * no shuffle of the corpus n-grams against the eval set. The only
+  * corpus-wide shuffle is the per-doc distinct/aggregate, which
+  * map-side-combines on doc_id.
+  */
+object Contamination {
+
+  /** n-gram width: long enough that a match signals copied benchmark
+    * text, not vocabulary coincidence (13 is the published norm for
+    * natural text; 5 fits this synthetic corpus's 30-word vocabulary
+    * and ~60-word documents).
+    */
+  val n = 5
+
+  /** Deterministic eval-set membership: doc_id % evalMod == 0. */
+  val evalMod = 97
+
+  /** Distinct word-n-grams per document (same normalization as the
+    * dedup shingles; docs shorter than n words yield none — the
+    * `size >= n` guard is required because Spark's `sequence(0, m)`
+    * runs DESCENDING for negative m instead of returning empty).
+    */
+  def ngrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(TextMetrics.normalized(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("ws"), i + j + 1)): _*))).as("ngram"))
+      .distinct()
+
+  /** Per-training-doc contamination report: distinct-n-gram count,
+    * overlap count with the eval set, ratio, and the flag. Eval docs
+    * are excluded from the output (they trivially self-overlap).
+    */
+  def report(spark: SparkSession, dir: String): DataFrame = {
+    val ng = ngrams(spark, dir)
+    // the doc_id filters push below the explode+distinct to the scan,
+    // so the eval branch reads only the eval slice of the corpus
+    val evalNg = ng.filter(col("doc_id") % evalMod === 0)
+      .select("ngram").distinct().withColumn("hit", lit(1))
+    ng.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalNg), Seq("ngram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_overlap"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_overlap"),
+        // integer counts → one double division: deterministic IEEE
+        // arithmetic, identical across engines (no decimal rounding)
+        (col("n_overlap").cast("double") / col("n_ngrams").cast("double"))
+          .as("contamination_ratio"),
+        (col("n_overlap") > 0).as("contaminated"))
+  }
+
+  // ---------- DuckDB oracle ----------
+
+  val reportSql: String = {
+    val terms = (0 until n).map(j => s"ws[i.i+$j]").mkString(" || ' ' || ")
+    s"""WITH ng AS (
+       |  SELECT DISTINCT doc_id, $terms AS ngram
+       |  FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |        FROM documents) w
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws)-${n - 1})) AS i) i
+       |), eval_ng AS (
+       |  SELECT DISTINCT ngram FROM ng WHERE doc_id % $evalMod = 0
+       |)
+       |SELECT t.doc_id,
+       |  count(*) AS n_ngrams,
+       |  count(e.ngram) AS n_overlap,
+       |  CAST(count(e.ngram) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination_ratio,
+       |  count(e.ngram) > 0 AS contaminated
+       |FROM ng t LEFT JOIN eval_ng e ON t.ngram = e.ngram
+       |WHERE t.doc_id % $evalMod <> 0
+       |GROUP BY 1""".stripMargin
+  }
+}

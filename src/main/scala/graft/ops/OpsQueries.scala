@@ -16,6 +16,9 @@ object OpsQueries {
     "text_lang_id" -> ((s, dir) => TextMetrics.langId(s, dir)),
     "text_quality" -> ((s, dir) => TextMetrics.quality(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextMetrics.fingerprint(s, dir)),
+    "text_repetition" -> ((s, dir) => TextMetrics.repetition(s, dir)),
+    // benchmark decontamination: n-gram overlap vs the eval-set slice
+    "contamination" -> ((s, dir) => Contamination.report(s, dir)),
     // dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_shingle_stats" -> ((s, dir) => Dedup.shingleStats(s, dir)),
@@ -80,6 +83,8 @@ object OpsQueries {
     "text_lang_id" -> TextMetrics.langIdSql,
     "text_quality" -> TextMetrics.qualitySql,
     "text_fingerprint" -> TextMetrics.fingerprintSql,
+    "text_repetition" -> TextMetrics.repetitionSql,
+    "contamination" -> Contamination.reportSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_shingle_stats" -> Dedup.shingleStatsSql,
     "dedup_lsh_bands" -> Dedup.bandsSql,

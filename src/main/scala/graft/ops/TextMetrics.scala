@@ -96,6 +96,45 @@ object TextMetrics {
     Tables.documents(spark, dir).select(
       col("doc_id"), md5(normalized(col("text"))).as("fingerprint"))
 
+  /** Gopher-style repetition signals (the published quality-filter rules
+    * for pretraining corpora): per document, the fraction of words taken
+    * by the most frequent word / bigram and the fraction of duplicated
+    * trigrams. High values mark boilerplate and degenerate repetition.
+    *
+    * Every ratio is a single division of two integer counts — no decimal
+    * step, no order-dependent float accumulation, so both engines compute
+    * bit-identical doubles. Scale shape: three gram-level shuffles with
+    * map-side combine; all three aggregates come out hash-partitioned by
+    * doc_id, so the final joins need no extra exchange.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(normalized(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+
+    def gram(n: Int): Column =
+      if (n == 1) explode(col("ws"))
+      else explode(transform(sequence(lit(0), size(col("ws")) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + j + 1)): _*)))
+
+    def stats(n: Int): DataFrame = base
+      .select(col("doc_id"), gram(n).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as(s"total_$n"),
+        max("cnt").as(s"top_$n"),
+        count(lit(1)).as(s"distinct_$n"))
+
+    stats(1).join(stats(2), "doc_id").join(stats(3), "doc_id")
+      .select(
+        col("doc_id"),
+        col("total_1").as("total_words"),
+        (col("top_1").cast("double") / col("total_1").cast("double")).as("top_word_frac"),
+        (col("top_2").cast("double") / col("total_2").cast("double")).as("top_bigram_frac"),
+        ((col("total_3") - col("distinct_3")).cast("double") /
+          col("total_3").cast("double")).as("dup_trigram_frac"))
+  }
+
   // ---------- DuckDB oracles ----------
 
   val statsSql: String =
@@ -145,4 +184,36 @@ object TextMetrics {
   val fingerprintSql: String =
     """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
       |FROM documents""".stripMargin
+
+  // DuckDB sums of BIGINT widen to HUGEINT — cast back so the schema
+  // matches Spark's LongType
+  val repetitionSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |  FROM documents
+      |), g1 AS (
+      |  SELECT doc_id, unnest(ws) AS g FROM ws WHERE len(ws) >= 3
+      |), s1 AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total, CAST(max(cnt) AS BIGINT) AS top
+      |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g1 GROUP BY 1, 2) GROUP BY 1
+      |), g2 AS (
+      |  SELECT doc_id, ws[i.i] || ' ' || ws[i.i+1] AS g
+      |  FROM ws CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) i
+      |  WHERE len(ws) >= 3
+      |), s2 AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total, CAST(max(cnt) AS BIGINT) AS top
+      |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1
+      |), g3 AS (
+      |  SELECT doc_id, ws[i.i] || ' ' || ws[i.i+1] || ' ' || ws[i.i+2] AS g
+      |  FROM ws CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) i
+      |  WHERE len(ws) >= 3
+      |), s3 AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS dist
+      |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2) GROUP BY 1
+      |)
+      |SELECT s1.doc_id, s1.total AS total_words,
+      |  CAST(s1.top AS DOUBLE) / CAST(s1.total AS DOUBLE) AS top_word_frac,
+      |  CAST(s2.top AS DOUBLE) / CAST(s2.total AS DOUBLE) AS top_bigram_frac,
+      |  CAST(s3.total - s3.dist AS DOUBLE) / CAST(s3.total AS DOUBLE) AS dup_trigram_frac
+      |FROM s1 JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)""".stripMargin
 }

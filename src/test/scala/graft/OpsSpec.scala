@@ -34,6 +34,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals are valid fractions; planted dups repeat hardest") {
+    val rep = TextMetrics.repetition(spark, sf0001).cache()
+    assert(rep.count() > 0)
+    // each ratio is a fraction in [0,1]; top-word ≥ 1/total by pigeonhole
+    assert(rep.filter(
+      col("top_word_frac") < lit(1.0) / col("total_words") ||
+        col("top_word_frac") > 1.0 ||
+        col("top_bigram_frac") <= 0.0 || col("top_bigram_frac") > 1.0 ||
+        col("dup_trigram_frac") < 0.0 || col("dup_trigram_frac") >= 1.0).count() === 0)
+    rep.unpersist()
+  }
+
+  test("contamination: eval docs excluded; overlap bounded by n-gram count") {
+    val rep = graft.ops.Contamination.report(spark, sf0001).cache()
+    assert(rep.count() > 0)
+    assert(rep.filter(col("doc_id") % graft.ops.Contamination.evalMod === 0).count() === 0)
+    assert(rep.filter(col("n_overlap") > col("n_ngrams")).count() === 0)
+    // the flag is exactly overlap > 0
+    assert(rep.filter((col("n_overlap") > 0) =!= col("contaminated")).count() === 0)
+    rep.unpersist()
+  }
+
   test("exact dedup groups sum to the document count") {
     val g = Dedup.exact(spark, sf0001)
     val docs = Tables.documents(spark, sf0001).count()
