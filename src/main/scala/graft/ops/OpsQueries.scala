@@ -49,6 +49,8 @@ object OpsQueries {
     "events_rollup" -> ((s, dir) => EventsOps.dailyRollup(s, dir)),
     // identical semantics through the skew-safe two-phase salted plan
     "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
+    // as-of join (union + carry-forward window) vs DuckDB's native ASOF
+    "events_asof" -> ((s, dir) => AsofJoin.purchaseAttribution(s, dir)),
     // Structured Streaming rollup run to completion == the batch rollup
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.hourlyCheck(s, dir)),
     // multimodal plumbing (binary payloads; decode stubbed) — registered
@@ -108,6 +110,7 @@ object OpsQueries {
     "events_rollup" -> EventsOps.dailyRollupSql,
     // the salted plan must produce byte-identical results to the plain one
     "events_top_users_salted" -> EventsOps.topUsersSql(),
+    "events_asof" -> AsofJoin.purchaseAttributionSql,
     "stream_hourly" -> graft.streaming.EventStream.hourlyCheckSql,
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),

@@ -56,6 +56,25 @@ class OpsSpec extends SparkSpec {
     rep.unpersist()
   }
 
+  test("as-of join: latest right at-or-before left ts; one shuffle, no range explosion") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((10L, 1L, t(100), 5.0), (11L, 1L, t(200), 6.0), (12L, 2L, t(50), 7.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((1L, 1L, t(100), 1.0), (2L, 1L, t(150), 2.0), (3L, 3L, t(10), 3.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = graft.ops.AsofJoin.asof(left, right, "user_id", "ts", "event_id",
+      Seq("value"), "r_").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    assert(out === Map(10L -> 1L, // equal ts matches (>= semantics)
+      11L -> 2L,                  // latest prior, not first
+      12L -> -1L))                // no right row for the key → null
+    // plan shape: a window over one exchange, not a non-equi join
+    val plan = graft.ops.AsofJoin.purchaseAttribution(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("exact dedup groups sum to the document count") {
     val g = Dedup.exact(spark, sf0001)
     val docs = Tables.documents(spark, sf0001).count()
