@@ -51,6 +51,8 @@ object OpsQueries {
     "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
     // as-of join (union + carry-forward window) vs DuckDB's native ASOF
     "events_asof" -> ((s, dir) => AsofJoin.purchaseAttribution(s, dir)),
+    // binned interval join vs DuckDB's native BETWEEN range join
+    "events_interval_join" -> ((s, dir) => RangeJoin.sessionErrorLoad(s, dir)),
     // Structured Streaming rollup run to completion == the batch rollup
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.hourlyCheck(s, dir)),
     // multimodal plumbing (binary payloads; decode stubbed) — registered
@@ -111,6 +113,7 @@ object OpsQueries {
     // the salted plan must produce byte-identical results to the plain one
     "events_top_users_salted" -> EventsOps.topUsersSql(),
     "events_asof" -> AsofJoin.purchaseAttributionSql,
+    "events_interval_join" -> RangeJoin.sessionErrorLoadSql(),
     "stream_hourly" -> graft.streaming.EventStream.hourlyCheckSql,
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),

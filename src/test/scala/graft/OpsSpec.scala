@@ -75,6 +75,22 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("binned range join: exact point-in-interval counts, no nested-loop join") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    // intervals crossing bin boundaries (bin = 10s) and an empty one
+    val ivs = Seq((1L, t(5), t(25)), (2L, t(8), t(9)), (3L, t(100), t(200)))
+      .toDF("iv_id", "s", "e")
+    val pts = Seq(t(5), t(10), t(25), t(26), t(8)).toDF("ts")
+    val out = graft.ops.RangeJoin
+      .binnedCount(pts, "ts", ivs, "s", "e", Seq("iv_id"), binSeconds = 10L)
+      .select("iv_id", "n_points").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 4L, 2L -> 1L, 3L -> 0L))
+    val plan = graft.ops.RangeJoin.sessionErrorLoad(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("exact dedup groups sum to the document count") {
     val g = Dedup.exact(spark, sf0001)
     val docs = Tables.documents(spark, sf0001).count()
