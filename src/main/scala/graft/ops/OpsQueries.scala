@@ -17,6 +17,7 @@ object OpsQueries {
     "text_quality" -> ((s, dir) => TextMetrics.quality(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextMetrics.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => TextMetrics.repetition(s, dir)),
+    "text_redact" -> ((s, dir) => Redact.scrub(s, dir)),
     // benchmark decontamination: n-gram overlap vs the eval-set slice
     "contamination" -> ((s, dir) => Contamination.report(s, dir)),
     // dedup
@@ -88,6 +89,7 @@ object OpsQueries {
     "text_quality" -> TextMetrics.qualitySql,
     "text_fingerprint" -> TextMetrics.fingerprintSql,
     "text_repetition" -> TextMetrics.repetitionSql,
+    "text_redact" -> Redact.scrubSql,
     "contamination" -> Contamination.reportSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_shingle_stats" -> Dedup.shingleStatsSql,

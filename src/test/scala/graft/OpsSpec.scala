@@ -91,6 +91,20 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("PII redaction scrubs planted emails/phones/ids and nothing else") {
+    val planted = Seq(
+      "mail me at jane.doe+spam@example.co.uk today",
+      "call 555-867-5309 or 555.867.5309",
+      "ssn 123-45-6789 on file",
+      "clean text stays byte-identical").toDF("text")
+    val out = planted.select(graft.ops.Redact.redacted(col("text")).as("r"))
+      .as[String].collect()
+    assert(out(0) === "mail me at [EMAIL] today")
+    assert(out(1) === "call [PHONE] or [PHONE]")
+    assert(out(2) === "ssn [ID] on file")
+    assert(out(3) === "clean text stays byte-identical")
+  }
+
   test("exact dedup groups sum to the document count") {
     val g = Dedup.exact(spark, sf0001)
     val docs = Tables.documents(spark, sf0001).count()
