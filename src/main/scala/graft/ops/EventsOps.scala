@@ -41,7 +41,15 @@ object EventsOps {
     * batch formulation; the streaming twin is a session window with
     * watermarking).
     */
-  def sessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  // memoized: events_sessions and the interval join both consume it, and
+  // the latter uses it on BOTH join sides — unmemoized, the whole window
+  // chain over events would run twice in one query
+  def sessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    graft.Memo(spark, s"events_sessions_$gapMinutes", dir) {
+      sessionsUncached(spark, dir, gapMinutes)
+    }
+
+  private def sessionsUncached(spark: SparkSession, dir: String, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
