@@ -56,6 +56,8 @@ object OpsQueries {
     "events_interval_join" -> ((s, dir) => RangeJoin.sessionErrorLoad(s, dir)),
     // Structured Streaming rollup run to completion == the batch rollup
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.hourlyCheck(s, dir)),
+    // streaming dedup of a doubled stream == plain batch counts
+    "stream_dedup" -> ((s, dir) => graft.streaming.EventStream.dedupCheck(s, dir)),
     // multimodal plumbing (binary payloads; decode stubbed) — registered
     // via scalar md5-digest projections so the driver can hash-compare
     "mm_media" -> ((s, dir) => Multimodal.mediaCheck(s, dir)),
@@ -72,9 +74,10 @@ object OpsQueries {
     "text_tfidf" -> ((s, dir) => TextPrep.tfIdf(s, dir)),
     "text_shards" -> ((s, dir) => TextPrep.shards(s, dir)),
     "emb_quantize" -> ((s, dir) => TextPrep.quantize(s, dir)),
-    // deterministic hash-based sampling / splitting
+    // deterministic hash-based sampling / splitting / mixture weighting
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedDocs(s, dir)),
     "sample_split" -> ((s, dir) => Sampling.split(s, dir)),
+    "sample_mixture" -> ((s, dir) => Sampling.mixture(s, dir)),
     // native per-key top-k operator (custom LogicalPlan/Strategy/Exec)
     "topk_native" -> ((s, dir) =>
       graft.plans.TopK.perKey(s,
@@ -117,6 +120,7 @@ object OpsQueries {
     "events_asof" -> AsofJoin.purchaseAttributionSql,
     "events_interval_join" -> RangeJoin.sessionErrorLoadSql(),
     "stream_hourly" -> graft.streaming.EventStream.hourlyCheckSql,
+    "stream_dedup" -> graft.streaming.EventStream.dedupCheckSql,
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),
     "text_tfidf" -> TextPrep.tfIdfSql(),
@@ -124,6 +128,7 @@ object OpsQueries {
     "emb_quantize" -> TextPrep.quantizeSql,
     "sample_stratified" -> Sampling.stratifiedDocsSql(),
     "sample_split" -> Sampling.splitSql(),
+    "sample_mixture" -> Sampling.mixtureSql(),
     // native operator vs the standard window formulation
     "topk_native" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (

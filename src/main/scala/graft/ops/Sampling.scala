@@ -60,4 +60,29 @@ object Sampling {
        |            WHEN $u < 0.95 THEN 'val' ELSE 'test' END AS split
        |FROM documents""".stripMargin
   }
+
+  /** Mixture construction: per-source keep rates — the up/down-weighting
+    * step that turns raw crawls into a training mixture (sources here are
+    * tiered by id as a stand-in for measured quality weights; swapping in
+    * a real weights table is the same one filter). Membership stays a
+    * salted content hash: re-sharding or engine changes cannot move a
+    * document in or out of the mixture.
+    */
+  def mixRate: Column =
+    when(expr("CAST(substring(source, 4) AS INT)") < 5, 1.0)
+      .when(expr("CAST(substring(source, 4) AS INT)") < 10, 0.5)
+      .otherwise(0.2)
+
+  def mixture(spark: SparkSession, dir: String, salt: String = "mix1"): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(hashUniform(col("doc_id"), salt) < mixRate)
+      .select(col("doc_id"), col("source"), mixRate.as("mix_rate"))
+
+  def mixtureSql(salt: String = "mix1"): String = {
+    val u = hashUniformSql("doc_id", salt)
+    val rate = "CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1.0 " +
+      "WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5 ELSE 0.2 END"
+    s"""SELECT doc_id, source, CAST($rate AS DOUBLE) AS mix_rate
+       |FROM documents WHERE $u < CAST($rate AS DOUBLE)""".stripMargin
+  }
 }

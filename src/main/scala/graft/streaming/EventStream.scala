@@ -106,6 +106,36 @@ object EventStream extends Serializable {
     * the watermark window — the streaming twin of `Dedup.exact`, with
     * state bounded by the watermark instead of the full history.
     */
+  /** Driver-visible streaming-dedup proof: double every input row inside
+    * the stream (explode over a 2-element array — duplicates land in the
+    * same micro-batch, where dedup is unconditional), drop duplicates by
+    * event_id within the watermark, run to completion, and aggregate the
+    * survivors. The oracle is the batch truth: event_id is unique in the
+    * source, so the deduped doubled stream must equal plain events.
+    */
+  def dedupCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_dedup", dir) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tbl = "stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
+      val reader = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+      val doubled = reader.parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("_copy", explode(array(lit(1), lit(2))))
+        .drop("_copy")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = doubled.writeStream.format("memory").queryName(tbl)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(tbl).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"))
+    }
+
+  val dedupCheckSql: String =
+    "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1"
+
   def dedupStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(schema).parquet(dir)

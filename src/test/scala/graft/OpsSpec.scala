@@ -91,6 +91,21 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("mixture sampling: tier-1 sources fully kept, rates match tiers") {
+    val m = graft.ops.Sampling.mixture(spark, sf0001).cache()
+    val docs = Tables.documents(spark, sf0001)
+    val tier1 = docs.filter(expr("CAST(substring(source, 4) AS INT) < 5"))
+    // rate 1.0 ⇒ u < 1.0 always: every tier-1 doc is in the mixture
+    assert(m.filter(col("mix_rate") === 1.0).count() === tier1.count())
+    // rate column is a pure function of the source tier
+    assert(m.filter(
+      (expr("CAST(substring(source, 4) AS INT) < 5") && col("mix_rate") =!= 1.0) ||
+      (expr("CAST(substring(source, 4) AS INT) BETWEEN 5 AND 9") && col("mix_rate") =!= 0.5) ||
+      (expr("CAST(substring(source, 4) AS INT) >= 10") && col("mix_rate") =!= 0.2)
+    ).count() === 0)
+    m.unpersist()
+  }
+
   test("PII redaction scrubs planted emails/phones/ids and nothing else") {
     val planted = Seq(
       "mail me at jane.doe+spam@example.co.uk today",
