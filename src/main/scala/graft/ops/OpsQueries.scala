@@ -34,6 +34,7 @@ object OpsQueries {
     "ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(s, dir)),
     "ann_bucket_stats" -> ((s, dir) => Similarity.bucketStats(s, dir)),
+    "ann_multiprobe" -> ((s, dir) => Similarity.multiprobeTopK(s, dir)),
     // 0.3: this corpus is near-random (max pairwise cosine ≈ 0.5), so a
     // production-style 0.9 cut returns empty; 0.3 exercises the refine
     "emb_neardups" -> ((s, dir) => Similarity.cosineNearDups(s, dir, threshold = 0.3)),
@@ -104,6 +105,7 @@ object OpsQueries {
     "ann_topk" -> Similarity.bruteForceSql(),
     "ann_lsh_buckets" -> Similarity.lshBucketsSql,
     "ann_bucket_stats" -> Similarity.bucketStatsSql,
+    "ann_multiprobe" -> Similarity.multiprobeSql(),
     "emb_neardups" -> Similarity.cosineNearDupsSql(0.3),
     "ivf_assign" -> Ivf.assignmentsSql,
     "ivf_list_stats" -> Ivf.listStatsSql,

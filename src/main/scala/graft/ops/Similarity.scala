@@ -123,6 +123,42 @@ object Similarity {
       .filter(col("cosine_sim") >= threshold)
   }
 
+  /** Multi-probe LSH top-k — the published fix for the recall/bucket-size
+    * tradeoff: instead of lowering the plane count (bigger buckets, O(n²)
+    * refine), probe the query's own bucket PLUS every bucket at Hamming
+    * distance 1 (flip one bit). Recall approaches exhaustive search while
+    * candidate generation stays bucket-bounded: the probe list is
+    * queries × (planes+1) rows — broadcast-sized — and each corpus vector
+    * matches a (query, probe) at most once (one bucket per vector), so no
+    * dedup pass is needed before the exact refine.
+    */
+  def multiprobeTopK(spark: SparkSession, dir: String,
+                     k: Int = 10, queryMod: Int = 50): DataFrame = {
+    val planes = AnnParams.numPlanes(AnnParams.corpusSize(spark, dir))
+    val e = normalized(spark, dir).join(lshBuckets(spark, dir), "vec_id")
+    val qb = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("bucket").as("qbucket"))
+    val flips = (0 until planes).map { f =>
+      val bit = substring(col("qbucket"), f + 1, 1)
+      concat(substring(col("qbucket"), 1, f),
+        when(bit === "1", "0").otherwise("1"),
+        substring(col("qbucket"), f + 2, planes))
+    }
+    val probes = qb.select(col("query_id"), col("qv"), col("qn"),
+      explode(array(col("qbucket") +: flips: _*)).as("bucket"))
+    val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .cast("decimal(10,6)")
+    import org.apache.spark.sql.expressions.Window
+    broadcast(probes).join(e, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cosine_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   // ---------- DuckDB oracles ----------
 
   /** Embeddings-with-norm CTE; list_dot_product sums sequentially like
@@ -182,6 +218,39 @@ object Similarity {
        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
        |)
        |SELECT bucket, count(*) AS n_vectors FROM buckets GROUP BY 1""".stripMargin
+
+  def multiprobeSql(k: Int = 10, queryMod: Int = 50): String =
+    s"""WITH $normCte, $planesCte, proj AS (
+       |  SELECT e.vec_id, pl.p,
+       |         CASE WHEN list_dot_product(e.v, pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM emb e, planes pl
+       |), buckets AS (
+       |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
+       |), q AS (
+       |  SELECT b.vec_id AS query_id, e.v AS qv, e.norm AS qn, b.bucket AS qbucket
+       |  FROM buckets b JOIN emb e ON e.vec_id = b.vec_id
+       |  WHERE b.vec_id % $queryMod = 0
+       |), probes AS (
+       |  SELECT query_id, qv, qn, qbucket AS bucket FROM q
+       |  UNION ALL
+       |  SELECT query_id, qv, qn,
+       |         substr(qbucket, 1, CAST(f AS INT)) ||
+       |         CASE WHEN substr(qbucket, CAST(f AS INT) + 1, 1) = '1'
+       |              THEN '0' ELSE '1' END ||
+       |         substr(qbucket, CAST(f AS INT) + 2) AS bucket
+       |  FROM q, range(0, 64) t(f) WHERE f < (SELECT nplanes FROM ann_params)
+       |), cand AS (
+       |  SELECT p.query_id, b.vec_id AS neighbor_id,
+       |         CAST(list_dot_product(p.qv, e.v) / (p.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |  FROM probes p
+       |  JOIN buckets b ON b.bucket = p.bucket AND b.vec_id != p.query_id
+       |  JOIN emb e ON e.vec_id = b.vec_id
+       |)
+       |SELECT query_id, neighbor_id, CAST(cosine_sim AS DOUBLE) AS cosine_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM cand
+       |) WHERE rank <= $k""".stripMargin
 
   def cosineNearDupsSql(threshold: Double = 0.9): String =
     s"""WITH $normCte, $planesCte, proj AS (

