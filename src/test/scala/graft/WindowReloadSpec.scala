@@ -25,6 +25,23 @@ class WindowReloadSpec extends SparkSpec {
   private val jan1 = LocalDate.parse("2023-01-01")
   private val jan31 = LocalDate.parse("2023-01-31")
 
+  test("reload writes ~one file per date partition (rebalance, no small-file fanout)") {
+    val target = Files.createTempDirectory("wr_layout").toFile.getAbsolutePath + "/t"
+    // 600 rows over 3 dates, written from many upstream partitions: without
+    // the REBALANCE before partitionBy, each task writes into each date dir
+    val rows = (1 to 600).map(i => (i, s"2023-01-0${i % 3 + 1}", "2023-01-20"))
+    WindowReload.reload(spark, target,
+      df(rows: _*).repartition(16), jan1, jan31)
+    val dirs = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("effective_from="))
+    assert(dirs.length === 3)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${d.getName}: expected 1 coalesced file, found ${files.length}")
+    }
+  }
+
   test("reload is idempotent: same window twice leaves identical state (M1)") {
     val path = Files.createTempDirectory("wr").toString + "/t"
     val inc = df((1, "2023-01-05", "2023-01-10"), (2, "2023-01-20", "2023-01-25"))
