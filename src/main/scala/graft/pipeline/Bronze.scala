@@ -107,12 +107,17 @@ object Bronze {
     * second full scan + shuffle of the source. The oracle renders the same
     * multiset as UNION ALL (row order is irrelevant to the compare).
     */
-  def apply(spark: SparkSession, dir: String): DataFrame = {
-    val b = base(spark, dir)
-    b.withColumn("_copy",
-        explode(sequence(lit(1), when(col("id") % 61 === 0, 2).otherwise(1))))
-      .drop("_copy")
-  }
+  def apply(spark: SparkSession, dir: String): DataFrame =
+    // memoized: the staging frame is the shared source for silver, the
+    // quarantine split, and the bronze_* queries — without the memo each
+    // re-runs the orders⋈lineitem shuffle join (the reference's analog is
+    // the materialized t_sql_source_unstructured staging table)
+    graft.Memo(spark, "bronze", dir) {
+      val b = base(spark, dir)
+      b.withColumn("_copy",
+          explode(sequence(lit(1), when(col("id") % 61 === 0, 2).otherwise(1))))
+        .drop("_copy")
+    }
 
   /** DuckDB rendering of exactly the same frame, used as the oracle prefix
     * for every downstream pipeline query. Kept textually adjacent to the
