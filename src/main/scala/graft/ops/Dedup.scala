@@ -15,16 +15,60 @@ import graft.Tables
   *    the only pair-producing step and its fan-out is bounded by bucket
   *    size (near-identical docs), never n².
   *
-  * MinHash values are MD5 strings (min over the lexicographic order) so
-  * the whole chain — shingle, signature, band key, candidate pair — is
-  * bit-reproducible in the DuckDB oracle; a numeric murmur-based variant
-  * would be faster per byte but not cross-engine checkable. SimHash (the
-  * numeric cousin) lives in [[SimHash]].
+  * MinHash uses ONE md5 per shingle (its first 60 bits become the base
+  * hash H) and derives the [[numHashes]] signature values with a
+  * universal-hash family h_i(H) = (a_i·H + b_i) mod (2^61−1) — exact
+  * integer arithmetic on both engines (pure long ops with Mersenne
+  * reduction on the Spark side, HUGEINT on the DuckDB side), so the whole
+  * chain — shingle, signature, band key, candidate pair — stays
+  * bit-reproducible in the oracle. The earlier md5-per-(hash,shingle)
+  * formulation computed 16 digests per shingle; at 100 TB the signature
+  * map stage is the dominant dedup cost and this cuts its hashing 16×.
+  * SimHash (the numeric cousin) lives in [[SimHash]].
   */
 object Dedup {
 
   val numHashes = 16
   val bandSize = 4 // → 4 bands; P(candidate) = 1-(1-j^4)^4, ~1 for j≥0.9
+
+  /** 2^61 − 1 (Mersenne prime — the universal-hash modulus). */
+  val M61 = 2305843009213693951L
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic (a_i, b_i) < 2^60 for h_i(H) = (a_i·H + b_i) mod M61;
+    * a_i forced odd (and hence nonzero). Single source of truth for the
+    * Spark expressions AND the oracle SQL (embedded as literals).
+    */
+  val hashParams: IndexedSeq[(Long, Long)] = (0 until numHashes).map { i =>
+    def h60(t: String) = java.lang.Long.parseLong(md5hex(t).take(15), 16)
+    (h60(s"a$i") | 1L, h60(s"b$i"))
+  }
+
+  /** (a·H + b) mod M61 in pure long arithmetic — codegen'd, no 128-bit
+    * type, no BigDecimal, ANSI-overflow-safe for H < 2^60, a,b < 2^60:
+    * split both factors at 2^31 and reduce with 2^61 ≡ 1 (mod M61), so
+    * 2^62 ≡ 2. Every intermediate is < 2^63 (bounds in comments;
+    * equivalence to BigInteger proven in OpsSpec).
+    */
+  def modAffineM61(H: Column, a: Long, b: Long): Column = {
+    val mask = (1L << 31) - 1
+    val h1 = shiftright(H, 31) // < 2^29
+    val h0 = H.bitwiseAND(mask) // < 2^31
+    val a1 = a >> 31 // < 2^29
+    val a0 = a & mask // < 2^31
+    val t1 = (h1 * a1 * 2L) % M61 // h1·a1 < 2^58, ×2 (≡ ·2^62) < 2^59
+    val s = h1 * a0 + h0 * a1 // < 2^61
+    val t2 = (shiftright(s, 31) * 2L + s.bitwiseAND(mask) * (mask + 1L)) % M61 // < 2^62+2^31
+    val t3 = (h0 * a0) % M61 // < 2^62
+    ((t1 + t2 + t3) % M61 + b) % M61 // 3·M61 < 2^63; +b < 2^62
+  }
+
+  /** The 60-bit shingle base hash: first 15 hex chars of md5. */
+  def shingleH(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Exact duplicate groups: fingerprint → canonical (min) doc_id + count.
     * `dropDuplicates` semantics = keep rows where doc_id = canonical_id.
@@ -57,16 +101,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"))
 
   /** Wide MinHash signature: one row per doc, columns mh_0..mh_15 where
-    * mh_h = min over shingles of md5(h ‖ ':' ‖ shingle). ONE shuffle of
+    * mh_h = min over shingles of (a_h·H + b_h) mod M61. ONE shuffle of
     * the shingle set with 16 map-side-combining min aggregates — the
     * narrow (doc_id, h) formulation would explode 16× the rows and
-    * shuffle all of them (measured 4× slower at sf0.1).
+    * shuffle all of them (measured 4× slower at sf0.1) — and ONE md5 per
+    * shingle feeding all 16 affine transforms.
     */
-  def minhashFrom(sh: DataFrame): DataFrame =
-    sh.groupBy("doc_id").agg(
-      min(md5(concat(lit("0:"), col("shingle")))).as("mh_0"),
+  def minhashFrom(sh: DataFrame): DataFrame = {
+    val withH = sh.withColumn("hh", shingleH(col("shingle")))
+    withH.groupBy("doc_id").agg(
+      min(modAffineM61(col("hh"), hashParams(0)._1, hashParams(0)._2)).as("mh_0"),
       (1 until numHashes).map(h =>
-        min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"mh_$h")): _*)
+        min(modAffineM61(col("hh"), hashParams(h)._1, hashParams(h)._2)).as(s"mh_$h")): _*)
+  }
 
   def minhash(spark: SparkSession, dir: String): DataFrame =
     minhashFrom(shingles(spark, dir))
@@ -81,7 +128,8 @@ object Dedup {
         explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band"),
             md5(concat_ws("|",
-              (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}")): _*))
+              (0 until bandSize).map(i =>
+                col(s"mh_${b * bandSize + i}").cast("string")): _*))
               .as("band_key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
@@ -287,13 +335,22 @@ object Dedup {
   val shingleStatsSql: String =
     s"WITH $shinglesCte SELECT doc_id, count(*) AS n_shingles FROM doc_shingles GROUP BY 1"
 
+  private val hashParamsValues: String =
+    hashParams.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
   val bandsCte: String =
-    s"""$shinglesCte, doc_sig AS (
-       |  SELECT doc_id, CAST(h AS INT) AS h, min(md5(h || ':' || shingle)) AS mh
-       |  FROM doc_shingles, range(0, $numHashes) t(h) GROUP BY 1, 2
+    s"""$shinglesCte, doc_h AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS hh
+       |  FROM doc_shingles
+       |), doc_sig AS (
+       |  SELECT doc_id, CAST(t.h AS INT) AS h,
+       |         CAST(min((CAST(t.a AS HUGEINT) * hh + t.b) % $M61) AS BIGINT) AS mh
+       |  FROM doc_h, (VALUES $hashParamsValues) t(h, a, b)
+       |  GROUP BY 1, 2
        |), doc_bands AS (
        |  SELECT doc_id, CAST(h // $bandSize AS INT) AS band,
-       |         md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+       |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h)) AS band_key
        |  FROM doc_sig GROUP BY doc_id, h // $bandSize
        |)""".stripMargin
 

@@ -120,6 +120,24 @@ class OpsSpec extends SparkSpec {
     assert(out(3) === "clean text stays byte-identical")
   }
 
+  test("modAffineM61 long-arithmetic == BigInteger (a·H + b) mod 2^61-1") {
+    import java.math.BigInteger
+    val rnd = new scala.util.Random(7)
+    // adversarial H values: random 60-bit, boundary, and small
+    val hs = Seq.fill(300)(rnd.nextLong() & ((1L << 60) - 1)) ++
+      Seq(0L, 1L, (1L << 60) - 1, Dedup.M61 % (1L << 60), (1L << 31) - 1, 1L << 31)
+    val df = hs.toDF("hh")
+    val m = BigInteger.valueOf(Dedup.M61)
+    Dedup.hashParams.foreach { case (a, b) =>
+      val got = df.select(Dedup.modAffineM61(col("hh"), a, b).as("r"))
+        .as[Long].collect()
+      val expected = hs.map(h =>
+        BigInteger.valueOf(h).multiply(BigInteger.valueOf(a))
+          .add(BigInteger.valueOf(b)).mod(m).longValueExact())
+      assert(got.toSeq === expected)
+    }
+  }
+
   test("exact dedup groups sum to the document count") {
     val g = Dedup.exact(spark, sf0001)
     val docs = Tables.documents(spark, sf0001).count()
