@@ -1,0 +1,41 @@
+package graft
+
+/** Registry-wide physical-plan lint: no query may plan a CartesianProduct
+  * or BroadcastNestedLoopJoin unless it is on the explicit allowlist of
+  * deliberate tiny-side broadcasts. Guards against a refactor silently
+  * turning a keyed join into an O(n²) plan — locally invisible, fatal at
+  * 100 TB.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  // run work inside their builders (streams / reload writes) — their plan
+  // shape is covered by their own specs
+  private val eager = Set("stream_hourly", "stream_dedup",
+    "silver_reloaded", "dq_reloaded", "export_reconcile")
+
+  /** Deliberate nested-loop plans, all with a provably-small broadcast
+    * side:
+    *  - ann_topk: the QUERY subset (vec_id % 50) is broadcast by hint —
+    *    the brute-force baseline's point;
+    *  - ivf_*: the centroid table (≈ √(n/4) rows) is broadcast for the
+    *    assignment / probe scoring cross joins;
+    *  - dash_*: a ONE-ROW lookback threshold (scalar subquery) is
+    *    broadcast against the results table — the standard scalar plan.
+    */
+  private val allowedNlj = Set(
+    "ann_topk", "ivf_assign", "ivf_list_stats", "ivf_topk",
+    "dash_summary", "dash_by_type", "dash_trend",
+    "dash_recent10", "dash_critical5")
+
+  test("no unlisted query plans a cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries
+      .filterNot(q => eager(q._1) || allowedNlj(q._1))
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"quadratic join plans in: ${offenders.mkString(", ")}")
+  }
+}
