@@ -55,6 +55,8 @@ object OpsQueries {
     "events_asof" -> ((s, dir) => AsofJoin.purchaseAttribution(s, dir)),
     // binned interval join vs DuckDB's native BETWEEN range join
     "events_interval_join" -> ((s, dir) => RangeJoin.sessionErrorLoad(s, dir)),
+    // parquet/orc/csv/json write→read roundtrips, digest-verified
+    "io_formats" -> ((s, dir) => graft.io.Formats.roundtrip(s, dir)),
     // Structured Streaming rollup run to completion == the batch rollup
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.hourlyCheck(s, dir)),
     // streaming dedup of a doubled stream == plain batch counts
@@ -121,6 +123,7 @@ object OpsQueries {
     "events_top_users_salted" -> EventsOps.topUsersSql(),
     "events_asof" -> AsofJoin.purchaseAttributionSql,
     "events_interval_join" -> RangeJoin.sessionErrorLoadSql(),
+    "io_formats" -> graft.io.Formats.roundtripSql,
     "stream_hourly" -> graft.streaming.EventStream.hourlyCheckSql,
     "stream_dedup" -> graft.streaming.EventStream.dedupCheckSql,
     "text_chunks" -> TextPrep.chunksSql(),

@@ -12,7 +12,7 @@ class ParitySpec extends SparkSpec {
   // schema inspection alone doesn't justify running them here; their
   // schemas are covered by the selfcheck/driver gate instead
   private val eager = Set("stream_hourly", "stream_dedup",
-    "silver_reloaded", "dq_reloaded", "export_reconcile")
+    "silver_reloaded", "dq_reloaded", "export_reconcile", "io_formats")
 
   private def containsDecimal(dt: DataType): Boolean = dt match {
     case _: DecimalType => true
