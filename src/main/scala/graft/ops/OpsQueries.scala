@@ -18,6 +18,8 @@ object OpsQueries {
     "text_fingerprint" -> ((s, dir) => TextMetrics.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => TextMetrics.repetition(s, dir)),
     "text_redact" -> ((s, dir) => Redact.scrub(s, dir)),
+    // capstone: keep/drop per doc with first-failing-rule reason
+    "corpus_filter" -> ((s, dir) => CorpusFilter.report(s, dir)),
     // benchmark decontamination: n-gram overlap vs the eval-set slice
     "contamination" -> ((s, dir) => Contamination.report(s, dir)),
     // dedup
@@ -96,6 +98,7 @@ object OpsQueries {
     "text_fingerprint" -> TextMetrics.fingerprintSql,
     "text_repetition" -> TextMetrics.repetitionSql,
     "text_redact" -> Redact.scrubSql,
+    "corpus_filter" -> CorpusFilter.reportSql,
     "contamination" -> Contamination.reportSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_shingle_stats" -> Dedup.shingleStatsSql,

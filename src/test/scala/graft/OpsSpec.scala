@@ -91,6 +91,21 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("corpus filter: covers every doc once; dropped near-dup members keep their canonical") {
+    val rep = graft.ops.CorpusFilter.report(spark, sf0001).cache()
+    assert(rep.count() === Tables.documents(spark, sf0001).count())
+    assert(rep.select("doc_id").distinct().count() === rep.count())
+    // every verified near-dup component contributes exactly one kept doc
+    val canon = graft.ops.Dedup.canonical(spark, sf0001)
+      .select(col("canonical_id")).distinct().count()
+    val keptCanonicals = rep.join(
+        graft.ops.Dedup.canonical(spark, sf0001), "doc_id")
+      .filter(col("keep")).count()
+    assert(keptCanonicals === canon,
+      "each component keeps exactly its canonical member")
+    rep.unpersist()
+  }
+
   test("mixture sampling: tier-1 sources fully kept, rates match tiers") {
     val m = graft.ops.Sampling.mixture(spark, sf0001).cache()
     val docs = Tables.documents(spark, sf0001)
