@@ -208,4 +208,53 @@ object EventsOps {
        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
        |FROM events GROUP BY 1
        |ORDER BY SUM(CAST(value AS DECIMAL(18,2))) DESC, user_id LIMIT $k""".stripMargin
+
+  /** Ordered conversion funnel: how many users progressed signup →
+    * click → purchase, each step strictly after the previous one and
+    * within [[funnelWindow]] of it (first qualifying timestamp per
+    * step). Three aggregate+join stages, all keyed by user_id — after
+    * the first shuffle every stage is co-partitioned, no pair-producing
+    * step.
+    */
+  val funnelSteps: Seq[String] = Seq("signup", "click", "purchase")
+  val funnelWindow = "INTERVAL 1 DAY"
+
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val stages = funnelSteps.zipWithIndex.foldLeft(List.empty[(String, DataFrame)]) {
+      case (acc, (step, i)) =>
+        val matching = ev.filter(col("event_type") === step)
+        val stage = acc match {
+          case Nil =>
+            matching.groupBy("user_id").agg(min("ts").as("t"))
+          case (_, prev) :: _ =>
+            matching.join(prev.select(col("user_id"), col("t").as("tprev")), "user_id")
+              .filter(col("ts") > col("tprev") &&
+                col("ts") <= col("tprev") + expr(funnelWindow))
+              .groupBy("user_id").agg(min("ts").as("t"))
+        }
+        (s"${i + 1}_$step", stage) :: acc
+    }.reverse
+    stages.map { case (label, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(label).as("step"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  val funnelSql: String =
+    s"""WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t AND e.ts <= s1.t + $funnelWindow
+      |  GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t AND e.ts <= s2.t + $funnelWindow
+      |  GROUP BY 1
+      |)
+      |SELECT '1_signup' AS step, count(*) AS n_users FROM s1
+      |UNION ALL SELECT '2_click', count(*) FROM s2
+      |UNION ALL SELECT '3_purchase', count(*) FROM s3""".stripMargin
 }
