@@ -240,6 +240,36 @@ object EventsOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; for each (cohort_week, week_offset) the count of distinct
+    * users active that week. Two aggregates keyed by user, then one by
+    * (cohort, offset) — standard retention-matrix shape.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohort = weekly.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    weekly.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        expr("CAST(datediff(wk, cohort_week) DIV 7 AS INT)").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  val retentionSql: String =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+      |), cohort AS (
+      |  SELECT user_id, min(wk) AS cohort_week FROM weekly GROUP BY 1
+      |)
+      |SELECT c.cohort_week,
+      |       CAST(date_diff('day', c.cohort_week, w.wk) // 7 AS INT) AS week_offset,
+      |       count(DISTINCT w.user_id) AS n_users
+      |FROM weekly w JOIN cohort c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val funnelSql: String =
     s"""WITH s1 AS (
       |  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
