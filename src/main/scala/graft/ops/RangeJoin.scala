@@ -34,7 +34,11 @@ object RangeJoin {
                   keyCols: Seq[String], binSeconds: Long = 3600L): DataFrame = {
     val pts = points
       .withColumn("_bin", expr(s"CAST($ptCol AS LONG) DIV $binSeconds"))
-    val ivs = intervals.withColumn("_bin",
+    // guard inverted intervals BEFORE the explode: Spark's sequence(hi, lo)
+    // runs DESCENDING instead of returning empty, which would fabricate
+    // bins; an inverted interval contains no points by definition and
+    // still appears in the output with n_points = 0 via the left join
+    val ivs = intervals.filter(col(startCol) <= col(endCol)).withColumn("_bin",
       explode(sequence(
         expr(s"CAST($startCol AS LONG) DIV $binSeconds"),
         expr(s"CAST($endCol AS LONG) DIV $binSeconds"))))

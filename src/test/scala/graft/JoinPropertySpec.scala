@@ -48,7 +48,8 @@ class JoinPropertySpec extends SparkSpec {
     for (_ <- 1 to 5) {
       val ivs = Seq.fill(30) {
         val s = rnd.nextInt(200).toLong
-        (rnd.nextInt(10000).toLong, t(s), t(s + rnd.nextInt(40)))
+        // ~1 in 6 inverted (e < s): must yield n_points = 0, not explode
+        (rnd.nextInt(10000).toLong, t(s), t(s + rnd.nextInt(48) - 8))
       }.distinctBy(_._1).toDF("iv_id", "s", "e")
       val pts = Seq.fill(60)(t(rnd.nextInt(250).toLong)).toDF("ts")
 
