@@ -40,6 +40,14 @@ object Contamination {
     * runs DESCENDING for negative m instead of returning empty).
     */
   def ngrams(spark: SparkSession, dir: String): DataFrame =
+    // memoized: report() consumes this on BOTH sides of its join (the
+    // eval slice and the training corpus) — unmemoized each branch
+    // re-runs the scan + explode + distinct shuffle
+    graft.Memo(spark, "contam_ngrams", dir) {
+      ngramsUncached(spark, dir)
+    }
+
+  private def ngramsUncached(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(TextMetrics.normalized(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= n)
