@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * partition-by-list search) is identical either way, which is what
   * matters at 100 TB: the corpus is hash-partitioned by cluster_id once,
   * and a query touches nprobe partitions instead of all of them.
+  *
+  * Scaling note (measured in the 10× experiment, SCALE.md): the
+  * ASSIGNMENT step is O(n·√n) with the adaptive centroid count — the
+  * one deliberately superlinear stage here. At real scale cap the
+  * centroid count or assign hierarchically (coarse centroids first,
+  * then fine within the coarse cell) — same broadcast-join shape,
+  * applied twice.
   */
 object Ivf {
 
