@@ -39,14 +39,45 @@ object Ivf {
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
         col("norm").as("cnorm"))
 
-  /** (vec_id, centroid_id): nearest centroid by cosine, ties → lower id. */
+  /** (vec_id, centroid_id): hierarchical two-level assignment — nearest
+    * COARSE centroid first (the √k lowest-id centroids), then the
+    * nearest fine centroid within that coarse cell. Cuts the one
+    * superlinear stage from O(n·k) to O(n·√k) comparisons (measured in
+    * SCALE.md's 10× experiment); every coarse centroid is itself a fine
+    * centroid and self-assigns (cosine 1.0 wins), so no cell is empty.
+    * Ties → lower id at both levels, so the assignment stays
+    * deterministic and the oracle mirrors it exactly.
+    */
   def assignments(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "ivf_assignments", dir) {
+      val nc = AnnParams.nCentroids(AnnParams.corpusSize(spark, dir))
+      val coarseN = math.max(1, math.floor(math.sqrt(nc.toDouble)).toLong)
       val e = Similarity.normalized(spark, dir)
-      val c = broadcast(centroids(spark, dir))
+      val c = centroids(spark, dir)
+      val coarse = broadcast(c.filter(col("centroid_id") < coarseN)
+        .select(col("centroid_id").as("coarse_id"),
+          col("cv").as("gv"), col("cnorm").as("gnorm")))
+
+      def nearestCoarse(in: DataFrame, vCol: String, nCol: String, keep: Seq[String]) = {
+        val cos = (dot(col(vCol), col("gv")) / (col(nCol) * col("gnorm")))
+          .cast("decimal(10,6)")
+        in.crossJoin(coarse)
+          .select(keep.map(col) :+ col("coarse_id") :+ cos.as("gcos"): _*)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(keep.head, keep.tail: _*)
+              .orderBy(col("gcos").desc, col("coarse_id"))))
+          .filter(col("rk") === 1)
+          .select(keep.map(col) :+ col("coarse_id"): _*)
+      }
+
+      // fine centroid → its coarse cell (self-assigns when it IS coarse)
+      val cellOf = broadcast(
+        nearestCoarse(c, "cv", "cnorm", Seq("centroid_id", "cv", "cnorm")))
+      // vector → coarse cell → nearest fine centroid within the cell
+      val vecCell = nearestCoarse(e, "v", "norm", Seq("vec_id", "v", "norm"))
       val cos = (dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
         .cast("decimal(10,6)")
-      e.crossJoin(c)
+      vecCell.join(cellOf, "coarse_id")
         .select(col("vec_id"), col("centroid_id"), cos.as("cos"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("cos").desc, col("centroid_id"))))
@@ -95,13 +126,33 @@ object Ivf {
     s"""${AnnParams.nCentroidsSql}, ivf_centroids AS (
        |  SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm
        |  FROM emb WHERE vec_id < (SELECT nc FROM ivf_params)
+       |), ivf_coarse AS (
+       |  SELECT centroid_id AS coarse_id, cv AS gv, cnorm AS gnorm
+       |  FROM ivf_centroids
+       |  WHERE centroid_id < GREATEST(1, CAST(floor(sqrt(CAST((SELECT nc FROM ivf_params) AS DOUBLE))) AS BIGINT))
+       |), ivf_cell_of AS (
+       |  SELECT centroid_id, cv, cnorm, coarse_id FROM (
+       |    SELECT f.centroid_id, f.cv, f.cnorm, g.coarse_id,
+       |           row_number() OVER (PARTITION BY f.centroid_id ORDER BY
+       |             CAST(list_dot_product(f.cv, g.gv) / (f.cnorm * g.gnorm) AS DECIMAL(10,6)) DESC,
+       |             g.coarse_id) AS rk
+       |    FROM ivf_centroids f CROSS JOIN ivf_coarse g
+       |  ) WHERE rk = 1
+       |), ivf_vec_cell AS (
+       |  SELECT vec_id, v, norm, coarse_id FROM (
+       |    SELECT e.vec_id, e.v, e.norm, g.coarse_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             CAST(list_dot_product(e.v, g.gv) / (e.norm * g.gnorm) AS DECIMAL(10,6)) DESC,
+       |             g.coarse_id) AS rk
+       |    FROM emb e CROSS JOIN ivf_coarse g
+       |  ) WHERE rk = 1
        |), ivf_assign AS (
        |  SELECT vec_id, centroid_id FROM (
-       |    SELECT e.vec_id, c.centroid_id,
-       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |             CAST(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm) AS DECIMAL(10,6)) DESC,
-       |             c.centroid_id) AS rk
-       |    FROM emb e CROSS JOIN ivf_centroids c
+       |    SELECT vc.vec_id, co.centroid_id,
+       |           row_number() OVER (PARTITION BY vc.vec_id ORDER BY
+       |             CAST(list_dot_product(vc.v, co.cv) / (vc.norm * co.cnorm) AS DECIMAL(10,6)) DESC,
+       |             co.centroid_id) AS rk
+       |    FROM ivf_vec_cell vc JOIN ivf_cell_of co USING (coarse_id)
        |  ) WHERE rk = 1
        |)""".stripMargin
 
