@@ -240,6 +240,50 @@ object EventsOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Daily-volume anomaly detection: per event_type, z-score each day's
+    * event count against that type's mean/stddev. Mean and variance are
+    * derived from INTEGER sums (Σn, Σn²) — exact in both engines, so the
+    * final doubles are bit-identical (a float stddev aggregate would be
+    * partition-order dependent). Population variance; |z| > 2 flags.
+    */
+  def dailyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("days"),
+      sum("n").as("s1"),
+      sum(col("n") * col("n")).as("s2"))
+    val mean = col("s1").cast("double") / col("days").cast("double")
+    val variance = col("s2").cast("double") / col("days").cast("double") - mean * mean
+    val std = sqrt(variance)
+    val z = (col("n").cast("double") - mean) /
+      when(std === 0.0, lit(null)).otherwise(std)
+    daily.join(stats, "event_type")
+      .select(col("event_type"), col("event_date"), col("n"),
+        z.as("zscore"), (abs(z) > 2.0).as("is_anomaly"))
+  }
+
+  val dailyAnomaliesSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS event_date, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT event_type, count(*) AS days,
+      |         CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n*n) AS BIGINT) AS s2
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT d.event_type, d.event_date, d.n,
+      |  (CAST(d.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))
+      |    / NULLIF(sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.days AS DOUBLE)
+      |        - (CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))
+      |          * (CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))), 0) AS zscore,
+      |  abs((CAST(d.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))
+      |    / NULLIF(sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.days AS DOUBLE)
+      |        - (CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))
+      |          * (CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))), 0)) > 2.0 AS is_anomaly
+      |FROM daily d JOIN stats s USING (event_type)""".stripMargin
+
   /** Weekly cohort retention: users grouped by the week of their first
     * event; for each (cohort_week, week_offset) the count of distinct
     * users active that week. Two aggregates keyed by user, then one by

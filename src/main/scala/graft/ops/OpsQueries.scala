@@ -53,6 +53,7 @@ object OpsQueries {
     "events_rollup" -> ((s, dir) => EventsOps.dailyRollup(s, dir)),
     "events_funnel" -> ((s, dir) => EventsOps.funnel(s, dir)),
     "events_retention" -> ((s, dir) => EventsOps.retention(s, dir)),
+    "events_anomaly" -> ((s, dir) => EventsOps.dailyAnomalies(s, dir)),
     // identical semantics through the skew-safe two-phase salted plan
     "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
     // as-of join (union + carry-forward window) vs DuckDB's native ASOF
@@ -126,6 +127,7 @@ object OpsQueries {
     "events_rollup" -> EventsOps.dailyRollupSql,
     "events_funnel" -> EventsOps.funnelSql,
     "events_retention" -> EventsOps.retentionSql,
+    "events_anomaly" -> EventsOps.dailyAnomaliesSql,
     // the salted plan must produce byte-identical results to the plain one
     "events_top_users_salted" -> EventsOps.topUsersSql(),
     "events_asof" -> AsofJoin.purchaseAttributionSql,
