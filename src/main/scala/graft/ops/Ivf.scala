@@ -10,79 +10,139 @@ import org.apache.spark.sql.functions._
   * centroid→vectors inverted lists, and answer top-k by scanning only the
   * query's `nprobe` nearest lists.
   *
-  * Centroids are the first k corpus vectors, k = [[AnnParams.nCentroids]]
-  * ≈ √(n/4) — deterministic, oracle-reproducible, and √-law balanced
-  * (fixed k would make each probe scan O(n/k) = O(n)). A production
-  * build would k-means-refine them; the plan shape (broadcast centroids,
-  * partition-by-list search) is identical either way, which is what
-  * matters at 100 TB: the corpus is hash-partitioned by cluster_id once,
-  * and a query touches nprobe partitions instead of all of them.
+  * Centroid construction is seeded with the first k corpus vectors
+  * (k = [[AnnParams.nCentroids]] ≈ √(n/4)) and refined with ONE k-means
+  * iteration: assign → per-list mean → reassign. The mean is computed in
+  * integer arithmetic — per-dimension sum of `round(x·10⁶)` longs, then a
+  * single division — so it is partition-order independent and
+  * bit-identical across engines (a double sum's low bits depend on
+  * summation order; an integer sum doesn't), keeping the whole chain
+  * DuckDB-oracle-checkable. Refinement matters beyond list balance: it
+  * pulls centroids toward density, which is what lifts probe recall
+  * (measured in IvfSpec: max/mean list-size ratio drops vs the raw
+  * seeds, and recall@10 rises).
   *
-  * Scaling note (measured in the 10× experiment, SCALE.md): the
-  * ASSIGNMENT step is O(n·√n) with the adaptive centroid count — the
-  * one deliberately superlinear stage here. At real scale cap the
-  * centroid count or assign hierarchically (coarse centroids first,
-  * then fine within the coarse cell) — same broadcast-join shape,
-  * applied twice.
+  * Both assignment passes are hierarchical — nearest COARSE centroid
+  * (the √k lowest-id centroids) first, then the nearest fine centroid
+  * within that coarse cell — cutting the one superlinear stage from
+  * O(n·k) to O(n·√k) comparisons (measured in SCALE.md's 10×
+  * experiment). Ties → lower id at both levels, so assignment stays
+  * deterministic and the oracle mirrors it exactly.
+  *
+  * At 100 TB the plan shape is: centroids broadcast (√-law small), corpus
+  * hash-partitioned by cluster once, a query touches
+  * [[AnnParams.nProbe]] lists instead of all of them.
   */
 object Ivf {
-
-  val nProbe = 4
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def centroids(spark: SparkSession, dir: String): DataFrame =
+  /** First-k corpus vectors — the k-means seeds. */
+  private def seeds(spark: SparkSession, dir: String): DataFrame =
     Similarity.normalized(spark, dir)
       .filter(col("vec_id") <
         AnnParams.nCentroids(AnnParams.corpusSize(spark, dir)))
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
         col("norm").as("cnorm"))
 
-  /** (vec_id, centroid_id): hierarchical two-level assignment — nearest
-    * COARSE centroid first (the √k lowest-id centroids), then the
-    * nearest fine centroid within that coarse cell. Cuts the one
-    * superlinear stage from O(n·k) to O(n·√k) comparisons (measured in
-    * SCALE.md's 10× experiment); every coarse centroid is itself a fine
-    * centroid and self-assigns (cosine 1.0 wins), so no cell is empty.
-    * Ties → lower id at both levels, so the assignment stays
-    * deterministic and the oracle mirrors it exactly.
+  /** (vec_id, centroid_id): hierarchical two-level nearest-centroid
+    * assignment against an arbitrary centroid table — coarse cell first
+    * (centroid_id < coarseN), then the nearest fine centroid within that
+    * cell. Every coarse centroid is also a fine centroid and self-assigns
+    * (cosine 1.0 with itself wins), so no cell is empty.
+    */
+  private def hierarchicalAssign(e: DataFrame, c: DataFrame,
+                                 coarseN: Long): DataFrame = {
+    val coarse = broadcast(c.filter(col("centroid_id") < coarseN)
+      .select(col("centroid_id").as("coarse_id"),
+        col("cv").as("gv"), col("cnorm").as("gnorm")))
+
+    def nearestCoarse(in: DataFrame, vCol: String, nCol: String, keep: Seq[String]) = {
+      val cos = (dot(col(vCol), col("gv")) / (col(nCol) * col("gnorm")))
+        .cast("decimal(10,6)")
+      in.crossJoin(coarse)
+        .select(keep.map(col) :+ col("coarse_id") :+ cos.as("gcos"): _*)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(keep.head, keep.tail: _*)
+            .orderBy(col("gcos").desc, col("coarse_id"))))
+        .filter(col("rk") === 1)
+        .select(keep.map(col) :+ col("coarse_id"): _*)
+    }
+
+    // fine centroid → its coarse cell (self-assigns when it IS coarse)
+    val cellOf = broadcast(
+      nearestCoarse(c, "cv", "cnorm", Seq("centroid_id", "cv", "cnorm")))
+    // vector → coarse cell → nearest fine centroid within the cell
+    val vecCell = nearestCoarse(e, "v", "norm", Seq("vec_id", "v", "norm"))
+    val cos = (dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .cast("decimal(10,6)")
+    vecCell.join(cellOf, "coarse_id")
+      .select(col("vec_id"), col("centroid_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("centroid_id"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "centroid_id")
+  }
+
+  private def coarseN(spark: SparkSession, dir: String): Long = {
+    val nc = AnnParams.nCentroids(AnnParams.corpusSize(spark, dir))
+    math.max(1, math.floor(math.sqrt(nc.toDouble)).toLong)
+  }
+
+  /** Assignment against the raw seeds — the input to the refinement step
+    * (and IvfSpec's balance baseline).
+    */
+  def seedAssignments(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "ivf_seed_assign", dir) {
+      hierarchicalAssign(Similarity.normalized(spark, dir),
+        seeds(spark, dir), coarseN(spark, dir))
+    }
+
+  /** Lloyd iterations applied to the seeds (see [[centroids]]). */
+  val refineRounds = 2
+
+  /** One Lloyd step: assign to `cent`, then per-list per-dimension mean
+    * in order-independent integer arithmetic (Σ round(x·10⁶) as long,
+    * ONE double division at the end). A centroid whose list came up
+    * empty (only possible with duplicate vectors) simply drops out;
+    * assignment stays total either way.
+    */
+  private def refineOnce(e: DataFrame, cent: DataFrame, cn: Long): DataFrame = {
+    val means = hierarchicalAssign(e, cent, cn).join(e, "vec_id")
+      .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("centroid_id", "pos")
+      .agg((sum(round(col("x") * lit(1e6)).cast("long")).cast("double") /
+        (count(lit(1)) * lit(1e6))).as("m"))
+    means.groupBy("centroid_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+  }
+
+  /** K-means-refined centroids: [[refineRounds]] Lloyd steps from the
+    * seeds.
+    */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    centroidsAt(spark, dir, refineRounds)
+
+  /** Centroids after an explicit round count (sweep/spec aid; rounds = 0
+    * is the raw seeds).
+    */
+  def centroidsAt(spark: SparkSession, dir: String, rounds: Int): DataFrame =
+    graft.Memo(spark, s"ivf_centroids_$rounds", dir) {
+      val e = Similarity.normalized(spark, dir)
+      val cn = coarseN(spark, dir)
+      (1 to rounds).foldLeft(seeds(spark, dir))((c, _) => refineOnce(e, c, cn))
+    }
+
+  /** (vec_id, centroid_id) against the REFINED centroids — the inverted
+    * file every probe reads.
     */
   def assignments(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "ivf_assignments", dir) {
-      val nc = AnnParams.nCentroids(AnnParams.corpusSize(spark, dir))
-      val coarseN = math.max(1, math.floor(math.sqrt(nc.toDouble)).toLong)
-      val e = Similarity.normalized(spark, dir)
-      val c = centroids(spark, dir)
-      val coarse = broadcast(c.filter(col("centroid_id") < coarseN)
-        .select(col("centroid_id").as("coarse_id"),
-          col("cv").as("gv"), col("cnorm").as("gnorm")))
-
-      def nearestCoarse(in: DataFrame, vCol: String, nCol: String, keep: Seq[String]) = {
-        val cos = (dot(col(vCol), col("gv")) / (col(nCol) * col("gnorm")))
-          .cast("decimal(10,6)")
-        in.crossJoin(coarse)
-          .select(keep.map(col) :+ col("coarse_id") :+ cos.as("gcos"): _*)
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(keep.head, keep.tail: _*)
-              .orderBy(col("gcos").desc, col("coarse_id"))))
-          .filter(col("rk") === 1)
-          .select(keep.map(col) :+ col("coarse_id"): _*)
-      }
-
-      // fine centroid → its coarse cell (self-assigns when it IS coarse)
-      val cellOf = broadcast(
-        nearestCoarse(c, "cv", "cnorm", Seq("centroid_id", "cv", "cnorm")))
-      // vector → coarse cell → nearest fine centroid within the cell
-      val vecCell = nearestCoarse(e, "v", "norm", Seq("vec_id", "v", "norm"))
-      val cos = (dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-        .cast("decimal(10,6)")
-      vecCell.join(cellOf, "coarse_id")
-        .select(col("vec_id"), col("centroid_id"), cos.as("cos"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cos").desc, col("centroid_id"))))
-        .filter(col("rk") === 1)
-        .select("vec_id", "centroid_id")
+      hierarchicalAssign(Similarity.normalized(spark, dir),
+        centroids(spark, dir), coarseN(spark, dir))
     }
 
   /** Inverted-list sizes — the probe-cost profile. */
@@ -90,11 +150,33 @@ object Ivf {
     assignments(spark, dir).groupBy("centroid_id")
       .agg(count(lit(1)).as("n_vectors"))
 
-  /** Top-k over the query's nprobe nearest inverted lists. */
+  /** Hierarchical assignment of the whole corpus to an arbitrary
+    * centroid table (sweep/spec aid).
+    */
+  private[graft] def assignTo(spark: SparkSession, dir: String,
+                              cent: DataFrame): DataFrame =
+    hierarchicalAssign(Similarity.normalized(spark, dir), cent,
+      coarseN(spark, dir))
+
+  /** Top-k over the query's nprobe nearest inverted lists; nprobe scales
+    * with the corpus ([[AnnParams.nProbe]]) unless overridden.
+    */
   def topK(spark: SparkSession, dir: String, k: Int = 10,
-           queryMod: Int = 50): DataFrame = {
-    val e = Similarity.normalized(spark, dir).join(assignments(spark, dir), "vec_id")
-    val c = broadcast(centroids(spark, dir))
+           queryMod: Int = 50, nProbeOverride: Int = 0): DataFrame = {
+    val nProbe =
+      if (nProbeOverride > 0) nProbeOverride
+      else AnnParams.nProbe(AnnParams.corpusSize(spark, dir))
+    topKWith(spark, dir, centroids(spark, dir), assignments(spark, dir),
+      nProbe, k, queryMod)
+  }
+
+  /** [[topK]] against explicit centroids + assignment (sweep/spec aid). */
+  private[graft] def topKWith(spark: SparkSession, dir: String,
+                              cent: DataFrame, assign: DataFrame,
+                              nProbe: Int, k: Int = 10,
+                              queryMod: Int = 50): DataFrame = {
+    val e = Similarity.normalized(spark, dir).join(assign, "vec_id")
+    val c = broadcast(cent)
     val q = e.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
 
@@ -122,39 +204,75 @@ object Ivf {
 
   // ---------- DuckDB oracles ----------
 
-  val centroidsCte: String =
-    s"""${AnnParams.nCentroidsSql}, ivf_centroids AS (
-       |  SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm
-       |  FROM emb WHERE vec_id < (SELECT nc FROM ivf_params)
-       |), ivf_coarse AS (
+  /** Hierarchical-assignment CTE block over centroid table `cent`,
+    * emitting `<p>_coarse`, `<p>_cell_of`, `<p>_vec_cell`, `<p>_assign`.
+    * Mirrors [[hierarchicalAssign]] exactly (same DECIMAL(10,6) rounding,
+    * same lower-id tiebreaks).
+    */
+  private def hierCte(p: String, cent: String): String =
+    s"""${p}_coarse AS (
        |  SELECT centroid_id AS coarse_id, cv AS gv, cnorm AS gnorm
-       |  FROM ivf_centroids
+       |  FROM $cent
        |  WHERE centroid_id < GREATEST(1, CAST(floor(sqrt(CAST((SELECT nc FROM ivf_params) AS DOUBLE))) AS BIGINT))
-       |), ivf_cell_of AS (
+       |), ${p}_cell_of AS (
        |  SELECT centroid_id, cv, cnorm, coarse_id FROM (
        |    SELECT f.centroid_id, f.cv, f.cnorm, g.coarse_id,
        |           row_number() OVER (PARTITION BY f.centroid_id ORDER BY
        |             CAST(list_dot_product(f.cv, g.gv) / (f.cnorm * g.gnorm) AS DECIMAL(10,6)) DESC,
        |             g.coarse_id) AS rk
-       |    FROM ivf_centroids f CROSS JOIN ivf_coarse g
+       |    FROM $cent f CROSS JOIN ${p}_coarse g
        |  ) WHERE rk = 1
-       |), ivf_vec_cell AS (
+       |), ${p}_vec_cell AS (
        |  SELECT vec_id, v, norm, coarse_id FROM (
        |    SELECT e.vec_id, e.v, e.norm, g.coarse_id,
        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |             CAST(list_dot_product(e.v, g.gv) / (e.norm * g.gnorm) AS DECIMAL(10,6)) DESC,
        |             g.coarse_id) AS rk
-       |    FROM emb e CROSS JOIN ivf_coarse g
+       |    FROM emb e CROSS JOIN ${p}_coarse g
        |  ) WHERE rk = 1
-       |), ivf_assign AS (
+       |), ${p}_assign AS (
        |  SELECT vec_id, centroid_id FROM (
        |    SELECT vc.vec_id, co.centroid_id,
        |           row_number() OVER (PARTITION BY vc.vec_id ORDER BY
        |             CAST(list_dot_product(vc.v, co.cv) / (vc.norm * co.cnorm) AS DECIMAL(10,6)) DESC,
        |             co.centroid_id) AS rk
-       |    FROM ivf_vec_cell vc JOIN ivf_cell_of co USING (coarse_id)
+       |    FROM ${p}_vec_cell vc JOIN ${p}_cell_of co USING (coarse_id)
        |  ) WHERE rk = 1
        |)""".stripMargin
+
+  /** One Lloyd step in SQL: hierarchical assignment to `cent`, then the
+    * integer-quantized per-list means — emits `<p>_*` assignment CTEs,
+    * `<p>_means`, and the refined centroid table `out`.
+    */
+  private def refineCte(p: String, cent: String, out: String): String =
+    s"""${hierCte(p, cent)}, ${p}_means AS (
+       |  SELECT a.centroid_id, CAST(i.i AS INT) AS pos,
+       |         CAST(SUM(CAST(round(e.v[CAST(i.i AS INT) + 1] * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |           / (count(*) * 1000000.0) AS m
+       |  FROM ${p}_assign a JOIN emb e USING (vec_id)
+       |  CROSS JOIN range(0, ${Similarity.dim}) i(i)
+       |  GROUP BY 1, 2
+       |), $out AS (
+       |  SELECT centroid_id, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM (
+       |    SELECT centroid_id, list(m ORDER BY pos) AS cv
+       |    FROM ${p}_means GROUP BY centroid_id
+       |  )
+       |)""".stripMargin
+
+  /** Seeds → [[refineRounds]] Lloyd steps → final `ivf_assign` over the
+    * refined `ivf_centroids`.
+    */
+  val centroidsCte: String = {
+    val rounds = (1 to refineRounds).map { r =>
+      val in = if (r == 1) "ivf_seeds" else s"ivf_cent_${r - 1}"
+      val out = if (r == refineRounds) "ivf_centroids" else s"ivf_cent_$r"
+      refineCte(s"ivr$r", in, out)
+    }.mkString(", ")
+    s"""${AnnParams.nCentroidsSql}, ivf_seeds AS (
+       |  SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm
+       |  FROM emb WHERE vec_id < (SELECT nc FROM ivf_params)
+       |), $rounds, ${hierCte("ivf", "ivf_centroids")}""".stripMargin
+  }
 
   val assignmentsSql: String =
     s"WITH ${Similarity.normCte}, $centroidsCte SELECT vec_id, centroid_id FROM ivf_assign"
@@ -164,7 +282,7 @@ object Ivf {
        |SELECT centroid_id, count(*) AS n_vectors FROM ivf_assign GROUP BY 1""".stripMargin
 
   def topKSql(k: Int = 10, queryMod: Int = 50): String =
-    s"""WITH ${Similarity.normCte}, $centroidsCte, ea AS (
+    s"""WITH ${Similarity.normCte}, $centroidsCte, ${AnnParams.nProbeSql}, ea AS (
        |  SELECT e.*, a.centroid_id FROM emb e JOIN ivf_assign a USING (vec_id)
        |), q AS (
        |  SELECT vec_id AS query_id, v AS qv, norm AS qn
@@ -176,7 +294,7 @@ object Ivf {
        |             CAST(list_dot_product(q.qv, c.cv) / (q.qn * c.cnorm) AS DECIMAL(10,6)) DESC,
        |             c.centroid_id) AS rk
        |    FROM q CROSS JOIN ivf_centroids c
-       |  ) WHERE rk <= $nProbe
+       |  ) WHERE rk <= (SELECT np FROM nprobe_params)
        |), scored AS (
        |  SELECT p.query_id, e.vec_id AS neighbor_id,
        |         CAST(list_dot_product(p.qv, e.v) / (p.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim

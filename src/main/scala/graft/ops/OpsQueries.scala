@@ -40,6 +40,8 @@ object OpsQueries {
     // 0.3: this corpus is near-random (max pairwise cosine ≈ 0.5), so a
     // production-style 0.9 cut returns empty; 0.3 exercises the refine
     "emb_neardups" -> ((s, dir) => Similarity.cosineNearDups(s, dir, threshold = 0.3)),
+    // retrieval quality: recall@10 of both approximate paths vs brute force
+    "ann_recall" -> ((s, dir) => Recall.atK(s, dir)),
     "ivf_assign" -> ((s, dir) => Ivf.assignments(s, dir)),
     "ivf_list_stats" -> ((s, dir) => Ivf.listStats(s, dir)),
     "ivf_topk" -> ((s, dir) => Ivf.topK(s, dir)),
@@ -115,6 +117,7 @@ object OpsQueries {
     "ann_bucket_stats" -> Similarity.bucketStatsSql,
     "ann_multiprobe" -> Similarity.multiprobeSql(),
     "emb_neardups" -> Similarity.cosineNearDupsSql(0.3),
+    "ann_recall" -> Recall.atKSql(),
     "ivf_assign" -> Ivf.assignmentsSql,
     "ivf_list_stats" -> Ivf.listStatsSql,
     "ivf_topk" -> Ivf.topKSql(),

@@ -126,11 +126,23 @@ object Similarity {
   /** Multi-probe LSH top-k — the published fix for the recall/bucket-size
     * tradeoff: instead of lowering the plane count (bigger buckets, O(n²)
     * refine), probe the query's own bucket PLUS every bucket at Hamming
-    * distance 1 (flip one bit). Recall approaches exhaustive search while
-    * candidate generation stays bucket-bounded: the probe list is
-    * queries × (planes+1) rows — broadcast-sized — and each corpus vector
-    * matches a (query, probe) at most once (one bucket per vector), so no
-    * dedup pass is needed before the exact refine.
+    * distance ≤ 2 (flip one bit, then every pair of bits). Candidate
+    * generation stays bucket-bounded: the probe list is
+    * queries × (1 + planes + C(planes,2)) rows — broadcast-sized even at
+    * 27 planes (≈380 keys/query) — and each corpus vector matches a
+    * (query, probe) at most once (one bucket per vector), so no dedup
+    * pass is needed before the exact refine.
+    *
+    * Recall honesty (measured by [[Recall]] / asserted in IvfSpec): on
+    * THIS corpus — isotropic-random embeddings, neighbor cosines ≈
+    * 0.3–0.5 → per-plane agreement p ≈ 0.6 — radius-2 recall@10 is
+    * ≈ 0.3, the binomial P(≤2 of 8 bits flip) ≈ 0.31. That is a property
+    * of the data, not the operator: sign-LSH buckets correlate with
+    * neighborhood only when neighbors are ANGULARLY CLOSE (near-dup /
+    * clustered corpora, cosine ≳ 0.8 → p ≳ 0.9 → radius-2 recall ≳ 0.96
+    * at 8 planes — the regime `emb_neardups` runs in). For guaranteed
+    * recall on unclustered data use [[Ivf.topK]], whose probe fraction
+    * ([[AnnParams.nProbe]]) is calibrated to hold ≥ 0.9 here.
     */
   def multiprobeTopK(spark: SparkSession, dir: String,
                      k: Int = 10, queryMod: Int = 50): DataFrame = {
@@ -139,14 +151,26 @@ object Similarity {
     val qb = e.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"), col("bucket").as("qbucket"))
-    val flips = (0 until planes).map { f =>
-      val bit = substring(col("qbucket"), f + 1, 1)
-      concat(substring(col("qbucket"), 1, f),
-        when(bit === "1", "0").otherwise("1"),
-        substring(col("qbucket"), f + 2, planes))
+    def flipped(at: Seq[Int]): Column = {
+      // concat of unchanged runs and flipped bits, positions ascending
+      val pieces = (Seq(-1) ++ at).zip(at ++ Seq(planes)).flatMap {
+        case (prev, next) =>
+          val run = substring(col("qbucket"), prev + 2, next - prev - 1)
+          val flip =
+            if (next < planes)
+              Seq(when(substring(col("qbucket"), next + 1, 1) === "1", "0")
+                .otherwise("1"))
+            else Nil
+          run +: flip
+      }
+      concat(pieces: _*)
     }
+    val flips1 = (0 until planes).map(f => flipped(Seq(f)))
+    val flips2 = for {
+      f1 <- 0 until planes; f2 <- f1 + 1 until planes
+    } yield flipped(Seq(f1, f2))
     val probes = qb.select(col("query_id"), col("qv"), col("qn"),
-      explode(array(col("qbucket") +: flips: _*)).as("bucket"))
+      explode(array(col("qbucket") +: (flips1 ++ flips2): _*)).as("bucket"))
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
       .cast("decimal(10,6)")
     import org.apache.spark.sql.expressions.Window
@@ -239,6 +263,17 @@ object Similarity {
        |              THEN '0' ELSE '1' END ||
        |         substr(qbucket, CAST(f AS INT) + 2) AS bucket
        |  FROM q, range(0, 64) t(f) WHERE f < (SELECT nplanes FROM ann_params)
+       |  UNION ALL
+       |  SELECT query_id, qv, qn,
+       |         substr(qbucket, 1, CAST(f1 AS INT)) ||
+       |         CASE WHEN substr(qbucket, CAST(f1 AS INT) + 1, 1) = '1'
+       |              THEN '0' ELSE '1' END ||
+       |         substr(qbucket, CAST(f1 AS INT) + 2, CAST(f2 - f1 AS INT) - 1) ||
+       |         CASE WHEN substr(qbucket, CAST(f2 AS INT) + 1, 1) = '1'
+       |              THEN '0' ELSE '1' END ||
+       |         substr(qbucket, CAST(f2 AS INT) + 2) AS bucket
+       |  FROM q, range(0, 64) a(f1), range(0, 64) b(f2)
+       |  WHERE f1 < f2 AND f2 < (SELECT nplanes FROM ann_params)
        |), cand AS (
        |  SELECT p.query_id, b.vec_id AS neighbor_id,
        |         CAST(list_dot_product(p.qv, e.v) / (p.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim
