@@ -43,6 +43,11 @@ object SparkEntry {
     "dim_product" -> ((s, dir) => Star.dimProduct(Pipeline.silverCached(s, dir))),
     "dim_region" -> ((s, dir) => Star.dimRegion(Pipeline.silverCached(s, dir))),
     "dim_status" -> ((s, dir) => Star.dimStatus(Pipeline.silverCached(s, dir))),
+    // M2 grow-only upsert driven end-to-end: window-1 dim + window-2 keys
+    "dim_customer_incremental" -> ((s, dir) =>
+      Star.dimCustomerIncremental(Pipeline.silverCached(s, dir))),
+    // S9 catalog: per-dataset row counts + actual-vs-declared schema
+    "catalog_tables" -> ((s, dir) => Catalog.tablesReport(s, dir)),
     "fact" -> ((s, dir) => Pipeline.fact(s, dir)),
     // F14: string extraction — user number out of the 'user_NNNN' id
     "bronze_users" -> ((s, dir) =>
@@ -74,6 +79,9 @@ object SparkEntry {
     "dim_product" -> (Pipeline.starPrefix + " SELECT * FROM dim_product"),
     "dim_region" -> (Pipeline.starPrefix + " SELECT * FROM dim_region"),
     "dim_status" -> (Pipeline.starPrefix + " SELECT * FROM dim_status"),
+    "dim_customer_incremental" ->
+      (Pipeline.silverPrefix + ", " + Star.dimCustomerIncrementalSql()),
+    "catalog_tables" -> Catalog.tablesReportSql,
     "fact" -> (Pipeline.starPrefix + s" SELECT $moneyToDouble FROM fact"),
     "bronze_users" -> ("WITH " + Bronze.sqlCte +
       """ SELECT user_id, CAST(string_split(user_id, '_')[2] AS INT) AS user_num

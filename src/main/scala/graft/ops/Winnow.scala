@@ -16,6 +16,33 @@ import graft.functions.GraftFunctions
   */
 object Winnow {
 
+  // corpus size is a pure data property → keyed by dir, one count per JVM
+  // (same staleness caveat as AnnParams.corpusSize: a corpus rewritten
+  // under the same path in-process reuses the old knob)
+  private val docCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Posting-list doc-freq cap = max(50, ⌈50·(n/500)^¼⌉), n = corpus doc
+    * count. A FIXED cap silently drops genuine near-dup families larger
+    * than it from candidate generation once the corpus outgrows the test
+    * SF (50 was tuned at n=500); the quarter-power growth keeps the
+    * worst-case pair fan-out per fingerprint (cap²) at O(√(n/500)) —
+    * sublinear in n — while admitting ever-larger true-dup families.
+    * Computed as sqrt∘sqrt, not pow(…, 0.25): IEEE requires sqrt to be
+    * correctly rounded (pow isn't), so the SQL twin cannot round apart.
+    */
+  def docFreqCap(spark: SparkSession, dir: String): Int = {
+    val n = docCounts.getOrElseUpdate(dir,
+      Tables.documents(spark, dir).count())
+    math.max(50, math.ceil(50.0 * math.sqrt(math.sqrt(n / 500.0))).toInt)
+  }
+
+  /** SQL twin of [[docFreqCap]] over the documents table. */
+  val docFreqCapSql: String =
+    """wparams AS (
+      |  SELECT GREATEST(50, CAST(CEIL(50.0 * SQRT(SQRT(count(*) / 500.0))) AS INT)) AS cap
+      |  FROM documents
+      |)""".stripMargin
+
   /** (doc_id, fingerprints array<long>) via the custom expression. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "winnow_fingerprints", dir) {
@@ -38,10 +65,12 @@ object Winnow {
         .as("fp_digest"))
 
   /** Candidate pairs by shared-fingerprint containment ≥ `threshold`
-    * (containment = |A∩B| / min(|A|,|B|)).
+    * (containment = |A∩B| / min(|A|,|B|)). `maxDocFreq` ≤ 0 → the
+    * corpus-scaled [[docFreqCap]].
     */
   def nearDups(spark: SparkSession, dir: String,
-               threshold: Double = 0.5, maxDocFreq: Int = 50): DataFrame = {
+               threshold: Double = 0.5, maxDocFreq: Int = 0): DataFrame = {
+    val cap = if (maxDocFreq > 0) maxDocFreq else docFreqCap(spark, dir)
     val fp = fingerprints(spark, dir)
       .select(col("doc_id"), col("fingerprints"),
         size(col("fingerprints")).as("n"))
@@ -51,7 +80,7 @@ object Winnow {
     // rows, so stop-fingerprints (common phrases) make the join
     // quasi-cartesian while carrying no near-dup signal. Cap doc-freq.
     val rare = postingAll.groupBy("f")
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+      .agg(count(lit(1)).as("df")).filter(col("df") <= cap)
       .select("f")
     val posting = postingAll.join(rare, Seq("f"))
     val a = posting.select(col("f"), col("doc_id").as("doc_a"), col("n").as("na"))
@@ -126,12 +155,12 @@ object Winnow {
        |       md5(COALESCE(a.joined, '')) AS fp_digest
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
-  def nearDupsSql(threshold: Double = 0.5, maxDocFreq: Int = 50,
+  def nearDupsSql(threshold: Double = 0.5,
                   k: Int = 12, w: Int = 8): String =
-    s"""WITH ${fpsCte(k, w)}, sizes AS (
+    s"""WITH ${fpsCte(k, w)}, $docFreqCapSql, sizes AS (
        |  SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id
        |), rare AS (
-       |  SELECT f FROM fps GROUP BY f HAVING count(*) <= $maxDocFreq
+       |  SELECT f FROM fps GROUP BY f HAVING count(*) <= (SELECT cap FROM wparams)
        |), pr AS (
        |  SELECT fps.doc_id, fps.f FROM fps JOIN rare USING (f)
        |), pairs AS (

@@ -70,6 +70,46 @@ object Star {
     existing.select(col(idCol), col(nkCol)).union(assigned)
   }
 
+  /** Driver-visible M2 incremental proof: build the customer dim from the
+    * FIRST half-year of silver only, then upsert the second half-year's
+    * keys through [[upsertDim]]. Grow-only id stability is what the
+    * oracle checks: window-1 keys keep the ids a from-scratch build of
+    * window 1 would give them (`ON CONFLICT DO NOTHING` semantics,
+    * `init_database.py:280-309`), and only genuinely new keys draw
+    * max+row_number ids.
+    */
+  def dimCustomerIncremental(silver: DataFrame,
+                             splitDate: String = "2023-01-03"): DataFrame = {
+    val split = lit(splitDate).cast("date")
+    val d1 = dimCustomer(silver.filter(col("effective_from") < split))
+    upsertDim(d1,
+      silver.filter(col("effective_from") >= split)
+        .select(col("user_name").as("customer_name")),
+      "customer_id", "customer_name")
+  }
+
+  /** Oracle for [[dimCustomerIncremental]] (appends to the silver CTE
+    * prefix; includes the final SELECT).
+    */
+  def dimCustomerIncrementalSql(splitDate: String = "2023-01-03"): String =
+    s"""inc_w1 AS (
+       |  SELECT DISTINCT user_name AS customer_name FROM silver
+       |  WHERE user_name IS NOT NULL AND effective_from < DATE '$splitDate'
+       |), inc_d1 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY customer_name) AS BIGINT) AS customer_id,
+       |         customer_name
+       |  FROM inc_w1
+       |), inc_new AS (
+       |  SELECT DISTINCT user_name AS customer_name FROM silver s
+       |  WHERE user_name IS NOT NULL AND effective_from >= DATE '$splitDate'
+       |    AND NOT EXISTS (SELECT 1 FROM inc_w1 w WHERE w.customer_name = s.user_name)
+       |), inc_mx AS (SELECT COALESCE(MAX(customer_id), 0) AS mx FROM inc_d1)
+       |SELECT customer_id, customer_name FROM inc_d1
+       |UNION ALL
+       |SELECT CAST(mx + row_number() OVER (ORDER BY customer_name) AS BIGINT) AS customer_id,
+       |       customer_name
+       |FROM inc_new, inc_mx""".stripMargin
+
   /** Fact build: 4-way left join surrogate-key resolution
     * (`init_database.py:330-343`). NULL natural keys never match
     * (SQL null equality), leaving a NULL foreign key — exactly the

@@ -25,6 +25,7 @@ class PlanLintSpec extends SparkSpec {
   private val allowedNlj = Set(
     "ann_topk", "ivf_assign", "ivf_list_stats", "ivf_topk",
     "ann_recall", // composes ann_topk + ivf_topk, inherits their plans
+    "dim_customer_incremental", // upsertDim crossJoins a ONE-ROW max-id
     "dash_summary", "dash_by_type", "dash_trend",
     "dash_recent10", "dash_critical5")
 

@@ -53,6 +53,25 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(AnnParams.ceilLog2(2) === 1)
     assert(AnnParams.ceilLog2(3) === 2)
     assert(AnnParams.ceilLog2(1L << 40) === 40)
+    // probe count is a FRACTION of the centroid count (recall holds as n
+    // grows), not a constant that would decay to zero coverage
+    assert(AnnParams.nProbe(500) === 12)
+    assert(AnnParams.nProbe(10000000000L) === 37500)
+  }
+
+  test("winnow doc-freq cap scales quarter-power with the corpus") {
+    import graft.ops.Winnow
+    // test-SF regime unchanged (50 was tuned at n=500); worst-case pair
+    // fan-out per fingerprint cap^2 grows O(sqrt(n/500)) — sublinear
+    assert(Winnow.docFreqCap(spark, sf0001) === 50)
+    val caps = Seq(500L, 50000L, 5000000L, 500000000L).map { n =>
+      math.max(50, math.ceil(50.0 * math.sqrt(math.sqrt(n / 500.0))).toInt)
+    }
+    assert(caps === Seq(50, 159, 500, 1582))
+    // cap^2 / n (pair rows per fingerprint over corpus size) shrinks
+    val ratios = Seq(500L, 5000000L).map(n =>
+      math.pow(math.ceil(50.0 * math.sqrt(math.sqrt(n / 500.0))), 2) / n)
+    assert(ratios.head > ratios.last)
   }
 
   test("LSH buckets and IVF lists stay bounded on real data") {
