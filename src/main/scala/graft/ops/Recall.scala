@@ -74,7 +74,7 @@ object Recall {
          |  ) h USING (query_id)
          |), all_$method AS (
          |  SELECT '$method' AS method, CAST(-1 AS BIGINT) AS query_id,
-         |         SUM(hits) AS hits, count(*) AS nq
+         |         CAST(SUM(hits) AS BIGINT) AS hits, count(*) AS nq
          |  FROM per_$method
          |)""".stripMargin
     s"""WITH truth AS (

@@ -87,6 +87,24 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(expect)}")
             n_fail += 1
             continue
+        # The driver's hash compare renders values: an int64 column on one
+        # side vs float64 on the other ("100" vs "100.0") hash-mismatches
+        # even when numerically equal (e.g. DuckDB SUM(BIGINT) -> HUGEINT
+        # -> pandas float64). values_equal() is float-tolerant and would
+        # mask it, so flag dtype-kind divergence on null-free columns.
+        kind_bad = None
+        for c in expect.columns:
+            ek, gk = expect[c].dtype.kind, got[c].dtype.kind
+            if ek != gk and {ek, gk} <= {"i", "u", "f"} and "f" in {ek, gk} \
+                    and not expect[c].isna().any() and not got[c].isna().any():
+                kind_bad = (c, expect[c].dtype, got[c].dtype)
+                break
+        if kind_bad:
+            c, ed, gd = kind_bad
+            print(f"FAIL {name}: col {c} dtype oracle={ed} spark={gd} "
+                  "(int-vs-float render diverges in the driver hash)")
+            n_fail += 1
+            continue
         bad = None
         for c in expect.columns:
             ev, gv = expect[c].tolist(), got[c].tolist()
