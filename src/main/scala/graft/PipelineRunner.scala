@@ -49,7 +49,10 @@ object PipelineRunner {
     val cleansed = Silver.cleanse(Bronze(spark, sfDir), Some(start), Some(end))
       .withColumn("processed_at", current_timestamp())
     WindowReload.reload(spark, s"$wh/silver", cleansed, start, end)
-    val silver = spark.read.parquet(s"$wh/silver").drop("processed_at")
+    // drop the audit column and the reload's partition key (eff_part) —
+    // both are storage-side, not part of the silver contract
+    val silver = spark.read.parquet(s"$wh/silver")
+      .drop("processed_at", "eff_part")
     println(s"[runner] silver rows processed: ${silver.count()}")
 
     // 2. gold: dims then fact (fn_dm_data_load; dims-before-fact ordering

@@ -3,7 +3,7 @@ package graft.io
 import java.time.LocalDate
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** M1 — the reference's signature write semantic: idempotent
@@ -16,17 +16,28 @@ import org.apache.spark.sql.functions._
   * Parquet has no row deletes, so the reload is expressed as a
   * partition-level rewrite designed for 100 TB:
   *
-  *  - the target is partitioned by `effective_from` → the delete predicate's
-  *    `effective_from >= start` prunes to the `[start, end]` partition range
+  *  - the target is partitioned by `eff_part` = `effective_from` truncated
+  *    to a granularity chosen from data density (see below) → the delete
+  *    predicate's date bounds prune to the `[start, end]` partition range
   *    (the analog of the reference's `idx_structured_dates` index);
   *  - rows in those partitions that the delete predicate does NOT match
-  *    ("straddlers": `effective_from >= start` but `effective_to > end`)
-  *    are read back (partition-pruned scan) and re-written alongside the
-  *    new data — note the reference's quirk is preserved: a row straddling
-  *    the window is never reloaded, only carried;
+  *    ("carried rows", e.g. straddlers: `effective_from >= start` but
+  *    `effective_to > end`) are read back (partition-pruned scan) and
+  *    re-written alongside the new data — note the reference's quirk is
+  *    preserved: a row straddling the window is never reloaded, only
+  *    carried;
   *  - `partitionOverwriteMode=dynamic` then replaces ONLY the partitions
   *    the union touches; partitions outside `[start, end]` are never read
   *    or written.
+  *
+  * Partition granularity scales with density, like every other knob in
+  * this library (`AnnParams`): at production density (hundreds of MB per
+  * day) daily partitions are right, but the same layout at test scale is a
+  * 365-dir small-file pathology (75 KB files, metadata-bound writes and
+  * listings). The first load picks the coarsest of day/month/year that
+  * keeps partitions above a row floor and records it in a
+  * `_graft_granularity` marker; later reloads honor the on-disk layout, so
+  * the choice never flips mid-target and the reload stays idempotent.
   *
   * Incoming rows with `effective_from` outside `[start, end]` cannot match
   * the insert window (`from >= start AND to <= end` forces
@@ -35,11 +46,72 @@ import org.apache.spark.sql.functions._
   */
 object WindowReload {
 
+  /** Partition granularity of a reload target: truncation of
+    * `effective_from` to the partition key, both as a Column (plan side)
+    * and on LocalDate (purge side).
+    */
+  sealed abstract class Granularity(val name: String) {
+    def trunc(c: Column): Column
+    def trunc(d: LocalDate): LocalDate
+    /** Inclusive last day covered by the partition starting at `d`. */
+    def partEnd(d: LocalDate): LocalDate
+  }
+  case object Day extends Granularity("day") {
+    def trunc(c: Column): Column = c
+    def trunc(d: LocalDate): LocalDate = d
+    def partEnd(d: LocalDate): LocalDate = d
+  }
+  case object Month extends Granularity("month") {
+    def trunc(c: Column): Column = to_date(date_trunc("month", c))
+    def trunc(d: LocalDate): LocalDate = d.withDayOfMonth(1)
+    def partEnd(d: LocalDate): LocalDate = d.plusMonths(1).minusDays(1)
+  }
+  case object Year extends Granularity("year") {
+    def trunc(c: Column): Column = to_date(date_trunc("year", c))
+    def trunc(d: LocalDate): LocalDate = d.withDayOfYear(1)
+    def partEnd(d: LocalDate): LocalDate = d.plusYears(1).minusDays(1)
+  }
+  private val granularities = Seq(Day, Month, Year)
+
+  private val PartCol = "eff_part"
+  private val Marker = "_graft_granularity"
+  /** Coarsen until the mean partition holds at least this many rows
+    * (~10 MB at ~100 B/row) — the same density-scaling policy as
+    * `AnnParams`: day partitions at production volume, month/year at
+    * test SFs where daily dirs would be a small-file pathology.
+    */
+  private val MinRowsPerPartition = 100 * 1000L
+
+  private def autoGranularity(rows: Long, start: LocalDate,
+                              end: LocalDate): Granularity = {
+    import java.time.temporal.ChronoUnit
+    val days = ChronoUnit.DAYS.between(start, end) + 1
+    granularities.find { g =>
+      val parts = math.max(1L, days / (g match {
+        case Day => 1L; case Month => 30L; case Year => 365L
+      }))
+      rows / parts >= MinRowsPerPartition
+    }.getOrElse(Year)
+  }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         target: Path): Granularity = {
+    val mp = new Path(target, Marker)
+    if (!fs.exists(mp)) Day // pre-marker layout: the old fixed granularity
+    else {
+      val in = fs.open(mp)
+      val name = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      granularities.find(_.name == name).getOrElse(Day)
+    }
+  }
+
   def reload(spark: SparkSession,
              targetPath: String,
              incoming: DataFrame,
              start: LocalDate,
-             end: LocalDate): Unit = {
+             end: LocalDate,
+             granularity: Option[Granularity] = None): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val s = lit(java.sql.Date.valueOf(start))
     val e = lit(java.sql.Date.valueOf(end))
@@ -47,52 +119,76 @@ object WindowReload {
     val windowed = incoming
       .filter(col("effective_from") >= s && col("effective_to") <= e)
 
+    val p = new Path(targetPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existed = exists(spark, targetPath)
-    // Eager localCheckpoint: (a) materializes the straddler scan BEFORE the
-    // overwrite touches the same path — Spark otherwise rejects a plan that
-    // reads and overwrites one location ("Cannot overwrite a path that is
-    // also being read from"); (b) lets the stale-partition purge below
-    // reuse the result instead of re-reading the replaced target.
-    val toWrite = (
+    // The layout on disk wins: a target written at one granularity must
+    // never be overwritten at another (dynamic overwrite would interleave
+    // two truncation schemes in one dir tree).
+    val g: Granularity =
+      if (existed) readMarker(fs, p)
+      else granularity.getOrElse(autoGranularity(
+        // cheap: incoming is typically cached, and this is the only
+        // full-scan job before the (far more expensive) write itself
+        windowed.count(), start, end))
+
+    // Eager localCheckpoint: (a) materializes the carried-row scan BEFORE
+    // the overwrite touches the same path — Spark otherwise rejects a plan
+    // that reads and overwrites one location ("Cannot overwrite a path
+    // that is also being read from"); (b) lets the stale-partition purge
+    // below reuse the result instead of re-reading the replaced target.
+    val base = (
       if (existed) {
-        val straddlers = spark.read.parquet(targetPath)
-          .filter(col("effective_from") >= s && col("effective_from") <= e)
-          .filter(col("effective_to") > e)
+        // every partition the delete window intersects gets rewritten, so
+        // carry ALL its rows the delete predicate does not match (at day
+        // granularity these are exactly the straddlers: from in-window,
+        // to beyond it). The eff_part range filter is partition pruning.
+        val carried = spark.read.parquet(targetPath)
+          .filter(col(PartCol) >= lit(java.sql.Date.valueOf(g.trunc(start))) &&
+            col(PartCol) <= lit(java.sql.Date.valueOf(g.trunc(end))))
+          .filter(!(col("effective_from") >= s && col("effective_to") <= e))
           .select(windowed.columns.map(col).toIndexedSeq: _*)
-        straddlers.union(windowed)
+        carried.union(windowed)
       } else windowed
-    ).localCheckpoint(true)
+    )
+    val toWrite = base.withColumn(PartCol, g.trunc(col("effective_from")))
+      .localCheckpoint(true)
 
     // REBALANCE on the partition column before partitionBy: without it each
-    // of the N upstream tasks writes a file into every date dir it touches
-    // (N × days tiny files — at 1000 executors a small-file explosion and
-    // a file-listing bottleneck on every subsequent scan). The AQE rebalance
-    // shuffle yields ~one right-sized file per date and splits skewed dates
-    // into multiple files instead of one giant task.
-    toWrite.hint("rebalance", col("effective_from")).write
+    // of the N upstream tasks writes a file into every partition dir it
+    // touches (N × partitions tiny files — at 1000 executors a small-file
+    // explosion and a file-listing bottleneck on every subsequent scan).
+    // The AQE rebalance shuffle yields ~one right-sized file per partition
+    // and splits skewed partitions into multiple files instead of one
+    // giant task.
+    toWrite.hint("rebalance", col(PartCol)).write
       .mode("overwrite")
-      .partitionBy("effective_from")
+      .partitionBy(PartCol)
       .parquet(targetPath)
+    if (!existed) {
+      val out = fs.create(new Path(p, Marker), true)
+      try out.write(g.name.getBytes("UTF-8")) finally out.close()
+    }
 
     // Dynamic overwrite replaces only partitions the union touches; a
     // partition inside [start, end] whose rows ALL matched the delete
-    // predicate and got no replacement rows would silently survive. The
-    // reference's DELETE purges it — so drop such stale partition dirs.
-    // The dir listing is bounded by the window's day count, not data size.
+    // predicate and got no replacement or carried rows would silently
+    // survive. The reference's DELETE purges it — so drop such stale
+    // partition dirs. The dir listing is bounded by the window's
+    // partition count, not data size.
     if (existed) {
-      val written = toWrite.select("effective_from").distinct()
+      val written = toWrite.select(PartCol).distinct()
         .collect().map(_.getDate(0).toLocalDate).toSet
-      val p = new Path(targetPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(p).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("effective_from=")) {
+        if (name.startsWith(s"$PartCol=")) {
           // skip unparseable partition names (e.g. a NULL-date partition
           // __HIVE_DEFAULT_PARTITION__ from a foreign bootstrap) — they
           // can't be inside the [start, end] window
-          scala.util.Try(LocalDate.parse(name.stripPrefix("effective_from=")))
+          scala.util.Try(LocalDate.parse(name.stripPrefix(s"$PartCol=")))
             .foreach { d =>
-              if (!d.isBefore(start) && !d.isAfter(end) && !written.contains(d))
+              val intersects = !g.partEnd(d).isBefore(start) && !d.isAfter(end)
+              if (intersects && !written.contains(d))
                 fs.delete(st.getPath, true)
             }
         }

@@ -31,15 +31,50 @@ class WindowReloadSpec extends SparkSpec {
     // the REBALANCE before partitionBy, each task writes into each date dir
     val rows = (1 to 600).map(i => (i, s"2023-01-0${i % 3 + 1}", "2023-01-20"))
     WindowReload.reload(spark, target,
-      df(rows: _*).repartition(16), jan1, jan31)
+      df(rows: _*).repartition(16), jan1, jan31,
+      granularity = Some(WindowReload.Day))
     val dirs = new java.io.File(target).listFiles()
-      .filter(_.getName.startsWith("effective_from="))
+      .filter(_.getName.startsWith("eff_part="))
     assert(dirs.length === 3)
     dirs.foreach { d =>
       val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(files.length === 1,
         s"${d.getName}: expected 1 coalesced file, found ${files.length}")
     }
+  }
+
+  test("granularity scales with density and the marker pins it across reloads") {
+    val target = Files.createTempDirectory("wr_gran").toFile.getAbsolutePath + "/t"
+    // sparse data (2 rows over a month) → auto picks a coarse granularity:
+    // one partition dir instead of one per day
+    WindowReload.reload(spark, target,
+      df((1, "2023-01-05", "2023-01-10"), (2, "2023-01-20", "2023-01-25")),
+      jan1, jan31)
+    def partDirs() = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("eff_part=")).map(_.getName).toSet
+    assert(partDirs() === Set("eff_part=2023-01-01"),
+      "sparse month should collapse to a single coarse partition")
+    // second reload (even if a caller now asks for Day) must honor the
+    // on-disk layout — mixing truncation schemes in one tree would corrupt
+    // the dynamic overwrite
+    WindowReload.reload(spark, target, df((3, "2023-01-07", "2023-01-12")),
+      jan1, jan31, granularity = Some(WindowReload.Day))
+    assert(partDirs() === Set("eff_part=2023-01-01"))
+    assert(snapshot(target).map(_._1) === Set(3))
+  }
+
+  test("coarse granularity carries out-of-window rows sharing a partition") {
+    val target = Files.createTempDirectory("wr_carry").toFile.getAbsolutePath + "/t"
+    // first load over a wide window puts a December row and a January row
+    // in distinct coarse partitions
+    WindowReload.reload(spark, target,
+      df((1, "2022-12-15", "2022-12-20"), (2, "2023-01-05", "2023-01-10")),
+      LocalDate.parse("2022-12-01"), LocalDate.parse("2023-01-31"))
+    // reload ONLY January: row 2's partition is rewritten; row 1 lives in
+    // a different partition and must survive untouched
+    WindowReload.reload(spark, target, df((3, "2023-01-06", "2023-01-11")),
+      jan1, jan31)
+    assert(snapshot(target).map(_._1) === Set(1, 3))
   }
 
   test("reload is idempotent: same window twice leaves identical state (M1)") {
