@@ -68,6 +68,9 @@ object OpsQueries {
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.hourlyCheck(s, dir)),
     // streaming dedup of a doubled stream == plain batch counts
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStream.dedupCheck(s, dir)),
+    // flatMapGroupsWithState sessionization: emitted (closed) sessions ==
+    // batch sessions minus watermark-open finals
+    "stream_sessions" -> ((s, dir) => graft.streaming.EventStream.sessionsCheck(s, dir)),
     // multimodal plumbing (binary payloads; decode stubbed) — registered
     // via scalar md5-digest projections so the driver can hash-compare
     "mm_media" -> ((s, dir) => Multimodal.mediaCheck(s, dir)),
@@ -138,6 +141,7 @@ object OpsQueries {
     "io_formats" -> graft.io.Formats.roundtripSql,
     "stream_hourly" -> graft.streaming.EventStream.hourlyCheckSql,
     "stream_dedup" -> graft.streaming.EventStream.dedupCheckSql,
+    "stream_sessions" -> graft.streaming.EventStream.sessionsCheckSql(),
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),
     "text_tfidf" -> TextPrep.tfIdfSql(),

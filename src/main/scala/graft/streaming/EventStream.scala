@@ -77,6 +77,14 @@ object EventStream extends Serializable {
 
   /** Run the stream into an in-memory table until all available input is
     * processed; returns the finished query (test/demo harness).
+    *
+    * SCALE NOTE: complete mode + memory sink re-materializes the ENTIRE
+    * result table every micro-batch — correct only for this bounded
+    * equivalence proof. The production shape is [[hourlyCounts]] with
+    * append/update mode into a real sink (kafka/parquet/delta), where
+    * the watermark bounds state to the open windows and each batch
+    * emits only finalized/changed rows. Do not copy this harness shape
+    * into a long-running job.
     */
   def runToMemory(spark: SparkSession, dir: String, tableName: String,
                   glob: Option[String] = None): StreamingQuery = {
@@ -144,12 +152,17 @@ object EventStream extends Serializable {
       .dropDuplicatesWithinWatermark("event_id")
   }
 
+  /** `cents` = value cast DECIMAL(18,2)·100, computed by the same Spark
+    * cast the batch path uses: summing longs in state is arrival-order
+    * independent (a double accumulator's low bits aren't) and lands on
+    * the identical cent grid as the oracle's SUM(DECIMAL).
+    */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
-                   event_type: String, value: Double)
+                   event_type: String, value: Double, cents: Long)
   /** start/last are event-time MICROS — java.sql.Timestamp.getTime is
     * millis and silently drops the micros the parquet data carries.
     */
-  case class SessionState(start: Long, last: Long, n: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, cents: Long)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_end: java.sql.Timestamp, n_events: Long,
                         session_value: Double)
@@ -171,20 +184,25 @@ object EventStream extends Serializable {
     * stream shape the batch lag/running-sum formulation can't express.
     */
   def sessionize(spark: SparkSession, dir: String,
-                 gapMinutes: Int = 30): DataFrame = {
+                 gapMinutes: Int = 30,
+                 glob: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapSec = gapMinutes * 60L
 
-    val events = spark.readStream.schema(schema).parquet(dir)
+    val reader = spark.readStream.schema(schema)
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    val events = reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "10 minutes")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .as[Event]
 
     def close(uid: Long, s: SessionState): SessionOut =
-      SessionOut(uid, toTs(s.start), toTs(s.last), s.n, s.value)
+      SessionOut(uid, toTs(s.start), toTs(s.last), s.n, s.cents / 100.0)
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -204,12 +222,12 @@ object EventStream extends Serializable {
                 // formulation's ts.cast(long) comparison
                 case Some(s) if t / 1000000 - s.last / 1000000 > gapSec =>
                   closed ::= close(uid, s)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, e.cents))
                 case Some(s) =>
                   cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
-                    value = s.value + e.value))
+                    cents = s.cents + e.cents))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, e.cents))
               }
             }
             cur.foreach { s =>
@@ -233,13 +251,54 @@ object EventStream extends Serializable {
     * closed sessions).
     */
   def sessionizeToMemory(spark: SparkSession, dir: String,
-                         tableName: String): StreamingQuery = {
-    val q = sessionize(spark, dir).writeStream
+                         tableName: String,
+                         glob: Option[String] = None): StreamingQuery = {
+    val q = sessionize(spark, dir, glob = glob).writeStream
       .format("memory")
       .queryName(tableName)
       .outputMode("append")
       .start()
     q.processAllAvailable()
     q
+  }
+
+  /** Driver-visible `flatMapGroupsWithState` proof: run [[sessionize]] to
+    * completion over the static events file and return the emitted
+    * (closed) sessions. Which sessions close is deterministic: the whole
+    * file is one micro-batch, so
+    *
+    *  - every NON-final session per user closes by gap (a successor event
+    *    exists in-batch), and
+    *  - a user's FINAL session closes by event-time timeout in the
+    *    trailing no-data micro-batch iff the end-of-input watermark has
+    *    passed its gap deadline: `wm_ms > last_ms + gap`, with
+    *    `wm_ms = floor(max_ts_us/1000) − 600 000` (10-min delay) and
+    *    `last_ms = floor(last_us/1000)` — exactly the arithmetic
+    *    [[sessionize]] hands to `setTimeoutTimestamp`.
+    *
+    * The oracle replays that rule over the batch sessionization CTEs.
+    */
+  def sessionsCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_sessions", dir) {
+      val tbl = "stream_sessions_" + java.lang.Integer.toHexString(dir.hashCode)
+      val q = sessionizeToMemory(spark, dir, tbl, glob = Some("events.parquet"))
+      q.stop()
+      spark.table(tbl)
+    }
+
+  def sessionsCheckSql(gapMinutes: Int = 30): String = {
+    val gapMs = gapMinutes * 60L * 1000
+    s"""WITH sess AS (${graft.ops.EventsOps.sessionsSql(gapMinutes)}),
+       |wm AS (
+       |  SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000 - 600000 AS wm_ms
+       |  FROM events
+       |)
+       |SELECT user_id, session_start, session_end, n_events, session_value
+       |FROM (
+       |  SELECT *, MAX(session_seq) OVER (PARTITION BY user_id) AS max_seq
+       |  FROM sess
+       |), wm
+       |WHERE session_seq < max_seq
+       |   OR wm_ms > epoch_us(CAST(session_end AS TIMESTAMP)) // 1000 + $gapMs""".stripMargin
   }
 }
