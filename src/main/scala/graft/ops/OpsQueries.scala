@@ -87,6 +87,10 @@ object OpsQueries {
     "text_tfidf" -> ((s, dir) => TextPrep.tfIdf(s, dir)),
     "text_shards" -> ((s, dir) => TextPrep.shards(s, dir)),
     "emb_quantize" -> ((s, dir) => TextPrep.quantize(s, dir)),
+    // BM25 lexical top-k — the keyword complement of the ANN path
+    "text_bm25" -> ((s, dir) => TextPrep.bm25(s, dir)),
+    // per-source cap via the native TopKPerKey operator (crawl balancing)
+    "source_quota" -> ((s, dir) => Sampling.sourceQuota(s, dir)),
     // deterministic hash-based sampling / splitting / mixture weighting
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedDocs(s, dir)),
     "sample_split" -> ((s, dir) => Sampling.split(s, dir)),
@@ -147,6 +151,8 @@ object OpsQueries {
     "text_tfidf" -> TextPrep.tfIdfSql(),
     "text_shards" -> TextPrep.shardsSql(),
     "emb_quantize" -> TextPrep.quantizeSql,
+    "text_bm25" -> TextPrep.bm25Sql(),
+    "source_quota" -> Sampling.sourceQuotaSql(),
     "sample_stratified" -> Sampling.stratifiedDocsSql(),
     "sample_split" -> Sampling.splitSql(),
     "sample_mixture" -> Sampling.mixtureSql(),

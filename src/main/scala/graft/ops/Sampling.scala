@@ -85,4 +85,36 @@ object Sampling {
     s"""SELECT doc_id, source, CAST($rate AS DOUBLE) AS mix_rate
        |FROM documents WHERE $u < CAST($rate AS DOUBLE)""".stripMargin
   }
+
+  /** Per-source document cap — the crawl-balancing step that stops one
+    * domain from dominating the mixture (a handful of boilerplate-heavy
+    * domains can be most of a raw crawl). Keeps at most `cap` documents
+    * per source, chosen by the same salted content hash as every other
+    * membership decision here (stable under re-sharding and engine
+    * moves), ranked through the native [[graft.plans.TopKPerKey]]
+    * operator: each source streams through an O(cap) heap after one hash
+    * shuffle — no per-source sort, and a skewed mega-source costs memory
+    * proportional to `cap`, not its row count.
+    */
+  def sourceQuota(spark: SparkSession, dir: String, cap: Int = 10,
+                  salt: String = "quota1"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        hashUniform(col("doc_id"), salt).as("u"))
+    graft.plans.TopK.perKey(spark, docs, Seq("source"),
+      // ascending hash = a uniform `cap`-sized sample of each source;
+      // doc_id breaks the (never observed, hash-collision) ties
+      Seq("u" -> true, "doc_id" -> true), cap)
+      .select("doc_id", "source")
+  }
+
+  def sourceQuotaSql(cap: Int = 10, salt: String = "quota1"): String = {
+    val u = hashUniformSql("doc_id", salt)
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY $u, doc_id) AS rk
+       |  FROM documents
+       |) WHERE rk <= $cap""".stripMargin
+  }
 }

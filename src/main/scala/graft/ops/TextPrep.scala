@@ -180,4 +180,85 @@ object TextPrep {
       |       CAST(CASE WHEN m = 0 THEN 0
       |                 ELSE round(v[CAST(i.i AS INT)] * 127.0 / m, 0) END AS INT) AS q
       |FROM m CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i""".stripMargin
+
+  /** BM25 lexical retrieval — top-k documents for a query term set, the
+    * keyword-side complement of the embedding ANN path (real pipelines
+    * retrieve with both). Lucene's non-negative idf variant:
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`, tf saturation `k1 = 1.2`,
+    * length normalization `b = 0.75`.
+    *
+    * Parity discipline: each (doc, term) contribution is rounded to the
+    * DECIMAL(18,6) grid BEFORE the per-doc sum, so the score is an
+    * order-independent exact decimal sum (a double Σ's low bits depend
+    * on reduce order); ranking uses the exact decimal and the emitted
+    * column is its double cast. Only the corpus-constant `avgdl` and the
+    * per-pair contribution involve doubles — single expressions, no
+    * accumulation, identical in both engines.
+    *
+    * Scale: `terms` is a literal handful — the tf side collapses to the
+    * matching tokens at the scan (pushed filter), the doc-length side is
+    * one count per doc; both join on doc_id after partial aggregation.
+    */
+  def bm25(spark: SparkSession, dir: String,
+           terms: Seq[String] = Bm25Terms, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(TextMetrics.normalized(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val avgdl = toks.count().toDouble / nDocs
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val tfD = col("tf").cast("double")
+    val contrib = (idf * tfD * (lit(1.2) + 1.0) /
+      (tfD + lit(1.2) * (lit(1.0) - 0.75 +
+        lit(0.75) * col("doc_len").cast("double") / avgdl)))
+      .cast("decimal(18,6)")
+    tf.join(broadcast(dfreq), "token")
+      .join(lens, "doc_id")
+      .select(col("doc_id"), contrib.as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("score_dec"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score_dec").cast("double").as("score"))
+  }
+
+  val Bm25Terms: Seq[String] = Seq("spark", "customer", "merge")
+
+  def bm25Sql(terms: Seq[String] = Bm25Terms, k: Int = 20): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+       |  FROM documents
+       |), ftoks AS (
+       |  SELECT * FROM toks WHERE length(token) > 0
+       |), consts AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM ftoks)
+       |           / (SELECT COUNT(*) FROM documents) AS avgdl,
+       |         (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n
+       |), lens AS (
+       |  SELECT doc_id, COUNT(*) AS doc_len FROM ftoks GROUP BY 1
+       |), tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM ftoks
+       |  WHERE token IN ($inList) GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         CAST(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |              * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+       |              / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+       |                   + 0.75 * CAST(doc_len AS DOUBLE) / avgdl))
+       |              AS DECIMAL(18,6)) AS c
+       |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), consts
+       |)
+       |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY SUM(c) DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

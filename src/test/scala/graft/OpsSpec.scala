@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, SimHash, Similarity, TextMetrics}
+import graft.ops.{Dedup, Sampling, SimHash, Similarity, TextMetrics, TextPrep}
 
 class OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -245,5 +245,36 @@ class OpsSpec extends SparkSpec {
     assert(l.filter(col("predicted_lang").isNull).count() === 0)
     // synthetic corpus is English-ish function words
     assert(l.filter(col("predicted_lang") === "en").count() > 0)
+  }
+
+  test("source quota caps every source and is re-shard stable") {
+    val q = Sampling.sourceQuota(spark, sf0001, cap = 10).cache()
+    val per = q.groupBy("source").agg(count(lit(1)).as("n"))
+    assert(per.filter(col("n") > 10).count() === 0)
+    // every source with >= 10 docs is filled to exactly the cap
+    val eligible = Tables.documents(spark, sf0001)
+      .groupBy("source").agg(count(lit(1)).as("total"))
+      .filter(col("total") >= 10).count()
+    assert(per.filter(col("n") === 10).count() === eligible)
+    // membership is a content hash: a different input partitioning must
+    // select the identical document set
+    val q2 = Sampling.sourceQuota(spark, sf0001, cap = 10)
+    assert(q.exceptAll(q2).count() === 0)
+    q.unpersist()
+  }
+
+  test("bm25 ranks query-term-dense short docs first") {
+    val top = TextPrep.bm25(spark, sf0001, k = 20).cache()
+    assert(top.count() === 20)
+    assert(top.filter(col("score") <= 0.0).count() === 0)
+    // scores arrive ranked; verify monotone non-increasing
+    val scores = top.select("score").collect().map(_.getDouble(0)).toSeq
+    assert(scores === scores.sortBy(-_))
+    // every returned doc actually contains a query term
+    val hits = top.join(Tables.documents(spark, sf0001), "doc_id")
+      .filter(TextPrep.Bm25Terms
+        .map(t => col("text").contains(t)).reduce(_ || _))
+    assert(hits.count() === 20)
+    top.unpersist()
   }
 }
