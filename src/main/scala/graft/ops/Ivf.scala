@@ -166,8 +166,11 @@ object Ivf {
     val nProbe =
       if (nProbeOverride > 0) nProbeOverride
       else AnnParams.nProbe(AnnParams.corpusSize(spark, dir))
-    topKWith(spark, dir, centroids(spark, dir), assignments(spark, dir),
-      nProbe, k, queryMod)
+    // memoized per parameterization (see Similarity.bruteForceTopK)
+    graft.Memo(spark, s"ivf_topk_${k}_${queryMod}_$nProbe", dir) {
+      topKWith(spark, dir, centroids(spark, dir), assignments(spark, dir),
+        nProbe, k, queryMod)
+    }
   }
 
   /** [[topK]] against explicit centroids + assignment (sweep/spec aid). */

@@ -66,7 +66,16 @@ object Similarity {
     * ranked per query by rounded cosine desc, id asc.
     */
   def bruteForceTopK(spark: SparkSession, dir: String,
-                     k: Int = 10, queryMod: Int = 50): DataFrame = {
+                     k: Int = 10, queryMod: Int = 50): DataFrame =
+    // memoized per parameterization: Recall composes this with the two
+    // approximate paths, and without the memo each composition re-runs
+    // the full scoring join
+    graft.Memo(spark, s"ann_topk_${k}_$queryMod", dir) {
+      bruteForceTopKUncached(spark, dir, k, queryMod)
+    }
+
+  private def bruteForceTopKUncached(spark: SparkSession, dir: String,
+                                     k: Int, queryMod: Int): DataFrame = {
     val e = normalized(spark, dir)
     // the QUERY subset is the broadcast side — without the hint Spark may
     // build the corpus side of this nested-loop join, which is fatal when
@@ -145,7 +154,13 @@ object Similarity {
     * ([[AnnParams.nProbe]]) is calibrated to hold ≥ 0.9 here.
     */
   def multiprobeTopK(spark: SparkSession, dir: String,
-                     k: Int = 10, queryMod: Int = 50): DataFrame = {
+                     k: Int = 10, queryMod: Int = 50): DataFrame =
+    graft.Memo(spark, s"ann_multiprobe_${k}_$queryMod", dir) {
+      multiprobeTopKUncached(spark, dir, k, queryMod)
+    }
+
+  private def multiprobeTopKUncached(spark: SparkSession, dir: String,
+                                     k: Int, queryMod: Int): DataFrame = {
     val planes = AnnParams.numPlanes(AnnParams.corpusSize(spark, dir))
     val e = normalized(spark, dir).join(lshBuckets(spark, dir), "vec_id")
     val qb = e.filter(col("vec_id") % queryMod === 0)
