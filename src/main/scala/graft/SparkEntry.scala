@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.pipeline.{Bronze, Pipeline, Star}
+import graft.pipeline.{Bronze, Pipeline, Scd2, Star}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,6 +46,9 @@ object SparkEntry {
     // M2 grow-only upsert driven end-to-end: window-1 dim + window-2 keys
     "dim_customer_incremental" -> ((s, dir) =>
       Star.dimCustomerIncremental(Pipeline.silverCached(s, dir))),
+    // SCD2 versioned-dimension merge (the schema's effective_from/to +
+    // current_flag semantics, exercised H1→H2)
+    "scd2_users" -> ((s, dir) => Scd2.userHistory(s, dir)),
     // S9 catalog: per-dataset row counts + actual-vs-declared schema
     "catalog_tables" -> ((s, dir) => Catalog.tablesReport(s, dir)),
     "fact" -> ((s, dir) => Pipeline.fact(s, dir)),
@@ -81,6 +84,7 @@ object SparkEntry {
     "dim_status" -> (Pipeline.starPrefix + " SELECT * FROM dim_status"),
     "dim_customer_incremental" ->
       (Pipeline.silverPrefix + ", " + Star.dimCustomerIncrementalSql()),
+    "scd2_users" -> Scd2.userHistorySql,
     "catalog_tables" -> Catalog.tablesReportSql,
     "fact" -> (Pipeline.starPrefix + s" SELECT $moneyToDouble FROM fact"),
     "bronze_users" -> ("WITH " + Bronze.sqlCte +

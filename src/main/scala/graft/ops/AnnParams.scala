@@ -29,7 +29,11 @@ object AnnParams {
   val targetBucket = 128
 
   // corpus size is a pure data property → keyed by dir, shared across
-  // sessions; one parquet-metadata count per dir per JVM
+  // sessions; one parquet-metadata count per dir per JVM. Same staleness
+  // policy as Memo: if a dir's data is REWRITTEN in-process, the cached
+  // size (and so the plane/centroid knobs) silently reflects the old
+  // corpus — acceptable because test dirs are immutable; a mutable
+  // deployment would key by (dir, snapshot/commit id) instead.
   private val sizes = TrieMap.empty[String, Long]
 
   def corpusSize(spark: SparkSession, dir: String): Long =
