@@ -36,6 +36,42 @@ object EventsOps {
         (decSum.cast("double") / count(lit(1))).as("avg_value"))
   }
 
+  /** Incremental maintenance of [[daily]] — the materialized-view shape
+    * at 100 TB: never rescan history. State is kept at the finest grain
+    * the rollup needs — (event_date, event_type, user_id) with
+    * (count, value sum) partials — because COUNT(DISTINCT user_id) does
+    * NOT merge from coarser partials (distinct counts aren't additive
+    * across batches that share users). An update merges the stored state
+    * with the delta window's partial aggregate (combiner semantics:
+    * union + re-group over state-sized input, no history rescan) and
+    * re-rolls up.
+    *
+    * Registered with state = days before `split`, delta = the rest; the
+    * result equals the full-scan [[daily]] for ANY split, so the oracle
+    * is `dailySql` itself — the merge path is hash-checked against the
+    * one-pass truth.
+    */
+  def dailyIncremental(spark: SparkSession, dir: String,
+                       split: String = "2024-01-16"): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def base(df: DataFrame): DataFrame =
+      df.groupBy(to_date(col("ts")).as("event_date"), col("event_type"),
+          col("user_id"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,2)")).as("pv"))
+    val state = base(ev.filter(to_date(col("ts")) < to_date(lit(split))))
+    val delta = base(ev.filter(to_date(col("ts")) >= to_date(lit(split))))
+    val merged = state.unionByName(delta)
+      .groupBy("event_date", "event_type", "user_id")
+      .agg(sum(col("pn")).as("pn"), sum(col("pv")).as("pv"))
+    val decSum = sum(col("pv"))
+    merged.groupBy("event_date", "event_type")
+      .agg(sum(col("pn")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        decSum.cast("decimal(18,2)").as("total_value"),
+        (decSum.cast("double") / sum(col("pn"))).as("avg_value"))
+  }
+
   /** Gap-based sessionization: a session breaks after `gapMinutes` of
     * user inactivity (lag + running sum of boundaries — the standard
     * batch formulation; the streaming twin is a session window with

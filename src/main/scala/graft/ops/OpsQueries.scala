@@ -47,6 +47,8 @@ object OpsQueries {
     "ivf_topk" -> ((s, dir) => Ivf.topK(s, dir)),
     // events / time series
     "events_daily" -> ((s, dir) => EventsOps.daily(s, dir)),
+    // state+delta partial-agg merge == the one-pass rollup (MV maintenance)
+    "events_daily_incremental" -> ((s, dir) => EventsOps.dailyIncremental(s, dir)),
     "events_sessions" -> ((s, dir) => EventsOps.sessions(s, dir)),
     "events_top_users" -> ((s, dir) => EventsOps.topUsers(s, dir)),
     "events_pivot" -> ((s, dir) => EventsOps.dailyPivot(s, dir)),
@@ -129,6 +131,7 @@ object OpsQueries {
     "ivf_list_stats" -> Ivf.listStatsSql,
     "ivf_topk" -> Ivf.topKSql(),
     "events_daily" -> EventsOps.dailySql,
+    "events_daily_incremental" -> EventsOps.dailySql,
     "events_sessions" -> EventsOps.sessionsSql(),
     "events_top_users" -> EventsOps.topUsersSql(),
     "events_pivot" -> EventsOps.dailyPivotSql,
