@@ -66,6 +66,8 @@ object OpsQueries {
     "events_interval_join" -> ((s, dir) => RangeJoin.sessionErrorLoad(s, dir)),
     // parquet/orc/csv/json write→read roundtrips, digest-verified
     "io_formats" -> ((s, dir) => graft.io.Formats.roundtrip(s, dir)),
+    // small-file compaction: fragment → rebalance-rewrite → invariants
+    "compact_roundtrip" -> ((s, dir) => graft.io.Compact.roundtrip(s, dir)),
     // Structured Streaming rollup run to completion == the batch rollup
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.hourlyCheck(s, dir)),
     // streaming dedup of a doubled stream == plain batch counts
@@ -146,6 +148,7 @@ object OpsQueries {
     "events_asof" -> AsofJoin.purchaseAttributionSql,
     "events_interval_join" -> RangeJoin.sessionErrorLoadSql(),
     "io_formats" -> graft.io.Formats.roundtripSql,
+    "compact_roundtrip" -> graft.io.Compact.roundtripSql,
     "stream_hourly" -> graft.streaming.EventStream.hourlyCheckSql,
     "stream_dedup" -> graft.streaming.EventStream.dedupCheckSql,
     "stream_sessions" -> graft.streaming.EventStream.sessionsCheckSql(),

@@ -30,6 +30,24 @@ class FsUtilSpec extends SparkSpec {
     assert(new java.io.File(base).list().toSet === Set("t"))
   }
 
+  test("compactDir collapses a fragmented dir, content invariant") {
+    val base = Files.createTempDirectory("fsu_compact").toString
+    val path = s"$base/t"
+    spark.range(10000).toDF("v").repartition(48)
+      .write.parquet(path)
+    val before = spark.read.parquet(path).as[Long].collect().sorted
+    val filesBefore = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBefore >= 48)
+    val stats = graft.io.Compact.compactDir(spark, path)
+    assert(stats.filesBefore === filesBefore)
+    assert(stats.filesAfter < filesBefore / 8,
+      s"expected heavy coalescing, got ${stats.filesAfter} files")
+    assert(spark.read.parquet(path).as[Long].collect().sorted === before)
+    // crash-safe path left no debris
+    assert(new java.io.File(base).list().toSet === Set("t"))
+  }
+
   test("hash sampling membership survives repartitioning (unlike sample())") {
     val a = Sampling.split(spark, sf0001)
       .as[(Long, String)].collect().toMap
