@@ -75,6 +75,8 @@ object OpsQueries {
     // flatMapGroupsWithState sessionization: emitted (closed) sessions ==
     // batch sessions minus watermark-open finals
     "stream_sessions" -> ((s, dir) => graft.streaming.EventStream.sessionsCheck(s, dir)),
+    // stream-static broadcast enrichment == the batch left join
+    "stream_enrich" -> ((s, dir) => graft.streaming.EventStream.enrichCheck(s, dir)),
     // multimodal plumbing (binary payloads; decode stubbed) — registered
     // via scalar md5-digest projections so the driver can hash-compare
     "mm_media" -> ((s, dir) => Multimodal.mediaCheck(s, dir)),
@@ -152,6 +154,7 @@ object OpsQueries {
     "stream_hourly" -> graft.streaming.EventStream.hourlyCheckSql,
     "stream_dedup" -> graft.streaming.EventStream.dedupCheckSql,
     "stream_sessions" -> graft.streaming.EventStream.sessionsCheckSql(),
+    "stream_enrich" -> graft.streaming.EventStream.enrichCheckSql,
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),
     "text_tfidf" -> TextPrep.tfIdfSql(),

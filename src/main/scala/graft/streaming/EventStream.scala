@@ -102,13 +102,45 @@ object EventStream extends Serializable {
     * side is broadcast per micro-batch; no stream state beyond the
     * source offsets — the standard dimension-enrichment shape.
     */
-  def enriched(spark: SparkSession, dir: String, userTiers: DataFrame): DataFrame = {
+  def enriched(spark: SparkSession, dir: String, userTiers: DataFrame,
+               glob: Option[String] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema).parquet(dir)
+    val reader = spark.readStream.schema(schema)
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .join(broadcast(userTiers), Seq("user_id"), "left")
       .withColumn("tier", coalesce(col("tier"), lit("standard")))
   }
+
+  /** Driver-visible stream–static join proof: enrich the event stream
+    * with the batch top-10-spender tier dimension, run to completion,
+    * and roll up (tier, event_type) counts. Stateless beyond source
+    * offsets (the static side is broadcast per micro-batch), so the
+    * result equals the batch left join — which is the oracle.
+    */
+  def enrichCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_enrich", dir) {
+      val tiers = graft.ops.EventsOps.topUsers(spark, dir)
+        .select(col("user_id"), lit("high").as("tier"))
+      val tbl = "stream_enrich_" + java.lang.Integer.toHexString(dir.hashCode)
+      val q = enriched(spark, dir, tiers, glob = Some("events.parquet"))
+        .groupBy("tier", "event_type").agg(count(lit(1)).as("n_events"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(tbl)
+    }
+
+  def enrichCheckSql: String =
+    s"""WITH top AS (${graft.ops.EventsOps.topUsersSql()})
+       |SELECT COALESCE(t.tier, 'standard') AS tier, e.event_type,
+       |       COUNT(*) AS n_events
+       |FROM events e
+       |LEFT JOIN (SELECT user_id, 'high' AS tier FROM top) t
+       |  USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
 
   /** Streaming exact-dedup: drop events whose `event_id` reappears within
     * the watermark window — the streaming twin of `Dedup.exact`, with
