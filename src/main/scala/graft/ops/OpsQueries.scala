@@ -60,6 +60,8 @@ object OpsQueries {
     "events_anomaly" -> ((s, dir) => EventsOps.dailyAnomalies(s, dir)),
     // identical semantics through the skew-safe two-phase salted plan
     "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
+    // KMV distinct sketch: per-day + merged whole-range estimates
+    "events_kmv" -> ((s, dir) => Sketch.kmvDistinctUsers(s, dir)),
     // as-of join (union + carry-forward window) vs DuckDB's native ASOF
     "events_asof" -> ((s, dir) => AsofJoin.purchaseAttribution(s, dir)),
     // binned interval join vs DuckDB's native BETWEEN range join
@@ -77,6 +79,8 @@ object OpsQueries {
     "stream_sessions" -> ((s, dir) => graft.streaming.EventStream.sessionsCheck(s, dir)),
     // stream-static broadcast enrichment == the batch left join
     "stream_enrich" -> ((s, dir) => graft.streaming.EventStream.enrichCheck(s, dir)),
+    // watermarked stream-stream join == the batch inner join
+    "stream_join" -> ((s, dir) => graft.streaming.EventStream.joinCheck(s, dir)),
     // multimodal plumbing (binary payloads; decode stubbed) — registered
     // via scalar md5-digest projections so the driver can hash-compare
     "mm_media" -> ((s, dir) => Multimodal.mediaCheck(s, dir)),
@@ -147,6 +151,7 @@ object OpsQueries {
     "events_anomaly" -> EventsOps.dailyAnomaliesSql,
     // the salted plan must produce byte-identical results to the plain one
     "events_top_users_salted" -> EventsOps.topUsersSql(),
+    "events_kmv" -> Sketch.kmvDistinctUsersSql(),
     "events_asof" -> AsofJoin.purchaseAttributionSql,
     "events_interval_join" -> RangeJoin.sessionErrorLoadSql(),
     "io_formats" -> graft.io.Formats.roundtripSql,
@@ -155,6 +160,7 @@ object OpsQueries {
     "stream_dedup" -> graft.streaming.EventStream.dedupCheckSql,
     "stream_sessions" -> graft.streaming.EventStream.sessionsCheckSql(),
     "stream_enrich" -> graft.streaming.EventStream.enrichCheckSql,
+    "stream_join" -> graft.streaming.EventStream.joinCheckSql,
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),
     "text_tfidf" -> TextPrep.tfIdfSql(),

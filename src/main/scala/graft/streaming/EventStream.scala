@@ -176,6 +176,70 @@ object EventStream extends Serializable {
   val dedupCheckSql: String =
     "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1"
 
+  /** Watermarked stream–stream inner join — the canonical two-stream
+    * correlation: each purchase joined to the same user's clicks in the
+    * hour before it. Both sides carry a watermark and the join condition
+    * bounds `click_ts` to a window around `purchase_ts`, so the state
+    * store retains only the trailing hour (+watermark delay) of clicks
+    * and purchases per key — O(window × arrival rate), not O(stream).
+    * Without the time bound Spark would (rightly) have to keep every
+    * click forever.
+    */
+  def clickPurchaseJoin(spark: SparkSession, dir: String,
+                        glob: Option[String] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String, prefix: String): DataFrame = {
+      val reader = spark.readStream.schema(schema)
+      glob.foreach(g => reader.option("pathGlobFilter", g))
+      reader.parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"),
+          col("value").as(s"${prefix}_value"))
+        .withWatermark(s"${prefix}_ts", "10 minutes")
+    }
+    side("purchase", "purchase").join(side("click", "click"),
+      col("purchase_user") === col("click_user") &&
+        col("click_ts") < col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
+  /** Driver-visible stream–stream join proof: run [[clickPurchaseJoin]]
+    * to completion (one micro-batch — no match can be dropped by the
+    * watermark) and roll up the emitted pairs per purchase. Must equal
+    * the batch inner join with the same predicate — the oracle.
+    */
+  def joinCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_join", dir) {
+      val tbl = "stream_join_" + java.lang.Integer.toHexString(dir.hashCode)
+      val q = clickPurchaseJoin(spark, dir, glob = Some("events.parquet"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(tbl)
+        .groupBy(col("purchase_id"), col("purchase_user").as("user_id"),
+          col("purchase_ts"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("click_value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("click_value"))
+    }
+
+  val joinCheckSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+      |)
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       COUNT(*) AS n_clicks,
+      |       CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |GROUP BY 1, 2, 3""".stripMargin
+
   def dedupStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(schema).parquet(dir)

@@ -102,6 +102,45 @@ class EventsSpec extends SparkSpec {
     assert(got.filter(col("tier").isNull).count() === 0)
   }
 
+  test("stream-stream join emits exactly the batch click→purchase pairs") {
+    val got = EventStream.joinCheck(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"), col("value"))
+    val batch = p.join(c,
+        col("user_id") === col("cu") &&
+          col("click_ts") < col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy("purchase_id", "user_id", "purchase_ts")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("click_value"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+  }
+
+  test("KMV sketch: exact below k, bounded error above it") {
+    // sf0.01: 150 global users (> k=64) exercises the estimator branch;
+    // the merge property itself is proven by the oracle twin, whose 'all'
+    // row ranks ALL hashes while the Spark side merges day sketches
+    val rows = graft.ops.Sketch.kmvDistinctUsers(spark, "/root/testdata/sf0.01")
+      .collect()
+    val all = rows.find(_.getString(0) == "all").get
+    assert(all.getLong(1) === 150L)
+    assert(all.getDouble(2) !== 150.0) // the estimator branch, not exact
+    // |rel_err| within ~3x the KMV standard error 1/sqrt(k-2)
+    assert(math.abs(all.getDouble(3)) < 0.4)
+    // scopes under k report exactly (sketch holds the whole set)
+    rows.filter(_.getLong(1) < 64).foreach { r =>
+      assert(r.getDouble(2) === r.getLong(1).toDouble)
+      assert(r.getDouble(3) === 0.0)
+    }
+  }
+
   test("dashboard text rendering includes all five sections") {
     val out = graft.dq.Dashboard.render(spark, sf0001)
     assert(out.contains("Total checks:"))

@@ -11,8 +11,8 @@ class PlanLintSpec extends SparkSpec {
   // run work inside their builders (streams / reload writes) — their plan
   // shape is covered by their own specs
   private val eager = Set("stream_hourly", "stream_dedup", "stream_sessions",
-    "stream_enrich", "silver_reloaded", "dq_reloaded", "export_reconcile",
-    "io_formats", "compact_roundtrip")
+    "stream_enrich", "stream_join", "silver_reloaded", "dq_reloaded",
+    "export_reconcile", "io_formats", "compact_roundtrip")
 
   /** Deliberate nested-loop plans, all with a provably-small broadcast
     * side:
@@ -27,6 +27,7 @@ class PlanLintSpec extends SparkSpec {
     "ann_topk", "ivf_assign", "ivf_list_stats", "ivf_topk",
     "ann_recall", // composes ann_topk + ivf_topk, inherits their plans
     "dim_customer_incremental", // upsertDim crossJoins a ONE-ROW max-id
+    "events_kmv", // ONE-ROW global count × ONE-ROW merged-sketch k-th min
     "dash_summary", "dash_by_type", "dash_trend",
     "dash_recent10", "dash_critical5")
 
