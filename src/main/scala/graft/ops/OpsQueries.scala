@@ -42,6 +42,10 @@ object OpsQueries {
     "emb_neardups" -> ((s, dir) => Similarity.cosineNearDups(s, dir, threshold = 0.3)),
     // retrieval quality: recall@10 of both approximate paths vs brute force
     "ann_recall" -> ((s, dir) => Recall.atK(s, dir)),
+    // product quantization: 4-bit codes per subspace, ADC top-k, recall
+    "pq_codes" -> ((s, dir) => Pq.codes(s, dir)),
+    "pq_topk" -> ((s, dir) => Pq.topK(s, dir)),
+    "pq_recall" -> ((s, dir) => Recall.pqAtK(s, dir)),
     "ivf_assign" -> ((s, dir) => Ivf.assignments(s, dir)),
     "ivf_list_stats" -> ((s, dir) => Ivf.listStats(s, dir)),
     "ivf_topk" -> ((s, dir) => Ivf.topK(s, dir)),
@@ -135,6 +139,9 @@ object OpsQueries {
     "ann_multiprobe" -> Similarity.multiprobeSql(),
     "emb_neardups" -> Similarity.cosineNearDupsSql(0.3),
     "ann_recall" -> Recall.atKSql(),
+    "pq_codes" -> Pq.codesSql,
+    "pq_topk" -> Pq.topKSql(),
+    "pq_recall" -> Recall.pqAtKSql(),
     "ivf_assign" -> Ivf.assignmentsSql,
     "ivf_list_stats" -> Ivf.listStatsSql,
     "ivf_topk" -> Ivf.topKSql(),

@@ -1,0 +1,265 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the vector-compression half of the
+  * trillion-scale ANN design (IVF-PQ; Jégou et al., TPAMI'11, "Product
+  * Quantization for Nearest Neighbor Search" — public technique). The
+  * 64-dim embedding splits into [[numSub]] = 8 subspaces of 8 dims; each
+  * subspace gets a [[numCodes]] = 16-codeword codebook, so a vector is
+  * stored as 8 four-bit codes — 4 bytes against 256 for the raw floats, a
+  * 64× compression that is what makes a 100 TB corpus scannable: the ADC
+  * scan touches only the codes plus a per-query lookup table of
+  * queries × 8 × 16 partial dot products.
+  *
+  * Codebook training follows the [[Ivf]] template exactly: seeds = the
+  * first [[numCodes]] corpus vectors' subvectors, then one Lloyd round
+  * with per-dimension means in order-independent integer arithmetic
+  * (Σ round(x·10⁶) as long, one double division), so the whole chain is
+  * deterministic and DuckDB-oracle-checkable. Codebook size is FIXED by
+  * design, not corpus-scaled like the [[AnnParams]] knobs: 4-bit codes
+  * are the storage contract; capacity scales by pairing PQ with IVF
+  * lists (coarse cell + per-cell residual codes), not by widening codes.
+  *
+  * Assignment ranks codewords by squared L2 distance expressed as
+  * `sv·sv − 2·sv·cw + cw·cw` — three [[Similarity.dot]] products, the one
+  * float primitive with a proven bit-identical DuckDB twin
+  * (`list_dot_product`) — DECIMAL(10,6)-rounded with lower-code
+  * tiebreaks, like every ranking in the similarity stack.
+  *
+  * Scale notes: encoding is O(n·8·16) comparisons via a broadcast
+  * equi-join on the subspace id — linear with a constant 128, embarrassed
+  * parallel. The ADC join (`codes ⋈ lut on (sub, code)`) fans out to
+  * n·8·|queries| rows — the honest cost of scanning a compressed corpus;
+  * IVF probe lists bound the n. Partial dots are summed as
+  * DECIMAL(18,9) (order-independent; a double sum's low bits would
+  * depend on which partitions deliver the 8 rows of a group first).
+  */
+object Pq {
+
+  val numSub = 8
+  val subDim: Int = Similarity.dim / numSub
+  val numCodes = 16
+
+  private def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
+
+  /** Exploded (vec_id, sub, sv) subvectors — shared by training,
+    * encoding, and the query LUT.
+    */
+  private def subvectors(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "pq_subvectors", dir) {
+      val subs = (0 until numSub).map(s =>
+        struct(lit(s).as("sub"), slice(col("v"), s * subDim + 1, subDim).as("sv")))
+      Similarity.normalized(spark, dir)
+        .select(col("vec_id"), explode(array(subs: _*)).as("e"))
+        .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    }
+
+  /** Per-(vec, sub) nearest codeword: squared-L2 rank, DECIMAL-rounded,
+    * lower code on ties.
+    */
+  private def assign(sv: DataFrame, cb: DataFrame): DataFrame = {
+    val d2 = (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw")) +
+      dot(col("cw"), col("cw"))).cast("decimal(10,6)")
+    sv.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"), d2.as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "sub", "code")
+  }
+
+  private def seedCodebooks(spark: SparkSession, dir: String): DataFrame =
+    subvectors(spark, dir).filter(col("vec_id") < numCodes)
+      .select(col("sub"), col("vec_id").as("code"), col("sv").as("cw"))
+
+  /** One Lloyd round from the seeds (integer-quantized means, see
+    * [[Ivf.refineRounds]] for the arithmetic rationale).
+    */
+  def codebooks(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "pq_codebooks", dir) {
+      val sv = subvectors(spark, dir)
+      val means = assign(sv, seedCodebooks(spark, dir))
+        .join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos")
+        .agg((sum(round(col("x") * lit(1e6)).cast("long")).cast("double") /
+          (count(lit(1)) * lit(1e6))).as("m"))
+      means.groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cw"))
+    }
+
+  /** The stored artifact: (vec_id, sub, code) — 8 four-bit codes per
+    * vector.
+    */
+  def codes(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "pq_codes", dir) {
+      assign(subvectors(spark, dir), codebooks(spark, dir))
+    }
+
+  /** ADC (asymmetric distance computation) top-k: the query keeps its raw
+    * vector; every corpus vector is scored purely through its codes — a
+    * per-query LUT of subspace×codeword partial dots, summed per
+    * neighbor, normalized by the codeword-reconstruction norm.
+    */
+  def topK(spark: SparkSession, dir: String, k: Int = 10,
+           queryMod: Int = 50): DataFrame =
+    graft.Memo(spark, s"pq_topk_${k}_$queryMod", dir) {
+      val cb = codebooks(spark, dir)
+      val cd = codes(spark, dir)
+      val qn = Similarity.normalized(spark, dir)
+        .filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("query_id"), col("norm").as("qn"))
+
+      val lut = subvectors(spark, dir)
+        .filter(col("vec_id") % queryMod === 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(broadcast(cb), Seq("sub"))
+        .select(col("query_id"), col("sub"), col("code"),
+          dot(col("sv"), col("cw")).cast("decimal(18,9)").as("pd"))
+
+      // reconstruction norm: sqrt of the summed codeword self-dots
+      val cww = cb.select(col("sub"), col("code"),
+        dot(col("cw"), col("cw")).cast("decimal(18,9)").as("w2"))
+      val rn = cd.join(broadcast(cww), Seq("sub", "code"))
+        .groupBy("vec_id").agg(sqrt(sum(col("w2")).cast("double")).as("rnorm"))
+
+      val ad = cd.join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("pd")).as("ad"))
+      val sim = (col("ad").cast("double") / (col("qn") * col("rnorm")))
+        .cast("decimal(10,6)")
+      ad.join(qn, "query_id")
+        .join(rn, col("neighbor_id") === rn("vec_id"))
+        .select(col("query_id"), col("neighbor_id"), sim.as("adc_sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("adc_sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          col("adc_sim").cast("double").as("adc_sim"), col("rank"))
+    }
+
+  /** ADC shortlist → exact rerank — the standard production shape: the
+    * compressed scan proposes `shortlist` candidates per query (cheap,
+    * codes only), then the raw vectors of JUST those candidates are
+    * fetched and scored exactly. Retrieval quality recovers most of what
+    * 4-bit codes lose (measured in pq_recall: 'pq' vs 'pq_rerank'),
+    * while the raw-float reads stay O(queries × shortlist) instead of
+    * O(n) — at 100 TB that is the difference between touching gigabytes
+    * and touching everything.
+    */
+  def rerankTopK(spark: SparkSession, dir: String, k: Int = 10,
+                 shortlist: Int = 100, queryMod: Int = 50): DataFrame =
+    graft.Memo(spark, s"pq_rerank_${k}_${shortlist}_$queryMod", dir) {
+      val e = Similarity.normalized(spark, dir)
+      val q = e.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qn"))
+      val cands = topK(spark, dir, shortlist, queryMod)
+        .select("query_id", "neighbor_id")
+      val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+        .cast("decimal(10,6)")
+      cands.join(q, "query_id")
+        .join(e, col("neighbor_id") === e("vec_id"))
+        .select(col("query_id"), col("neighbor_id"), cos.as("cosine_sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cosine_sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine_sim").cast("double").as("cosine_sim"), col("rank"))
+    }
+
+  // ---------- DuckDB oracles ----------
+
+  /** Subvector + codebook-training CTE block: `psub` (exploded
+    * subvectors), `pq_cb` (the one-Lloyd-round codebooks), `pq_codes`.
+    * Requires [[Similarity.normCte]]'s `emb` in scope.
+    */
+  val codesCte: String = {
+    def assignSql(name: String, cbTable: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT t.vec_id, t.sub, c.code,
+         |           row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+         |             CAST(list_dot_product(t.sv, t.sv)
+         |                  - 2 * list_dot_product(t.sv, c.cw)
+         |                  + list_dot_product(c.cw, c.cw) AS DECIMAL(10,6)),
+         |             c.code) AS rk
+         |    FROM psub t JOIN $cbTable c USING (sub)
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    s"""psub AS (
+       |  SELECT vec_id, CAST(s.s AS INT) AS sub,
+       |         v[CAST(s.s AS INT) * $subDim + 1 : CAST(s.s AS INT) * $subDim + $subDim] AS sv
+       |  FROM emb CROSS JOIN range(0, $numSub) s(s)
+       |), pq_seed AS (
+       |  SELECT sub, vec_id AS code, sv AS cw FROM psub WHERE vec_id < $numCodes
+       |), ${assignSql("pq_asg0", "pq_seed")}, pq_means AS (
+       |  SELECT a.sub, a.code, CAST(i.i AS INT) AS pos,
+       |         CAST(SUM(CAST(round(t.sv[CAST(i.i AS INT) + 1] * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |           / (count(*) * 1000000.0) AS m
+       |  FROM pq_asg0 a JOIN psub t USING (vec_id, sub)
+       |  CROSS JOIN range(0, $subDim) i(i)
+       |  GROUP BY 1, 2, 3
+       |), pq_cb AS (
+       |  SELECT sub, code, list(m ORDER BY pos) AS cw
+       |  FROM pq_means GROUP BY 1, 2
+       |), ${assignSql("pq_codes", "pq_cb")}""".stripMargin
+  }
+
+  val codesSql: String =
+    s"WITH ${Similarity.normCte}, $codesCte SELECT vec_id, sub, code FROM pq_codes"
+
+  def topKSql(k: Int = 10, queryMod: Int = 50): String =
+    s"""WITH ${Similarity.normCte}, $codesCte, lut AS (
+       |  SELECT t.vec_id AS query_id, t.sub, c.code,
+       |         CAST(list_dot_product(t.sv, c.cw) AS DECIMAL(18,9)) AS pd
+       |  FROM psub t JOIN pq_cb c USING (sub)
+       |  WHERE t.vec_id % $queryMod = 0
+       |), cww AS (
+       |  SELECT sub, code,
+       |         CAST(list_dot_product(cw, cw) AS DECIMAL(18,9)) AS w2
+       |  FROM pq_cb
+       |), rn AS (
+       |  SELECT p.vec_id, sqrt(CAST(SUM(w2) AS DOUBLE)) AS rnorm
+       |  FROM pq_codes p JOIN cww USING (sub, code) GROUP BY 1
+       |), ad AS (
+       |  SELECT l.query_id, p.vec_id AS neighbor_id, SUM(l.pd) AS ad
+       |  FROM pq_codes p JOIN lut l USING (sub, code)
+       |  WHERE p.vec_id != l.query_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT a.query_id, a.neighbor_id,
+       |         CAST(CAST(a.ad AS DOUBLE) / (e.norm * r.rnorm) AS DECIMAL(10,6)) AS adc_sim
+       |  FROM ad a
+       |  JOIN emb e ON e.vec_id = a.query_id
+       |  JOIN rn r ON r.vec_id = a.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, CAST(adc_sim AS DOUBLE) AS adc_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
+
+  def rerankSql(k: Int = 10, shortlist: Int = 100, queryMod: Int = 50): String =
+    s"""WITH ${Similarity.normCte}, cands AS (
+       |  SELECT query_id, neighbor_id FROM (${topKSql(shortlist, queryMod)})
+       |), rescored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         CAST(list_dot_product(q.v, n.v) / (q.norm * n.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |  FROM cands c
+       |  JOIN emb q ON q.vec_id = c.query_id
+       |  JOIN emb n ON n.vec_id = c.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, CAST(cosine_sim AS DOUBLE) AS cosine_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM rescored
+       |) WHERE rank <= $k""".stripMargin
+}

@@ -53,30 +53,45 @@ object Recall {
       .unionByName(hitsOf(truth, Ivf.topK(spark, dir, k, queryMod), "ivf", k))
   }
 
+  /** recall@k of the PQ/ADC path ([[Pq.topK]]) — separate from [[atK]]
+    * because PQ answers from 4-bit codes, a lossy representation whose
+    * recall floor is a property of the compression, not the probe count.
+    */
+  def pqAtK(spark: SparkSession, dir: String, k: Int = 10,
+            queryMod: Int = 50): DataFrame = {
+    val truth = Similarity.bruteForceTopK(spark, dir, k, queryMod)
+      .select(col("query_id"), col("neighbor_id"))
+    hitsOf(truth, Pq.topK(spark, dir, k, queryMod), "pq", k)
+      .unionByName(
+        hitsOf(truth, Pq.rerankTopK(spark, dir, k, queryMod = queryMod),
+          "pq_rerank", k))
+  }
+
   // ---------- DuckDB oracle ----------
+
+  private def block(method: String, approxSql: String): String =
+    s"""per_$method AS (
+       |  SELECT '$method' AS method, q.query_id,
+       |         COALESCE(h.hits, 0) AS hits
+       |  FROM (SELECT DISTINCT query_id FROM truth) q
+       |  LEFT JOIN (
+       |    SELECT t.query_id, count(*) AS hits
+       |    FROM truth t
+       |    JOIN ($approxSql) a
+       |      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |    GROUP BY t.query_id
+       |  ) h USING (query_id)
+       |), all_$method AS (
+       |  SELECT '$method' AS method, CAST(-1 AS BIGINT) AS query_id,
+       |         CAST(SUM(hits) AS BIGINT) AS hits, count(*) AS nq
+       |  FROM per_$method
+       |)""".stripMargin
 
   /** Composes the three existing oracle queries (each a full WITH…SELECT,
     * legal as a parenthesized derived table in DuckDB) and mirrors the
     * hit-count/ratio arithmetic.
     */
   def atKSql(k: Int = 10, queryMod: Int = 50): String = {
-    def block(method: String, approxSql: String): String =
-      s"""per_$method AS (
-         |  SELECT '$method' AS method, q.query_id,
-         |         COALESCE(h.hits, 0) AS hits
-         |  FROM (SELECT DISTINCT query_id FROM truth) q
-         |  LEFT JOIN (
-         |    SELECT t.query_id, count(*) AS hits
-         |    FROM truth t
-         |    JOIN ($approxSql) a
-         |      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
-         |    GROUP BY t.query_id
-         |  ) h USING (query_id)
-         |), all_$method AS (
-         |  SELECT '$method' AS method, CAST(-1 AS BIGINT) AS query_id,
-         |         CAST(SUM(hits) AS BIGINT) AS hits, count(*) AS nq
-         |  FROM per_$method
-         |)""".stripMargin
     s"""WITH truth AS (
        |  SELECT query_id, neighbor_id FROM (${Similarity.bruteForceSql(k, queryMod)})
        |), ${block("multiprobe", Similarity.multiprobeSql(k, queryMod))},
@@ -93,4 +108,21 @@ object Recall {
        |SELECT method, query_id, hits, CAST(hits AS DOUBLE) / (nq * $k) AS recall
        |FROM all_ivf""".stripMargin
   }
+
+  def pqAtKSql(k: Int = 10, queryMod: Int = 50): String =
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM (${Similarity.bruteForceSql(k, queryMod)})
+       |), ${block("pq", Pq.topKSql(k, queryMod))},
+       |${block("pq_rerank", Pq.rerankSql(k, queryMod = queryMod))}
+       |SELECT method, query_id, hits, CAST(hits AS DOUBLE) / $k AS recall
+       |FROM per_pq
+       |UNION ALL
+       |SELECT method, query_id, hits, CAST(hits AS DOUBLE) / (nq * $k) AS recall
+       |FROM all_pq
+       |UNION ALL
+       |SELECT method, query_id, hits, CAST(hits AS DOUBLE) / $k AS recall
+       |FROM per_pq_rerank
+       |UNION ALL
+       |SELECT method, query_id, hits, CAST(hits AS DOUBLE) / (nq * $k) AS recall
+       |FROM all_pq_rerank""".stripMargin
 }

@@ -26,6 +26,7 @@ class PlanLintSpec extends SparkSpec {
   private val allowedNlj = Set(
     "ann_topk", "ivf_assign", "ivf_list_stats", "ivf_topk",
     "ann_recall", // composes ann_topk + ivf_topk, inherits their plans
+    "pq_recall", // composes the ann_topk brute-force truth
     "dim_customer_incremental", // upsertDim crossJoins a ONE-ROW max-id
     "events_kmv", // ONE-ROW global count × ONE-ROW merged-sketch k-th min
     "dash_summary", "dash_by_type", "dash_trend",
