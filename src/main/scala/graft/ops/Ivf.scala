@@ -173,25 +173,34 @@ object Ivf {
     }
   }
 
+  /** Per-query nProbe nearest centroids: (query_id, qv, qn, centroid_id)
+    * — the probe stage shared by [[topKWith]] and the IVF-PQ composition
+    * ([[Pq.ivfPqTopK]]).
+    */
+  private[ops] def probesOf(spark: SparkSession, dir: String,
+                            cent: DataFrame, nProbe: Int,
+                            queryMod: Int): DataFrame = {
+    val c = broadcast(cent)
+    val q = Similarity.normalized(spark, dir)
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val qcos = (dot(col("qv"), col("cv")) / (col("qn") * col("cnorm")))
+      .cast("decimal(10,6)")
+    q.crossJoin(c)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"), qcos.as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("centroid_id"))))
+      .filter(col("rk") <= nProbe)
+      .select("query_id", "qv", "qn", "centroid_id")
+  }
+
   /** [[topK]] against explicit centroids + assignment (sweep/spec aid). */
   private[graft] def topKWith(spark: SparkSession, dir: String,
                               cent: DataFrame, assign: DataFrame,
                               nProbe: Int, k: Int = 10,
                               queryMod: Int = 50): DataFrame = {
     val e = Similarity.normalized(spark, dir).join(assign, "vec_id")
-    val c = broadcast(cent)
-    val q = e.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
-
-    // nprobe nearest centroids per query
-    val qcos = (dot(col("qv"), col("cv")) / (col("qn") * col("cnorm")))
-      .cast("decimal(10,6)")
-    val probes = q.crossJoin(c)
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"), qcos.as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("centroid_id"))))
-      .filter(col("rk") <= nProbe)
-      .select("query_id", "qv", "qn", "centroid_id")
+    val probes = probesOf(spark, dir, cent, nProbe, queryMod)
 
     // search only vectors in the probed lists
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))

@@ -46,6 +46,8 @@ object OpsQueries {
     "pq_codes" -> ((s, dir) => Pq.codes(s, dir)),
     "pq_topk" -> ((s, dir) => Pq.topK(s, dir)),
     "pq_recall" -> ((s, dir) => Recall.pqAtK(s, dir)),
+    // the composed production stack: IVF probes → ADC over codes → rerank
+    "ivfpq_topk" -> ((s, dir) => Pq.ivfPqTopK(s, dir)),
     "ivf_assign" -> ((s, dir) => Ivf.assignments(s, dir)),
     "ivf_list_stats" -> ((s, dir) => Ivf.listStats(s, dir)),
     "ivf_topk" -> ((s, dir) => Ivf.topK(s, dir)),
@@ -142,6 +144,7 @@ object OpsQueries {
     "pq_codes" -> Pq.codesSql,
     "pq_topk" -> Pq.topKSql(),
     "pq_recall" -> Recall.pqAtKSql(),
+    "ivfpq_topk" -> Pq.ivfPqSql(),
     "ivf_assign" -> Ivf.assignmentsSql,
     "ivf_list_stats" -> Ivf.listStatsSql,
     "ivf_topk" -> Ivf.topKSql(),

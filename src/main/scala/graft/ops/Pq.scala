@@ -156,23 +156,82 @@ object Pq {
   def rerankTopK(spark: SparkSession, dir: String, k: Int = 10,
                  shortlist: Int = 100, queryMod: Int = 50): DataFrame =
     graft.Memo(spark, s"pq_rerank_${k}_${shortlist}_$queryMod", dir) {
-      val e = Similarity.normalized(spark, dir)
-      val q = e.filter(col("vec_id") % queryMod === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("norm").as("qn"))
-      val cands = topK(spark, dir, shortlist, queryMod)
-        .select("query_id", "neighbor_id")
-      val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      rerankOf(spark, dir,
+        topK(spark, dir, shortlist, queryMod).select("query_id", "neighbor_id"),
+        k, queryMod)
+    }
+
+  /** Exact-cosine rerank of an arbitrary (query_id, neighbor_id)
+    * candidate set — shared by [[rerankTopK]] and [[ivfPqTopK]].
+    */
+  private def rerankOf(spark: SparkSession, dir: String, cands: DataFrame,
+                       k: Int, queryMod: Int): DataFrame = {
+    val e = Similarity.normalized(spark, dir)
+    val q = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .cast("decimal(10,6)")
+    cands.join(q, "query_id")
+      .join(e, col("neighbor_id") === e("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine_sim").cast("double").as("cosine_sim"), col("rank"))
+  }
+
+  /** IVF-PQ — the full trillion-scale retrieval stack composed: IVF
+    * probes bound WHICH vectors are touched ([[AnnParams.nProbe]] lists
+    * out of ≈√(n/4)), PQ codes bound HOW MUCH is read per touched vector
+    * (4 bytes), and the exact rerank of the surviving shortlist restores
+    * precision. Per query the raw-float reads are O(shortlist); the code
+    * reads are O(n/√n·nProbe) — at no stage does the full corpus leave
+    * its compressed, list-partitioned form.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
+                shortlist: Int = 100, queryMod: Int = 50): DataFrame =
+    graft.Memo(spark, s"ivfpq_topk_${k}_${shortlist}_$queryMod", dir) {
+      val nProbe = AnnParams.nProbe(AnnParams.corpusSize(spark, dir))
+      val probes = Ivf.probesOf(spark, dir, Ivf.centroids(spark, dir),
+          nProbe, queryMod)
+        .select("query_id", "centroid_id")
+      val cands = probes.join(Ivf.assignments(spark, dir), "centroid_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id")
+
+      val cb = codebooks(spark, dir)
+      val lut = subvectors(spark, dir)
+        .filter(col("vec_id") % queryMod === 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(broadcast(cb), Seq("sub"))
+        .select(col("query_id"), col("sub"), col("code"),
+          dot(col("sv"), col("cw")).cast("decimal(18,9)").as("pd"))
+      val cww = cb.select(col("sub"), col("code"),
+        dot(col("cw"), col("cw")).cast("decimal(18,9)").as("w2"))
+      val rn = codes(spark, dir).join(broadcast(cww), Seq("sub", "code"))
+        .groupBy("vec_id").agg(sqrt(sum(col("w2")).cast("double")).as("rnorm"))
+      val qn = Similarity.normalized(spark, dir)
+        .filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("query_id"), col("norm").as("qn"))
+
+      val ad = codes(spark, dir).join(cands, "vec_id")
+        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("pd")).as("ad"))
+      val sim = (col("ad").cast("double") / (col("qn") * col("rnorm")))
         .cast("decimal(10,6)")
-      cands.join(q, "query_id")
-        .join(e, col("neighbor_id") === e("vec_id"))
-        .select(col("query_id"), col("neighbor_id"), cos.as("cosine_sim"))
-        .withColumn("rank", row_number().over(
+      val short = ad.join(qn, "query_id")
+        .join(rn, col("neighbor_id") === rn("vec_id"))
+        .select(col("query_id"), col("neighbor_id"), sim.as("adc_sim"))
+        .withColumn("rk", row_number().over(
           Window.partitionBy("query_id")
-            .orderBy(col("cosine_sim").desc, col("neighbor_id"))))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"),
-          col("cosine_sim").cast("double").as("cosine_sim"), col("rank"))
+            .orderBy(col("adc_sim").desc, col("neighbor_id"))))
+        .filter(col("rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+      rerankOf(spark, dir, short, k, queryMod)
     }
 
   // ---------- DuckDB oracles ----------
@@ -245,6 +304,63 @@ object Pq {
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY adc_sim DESC, neighbor_id) AS INT) AS rank
        |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
+
+  def ivfPqSql(k: Int = 10, shortlist: Int = 100, queryMod: Int = 50): String =
+    s"""WITH ${Similarity.normCte}, ${Ivf.centroidsCte}, ${AnnParams.nProbeSql}, $codesCte, q AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm AS qn
+       |  FROM emb WHERE vec_id % $queryMod = 0
+       |), probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT q.query_id, c.centroid_id,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             CAST(list_dot_product(q.qv, c.cv) / (q.qn * c.cnorm) AS DECIMAL(10,6)) DESC,
+       |             c.centroid_id) AS rk
+       |    FROM q CROSS JOIN ivf_centroids c
+       |  ) WHERE rk <= (SELECT np FROM nprobe_params)
+       |), cands AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN ivf_assign a USING (centroid_id)
+       |  WHERE a.vec_id != p.query_id
+       |), lut AS (
+       |  SELECT t.vec_id AS query_id, t.sub, c.code,
+       |         CAST(list_dot_product(t.sv, c.cw) AS DECIMAL(18,9)) AS pd
+       |  FROM psub t JOIN pq_cb c USING (sub)
+       |  WHERE t.vec_id % $queryMod = 0
+       |), cww AS (
+       |  SELECT sub, code,
+       |         CAST(list_dot_product(cw, cw) AS DECIMAL(18,9)) AS w2
+       |  FROM pq_cb
+       |), rn AS (
+       |  SELECT p.vec_id, sqrt(CAST(SUM(w2) AS DOUBLE)) AS rnorm
+       |  FROM pq_codes p JOIN cww USING (sub, code) GROUP BY 1
+       |), ad AS (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id, SUM(l.pd) AS ad
+       |  FROM (SELECT c.query_id, p.vec_id, p.sub, p.code
+       |        FROM cands c JOIN pq_codes p USING (vec_id)) cd
+       |  JOIN lut l ON l.query_id = cd.query_id AND l.sub = cd.sub AND l.code = cd.code
+       |  GROUP BY 1, 2
+       |), short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.query_id, a.neighbor_id,
+       |           row_number() OVER (PARTITION BY a.query_id ORDER BY
+       |             CAST(CAST(a.ad AS DOUBLE) / (e.norm * r.rnorm) AS DECIMAL(10,6)) DESC,
+       |             a.neighbor_id) AS rk
+       |    FROM ad a
+       |    JOIN emb e ON e.vec_id = a.query_id
+       |    JOIN rn r ON r.vec_id = a.neighbor_id
+       |  ) WHERE rk <= $shortlist
+       |), rescored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         CAST(list_dot_product(q2.v, n.v) / (q2.norm * n.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |  FROM short s
+       |  JOIN emb q2 ON q2.vec_id = s.query_id
+       |  JOIN emb n ON n.vec_id = s.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, CAST(cosine_sim AS DOUBLE) AS cosine_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM rescored
        |) WHERE rank <= $k""".stripMargin
 
   def rerankSql(k: Int = 10, shortlist: Int = 100, queryMod: Int = 50): String =

@@ -65,6 +65,9 @@ object Recall {
       .unionByName(
         hitsOf(truth, Pq.rerankTopK(spark, dir, k, queryMod = queryMod),
           "pq_rerank", k))
+      .unionByName(
+        hitsOf(truth, Pq.ivfPqTopK(spark, dir, k, queryMod = queryMod),
+          "ivfpq", k))
   }
 
   // ---------- DuckDB oracle ----------
@@ -113,7 +116,8 @@ object Recall {
     s"""WITH truth AS (
        |  SELECT query_id, neighbor_id FROM (${Similarity.bruteForceSql(k, queryMod)})
        |), ${block("pq", Pq.topKSql(k, queryMod))},
-       |${block("pq_rerank", Pq.rerankSql(k, queryMod = queryMod))}
+       |${block("pq_rerank", Pq.rerankSql(k, queryMod = queryMod))},
+       |${block("ivfpq", Pq.ivfPqSql(k, queryMod = queryMod))}
        |SELECT method, query_id, hits, CAST(hits AS DOUBLE) / $k AS recall
        |FROM per_pq
        |UNION ALL
@@ -124,5 +128,11 @@ object Recall {
        |FROM per_pq_rerank
        |UNION ALL
        |SELECT method, query_id, hits, CAST(hits AS DOUBLE) / (nq * $k) AS recall
-       |FROM all_pq_rerank""".stripMargin
+       |FROM all_pq_rerank
+       |UNION ALL
+       |SELECT method, query_id, hits, CAST(hits AS DOUBLE) / $k AS recall
+       |FROM per_ivfpq
+       |UNION ALL
+       |SELECT method, query_id, hits, CAST(hits AS DOUBLE) / (nq * $k) AS recall
+       |FROM all_ivfpq""".stripMargin
 }

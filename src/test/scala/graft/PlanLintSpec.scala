@@ -27,6 +27,7 @@ class PlanLintSpec extends SparkSpec {
     "ann_topk", "ivf_assign", "ivf_list_stats", "ivf_topk",
     "ann_recall", // composes ann_topk + ivf_topk, inherits their plans
     "pq_recall", // composes the ann_topk brute-force truth
+    "ivfpq_topk", // IVF probe stage broadcasts the √-law centroid table
     "dim_customer_incremental", // upsertDim crossJoins a ONE-ROW max-id
     "events_kmv", // ONE-ROW global count × ONE-ROW merged-sketch k-th min
     "dash_summary", "dash_by_type", "dash_trend",

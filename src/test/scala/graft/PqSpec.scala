@@ -30,5 +30,8 @@ class PqSpec extends SparkSpec {
     // the production shape: rerank the 100-candidate shortlist exactly
     assert(r("pq_rerank") >= 0.7)
     assert(r("pq_rerank") > r("pq") + 0.3)
+    // the composed stack: IVF probes bound the scan, codes bound the
+    // bytes, rerank restores precision — only pays the list restriction
+    assert(r("ivfpq") >= 0.6)
   }
 }
