@@ -91,6 +91,57 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private def shuffles(plan: SparkPlan): Int =
     collectWithSubqueries(plan) { case _: ShuffleExchangeExec => 1 }.sum
 
+  test("z-ordered layout clusters BOTH filter dimensions per file") {
+    // Z-ordering (bit-interleaving two filter keys into one sort key)
+    // is the layout that makes parquet row-group min/max skipping work
+    // for 2-D selective scans: a single-key sort clusters only its own
+    // dimension, so predicates on the other key read every file. The
+    // assertion is on the data property that drives the skipping — the
+    // per-file span of each dimension — not on engine internals.
+    val dir = "/root/testdata/sf0.01"
+    // symmetric 5-bit interleave: both dimensions quantized to 32 cells
+    // (unequal bit widths would let the wider key's high bits dominate
+    // the ordering and the narrow key would not cluster at all)
+    val nBits = 5
+    def interleave(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) =
+      (0 until nBits).map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), dayofmonth(col("ts")).cast("long").as("day"))
+    val userCell = (col("user_id") * 32 / 1500).cast("long") // 0..31
+    val dayCell = col("day") - 1 // 0..30
+
+    def spans(sorted: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val out = Files.createTempDirectory("zorder").toString
+      sorted.write.mode("overwrite").parquet(out)
+      val s = spark.read.parquet(out)
+        .groupBy(input_file_name())
+        .agg((max("user_id") - min("user_id")).as("us"),
+          (max("day") - min("day")).as("ds"))
+        .agg(avg("us"), avg("ds")).head()
+      (s.getDouble(0), s.getDouble(1))
+    }
+    // both layouts: 8 range-partitioned, internally sorted files
+    val (zUserSpan, zDaySpan) =
+      spans(ev.withColumn("z", interleave(userCell, dayCell))
+        .repartitionByRange(8, col("z")).sortWithinPartitions("z").drop("z"))
+    val (uUserSpan, uDaySpan) =
+      spans(ev.repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions("user_id"))
+    // single-key sort: its own dimension clusters tightly, the other
+    // spans the whole month — day predicates read every file
+    assert(uUserSpan < 400, s"user-sort user span $uUserSpan")
+    assert(uDaySpan > 25, s"user-sort day span $uDaySpan")
+    // z-order: BOTH dimensions cluster well below their global spans
+    // (1500 users / 30 days) — the per-dimension trade that buys joint
+    // skipping
+    assert(zUserSpan < 1000, s"z user span $zUserSpan")
+    assert(zDaySpan < 15, s"z day span $zDaySpan")
+  }
+
   test("bucketed tables join without a shuffle (the Bronze bucketing claim)") {
     // force sort-merge joins: at this SF everything fits the broadcast
     // threshold and BOTH joins would be shuffle-free, proving nothing
