@@ -320,6 +320,37 @@ object EventsOps {
       |          * (CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))), 0)) > 2.0 AS is_anomaly
       |FROM daily d JOIN stats s USING (event_type)""".stripMargin
 
+  /** 7-day trailing moving average of daily event counts per type — the
+    * standard smoothing pass over the daily rollup. One extra window over
+    * the (type, day) aggregate (≤ types×days rows), partitioned by type:
+    * no new shuffle of the raw events. Sums are integers, the single
+    * division happens at the edge, so the doubles are bit-identical
+    * across engines. ROWS (not RANGE) framing: missing days shrink the
+    * window to the rows present, matching the oracle exactly.
+    */
+  def movingAvg(spark: SparkSession, dir: String, days: Int = 7): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_date")
+      .rowsBetween(-(days - 1), Window.currentRow)
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_date"), col("event_type"), col("n"),
+        (sum(col("n")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as(s"ma$days"))
+  }
+
+  def movingAvgSql(days: Int = 7): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT event_date, event_type, n,
+       |       CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
+       |         AS ma$days
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY event_date
+       |             ROWS BETWEEN ${days - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Weekly cohort retention: users grouped by the week of their first
     * event; for each (cohort_week, week_offset) the count of distinct
     * users active that week. Two aggregates keyed by user, then one by
