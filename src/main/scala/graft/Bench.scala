@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
   * alphabetically-first toucher — `dim_customer` carries silver+persist
   * for the whole star family, `dedup_candidates` the shingle→minhash→band
   * chain for the dedup family. Per-query numbers are end-to-end cold
-  * costs only for queries with no memoized ancestor.
+  * costs only for queries with no memoized ancestor. The converse
+  * problem — late queries absorbing the accumulated cache/GC pressure of
+  * EVERY earlier family — is handled by `Memo.evictAfter`: the warm-up
+  * pass records each memo family's users and the timed loop unpersists a
+  * family as soon as its last user has run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,10 +34,16 @@ object Bench {
     // compilation (the generated source is data-independent, so the
     // compiled-class cache carries over; Memo results are keyed by dir
     // and do NOT carry over — no result reuse).
+    // The warm-up doubles as the memo-dependency census: Memo.tracking
+    // records which queries touch which memo family, so the timed loop
+    // can evict a family right after its last user — without this, 90+
+    // queries accumulate every family's persisted frames in one JVM and
+    // late-alphabet timings absorb the cache/GC pressure of earlier ones.
     val warmDir = "/root/testdata/sf0.001"
-    if (warmDir != sfDir) SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+    if (warmDir != sfDir) SparkEntry.queries.foreach { case (name, fn) =>
+      try Memo.tracking(name) {
+        fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => }
     }
     // SPARK_GRAFT_ONLY=a,b,c restricts the timed set (builder-side scale
     // experiments; the driver never sets it)
@@ -44,12 +54,16 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try Memo.tracking(name) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // outside the timed window: drop families this query used last
+      Memo.evictAfter(name)
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -2,7 +2,8 @@ package graft.ops
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Corpus-size-derived ANN knobs. Hard-coded constants (8 planes, 16
   * centroids) are a scale bug: fixed plane count makes sign-LSH buckets
@@ -66,6 +67,29 @@ object AnnParams {
     * a silent constant.
     */
   def nProbe(n: Long): Int = math.max(4, (3 * nCentroids(n) + 3) / 4)
+
+  /** Fixed cap on the retrieval-measurement query sample. The ground
+    * truth (brute-force top-k) is quadratic PER QUERY by construction; a
+    * measurement harness may be quadratic in a fixed sample, never in the
+    * corpus. `vec_id % queryMod = 0 AND vec_id < queryMod·maxQueries`
+    * admits the LOWEST maxQueries query ids — deterministic, and
+    * expressible identically in SQL. At the test SFs (≤ 2,000 vectors,
+    * ≤ 40 queries) the cap never binds, so results are unchanged; at
+    * scale the truth cost is O(maxQueries · n) instead of O(n²/mod).
+    */
+  val maxQueries = 1000
+
+  /** The measurement query-set predicate every retrieval path shares —
+    * truth and approximate methods MUST select the same sample or recall
+    * numerators and denominators drift apart.
+    */
+  def queryPred(queryMod: Int): Column =
+    col("vec_id") % queryMod === 0 &&
+      col("vec_id") < queryMod.toLong * maxQueries
+
+  /** SQL twin of [[queryPred]] (prefix the column when ambiguous). */
+  def queryPredSql(queryMod: Int, c: String = "vec_id"): String =
+    s"$c % $queryMod = 0 AND $c < ${queryMod.toLong * maxQueries}"
 
   /** SQL twin of [[numPlanes]] over the embeddings table. */
   val numPlanesSql: String =

@@ -182,7 +182,7 @@ object Ivf {
                             queryMod: Int): DataFrame = {
     val c = broadcast(cent)
     val q = Similarity.normalized(spark, dir)
-      .filter(col("vec_id") % queryMod === 0)
+      .filter(AnnParams.queryPred(queryMod))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val qcos = (dot(col("qv"), col("cv")) / (col("qn") * col("cnorm")))
       .cast("decimal(10,6)")
@@ -298,7 +298,7 @@ object Ivf {
        |  SELECT e.*, a.centroid_id FROM emb e JOIN ivf_assign a USING (vec_id)
        |), q AS (
        |  SELECT vec_id AS query_id, v AS qv, norm AS qn
-       |  FROM ea WHERE vec_id % $queryMod = 0
+       |  FROM ea WHERE ${AnnParams.queryPredSql(queryMod)}
        |), probes AS (
        |  SELECT query_id, qv, qn, centroid_id FROM (
        |    SELECT q.query_id, q.qv, q.qn, c.centroid_id,

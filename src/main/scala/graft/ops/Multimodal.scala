@@ -1,28 +1,28 @@
 package graft.ops
 
-import java.security.MessageDigest
-
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus per-partition batched feature
-  * extraction. The decode step is STUBBED (no image/audio codecs in this
-  * environment) with a deterministic md5-derived fake — everything
-  * Spark-side is real: the schema, the binary payload column, the
-  * partition-batched iteration, and the fixed-width feature output that a
-  * downstream ANN (graft.ops.Similarity) consumes.
+  * extraction.
   *
-  * In production the [[features]] body is the only thing that changes:
-  * the stub becomes a JNI/codec call (Scala) — or the operator moves to
-  * `mapInPandas` with the identical schema contract when the codec lives
-  * in Python. Batch shape (one partition = one decode batch) and the
-  * 4-byte-bounded metadata stay as they are.
+  * The image path is REAL end-to-end: [[imageTable]] synthesizes genuine
+  * 24-bit uncompressed BMP payloads (deterministic per-id pixel pattern,
+  * encoded by [[Bmp.encode]] on the executors), and [[imageStats]] /
+  * [[imageResize]] decode those actual bytes with `javax.imageio` in a
+  * batched `mapPartitions` and emit pixel statistics computed from the
+  * decoded raster. The planted-truth oracle recomputes the same stats
+  * analytically from the pattern definition — if either the encoder or
+  * the decoder mis-handles a single byte (row padding, BGR order,
+  * bottom-up rows), the hashes diverge.
+  *
+  * The audio/video leg ([[frameSample]]) remains plumbing over opaque
+  * bytes: batch shape, schema, and metadata are the contract; a codec
+  * would slot into the same `mapPartitions` shape the image path proves.
   */
 object Multimodal {
-
-  val featureDim = 16
 
   /** Media table: documents' text bytes stand in for an opaque media
     * payload; metadata columns are what a real ingest would carry.
@@ -36,50 +36,132 @@ object Multimodal {
       // octet length of the BINARY payload, not character count of text
       length(encode(col("text"), "UTF-8")).as("payload_bytes"))
 
-  /** Batched "decode + feature-extract": one fixed-width float vector per
-    * payload. STUB — deterministic bytes-of-md5 features instead of a real
-    * decoder; the mapPartitions batch shape is the real contract.
+  // ---------- real image path: encode → decode → pixel stats ----------
+
+  /** Deterministic per-id image geometry/pattern — the planted truth the
+    * oracle recomputes analytically. All arithmetic is non-negative
+    * integer, so Scala `%` and DuckDB `%` agree.
     */
-  def features(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media: Dataset[(Long, Array[Byte])] = mediaTable(spark, dir)
-      .select(col("media_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-    media.mapPartitions { batch =>
-      // one MessageDigest per partition — the "open the codec once per
-      // batch" pattern a real decoder needs
-      val md = MessageDigest.getInstance("MD5")
-      batch.map { case (id, payload) =>
-        val d = md.digest(payload)
-        val vec = (0 until featureDim).map(i => (d(i) & 0xFF) / 255.0f).toArray
-        (id, vec)
-      }
-    }.toDF("media_id", "feature_vec")
+  object Pattern {
+    def width(id: Long): Int = (8 + id % 13).toInt   // 8..20
+    def height(id: Long): Int = (8 + id % 11).toInt  // 8..18
+    def r(x: Int, y: Int, id: Long): Int = ((x * 7 + y * 11 + id * 13) % 256).toInt
+    def g(x: Int, y: Int, id: Long): Int = ((x * 5 + y * 3 + id * 17) % 256).toInt
+    def b(x: Int, y: Int, id: Long): Int = ((x + y + id) % 256).toInt
   }
 
-  /** Resize: deterministic downsample of the payload to ≈`targetBytes`
-    * by keeping every ceil(len/target)-th byte — the STUB body of an
-    * image-resize; the real contract is the plumbing: binary in, smaller
-    * binary + original/new dims out, pure column ops, no driver hop.
+  /** Minimal 24-bit uncompressed BMP writer (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, bottom-up BGR rows padded to 4 bytes) — the
+    * fixture side of the decode proof. Runs on executors.
     */
-  def resize(spark: SparkSession, dir: String, targetBytes: Int = 256): DataFrame = {
-    val n = length(col("payload"))
-    val stride = greatest(ceil(n.cast("double") / targetBytes).cast("int"), lit(1))
-    mediaTable(spark, dir)
-      .withColumn("resized",
-        // sample byte positions 1, 1+stride, 1+2*stride, ... and re-join;
-        // empty payloads short-circuit (sequence(1, 0) is an error, and
-        // CaseWhen evaluates branches lazily per row)
-        when(n === 0, lit(Array.emptyByteArray))
-          .otherwise(aggregate(
-            transform(sequence(lit(1), n, stride),
-              i => substring(col("payload"), i, lit(1))),
-            lit(Array.emptyByteArray),
-            (acc, b) => concat(acc, b))))
-      .select(col("media_id"), col("media_type"),
-        col("payload_bytes").as("orig_bytes"),
-        length(col("resized")).as("resized_bytes"),
-        col("resized"))
+  object Bmp {
+    def encode(id: Long): Array[Byte] = {
+      val w = Pattern.width(id)
+      val h = Pattern.height(id)
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val size = 54 + rowSize * h
+      val buf = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte)
+      buf.putInt(size).putInt(0).putInt(54)
+      buf.putInt(40).putInt(w).putInt(h)
+      buf.putShort(1).putShort(24)
+      buf.putInt(0).putInt(rowSize * h)
+      buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = h - 1
+      while (y >= 0) { // bottom-up row order
+        var x = 0
+        while (x < w) {
+          buf.put(Pattern.b(x, y, id).toByte)
+          buf.put(Pattern.g(x, y, id).toByte)
+          buf.put(Pattern.r(x, y, id).toByte)
+          x += 1
+        }
+        var p = w * 3
+        while (p < rowSize) { buf.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      buf.array()
+    }
+
+    /** Decode via the JDK's ImageIO BMP reader — receives only the bytes,
+      * no access to the generating pattern.
+      */
+    def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "no ImageIO decoder matched the payload")
+      img
+    }
+  }
+
+  /** Image table: one real BMP binary per document id, built on the
+    * executors. At 100 TB this is the ingest-side scan of a binary
+    * column; everything downstream sees only (id, bytes).
+    */
+  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, Bmp.encode(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Batched decode + feature extraction over REAL pixels: width, height,
+    * exact per-channel integer sums, and per-channel means (one IEEE
+    * division of exact integers — bit-identical across engines). One
+    * `mapPartitions` batch per partition; the decoder touches only the
+    * payload bytes.
+    */
+  def imageStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir).as[(Long, Array[Byte])].mapPartitions { batch =>
+      batch.map { case (id, payload) =>
+        val img = Bmp.decode(payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            rs += (rgb >> 16) & 0xFF; gs += (rgb >> 8) & 0xFF; bs += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        (id, w, h, rs, gs, bs, rs / n, gs / n, bs / n)
+      }
+    }.toDF("media_id", "width", "height", "r_sum", "g_sum", "b_sum",
+      "r_mean", "g_mean", "b_mean")
+  }
+
+  /** Real image resize: decode, nearest-neighbor sample to `tw`×`th`
+    * (source pixel (i·w)/tw, (j·h)/th — integer floor, the standard NN
+    * grid), and report the thumbnail's exact channel sums. Binary in,
+    * stats out; the decoded raster is the only data source.
+    */
+  def imageResize(spark: SparkSession, dir: String,
+                  tw: Int = 8, th: Int = 8): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir).as[(Long, Array[Byte])].mapPartitions { batch =>
+      batch.map { case (id, payload) =>
+        val img = Bmp.decode(payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var j = 0
+        while (j < th) {
+          var i = 0
+          while (i < tw) {
+            val rgb = img.getRGB(i * w / tw, j * h / th)
+            rs += (rgb >> 16) & 0xFF; gs += (rgb >> 8) & 0xFF; bs += rgb & 0xFF
+            i += 1
+          }
+          j += 1
+        }
+        (id, w, h, tw, th, rs, gs, bs)
+      }
+    }.toDF("media_id", "orig_w", "orig_h", "out_w", "out_h",
+      "r_sum", "g_sum", "b_sum")
   }
 
   /** Frame sampling: every `stride`-th fixed-size byte slice of the
@@ -123,48 +205,69 @@ object Multimodal {
        |       CAST(length(text) AS INT) AS payload_bytes
        |FROM documents""".stripMargin
 
-  /** [[features]] exploded to one scalar row per vector dimension; the
-    * float is mapped back to the exact md5 byte it was derived from, so
-    * the oracle is an integer compare (no float-vs-double noise).
+  /** The analytic dims CTE both image oracles share: the planted truth
+    * [[Pattern]] re-expressed in SQL, never touching the binary.
+    */
+  private val dimsSql =
+    """SELECT doc_id AS media_id,
+      |         CAST(8 + doc_id % 13 AS INT) AS width,
+      |         CAST(8 + doc_id % 11 AS INT) AS height
+      |  FROM documents""".stripMargin
+
+  /** [[imageStats]] is already scalar — registered as-is. The oracle
+    * enumerates every (x, y) of every image analytically and aggregates
+    * the SAME stats the Spark side computed from decoded BMP bytes.
     */
   def featuresCheck(spark: SparkSession, dir: String): DataFrame =
-    features(spark, dir)
-      .select(col("media_id"), posexplode(col("feature_vec")))
-      .select(col("media_id"), col("pos").cast("int").as("dim_idx"),
-        round(col("col").cast("double") * 255.0).cast("int").as("byte_val"))
+    imageStats(spark, dir)
 
   val featuresCheckSql: String =
-    s"""SELECT doc_id AS media_id, CAST(t.i AS INT) AS dim_idx,
-       |       CAST(('0x' || substr(md5(text), 2 * CAST(t.i AS INT) + 1, 2))::BIGINT AS INT) AS byte_val
-       |FROM documents, range(0, $featureDim) t(i)""".stripMargin
+    s"""WITH dims AS (
+       |  $dimsSql
+       |), px AS (
+       |  SELECT d.media_id, d.width, d.height,
+       |         (x.x * 7 + y.y * 11 + d.media_id * 13) % 256 AS r,
+       |         (x.x * 5 + y.y * 3 + d.media_id * 17) % 256 AS g,
+       |         (x.x + y.y + d.media_id) % 256 AS b
+       |  FROM dims d
+       |  JOIN range(0, 21) x(x) ON x.x < d.width
+       |  JOIN range(0, 19) y(y) ON y.y < d.height
+       |), agg AS (
+       |  SELECT media_id, width, height,
+       |         CAST(sum(r) AS BIGINT) AS r_sum,
+       |         CAST(sum(g) AS BIGINT) AS g_sum,
+       |         CAST(sum(b) AS BIGINT) AS b_sum
+       |  FROM px GROUP BY 1, 2, 3
+       |)
+       |SELECT media_id, width, height, r_sum, g_sum, b_sum,
+       |       CAST(r_sum AS DOUBLE) / (width * height) AS r_mean,
+       |       CAST(g_sum AS DOUBLE) / (width * height) AS g_mean,
+       |       CAST(b_sum AS DOUBLE) / (width * height) AS b_mean
+       |FROM agg""".stripMargin
 
-  /** [[resize]] with the resized payload projected to its md5 digest. */
+  /** [[imageResize]] is already scalar — registered as-is. */
   def resizeCheck(spark: SparkSession, dir: String): DataFrame =
-    resize(spark, dir).select(
-      col("media_id"), col("media_type"), col("orig_bytes"),
-      col("resized_bytes"), md5(col("resized")).as("resized_md5"))
+    imageResize(spark, dir)
 
-  /** Strided-sample twin of [[resize]] (targetBytes = 256): positions
-    * 1, 1+stride, … via a bounded range cross-join (this DuckDB build has
-    * no lateral generate_series).
+  /** Nearest-neighbor twin of [[imageResize]] (8×8): the sampled source
+    * pixel of thumbnail cell (i, j) is ((i·w)/8, (j·h)/8) with floor
+    * division — `//` in DuckDB, Java int division on the Spark side.
     */
   val resizeCheckSql: String =
-    s"""WITH m AS (
-       |  SELECT doc_id AS media_id, $mediaTypeSql AS media_type, text,
-       |         CAST(length(text) AS INT) AS n,
-       |         GREATEST(CAST(CEIL(CAST(length(text) AS DOUBLE) / 256.0) AS INT), 1) AS stride
-       |  FROM documents
-       |), sampled AS (
-       |  SELECT m.media_id, m.media_type, m.n,
-       |         string_agg(substr(m.text, CAST(p.p AS INT), 1), '' ORDER BY p.p) AS resized
-       |  FROM m JOIN range(1, 8192) p(p)
-       |    ON p.p <= m.n AND (p.p - 1) % m.stride = 0
-       |  GROUP BY 1, 2, 3
+    s"""WITH dims AS (
+       |  $dimsSql
+       |), samp AS (
+       |  SELECT d.media_id, d.width, d.height,
+       |         (d.width * i.i) // 8 AS sx,
+       |         (d.height * j.j) // 8 AS sy
+       |  FROM dims d, range(0, 8) i(i), range(0, 8) j(j)
        |)
-       |SELECT media_id, media_type, n AS orig_bytes,
-       |       CAST(length(resized) AS INT) AS resized_bytes,
-       |       md5(resized) AS resized_md5
-       |FROM sampled""".stripMargin
+       |SELECT media_id, width AS orig_w, height AS orig_h,
+       |       CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+       |       CAST(sum((sx * 7 + sy * 11 + media_id * 13) % 256) AS BIGINT) AS r_sum,
+       |       CAST(sum((sx * 5 + sy * 3 + media_id * 17) % 256) AS BIGINT) AS g_sum,
+       |       CAST(sum((sx + sy + media_id) % 256) AS BIGINT) AS b_sum
+       |FROM samp GROUP BY 1, 2, 3""".stripMargin
 
   /** [[frameSample]] with each frame projected to its md5 digest. */
   def framesCheck(spark: SparkSession, dir: String): DataFrame =

@@ -64,6 +64,9 @@ object OpsQueries {
     "events_funnel" -> ((s, dir) => EventsOps.funnel(s, dir)),
     "events_retention" -> ((s, dir) => EventsOps.retention(s, dir)),
     "events_anomaly" -> ((s, dir) => EventsOps.dailyAnomalies(s, dir)),
+    // 7-day trailing moving average over the daily rollup (window, no
+    // extra shuffle of raw events)
+    "events_ma" -> ((s, dir) => EventsOps.movingAvg(s, dir)),
     // identical semantics through the skew-safe two-phase salted plan
     "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
     // KMV distinct sketch: per-day + merged whole-range estimates
@@ -87,8 +90,10 @@ object OpsQueries {
     "stream_enrich" -> ((s, dir) => graft.streaming.EventStream.enrichCheck(s, dir)),
     // watermarked stream-stream join == the batch inner join
     "stream_join" -> ((s, dir) => graft.streaming.EventStream.joinCheck(s, dir)),
-    // multimodal plumbing (binary payloads; decode stubbed) — registered
-    // via scalar md5-digest projections so the driver can hash-compare
+    // multimodal: mm_features/mm_resize decode REAL BMP payloads with
+    // javax.imageio and emit pixel stats the oracle recomputes
+    // analytically from the planted pattern; mm_media/mm_frames are the
+    // opaque-binary plumbing leg (md5-digest projections)
     "mm_media" -> ((s, dir) => Multimodal.mediaCheck(s, dir)),
     "mm_features" -> ((s, dir) => Multimodal.featuresCheck(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.framesCheck(s, dir)),
@@ -159,6 +164,7 @@ object OpsQueries {
     "events_funnel" -> EventsOps.funnelSql,
     "events_retention" -> EventsOps.retentionSql,
     "events_anomaly" -> EventsOps.dailyAnomaliesSql,
+    "events_ma" -> EventsOps.movingAvgSql(),
     // the salted plan must produce byte-identical results to the plain one
     "events_top_users_salted" -> EventsOps.topUsersSql(),
     "events_kmv" -> Sketch.kmvDistinctUsersSql(),

@@ -111,11 +111,11 @@ object Pq {
       val cb = codebooks(spark, dir)
       val cd = codes(spark, dir)
       val qn = Similarity.normalized(spark, dir)
-        .filter(col("vec_id") % queryMod === 0)
+        .filter(AnnParams.queryPred(queryMod))
         .select(col("vec_id").as("query_id"), col("norm").as("qn"))
 
       val lut = subvectors(spark, dir)
-        .filter(col("vec_id") % queryMod === 0)
+        .filter(AnnParams.queryPred(queryMod))
         .withColumnRenamed("vec_id", "query_id")
         .join(broadcast(cb), Seq("sub"))
         .select(col("query_id"), col("sub"), col("code"),
@@ -167,7 +167,7 @@ object Pq {
   private def rerankOf(spark: SparkSession, dir: String, cands: DataFrame,
                        k: Int, queryMod: Int): DataFrame = {
     val e = Similarity.normalized(spark, dir)
-    val q = e.filter(col("vec_id") % queryMod === 0)
+    val q = e.filter(AnnParams.queryPred(queryMod))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"))
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
@@ -204,7 +204,7 @@ object Pq {
 
       val cb = codebooks(spark, dir)
       val lut = subvectors(spark, dir)
-        .filter(col("vec_id") % queryMod === 0)
+        .filter(AnnParams.queryPred(queryMod))
         .withColumnRenamed("vec_id", "query_id")
         .join(broadcast(cb), Seq("sub"))
         .select(col("query_id"), col("sub"), col("code"),
@@ -214,7 +214,7 @@ object Pq {
       val rn = codes(spark, dir).join(broadcast(cww), Seq("sub", "code"))
         .groupBy("vec_id").agg(sqrt(sum(col("w2")).cast("double")).as("rnorm"))
       val qn = Similarity.normalized(spark, dir)
-        .filter(col("vec_id") % queryMod === 0)
+        .filter(AnnParams.queryPred(queryMod))
         .select(col("vec_id").as("query_id"), col("norm").as("qn"))
 
       val ad = codes(spark, dir).join(cands, "vec_id")
@@ -280,7 +280,7 @@ object Pq {
        |  SELECT t.vec_id AS query_id, t.sub, c.code,
        |         CAST(list_dot_product(t.sv, c.cw) AS DECIMAL(18,9)) AS pd
        |  FROM psub t JOIN pq_cb c USING (sub)
-       |  WHERE t.vec_id % $queryMod = 0
+       |  WHERE ${AnnParams.queryPredSql(queryMod, "t.vec_id")}
        |), cww AS (
        |  SELECT sub, code,
        |         CAST(list_dot_product(cw, cw) AS DECIMAL(18,9)) AS w2
@@ -309,7 +309,7 @@ object Pq {
   def ivfPqSql(k: Int = 10, shortlist: Int = 100, queryMod: Int = 50): String =
     s"""WITH ${Similarity.normCte}, ${Ivf.centroidsCte}, ${AnnParams.nProbeSql}, $codesCte, q AS (
        |  SELECT vec_id AS query_id, v AS qv, norm AS qn
-       |  FROM emb WHERE vec_id % $queryMod = 0
+       |  FROM emb WHERE ${AnnParams.queryPredSql(queryMod)}
        |), probes AS (
        |  SELECT query_id, centroid_id FROM (
        |    SELECT q.query_id, c.centroid_id,
@@ -326,7 +326,7 @@ object Pq {
        |  SELECT t.vec_id AS query_id, t.sub, c.code,
        |         CAST(list_dot_product(t.sv, c.cw) AS DECIMAL(18,9)) AS pd
        |  FROM psub t JOIN pq_cb c USING (sub)
-       |  WHERE t.vec_id % $queryMod = 0
+       |  WHERE ${AnnParams.queryPredSql(queryMod, "t.vec_id")}
        |), cww AS (
        |  SELECT sub, code,
        |         CAST(list_dot_product(cw, cw) AS DECIMAL(18,9)) AS w2

@@ -80,7 +80,7 @@ object Similarity {
     // the QUERY subset is the broadcast side — without the hint Spark may
     // build the corpus side of this nested-loop join, which is fatal when
     // the corpus is the 100 TB relation and the queries are a handful
-    val q = broadcast(e.filter(col("vec_id") % queryMod === 0)
+    val q = broadcast(e.filter(AnnParams.queryPred(queryMod))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn")))
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
       .cast("decimal(10,6)")
@@ -163,7 +163,7 @@ object Similarity {
                                      k: Int, queryMod: Int): DataFrame = {
     val planes = AnnParams.numPlanes(AnnParams.corpusSize(spark, dir))
     val e = normalized(spark, dir).join(lshBuckets(spark, dir), "vec_id")
-    val qb = e.filter(col("vec_id") % queryMod === 0)
+    val qb = e.filter(AnnParams.queryPred(queryMod))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"), col("bucket").as("qbucket"))
     def flipped(at: Seq[Int]): Column = {
@@ -212,7 +212,7 @@ object Similarity {
 
   def bruteForceSql(k: Int = 10, queryMod: Int = 50): String =
     s"""WITH $normCte, q AS (
-       |  SELECT vec_id AS query_id, v AS qv, norm AS qn FROM emb WHERE vec_id % $queryMod = 0
+       |  SELECT vec_id AS query_id, v AS qv, norm AS qn FROM emb WHERE ${AnnParams.queryPredSql(queryMod)}
        |), pairs AS (
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
        |         CAST(list_dot_product(q.qv, e.v) / (q.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim
@@ -268,7 +268,7 @@ object Similarity {
        |), q AS (
        |  SELECT b.vec_id AS query_id, e.v AS qv, e.norm AS qn, b.bucket AS qbucket
        |  FROM buckets b JOIN emb e ON e.vec_id = b.vec_id
-       |  WHERE b.vec_id % $queryMod = 0
+       |  WHERE ${AnnParams.queryPredSql(queryMod, "b.vec_id")}
        |), probes AS (
        |  SELECT query_id, qv, qn, qbucket AS bucket FROM q
        |  UNION ALL

@@ -20,6 +20,23 @@ class EventsSpec extends SparkSpec {
       .filter(col("m") =!= 1).count() === 0)
   }
 
+  test("moving average equals an independently recomputed trailing mean") {
+    val ma = EventsOps.movingAvg(spark, sf0001)
+      .select(col("event_type"), col("event_date").cast("string"), col("n"), col("ma7"))
+      .as[(String, String, Long, Double)].collect()
+    assert(ma.nonEmpty)
+    // recompute the ROWS-framed trailing mean per type in plain Scala
+    val byType = ma.groupBy(_._1)
+    byType.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, _, _, got), i) =>
+        val window = sorted.slice(math.max(0, i - 6), i + 1).map(_._3)
+        val want = window.sum.toDouble / window.length.toDouble
+        assert(got === want)
+      }
+    }
+  }
+
   test("streaming hourly rollup matches the batch daily totals") {
     // file-source streams watch a directory; stage the table as one
     // arriving file (micro-batch ingestion)
@@ -153,28 +170,50 @@ class EventsSpec extends SparkSpec {
       .foreach(t => assert(out.contains(t), s"missing $t"))
   }
 
-  test("multimodal features: fixed-width vectors, one per media row") {
-    val media = Multimodal.mediaTable(spark, sf0001).cache()
-    val feats = Multimodal.features(spark, sf0001).cache()
-    assert(feats.count() === media.count())
-    assert(feats.filter(size(col("feature_vec")) =!= Multimodal.featureDim).count() === 0)
-    // deterministic: rerun produces identical vectors
-    val a = feats.orderBy("media_id").limit(5).as[(Long, Seq[Float])].collect()
-    val b = Multimodal.features(spark, sf0001)
-      .orderBy("media_id").limit(5).as[(Long, Seq[Float])].collect()
-    assert(a.toSeq === b.toSeq)
+  test("BMP decode recovers the planted pattern from the actual bytes") {
+    // in-JVM planted truth, independent of the SQL oracle: encode one
+    // image, decode it with ImageIO, and compare EVERY pixel to Pattern
+    for (id <- Seq(0L, 7L, 123L, 499L)) {
+      val img = Multimodal.Bmp.decode(Multimodal.Bmp.encode(id))
+      assert(img.getWidth === Multimodal.Pattern.width(id))
+      assert(img.getHeight === Multimodal.Pattern.height(id))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xFF) === Multimodal.Pattern.r(x, y, id))
+        assert(((rgb >> 8) & 0xFF) === Multimodal.Pattern.g(x, y, id))
+        assert((rgb & 0xFF) === Multimodal.Pattern.b(x, y, id))
+      }
+    }
   }
 
-  test("resize downsamples payloads to about the target size") {
-    val r = graft.ops.Multimodal.resize(spark, sf0001, targetBytes = 100).cache()
-    assert(r.count() === graft.ops.Multimodal.mediaTable(spark, sf0001).count())
-    assert(r.filter(col("resized_bytes") > 120).count() === 0)
-    assert(r.filter(col("resized_bytes") < 1).count() === 0)
-    // deterministic: same input → same bytes
-    val a = r.orderBy("media_id").limit(3).select("resized").as[Array[Byte]].collect()
-    val b = graft.ops.Multimodal.resize(spark, sf0001, targetBytes = 100)
-      .orderBy("media_id").limit(3).select("resized").as[Array[Byte]].collect()
-    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  test("image stats come from decoded pixels, one row per media id") {
+    val stats = Multimodal.imageStats(spark, sf0001).cache()
+    assert(stats.count() === Tables.documents(spark, sf0001).count())
+    // mean is exactly sum / (w*h) and bounded to a channel's range
+    assert(stats.filter(
+      col("r_mean") =!= col("r_sum").cast("double") / (col("width") * col("height"))
+    ).count() === 0)
+    assert(stats.filter(col("r_mean") < 0 || col("r_mean") > 255).count() === 0)
+    // spot-check one row against a direct in-JVM decode
+    val row = stats.filter(col("media_id") === 42L).head()
+    val img = Multimodal.Bmp.decode(Multimodal.Bmp.encode(42L))
+    var rs = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      rs += (img.getRGB(x, y) >> 16) & 0xFF
+    assert(row.getAs[Long]("r_sum") === rs)
+  }
+
+  test("image resize samples the decoded raster on the NN grid") {
+    val r = Multimodal.imageResize(spark, sf0001).cache()
+    assert(r.count() === Tables.documents(spark, sf0001).count())
+    // 64 sampled pixels bound each channel sum
+    assert(r.filter(col("r_sum") < 0 || col("r_sum") > 64L * 255).count() === 0)
+    assert(r.filter(col("out_w") =!= 8 || col("out_h") =!= 8).count() === 0)
+    // determinism: rerun produces identical sums
+    val a = r.orderBy("media_id").limit(5).collect().map(_.toSeq)
+    val b = Multimodal.imageResize(spark, sf0001)
+      .orderBy("media_id").limit(5).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
   }
 
   test("frame sampling emits dense frame indices of fixed size") {

@@ -59,6 +59,19 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(AnnParams.nProbe(10000000000L) === 37500)
   }
 
+  test("recall ground-truth query sample is capped at maxQueries") {
+    // the predicate admits the LOWEST maxQueries query ids at ANY corpus
+    // size — the brute-force truth is O(sample × corpus), never O(n²/mod)
+    val admitted = spark.range(0, 500000).toDF("vec_id")
+      .filter(graft.ops.AnnParams.queryPred(50)).count()
+    assert(admitted === graft.ops.AnnParams.maxQueries)
+    // below the cap boundary the predicate is plain mod-sampling (the
+    // test-SF regime: results unchanged by the cap)
+    val small = spark.range(0, 2000).toDF("vec_id")
+      .filter(graft.ops.AnnParams.queryPred(50)).count()
+    assert(small === 40)
+  }
+
   test("winnow doc-freq cap scales quarter-power with the corpus") {
     import graft.ops.Winnow
     // test-SF regime unchanged (50 was tuned at n=500); worst-case pair
@@ -111,18 +124,26 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       }.reduce(_ + _)
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), dayofmonth(col("ts")).cast("long").as("day"))
-    val userCell = (col("user_id") * 32 / 1500).cast("long") // 0..31
+    // clamp to 31: user_id == 1500 would yield cell 32, whose bit 5 the
+    // 5-bit interleave drops, silently aliasing the top users to cell 0
+    val userCell = least((col("user_id") * 32 / 1500).cast("long"), lit(31L))
     val dayCell = col("day") - 1 // 0..30
 
     def spans(sorted: org.apache.spark.sql.DataFrame): (Double, Double) = {
-      val out = Files.createTempDirectory("zorder").toString
-      sorted.write.mode("overwrite").parquet(out)
-      val s = spark.read.parquet(out)
-        .groupBy(input_file_name())
-        .agg((max("user_id") - min("user_id")).as("us"),
-          (max("day") - min("day")).as("ds"))
-        .agg(avg("us"), avg("ds")).head()
-      (s.getDouble(0), s.getDouble(1))
+      val outDir = Files.createTempDirectory("zorder")
+      try {
+        sorted.write.mode("overwrite").parquet(outDir.toString)
+        val s = spark.read.parquet(outDir.toString)
+          .groupBy(input_file_name())
+          .agg((max("user_id") - min("user_id")).as("us"),
+            (max("day") - min("day")).as("ds"))
+          .agg(avg("us"), avg("ds")).head()
+        (s.getDouble(0), s.getDouble(1))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(outDir).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
     }
     // both layouts: 8 range-partitioned, internally sorted files
     val (zUserSpan, zDaySpan) =
