@@ -206,10 +206,117 @@ object Dashboard {
       sb.append(s"  ${r.getDate(0)} checks=${r.getLong(1)} passed=${r.getLong(2)} rate=$rr% [$arrow]\n")
     }
     sb.append("\nCritical issues:\n")
-    criticalFrom(lb, 5).collect().zipWithIndex.foreach { case (r, i) =>
-      sb.append(s"  ${i + 1}. ${r.getString(0)} (${r.getTimestamp(2)}) ${Option(r.getString(1)).getOrElse("")}\n")
-    }
+    // execution_date rendered via an explicit second-precision pattern:
+    // java.sql.Timestamp.toString appends a Java-only fractional part
+    // (".0") no SQL engine reproduces, and the rendered report is itself
+    // digest-checked against a DuckDB twin (dash_render)
+    criticalFrom(lb, 5)
+      .select(col("check_name"), col("error_message"),
+        date_format(col("execution_date"), "yyyy-MM-dd HH:mm:ss").as("ed"))
+      .collect().zipWithIndex.foreach { case (r, i) =>
+        sb.append(s"  ${i + 1}. ${r.getString(0)} (${r.getString(2)}) ${Option(r.getString(1)).getOrElse("")}\n")
+      }
     sb.toString
+  }
+
+  /** §3.3 closure — the rendered console report made driver-checkable:
+    * md5 + length of [[render]]'s exact text, with a DuckDB oracle that
+    * string-assembles the identical report from the same five queries
+    * ([[renderSql]]). Every byte of the reference's dashboard output
+    * (`dq_dashboard.py:22-212`) is thereby hash-verified, not just the
+    * five underlying aggregates.
+    */
+  def renderDigest(spark: SparkSession, dir: String, days: Int = 7): DataFrame = {
+    val text = render(spark, dir, days)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    import spark.implicits._
+    Seq((md5, text.length.toLong)).toDF("render_md5", "render_len")
+  }
+
+  /** DuckDB twin of [[render]] → (md5, length): assembles the report text
+    * with the same section queries, the same `%-Ns`-style padding (rpad
+    * guarded to Java's no-truncate semantics), the same integer-division
+    * progress bar, arrow thresholds, and DECIMAL → string rendering.
+    */
+  def renderSql(days: Int = 7): String = {
+    // Java f"%-${w}s" pads but never truncates; bare rpad would truncate
+    def pad(e: String, w: Int) =
+      s"(CASE WHEN length($e) >= $w THEN $e ELSE rpad($e, $w, ' ') END)"
+    def num(e: String) = pad(s"CAST($e AS VARCHAR)", 5)
+    val rate =
+      """CAST(CAST(COUNT(*) FILTER (WHERE status = 'passed') AS DOUBLE) * 100.0
+        |              / NULLIF(COUNT(*), 0) AS DECIMAL(10,2))""".stripMargin
+    s"""WITH $historySql, lb AS (
+       |  SELECT * FROM dq_history WHERE ${lookbackSql(days)}
+       |), s AS (
+       |  SELECT COUNT(*) AS total,
+       |         COUNT(*) FILTER (WHERE status = 'passed') AS passed,
+       |         COUNT(*) FILTER (WHERE status = 'failed') AS failed,
+       |         COUNT(*) FILTER (WHERE status = 'error') AS errors,
+       |         $rate AS rate
+       |  FROM lb
+       |), head AS (
+       |  SELECT 'Period: last $days days' || chr(10)
+       |      || 'Total checks: ' || total || chr(10)
+       |      || 'Passed: ' || passed || ' (' || COALESCE(CAST(rate AS VARCHAR), 'n/a') || '%)' || chr(10)
+       |      || 'Failed: ' || failed || chr(10)
+       |      || 'Errors: ' || errors || chr(10)
+       |      || CASE WHEN total > 0 THEN
+       |           'Progress: [' || repeat('#', CAST(passed * 40 // total AS INT))
+       |             || repeat('-', CAST(failed * 40 // total AS INT))
+       |             || repeat(' ', CAST(40 - passed * 40 // total - failed * 40 // total AS INT))
+       |             || ']' || chr(10)
+       |         ELSE '' END AS txt
+       |  FROM s
+       |), bt AS (
+       |  SELECT check_type, COUNT(*) AS total,
+       |         COUNT(*) FILTER (WHERE status = 'passed') AS passed,
+       |         COUNT(*) FILTER (WHERE status = 'failed') AS failed,
+       |         COUNT(*) FILTER (WHERE status = 'error') AS errors,
+       |         $rate AS rate
+       |  FROM lb WHERE check_type != 'summary' GROUP BY check_type
+       |), btx AS (
+       |  SELECT COALESCE(string_agg(
+       |    '  ' || ${pad("check_type", 15)} || ' total=' || ${num("total")}
+       |        || ' passed=' || ${num("passed")} || ' failed=' || ${num("failed")}
+       |        || ' errors=' || ${num("errors")} || ' '
+       |        || COALESCE(CAST(rate AS VARCHAR), 'null') || '%' || chr(10),
+       |    '' ORDER BY check_type), '') AS txt
+       |  FROM bt
+       |), tr AS (
+       |  SELECT CAST(execution_date AS DATE) AS d, COUNT(*) AS checks,
+       |         COUNT(*) FILTER (WHERE status = 'passed') AS passed,
+       |         $rate AS rate
+       |  FROM lb WHERE check_type != 'summary' GROUP BY 1
+       |), trx AS (
+       |  SELECT COALESCE(string_agg(
+       |    '  ' || CAST(d AS VARCHAR) || ' checks=' || checks || ' passed=' || passed
+       |        || ' rate=' || COALESCE(CAST(rate AS VARCHAR), 'null') || '% ['
+       |        || CASE WHEN rate IS NULL THEN '?' WHEN rate >= 95 THEN 'up'
+       |                WHEN rate <= 80 THEN 'down' ELSE 'flat' END || ']' || chr(10),
+       |    '' ORDER BY d), '') AS txt
+       |  FROM tr
+       |), cr AS (
+       |  SELECT * FROM (
+       |    SELECT check_name, error_message,
+       |           strftime(execution_date, '%Y-%m-%d %H:%M:%S') AS ed,
+       |           row_number() OVER (ORDER BY execution_date DESC, check_id DESC) AS rn
+       |    FROM lb WHERE status IN ('failed', 'error')
+       |  ) WHERE rn <= 5
+       |), crx AS (
+       |  SELECT COALESCE(string_agg(
+       |    '  ' || rn || '. ' || check_name || ' (' || ed || ') '
+       |        || COALESCE(error_message, '') || chr(10), '' ORDER BY rn), '') AS txt
+       |  FROM cr
+       |), rep AS (
+       |  SELECT head.txt || chr(10) || 'By check type:' || chr(10) || btx.txt
+       |      || chr(10) || 'Daily trend:' || chr(10) || trx.txt
+       |      || chr(10) || 'Critical issues:' || chr(10) || crx.txt AS txt
+       |  FROM head, btx, trx, crx
+       |)
+       |SELECT md5(txt) AS render_md5, CAST(length(txt) AS BIGINT) AS render_len
+       |FROM rep""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -219,7 +326,8 @@ object Dashboard {
     "dash_by_type" -> ((s, dir) => byType(s, dir)),
     "dash_recent10" -> ((s, dir) => recent(s, dir)),
     "dash_trend" -> ((s, dir) => trend(s, dir)),
-    "dash_critical5" -> ((s, dir) => critical(s, dir))
+    "dash_critical5" -> ((s, dir) => critical(s, dir)),
+    "dash_render" -> ((s, dir) => renderDigest(s, dir))
   )
 
   private val prefix = "WITH " + historySql
@@ -260,6 +368,7 @@ object Dashboard {
       | SELECT check_name, error_message, execution_date
       | FROM dq_history
       | WHERE status IN ('failed', 'error') AND ${lookbackSql(7)}
-      | ORDER BY execution_date DESC, check_id DESC LIMIT 5""".stripMargin)
+      | ORDER BY execution_date DESC, check_id DESC LIMIT 5""".stripMargin),
+    "dash_render" -> renderSql()
   )
 }
