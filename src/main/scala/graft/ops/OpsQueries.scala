@@ -90,6 +90,12 @@ object OpsQueries {
     "stream_enrich" -> ((s, dir) => graft.streaming.EventStream.enrichCheck(s, dir)),
     // watermarked stream-stream join == the batch inner join
     "stream_join" -> ((s, dir) => graft.streaming.EventStream.joinCheck(s, dir)),
+    // multi-micro-batch watermark proofs (maxFilesPerTrigger=1): late rows
+    // demonstrably dropped, trailing windows demonstrably withheld
+    "stream_hourly_incremental" -> ((s, dir) =>
+      graft.streaming.EventStream.hourlyIncrementalCheck(s, dir)),
+    "stream_join_incremental" -> ((s, dir) =>
+      graft.streaming.EventStream.joinIncrementalCheck(s, dir)),
     // multimodal: mm_features/mm_resize decode REAL BMP payloads with
     // javax.imageio and emit pixel stats the oracle recomputes
     // analytically from the planted pattern; mm_media/mm_frames are the
@@ -177,6 +183,10 @@ object OpsQueries {
     "stream_sessions" -> graft.streaming.EventStream.sessionsCheckSql(),
     "stream_enrich" -> graft.streaming.EventStream.enrichCheckSql,
     "stream_join" -> graft.streaming.EventStream.joinCheckSql,
+    "stream_hourly_incremental" ->
+      graft.streaming.EventStream.hourlyIncrementalCheckSql,
+    "stream_join_incremental" ->
+      graft.streaming.EventStream.joinIncrementalCheckSql,
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),
     "text_tfidf" -> TextPrep.tfIdfSql(),

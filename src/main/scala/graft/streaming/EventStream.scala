@@ -397,4 +397,195 @@ object EventStream extends Serializable {
        |WHERE session_seq < max_seq
        |   OR wm_ms > epoch_us(CAST(session_end AS TIMESTAMP)) // 1000 + $gapMs""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Multi-micro-batch watermark proofs. Every check above runs the whole
+  // directory as ONE micro-batch, where the watermark can never drop a
+  // row — these two split the input across triggers so the watermark
+  // demonstrably finalizes windows and drops late data end-to-end.
+  // ------------------------------------------------------------------
+
+  /** The deterministic "late" sample: even-id clicks more than 12 h
+    * behind the global max event time. When they arrive in the THIRD
+    * micro-batch, both stateful-operator watermarks (late-event filter
+    * AND eviction) are ≥ 11 h past their windows — unambiguously late.
+    *
+    * Why a third batch at all: since SPARK-40925, stateful operators
+    * filter late input with the PREVIOUS micro-batch's eviction
+    * watermark (one batch behind the eviction watermark itself), so data
+    * arriving in the batch right after the one that established the
+    * watermark is still admitted. main → filler → late gives the
+    * late-event filter one batch to catch up.
+    */
+  private def latePred(maxUs: Long) =
+    col("event_type") === "click" && col("event_id") % 2 === 0 &&
+      expr("ts DIV 1000") < maxUs - 12L * 3600 * 1000000
+
+  private val lateSql: String =
+    """SELECT event_id FROM events
+      |  WHERE event_type = 'click' AND event_id % 2 = 0
+      |    AND epoch_us(CAST(ts AS TIMESTAMP)) <
+      |        (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) FROM events) - 43200000000""".stripMargin
+
+  private val incDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build (once per dir per JVM) the three-file streaming input:
+    * `a_main.parquet` = everything except the trailing hour and the late
+    * sample; `b_fill.parquet` = the trailing hour (non-empty by
+    * construction — it holds the max-ts row); `c_late.parquet` = the
+    * late sample. mtimes t, t+60 s, t+120 s — the file source processes
+    * oldest-mtime-first, so `maxFilesPerTrigger = 1` yields exactly
+    * these three micro-batches in order. Batch 2 establishes the
+    * late-event filter at wm(main) ≈ max − 70 min; batch 3's late rows
+    * (≥ 11 h older) are dropped on input, and the final eviction
+    * watermark is max − 10 min.
+    * Bounded driver work: one 1-row max-ts aggregate + three single-file
+    * writes (harness construction, same class as the reload checks).
+    */
+  private[graft] def incrementalInput(spark: SparkSession, dir: String): String =
+    incDirs.getOrElseUpdate(dir, {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.schema(schema).parquet(s"$dir/events.parquet")
+      val maxUs = raw.agg(max(expr("ts DIV 1000"))).head().getLong(0)
+      val late = latePred(maxUs)
+      val fill = !late && expr("ts DIV 1000") >= maxUs - 3600L * 1000000
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_inc").toFile
+      base.deleteOnExit()
+      val basePath = new org.apache.hadoop.fs.Path(base.getAbsolutePath)
+      val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = new org.apache.hadoop.fs.Path(basePath, name + ".stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = fs.listStatus(stage).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file under $stage"))
+        val out = new org.apache.hadoop.fs.Path(basePath, name)
+        fs.rename(part, out)
+        fs.delete(stage, true)
+        fs.setTimes(out, mtime, -1)
+      }
+      val t0 = System.currentTimeMillis()
+      writeOne(raw.filter(!late && !fill), "a_main.parquet", t0)
+      writeOne(raw.filter(fill), "b_fill.parquet", t0 + 60000)
+      writeOne(raw.filter(late), "c_late.parquet", t0 + 120000)
+      base.getAbsolutePath
+    })
+
+  /** The hourly rollup over the three-file input, one file per trigger,
+    * APPEND mode — the mode where only watermark-finalized windows are
+    * ever emitted. Batch 1 (main) runs at watermark 0 and emits nothing;
+    * batch 2 (filler) runs at eviction wm = max_ts(main) − 10 min and
+    * emits the windows ending before it; batch 3 (late) has BOTH
+    * watermarks ≥ 11 h past the late rows' windows, so every late row is
+    * dropped on input (`numRowsDroppedByWatermark` > 0), and its
+    * eviction wm = global max − 10 min finalizes the rest. The result
+    * proves BOTH watermark semantics: old click windows appear with the
+    * late sample missing (dropped data), and the trailing windows never
+    * appear (not yet finalized).
+    */
+  def hourlyIncrementalCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_hourly_incremental", dir) {
+      val in = incrementalInput(spark, dir)
+      val tbl = "stream_hourly_inc_" + java.lang.Integer.toHexString(dir.hashCode)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(tbl)
+    }
+
+  /** The exact watermark arithmetic, replayed in SQL: `src` = events
+    * minus the late sample (all its rows are dropped in batch 2);
+    * `wm_ms` = floor(max event-time µs / 1000) − 600 000 (Spark tracks
+    * event-time stats in ms); emitted windows are those with
+    * `window_end ≤ wm` (eviction is `end_µs ≤ wm_ms·1000`).
+    */
+  val hourlyIncrementalCheckSql: String =
+    s"""WITH late AS (
+       |  $lateSql
+       |), src AS (
+       |  SELECT * FROM events WHERE event_id NOT IN (SELECT event_id FROM late)
+       |), wm AS (
+       |  SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000 - 600000 AS wm_ms
+       |  FROM src
+       |), agg AS (
+       |  SELECT date_trunc('hour', ts) AS window_start,
+       |         date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       |         event_type, COUNT(*) AS n_events,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |  FROM src GROUP BY 1, 2, 3
+       |)
+       |SELECT window_start, window_end, event_type, n_events, total_value
+       |FROM agg, wm
+       |WHERE epoch_us(CAST(window_end AS TIMESTAMP)) // 1000 <= wm_ms""".stripMargin
+
+  /** [[clickPurchaseJoin]] over the three-file input, one file per
+    * trigger: batches 1–2 join main and filler rows and emit every pair
+    * (inner joins emit matches immediately; nothing is evicted from
+    * state before the filler batch joins against it); batch 3 arrives
+    * behind both watermarks, so the late clicks are dropped on input —
+    * a late click whose purchase sits in state produces NO pair. The
+    * oracle is the batch join over events minus the late sample, and it
+    * differs from the full join at every SF (≥ 1 dropped pair), which is
+    * exactly the point.
+    */
+  def joinIncrementalCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_join_incremental", dir) {
+      val in = incrementalInput(spark, dir)
+      val tbl = "stream_join_inc_" + java.lang.Integer.toHexString(dir.hashCode)
+      def side(tpe: String, prefix: String): DataFrame =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(s"${prefix}_id"),
+            col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"),
+            col("value").as(s"${prefix}_value"))
+          .withWatermark(s"${prefix}_ts", "10 minutes")
+      val joined = side("purchase", "purchase").join(side("click", "click"),
+        col("purchase_user") === col("click_user") &&
+          col("click_ts") < col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      val q = joined.writeStream.format("memory").queryName(tbl)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(tbl)
+        .groupBy(col("purchase_id"), col("purchase_user").as("user_id"),
+          col("purchase_ts"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("click_value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("click_value"))
+    }
+
+  val joinIncrementalCheckSql: String =
+    s"""WITH late AS (
+       |  $lateSql
+       |), src AS (
+       |  SELECT * FROM events WHERE event_id NOT IN (SELECT event_id FROM late)
+       |), p AS (
+       |  SELECT event_id, user_id, ts FROM src WHERE event_type = 'purchase'
+       |), c AS (
+       |  SELECT user_id, ts, value FROM src WHERE event_type = 'click'
+       |)
+       |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       |       COUNT(*) AS n_clicks,
+       |       CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+       |FROM p JOIN c ON p.user_id = c.user_id
+       |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+       |GROUP BY 1, 2, 3""".stripMargin
 }
