@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Deeply composed queries (recall over the IVF-PQ stack) produce plan
+  // trees whose EXPLAIN string is gigabytes — every cached subtree is
+  // re-rendered at each reference — and the SQL listener builds that
+  // string per execution even with the UI off. Execution is fine (cache
+  // substitution keeps physical plans compact); only the string needs
+  // truncating, or it OOMs the driver.
+  "-Dspark.sql.maxPlanStringLength=1000000",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

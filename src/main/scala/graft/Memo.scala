@@ -26,14 +26,15 @@ object Memo {
   // unpersist a family once its alphabetically-last user has run, so a
   // 90-query bench session doesn't accumulate every family's frames
   // until the end (r6 lesson: memo/GC pressure inflated late-alphabet
-  // query times ~1.3× and broke per-query attribution). Family key =
-  // memo name with the trailing parameter suffix stripped
-  // ("ivf_topk_10_50_12" → "ivf_topk"), so per-dir knob differences
-  // (nProbe varies with corpus size) map to one family.
+  // query times ~1.3× and broke per-query attribution). The family is
+  // DECLARED at each memo site (not derived from the name): per-dir knob
+  // differences (e.g. nProbe varies with corpus size) change the memo
+  // NAME between the warm-up SF and the bench SF, and the declared
+  // family is what keeps the census valid across that rename.
   private val touchers = TrieMap.empty[String, Set[String]]
+  // name → declared family, recorded at every apply (auditable census)
+  private val families = TrieMap.empty[String, String]
   @volatile private var currentQuery: String = null
-
-  private def family(name: String): String = name.replaceAll("[0-9_]+$", "")
 
   /** Run `body` attributing memo touches to `query` (single-threaded
     * caller contract — Bench runs queries sequentially).
@@ -42,6 +43,9 @@ object Memo {
     currentQuery = query
     try body finally currentQuery = null
   }
+
+  /** The declared family of a memo name seen so far this session. */
+  private[graft] def familyOf(name: String): Option[String] = families.get(name)
 
   /** Unpersist and drop every memo entry whose family's last observed
     * toucher (alphabetically) is `query`. Safe by construction: a
@@ -53,23 +57,33 @@ object Memo {
       case (fam, qs) if qs.nonEmpty && qs.max == query => fam
     }.toSet
     if (dead.nonEmpty) cache.keysIterator
-      .filter(k => dead.contains(family(k._2))).toList
+      .filter(k => families.get(k._2).exists(dead.contains)).toList
       .foreach(k => cache.remove(k).foreach(_.unpersist(blocking = false)))
   }
 
-  def apply(spark: SparkSession, name: String, dir: String)(
-      build: => DataFrame): DataFrame = cache.synchronized {
+  /** Unpersist and drop every entry of `fam` regardless of tracking —
+    * Bench's fresh-rerun hook for the streaming checks.
+    */
+  def dropFamily(fam: String): Unit = cache.synchronized {
     cache.keysIterator
-      .filter(_._1.sparkContext.isStopped)
-      .toList.foreach(cache.remove)
-    if (currentQuery != null) {
-      val fam = family(name)
-      touchers.update(fam, touchers.getOrElse(fam, Set.empty) + currentQuery)
-    }
-    // synchronized: TrieMap.getOrElseUpdate may run the builder twice
-    // under a race, persisting an orphan frame nothing ever unpersists
-    cache.getOrElseUpdate(
-      (spark, name, dir),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .filter(k => families.get(k._2).contains(fam)).toList
+      .foreach(k => cache.remove(k).foreach(_.unpersist(blocking = false)))
   }
+
+  def apply(spark: SparkSession, name: String, dir: String,
+            family: String)(build: => DataFrame): DataFrame =
+    cache.synchronized {
+      cache.keysIterator
+        .filter(_._1.sparkContext.isStopped)
+        .toList.foreach(cache.remove)
+      families.update(name, family)
+      if (currentQuery != null)
+        touchers.update(family,
+          touchers.getOrElse(family, Set.empty) + currentQuery)
+      // synchronized: TrieMap.getOrElseUpdate may run the builder twice
+      // under a race, persisting an orphan frame nothing ever unpersists
+      cache.getOrElseUpdate(
+        (spark, name, dir),
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 }

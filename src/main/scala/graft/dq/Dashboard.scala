@@ -8,8 +8,9 @@ import graft.Tables
   * (`/root/reference/data-pipeline/src/dq_dashboard.py:22-212`): five
   * analytical queries over the check-results log — overall summary with
   * FILTER aggregates, per-type rollup, recent-10 top-k, daily trend,
-  * critical top-5 — re-expressed as DataFrames; text rendering stays
-  * driver-side in the reference and is out of scope.
+  * critical top-5 — re-expressed as DataFrames, plus a driver-side text
+  * render of the same sections ([[render]]) whose exact bytes are
+  * digest-checked against a DuckDB twin ([[renderDigest]]).
   *
   * The reference queries an append-only `t_dq_check_results` log grown
   * across many runs and anchors its lookback at `CURRENT_DATE`. For a
@@ -220,11 +221,22 @@ object Dashboard {
   }
 
   /** §3.3 closure — the rendered console report made driver-checkable:
-    * md5 + length of [[render]]'s exact text, with a DuckDB oracle that
-    * string-assembles the identical report from the same five queries
-    * ([[renderSql]]). Every byte of the reference's dashboard output
-    * (`dq_dashboard.py:22-212`) is thereby hash-verified, not just the
-    * five underlying aggregates.
+    * md5 + length of [[render]]'s exact text, hash-verified against an
+    * independently string-assembled DuckDB report ([[renderSql]]). What
+    * is verified is THIS repo's render analogue of the reference's
+    * dashboard (`dq_dashboard.py:22-212` renders Russian-labeled text
+    * with a different bar format — byte parity with it is not the claim);
+    * the claim is that the render path itself, padding/bar/arrows/
+    * timestamp formatting included, is oracle-checked rather than
+    * display-only.
+    *
+    * NOTE: eager by design — invoking this runs [[render]]'s four
+    * bounded collects immediately (a few hundred rows of DQ log), unlike
+    * the other entries which stay lazy until the driver writes them. It
+    * also recomputes the sections that dash_summary/by_type/trend/
+    * critical5 compute as standalone queries: the digest must cover the
+    * text EXACTLY as a user would print it, so it cannot share their
+    * doublified output frames.
     */
   def renderDigest(spark: SparkSession, dir: String, days: Int = 7): DataFrame = {
     val text = render(spark, dir, days)

@@ -57,7 +57,7 @@ object Compact {
     * count, order-independent digest, and that the file count dropped.
     */
   def roundtrip(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "compact_roundtrip", dir) {
+    graft.Memo(spark, "compact_roundtrip", dir, "compact_roundtrip") {
       val base = java.nio.file.Files.createTempDirectory("graft_compact")
         .toFile.getAbsolutePath + "/documents"
       graft.Tables.documents(spark, dir)

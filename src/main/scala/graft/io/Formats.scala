@@ -25,7 +25,7 @@ object Formats {
     "bit_xor(CAST(conv(substring(md5(concat_ws('|', CAST(customer_id AS STRING), customer_name)), 1, 15), 16, 10) AS BIGINT))"
 
   def roundtrip(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "io_formats", dir) {
+    graft.Memo(spark, "io_formats", dir, "io_formats") {
       val dim = graft.pipeline.Star.dimCustomer(Pipeline.silverCached(spark, dir))
       val base = Files.createTempDirectory("graft_formats").toFile.getAbsolutePath
       val perFormat = formats.map { fmt =>

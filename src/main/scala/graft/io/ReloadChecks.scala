@@ -28,7 +28,7 @@ object ReloadChecks {
     * silver oracle (the reload must be lossless and idempotent).
     */
   def silverReloaded(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "silver_reloaded", dir) {
+    graft.Memo(spark, "silver_reloaded", dir, "silver_reloaded") {
       val silver = Pipeline.silverCached(spark, dir)
       val target = tmpDir("graft_silver_reload") + "/silver"
       WindowReload.reload(spark, target, silver,
@@ -44,7 +44,7 @@ object ReloadChecks {
     * Oracle = the dq_checks oracle plus the constant run_date.
     */
   def dqReloaded(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "dq_reloaded", dir) {
+    graft.Memo(spark, "dq_reloaded", dir, "dq_reloaded") {
       val results = graft.dq.DqSuite.run(spark,
         Pipeline.silverCached(spark, dir), Pipeline.fact(spark, dir))
       val target = tmpDir("graft_dq_reload") + "/dq_results"
@@ -61,7 +61,7 @@ object ReloadChecks {
     * windowed fact, and agree).
     */
   def exportReconcile(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "export_reconcile", dir) {
+    graft.Memo(spark, "export_reconcile", dir, "export_reconcile") {
       import spark.implicits._
       val fact = Pipeline.fact(spark, dir)
       val base = tmpDir("graft_export")

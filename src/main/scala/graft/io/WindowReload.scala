@@ -94,6 +94,24 @@ object WindowReload {
     }.getOrElse(Year)
   }
 
+  /** Estimate the incoming row count from plan statistics — NO Spark
+    * job, unlike a `count()` (at 100 TB a full pre-scan on the write
+    * path is a real cost). CBO row counts when available, else
+    * `sizeInBytes / schema row width`. The estimate only picks the
+    * day/month/year bucket against a 100k-row floor: parquet compression
+    * makes `sizeInBytes`-derived counts err LOW, which errs COARSE —
+    * fewer, larger partitions, the safe side of the small-file
+    * trade-off. The choice is pinned by the on-disk marker afterwards,
+    * so estimate noise can never flip a target's layout mid-life.
+    */
+  private def estimateRows(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse {
+      val width = math.max(8, df.schema.fields.map(_.dataType.defaultSize).sum)
+      (stats.sizeInBytes / width).toLong
+    }
+  }
+
   private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
                          target: Path): Granularity = {
     val mp = new Path(target, Marker)
@@ -128,9 +146,7 @@ object WindowReload {
     val g: Granularity =
       if (existed) readMarker(fs, p)
       else granularity.getOrElse(autoGranularity(
-        // cheap: incoming is typically cached, and this is the only
-        // full-scan job before the (far more expensive) write itself
-        windowed.count(), start, end))
+        estimateRows(windowed), start, end))
 
     // Eager localCheckpoint: (a) materializes the carried-row scan BEFORE
     // the overwrite touches the same path — Spark otherwise rejects a plan

@@ -64,7 +64,10 @@ object AnnParams {
     * them. On real-world clustered embeddings the same ≥0.9 target is
     * met at a far smaller fraction — the point of the knob is that the
     * recall/cost trade is now a measured, corpus-scaled dial instead of
-    * a silent constant.
+    * a silent constant. Measured on the clustered fixture
+    * (ClusteredIvfSpec / SCALE.md): the same ≥0.9 target is met at
+    * ≤ 1/4 of the lists — the 3/4 here is the isotropic-corpus
+    * calibration of that dial, not a universal cost.
     */
   def nProbe(n: Long): Int = math.max(4, (3 * nCentroids(n) + 3) / 4)
 
@@ -93,19 +96,19 @@ object AnnParams {
 
   /** SQL twin of [[numPlanes]] over the embeddings table. */
   val numPlanesSql: String =
-    s"""ann_params AS (
+    s"""ann_params AS MATERIALIZED (
        |  SELECT GREATEST(8, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END) AS nplanes
        |  FROM (SELECT (count(*) + ${targetBucket - 1}) // $targetBucket AS m FROM embeddings)
        |)""".stripMargin
 
   /** SQL twin of [[nCentroids]] over the embeddings table. */
   val nCentroidsSql: String =
-    """ivf_params AS (
+    """ivf_params AS MATERIALIZED (
       |  SELECT GREATEST(16, CAST(CEIL(SQRT(count(*) / 4.0)) AS INT)) AS nc
       |  FROM embeddings
       |)""".stripMargin
 
   /** SQL twin of [[nProbe]]; requires `ivf_params` in scope. */
   val nProbeSql: String =
-    "nprobe_params AS (SELECT GREATEST(4, (3 * nc + 3) // 4) AS np FROM ivf_params)"
+    "nprobe_params AS MATERIALIZED (SELECT GREATEST(4, (3 * nc + 3) // 4) AS np FROM ivf_params)"
 }

@@ -43,7 +43,7 @@ object Contamination {
     // memoized: report() consumes this on BOTH sides of its join (the
     // eval slice and the training corpus) — unmemoized each branch
     // re-runs the scan + explode + distinct shuffle
-    graft.Memo(spark, "contam_ngrams", dir) {
+    graft.Memo(spark, "contam_ngrams", dir, "contam_ngrams") {
       ngramsUncached(spark, dir)
     }
 

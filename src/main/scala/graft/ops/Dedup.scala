@@ -83,7 +83,7 @@ object Dedup {
     * for negative n instead of returning empty).
     */
   def shingles(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "dedup_shingles", dir) {
+    graft.Memo(spark, "dedup_shingles", dir, "dedup_shingles") {
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), split(TextMetrics.normalized(col("text")), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
@@ -136,7 +136,7 @@ object Dedup {
   }
 
   def bands(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "dedup_bands", dir)(bandsFrom(minhash(spark, dir)))
+    graft.Memo(spark, "dedup_bands", dir, "dedup_bands")(bandsFrom(minhash(spark, dir)))
 
   /** Candidate near-dup pairs: docs sharing any band bucket. The band
     * frame is persisted by the caller (or here) — the self-join would
@@ -153,7 +153,7 @@ object Dedup {
   }
 
   def candidates(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "dedup_candidates", dir)(candidatesFrom(bands(spark, dir)))
+    graft.Memo(spark, "dedup_candidates", dir, "dedup_candidates")(candidatesFrom(bands(spark, dir)))
 
   /** Near-dup verification: exact n-gram Jaccard on the candidates only,
     * kept at >= `threshold` (default 0.5). Shingles are computed once and

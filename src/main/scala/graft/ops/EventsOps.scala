@@ -81,7 +81,7 @@ object EventsOps {
   // the latter uses it on BOTH join sides — unmemoized, the whole window
   // chain over events would run twice in one query
   def sessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
-    graft.Memo(spark, s"events_sessions_$gapMinutes", dir) {
+    graft.Memo(spark, s"events_sessions_$gapMinutes", dir, "events_sessions") {
       sessionsUncached(spark, dir, gapMinutes)
     }
 

@@ -94,7 +94,7 @@ object Ivf {
     * (and IvfSpec's balance baseline).
     */
   def seedAssignments(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "ivf_seed_assign", dir) {
+    graft.Memo(spark, "ivf_seed_assign", dir, "ivf_seed_assign") {
       hierarchicalAssign(Similarity.normalized(spark, dir),
         seeds(spark, dir), coarseN(spark, dir))
     }
@@ -130,7 +130,7 @@ object Ivf {
     * is the raw seeds).
     */
   def centroidsAt(spark: SparkSession, dir: String, rounds: Int): DataFrame =
-    graft.Memo(spark, s"ivf_centroids_$rounds", dir) {
+    graft.Memo(spark, s"ivf_centroids_$rounds", dir, "ivf_centroids") {
       val e = Similarity.normalized(spark, dir)
       val cn = coarseN(spark, dir)
       (1 to rounds).foldLeft(seeds(spark, dir))((c, _) => refineOnce(e, c, cn))
@@ -140,7 +140,7 @@ object Ivf {
     * file every probe reads.
     */
   def assignments(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "ivf_assignments", dir) {
+    graft.Memo(spark, "ivf_assignments", dir, "ivf_assignments") {
       hierarchicalAssign(Similarity.normalized(spark, dir),
         centroids(spark, dir), coarseN(spark, dir))
     }
@@ -167,7 +167,7 @@ object Ivf {
       if (nProbeOverride > 0) nProbeOverride
       else AnnParams.nProbe(AnnParams.corpusSize(spark, dir))
     // memoized per parameterization (see Similarity.bruteForceTopK)
-    graft.Memo(spark, s"ivf_topk_${k}_${queryMod}_$nProbe", dir) {
+    graft.Memo(spark, s"ivf_topk_${k}_${queryMod}_$nProbe", dir, "ivf_topk") {
       topKWith(spark, dir, centroids(spark, dir), assignments(spark, dir),
         nProbe, k, queryMod)
     }
@@ -222,11 +222,11 @@ object Ivf {
     * same lower-id tiebreaks).
     */
   private def hierCte(p: String, cent: String): String =
-    s"""${p}_coarse AS (
+    s"""${p}_coarse AS MATERIALIZED (
        |  SELECT centroid_id AS coarse_id, cv AS gv, cnorm AS gnorm
        |  FROM $cent
        |  WHERE centroid_id < GREATEST(1, CAST(floor(sqrt(CAST((SELECT nc FROM ivf_params) AS DOUBLE))) AS BIGINT))
-       |), ${p}_cell_of AS (
+       |), ${p}_cell_of AS MATERIALIZED (
        |  SELECT centroid_id, cv, cnorm, coarse_id FROM (
        |    SELECT f.centroid_id, f.cv, f.cnorm, g.coarse_id,
        |           row_number() OVER (PARTITION BY f.centroid_id ORDER BY
@@ -234,7 +234,7 @@ object Ivf {
        |             g.coarse_id) AS rk
        |    FROM $cent f CROSS JOIN ${p}_coarse g
        |  ) WHERE rk = 1
-       |), ${p}_vec_cell AS (
+       |), ${p}_vec_cell AS MATERIALIZED (
        |  SELECT vec_id, v, norm, coarse_id FROM (
        |    SELECT e.vec_id, e.v, e.norm, g.coarse_id,
        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -242,7 +242,7 @@ object Ivf {
        |             g.coarse_id) AS rk
        |    FROM emb e CROSS JOIN ${p}_coarse g
        |  ) WHERE rk = 1
-       |), ${p}_assign AS (
+       |), ${p}_assign AS MATERIALIZED (
        |  SELECT vec_id, centroid_id FROM (
        |    SELECT vc.vec_id, co.centroid_id,
        |           row_number() OVER (PARTITION BY vc.vec_id ORDER BY
@@ -257,14 +257,14 @@ object Ivf {
     * `<p>_means`, and the refined centroid table `out`.
     */
   private def refineCte(p: String, cent: String, out: String): String =
-    s"""${hierCte(p, cent)}, ${p}_means AS (
+    s"""${hierCte(p, cent)}, ${p}_means AS MATERIALIZED (
        |  SELECT a.centroid_id, CAST(i.i AS INT) AS pos,
        |         CAST(SUM(CAST(round(e.v[CAST(i.i AS INT) + 1] * 1000000.0) AS BIGINT)) AS DOUBLE)
        |           / (count(*) * 1000000.0) AS m
        |  FROM ${p}_assign a JOIN emb e USING (vec_id)
        |  CROSS JOIN range(0, ${Similarity.dim}) i(i)
        |  GROUP BY 1, 2
-       |), $out AS (
+       |), $out AS MATERIALIZED (
        |  SELECT centroid_id, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM (
        |    SELECT centroid_id, list(m ORDER BY pos) AS cv
        |    FROM ${p}_means GROUP BY centroid_id
@@ -280,7 +280,7 @@ object Ivf {
       val out = if (r == refineRounds) "ivf_centroids" else s"ivf_cent_$r"
       refineCte(s"ivr$r", in, out)
     }.mkString(", ")
-    s"""${AnnParams.nCentroidsSql}, ivf_seeds AS (
+    s"""${AnnParams.nCentroidsSql}, ivf_seeds AS MATERIALIZED (
        |  SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm
        |  FROM emb WHERE vec_id < (SELECT nc FROM ivf_params)
        |), $rounds, ${hierCte("ivf", "ivf_centroids")}""".stripMargin

@@ -164,6 +164,108 @@ object Multimodal {
       "r_sum", "g_sum", "b_sum")
   }
 
+  // ---------- real audio path: encode → decode → windowed stats ----------
+
+  /** Deterministic per-id audio geometry/pattern — the planted truth the
+    * audio oracle recomputes analytically. Sample counts are multiples
+    * of the 64-sample window so every window is full; amplitudes are
+    * non-negative-modulo integers shifted into ±2000 (16-bit safe).
+    */
+  object AudioPattern {
+    val sampleRate = 8000
+    val windowSamples = 64
+    def nSamples(id: Long): Int = (256 + (id % 7) * 64).toInt // 256..640
+    def amp(i: Int, id: Long): Int = ((i * 31L + id * 17) % 4001).toInt - 2000
+  }
+
+  /** Minimal 16-bit mono PCM WAV writer (canonical 44-byte RIFF header +
+    * little-endian samples) — the fixture side of the audio decode
+    * proof. Runs on executors, like [[Bmp.encode]].
+    */
+  object Wav {
+    def encode(id: Long): Array[Byte] = {
+      val n = AudioPattern.nSamples(id)
+      val dataBytes = n * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                                  // PCM
+        .putShort(1)                                  // mono
+        .putInt(AudioPattern.sampleRate)
+        .putInt(AudioPattern.sampleRate * 2)          // byte rate
+        .putShort(2)                                  // block align
+        .putShort(16)                                 // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      var i = 0
+      while (i < n) { buf.putShort(AudioPattern.amp(i, id).toShort); i += 1 }
+      buf.array()
+    }
+
+    /** Decode via the JDK's javax.sound WAV reader — a REAL audio
+      * parser (header fields come from `AudioFormat`, samples from the
+      * decoded stream), receiving only the bytes.
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = ais.getFormat
+      require(!f.isBigEndian && f.getSampleSizeInBits == 16,
+        s"unexpected decoded format $f")
+      val raw = ais.readAllBytes()
+      ais.close()
+      val samples = new Array[Int](raw.length / 2)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      (f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits, samples)
+    }
+  }
+
+  /** Audio table: one real WAV binary per document id, built on the
+    * executors (the audio twin of [[imageTable]]).
+    */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, Wav.encode(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Batched decode + per-window stats over REAL PCM samples: the
+    * header's sample rate, the total sample count, and per 64-sample
+    * window the exact integer amplitude sum, energy (Σ amp²), and peak
+    * |amp| — all integers, so the analytic oracle matches bit-for-bit.
+    * One `mapPartitions` batch per partition, same shape as
+    * [[imageStats]]; a real codec (mp3/opus) would slot into
+    * [[Wav.decode]]'s position unchanged.
+    */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = AudioPattern.windowSamples
+    audioTable(spark, dir).as[(Long, Array[Byte])].mapPartitions { batch =>
+      batch.flatMap { case (id, payload) =>
+        val (rate, channels, bits, samples) = Wav.decode(payload)
+        require(channels == 1 && bits == 16)
+        (0 until samples.length / win).iterator.map { w =>
+          var s = 0L; var sq = 0L; var peak = 0
+          var i = w * win
+          while (i < (w + 1) * win) {
+            val a = samples(i)
+            s += a; sq += a.toLong * a
+            if (math.abs(a) > peak) peak = math.abs(a)
+            i += 1
+          }
+          (id, rate, samples.length, w, s, sq, peak)
+        }
+      }
+    }.toDF("media_id", "sample_rate", "n_samples", "win_idx",
+      "win_sum", "win_sq", "win_peak")
+  }
+
   /** Frame sampling: every `stride`-th fixed-size byte slice of the
     * payload (a video frame-sampler's plumbing; pure column ops).
     */
@@ -268,6 +370,34 @@ object Multimodal {
        |       CAST(sum((sx * 5 + sy * 3 + media_id * 17) % 256) AS BIGINT) AS g_sum,
        |       CAST(sum((sx + sy + media_id) % 256) AS BIGINT) AS b_sum
        |FROM samp GROUP BY 1, 2, 3""".stripMargin
+
+  /** [[audioStats]] is already scalar — registered as-is. The oracle
+    * enumerates every (window, sample) index analytically from
+    * [[AudioPattern]] and aggregates the SAME integer stats the Spark
+    * side computed from decoded WAV bytes — a mis-parsed header field,
+    * sign, or byte order diverges the hash.
+    */
+  def audioCheck(spark: SparkSession, dir: String): DataFrame =
+    audioStats(spark, dir)
+
+  val audioCheckSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(256 + (doc_id % 7) * 64 AS INT) AS n FROM documents
+      |), s AS (
+      |  SELECT d.doc_id, d.n, CAST(w.w AS INT) AS win_idx,
+      |         (CAST(w.w AS INT) * 64 + CAST(i.i AS INT)) * 31 + d.doc_id * 17 AS base
+      |  FROM d
+      |  JOIN range(0, 10) w(w) ON w.w < d.n // 64
+      |  CROSS JOIN range(0, 64) i(i)
+      |), amps AS (
+      |  SELECT doc_id, n, win_idx, CAST(base % 4001 - 2000 AS BIGINT) AS amp FROM s
+      |)
+      |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+      |       n AS n_samples, win_idx,
+      |       CAST(SUM(amp) AS BIGINT) AS win_sum,
+      |       CAST(SUM(amp * amp) AS BIGINT) AS win_sq,
+      |       CAST(MAX(ABS(amp)) AS INT) AS win_peak
+      |FROM amps GROUP BY 1, 2, 3, 4""".stripMargin
 
   /** [[frameSample]] with each frame projected to its md5 digest. */
   def framesCheck(spark: SparkSession, dir: String): DataFrame =

@@ -104,6 +104,9 @@ object OpsQueries {
     "mm_features" -> ((s, dir) => Multimodal.featuresCheck(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.framesCheck(s, dir)),
     "mm_resize" -> ((s, dir) => Multimodal.resizeCheck(s, dir)),
+    // real WAV decode: javax.sound parses executor-built PCM payloads;
+    // per-window integer stats vs an analytic planted-truth oracle
+    "mm_audio" -> ((s, dir) => Multimodal.audioCheck(s, dir)),
     // winnowing rolling-hash fingerprints (custom Catalyst expression;
     // the oracle recomputes the mod-2^64 hash in HUGEINT SQL)
     "winnow_fingerprints" -> ((s, dir) => Winnow.fingerprintsCheck(s, dir)),
@@ -214,6 +217,7 @@ object OpsQueries {
     "mm_features" -> Multimodal.featuresCheckSql,
     "mm_frames" -> Multimodal.framesCheckSql,
     "mm_resize" -> Multimodal.resizeCheckSql,
+    "mm_audio" -> Multimodal.audioCheckSql,
     // winnowing: direct-sum rolling hash in HUGEINT + window-min
     "winnow_fingerprints" -> Winnow.fingerprintsCheckSql(),
     "winnow_neardups" -> Winnow.nearDupsSql()

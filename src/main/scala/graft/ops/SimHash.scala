@@ -26,7 +26,7 @@ object SimHash {
   val bits = 60
 
   def signatures(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "simhash_signatures", dir)(signaturesUncached(spark, dir))
+    graft.Memo(spark, "simhash_signatures", dir, "simhash_signatures")(signaturesUncached(spark, dir))
 
   private def signaturesUncached(spark: SparkSession, dir: String): DataFrame = {
     val tokens = Tables.documents(spark, dir)

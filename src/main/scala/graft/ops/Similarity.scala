@@ -56,7 +56,7 @@ object Similarity {
     * topk/buckets/near-dup queries all start here).
     */
   def normalized(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "emb_normalized", dir) {
+    graft.Memo(spark, "emb_normalized", dir, "emb_normalized") {
       Tables.embeddings(spark, dir).select(
         col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
         .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -70,7 +70,7 @@ object Similarity {
     // memoized per parameterization: Recall composes this with the two
     // approximate paths, and without the memo each composition re-runs
     // the full scoring join
-    graft.Memo(spark, s"ann_topk_${k}_$queryMod", dir) {
+    graft.Memo(spark, s"ann_topk_${k}_$queryMod", dir, "ann_topk") {
       bruteForceTopKUncached(spark, dir, k, queryMod)
     }
 
@@ -97,7 +97,7 @@ object Similarity {
     * plane count derived from the corpus size (see [[AnnParams]]).
     */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "emb_lsh_buckets", dir) {
+    graft.Memo(spark, "emb_lsh_buckets", dir, "emb_lsh_buckets") {
       val planes = AnnParams.numPlanes(AnnParams.corpusSize(spark, dir))
       val ws = planeWeights(planes)
       val bits = (0 until planes).map { p =>
@@ -155,7 +155,7 @@ object Similarity {
     */
   def multiprobeTopK(spark: SparkSession, dir: String,
                      k: Int = 10, queryMod: Int = 50): DataFrame =
-    graft.Memo(spark, s"ann_multiprobe_${k}_$queryMod", dir) {
+    graft.Memo(spark, s"ann_multiprobe_${k}_$queryMod", dir, "ann_multiprobe") {
       multiprobeTopKUncached(spark, dir, k, queryMod)
     }
 
@@ -202,13 +202,27 @@ object Similarity {
 
   /** Embeddings-with-norm CTE; list_dot_product sums sequentially like
     * Spark's `aggregate`, keeping doubles bit-identical.
+    *
+    * MATERIALIZED (here and on every multiply-referenced CTE in the ANN
+    * oracle stack): DuckDB inlines plain CTEs at each reference, so a
+    * deep chain (emb → centroids → assignments → residual codes) would
+    * otherwise be re-EXECUTED once per reference — exponential work for
+    * the composed recall oracles. Materialization pins each stage to one
+    * evaluation; values are unchanged.
     */
-  val normCte: String =
-    """emb AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
-      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
-      |  FROM embeddings
-      |)""".stripMargin
+  val normCte: String = normCteAs("emb")
+
+  /** [[normCte]] under an explicit name — for queries that EMBED another
+    * full oracle query (its own MATERIALIZED `emb` inside a derived
+    * table) while also needing the norms at their own level: DuckDB
+    * rejects duplicate MATERIALIZED aliases across nested scopes.
+    */
+  def normCteAs(name: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings
+       |)""".stripMargin
 
   def bruteForceSql(k: Int = 10, queryMod: Int = 50): String =
     s"""WITH $normCte, q AS (

@@ -45,7 +45,7 @@ object Winnow {
 
   /** (doc_id, fingerprints array<long>) via the custom expression. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "winnow_fingerprints", dir) {
+    graft.Memo(spark, "winnow_fingerprints", dir, "winnow_fingerprints") {
       Tables.documents(spark, dir).select(
         col("doc_id"),
         GraftFunctions.winnowFingerprint(spark,

@@ -112,7 +112,7 @@ object Bronze {
     // quarantine split, and the bronze_* queries — without the memo each
     // re-runs the orders⋈lineitem shuffle join (the reference's analog is
     // the materialized t_sql_source_unstructured staging table)
-    graft.Memo(spark, "bronze", dir) {
+    graft.Memo(spark, "bronze", dir, "bronze") {
       val b = base(spark, dir)
       b.withColumn("_copy",
           explode(sequence(lit(1), when(col("id") % 61 === 0, 2).otherwise(1))))

@@ -26,10 +26,10 @@ object Pipeline {
     * (graft.io.WindowReload, as PipelineRunner does).
     */
   def silverCached(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "silver", dir)(silver(spark, dir))
+    graft.Memo(spark, "silver", dir, "silver")(silver(spark, dir))
 
   def fact(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "fact", dir)(Star.fact(silverCached(spark, dir)))
+    graft.Memo(spark, "fact", dir, "fact")(Star.fact(silverCached(spark, dir)))
 
   /** Oracle prefix: bronze + windowed silver CTEs. */
   val silverPrefix: String =

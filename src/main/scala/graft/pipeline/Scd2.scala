@@ -86,7 +86,7 @@ object Scd2 {
     * opening versions, H2-2023 state applied as of 2024-01-01.
     */
   def userHistory(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "scd2_users", dir) {
+    graft.Memo(spark, "scd2_users", dir, "scd2_users") {
       val silver = Pipeline.silverCached(spark, dir)
       val current = latestState(silver, H1._1, H1._2)
         .withColumn("effective_from", to_date(lit(H1._1)))

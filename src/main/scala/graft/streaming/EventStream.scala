@@ -61,7 +61,7 @@ object EventStream extends Serializable {
     * late-data behavior).
     */
   def hourlyCheck(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "stream_hourly", dir) {
+    graft.Memo(spark, "stream_hourly", dir, "stream_hourly") {
       val tbl = "stream_hourly_" + java.lang.Integer.toHexString(dir.hashCode)
       val q = runToMemory(spark, dir, tbl, glob = Some("events.parquet"))
       q.stop()
@@ -120,7 +120,7 @@ object EventStream extends Serializable {
     * result equals the batch left join — which is the oracle.
     */
   def enrichCheck(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "stream_enrich", dir) {
+    graft.Memo(spark, "stream_enrich", dir, "stream_enrich") {
       val tiers = graft.ops.EventsOps.topUsers(spark, dir)
         .select(col("user_id"), lit("high").as("tier"))
       val tbl = "stream_enrich_" + java.lang.Integer.toHexString(dir.hashCode)
@@ -154,7 +154,7 @@ object EventStream extends Serializable {
     * source, so the deduped doubled stream must equal plain events.
     */
   def dedupCheck(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "stream_dedup", dir) {
+    graft.Memo(spark, "stream_dedup", dir, "stream_dedup") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tbl = "stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
       val reader = spark.readStream.schema(schema)
@@ -212,7 +212,7 @@ object EventStream extends Serializable {
     * the batch inner join with the same predicate — the oracle.
     */
   def joinCheck(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "stream_join", dir) {
+    graft.Memo(spark, "stream_join", dir, "stream_join") {
       val tbl = "stream_join_" + java.lang.Integer.toHexString(dir.hashCode)
       val q = clickPurchaseJoin(spark, dir, glob = Some("events.parquet"))
         .writeStream.format("memory").queryName(tbl)
@@ -375,7 +375,7 @@ object EventStream extends Serializable {
     * The oracle replays that rule over the batch sessionization CTEs.
     */
   def sessionsCheck(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "stream_sessions", dir) {
+    graft.Memo(spark, "stream_sessions", dir, "stream_sessions") {
       val tbl = "stream_sessions_" + java.lang.Integer.toHexString(dir.hashCode)
       val q = sessionizeToMemory(spark, dir, tbl, glob = Some("events.parquet"))
       q.stop()
@@ -485,7 +485,7 @@ object EventStream extends Serializable {
     * appear (not yet finalized).
     */
   def hourlyIncrementalCheck(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "stream_hourly_incremental", dir) {
+    graft.Memo(spark, "stream_hourly_incremental", dir, "stream_hourly_incremental") {
       val in = incrementalInput(spark, dir)
       val tbl = "stream_hourly_inc_" + java.lang.Integer.toHexString(dir.hashCode)
       val q = spark.readStream.schema(schema)
@@ -542,7 +542,7 @@ object EventStream extends Serializable {
     * exactly the point.
     */
   def joinIncrementalCheck(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "stream_join_incremental", dir) {
+    graft.Memo(spark, "stream_join_incremental", dir, "stream_join_incremental") {
       val in = incrementalInput(spark, dir)
       val tbl = "stream_join_inc_" + java.lang.Integer.toHexString(dir.hashCode)
       def side(tpe: String, prefix: String): DataFrame =

@@ -119,4 +119,31 @@ class WindowReloadSpec extends SparkSpec {
       jan1, jan31)
     assert(snapshot(path).map(_._1) === Set(3))
   }
+
+  test("auto granularity costs no extra job on first load (estimate, not count)") {
+    val rows = (1 to 50).map(i => (i, f"2023-01-${i % 28 + 1}%02d", "2023-01-31"))
+    def jobsOf(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      // listener delivery is async; a short quiesce keeps the count exact
+      try { body; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    val base = Files.createTempDirectory("wr_jobs").toString
+    val auto = jobsOf {
+      WindowReload.reload(spark, s"$base/auto", df(rows: _*), jan1, jan31)
+    }
+    val explicit = jobsOf {
+      WindowReload.reload(spark, s"$base/expl", df(rows: _*), jan1, jan31,
+        granularity = Some(WindowReload.Year))
+    }
+    assert(auto === explicit,
+      s"granularity estimation must not add a job (auto=$auto explicit=$explicit)")
+  }
 }
