@@ -12,8 +12,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * once: without this, `dim_customer`…`dim_status`, `fact` and
   * `dq_checks` each re-derive silver ← bronze ← the orders⋈lineitem join.
   *
-  * Keyed by (session, dataset, sf-dir); frames are `persist()`-ed
-  * MEMORY_AND_DISK, so eviction degrades to recompute, never OOM.
+  * Keyed by (session, dataset, sf-dir). Frames are snapshotted with a
+  * lazy `localCheckpoint` (MEMORY_AND_DISK), which both caches the rows
+  * AND cuts the logical lineage: the memo returns a `LogicalRDD`, so a
+  * query composing five memoized stages plans over five leaf nodes
+  * instead of the stages' combined trees. That lineage cut is
+  * load-bearing for the deep retrieval stack — the composed residual
+  * IVF-PQ chain re-referenced the centroid/assignment subtrees enough
+  * times that per-action plan work (analysis, canonicalization for
+  * cache lookup, the SQL listener's plan string) grew to minutes at
+  * sf0.1 (ivfpq_topk 38 s, pq_recall 91 s measured in isolation; both
+  * ≤ 8 s after the cut — the data volumes involved are only a few
+  * million rows). The classic trade: a `LogicalRDD` exposes no stats
+  * and no pushdown, so every join against a memo frame that must
+  * broadcast carries an explicit `broadcast()` hint (they all did
+  * already), and filters that should reach parquet belong INSIDE the
+  * builder, not on top of the memo.
+  *
+  * Cluster caveat: `localCheckpoint` blocks are NOT fault-tolerant —
+  * an executor loss loses its blocks for good (lineage is cut, so no
+  * recompute; Spark fails the stage). On a 1000-executor deployment the
+  * memoized stages this guards are the small shared artifacts
+  * (centroids, codebooks, dims — KBs to low GBs), not the 100 TB fact
+  * scan, and the recovery path is coarse: a job that loses blocks fails,
+  * and the caller must [[dropFamily]] (or restart the session) before
+  * re-running so `apply` rebuilds from source. A deployment wanting
+  * executor-loss transparency swaps `localCheckpoint` for
+  * `checkpoint()` against reliable storage at the cost of a write per
+  * memoized stage — same API shape, same lineage cut.
   */
 object Memo {
   // Key includes the session object itself (not a hash — identityHashCode
@@ -58,7 +84,7 @@ object Memo {
     }.toSet
     if (dead.nonEmpty) cache.keysIterator
       .filter(k => families.get(k._2).exists(dead.contains)).toList
-      .foreach(k => cache.remove(k).foreach(_.unpersist(blocking = false)))
+      .foreach(k => cache.remove(k).foreach(release))
   }
 
   /** Unpersist and drop every entry of `fam` regardless of tracking —
@@ -67,8 +93,23 @@ object Memo {
   def dropFamily(fam: String): Unit = cache.synchronized {
     cache.keysIterator
       .filter(k => families.get(k._2).contains(fam)).toList
-      .foreach(k => cache.remove(k).foreach(_.unpersist(blocking = false)))
+      .foreach(k => cache.remove(k).foreach(release))
   }
+
+  /** Unpersist the RDD a localCheckpoint-ed frame caches its rows in.
+    * The frame's plan is `LogicalRDD(rdd)`; `Dataset.unpersist` only
+    * talks to the relation cache, so the rdd is reached reflectively
+    * (`LogicalRDD` is sql-internal). Failure-safe: worst case the rows
+    * stay cached until session end, the pre-eviction status quo.
+    */
+  private def release(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.collect {
+      case l if l.nodeName == "LogicalRDD" =>
+        l.getClass.getMethod("rdd").invoke(l) match {
+          case r: org.apache.spark.rdd.RDD[_] => r.unpersist(blocking = false)
+          case _ => ()
+        }
+    } catch { case _: Throwable => () }
 
   def apply(spark: SparkSession, name: String, dir: String,
             family: String)(build: => DataFrame): DataFrame =
@@ -81,9 +122,11 @@ object Memo {
         touchers.update(family,
           touchers.getOrElse(family, Set.empty) + currentQuery)
       // synchronized: TrieMap.getOrElseUpdate may run the builder twice
-      // under a race, persisting an orphan frame nothing ever unpersists
+      // under a race, caching an orphan frame nothing ever releases.
+      // Lazy checkpoint: lineage is cut NOW (the returned plan is a
+      // LogicalRDD), rows materialize on first action.
       cache.getOrElseUpdate(
         (spark, name, dir),
-        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        build.localCheckpoint(eager = false))
     }
 }

@@ -18,9 +18,14 @@ import graft.Tables
   * the decoder mis-handles a single byte (row padding, BGR order,
   * bottom-up rows), the hashes diverge.
   *
-  * The audio/video leg ([[frameSample]]) remains plumbing over opaque
-  * bytes: batch shape, schema, and metadata are the contract; a codec
-  * would slot into the same `mapPartitions` shape the image path proves.
+  * The audio and video paths are real in the same sense: [[Wav]] builds
+  * and `javax.sound` parses genuine 16-bit PCM WAVs ([[audioStats]]);
+  * [[Avi]] builds genuine RIFF AVI containers of raw DIB frames and an
+  * own chunk walker demuxes them ([[videoStats]] — the JDK ships no AVI
+  * reader). [[frameSample]] additionally keeps the codec-free byte-slice
+  * sampler as pure column ops. What a production deployment would add is
+  * only compressed codecs (jpeg/mp3/h264) in the decode positions; every
+  * schema, batch shape, and oracle-checked stat stays as proven here.
   */
 object Multimodal {
 
@@ -266,6 +271,190 @@ object Multimodal {
       "win_sum", "win_sq", "win_peak")
   }
 
+  // ---------- real video path: encode → RIFF walk → per-frame stats ----------
+
+  /** Deterministic per-id video geometry/pattern — the planted truth the
+    * video oracle recomputes analytically. Pixel values depend on the
+    * frame index too, so a decoder that misorders or drops frames
+    * diverges.
+    */
+  object VideoPattern {
+    val fps = 10
+    def width(id: Long): Int = (8 + id % 9).toInt   // 8..16
+    def height(id: Long): Int = (8 + id % 7).toInt  // 8..14
+    def nFrames(id: Long): Int = (2 + id % 4).toInt // 2..5
+    def r(x: Int, y: Int, f: Int, id: Long): Int =
+      ((x * 7 + y * 11 + f * 19 + id * 13) % 256).toInt
+    def g(x: Int, y: Int, f: Int, id: Long): Int =
+      ((x * 5 + y * 3 + f * 23 + id * 17) % 256).toInt
+    def b(x: Int, y: Int, f: Int, id: Long): Int =
+      ((x + y + f + id) % 256).toInt
+  }
+
+  /** Minimal uncompressed AVI writer/parser — the video twin of
+    * [[Bmp]]/[[Wav]]. The container is a genuine RIFF 'AVI ' tree
+    * (LIST hdrl { avih, LIST strl { strh 'vids'/'DIB ', strf
+    * BITMAPINFOHEADER } }, LIST movi { '00db' raw DIB frames }); each
+    * frame is a bottom-up BGR24 raster with rows padded to 4 bytes,
+    * exactly the BMP pixel-array layout. The JDK ships no AVI demuxer,
+    * so [[decode]] is an honest chunk walker: it navigates fourcc/size
+    * framing (word alignment included), takes geometry from the strf
+    * BITMAPINFOHEADER cross-checked against avih, and extracts the movi
+    * frame payloads in stream order — receiving only the bytes.
+    */
+  object Avi {
+    def encode(id: Long): Array[Byte] = {
+      val w = VideoPattern.width(id)
+      val h = VideoPattern.height(id)
+      val nf = VideoPattern.nFrames(id)
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val frameBytes = rowSize * h
+      val strlContent = 4 + (8 + 56) + (8 + 40)   // 'strl' + strh + strf
+      val hdrlContent = 4 + (8 + 56) + (8 + strlContent)
+      val moviContent = 4 + nf * (8 + frameBytes) // frameBytes % 4 == 0: aligned
+      val riffContent = 4 + (8 + hdrlContent) + (8 + moviContent)
+      val buf = java.nio.ByteBuffer.allocate(8 + riffContent)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String) = buf.put(s.getBytes("US-ASCII"))
+      cc("RIFF"); buf.putInt(riffContent); cc("AVI ")
+      cc("LIST"); buf.putInt(hdrlContent); cc("hdrl")
+      cc("avih"); buf.putInt(56)
+      buf.putInt(1000000 / VideoPattern.fps)      // usec per frame
+        .putInt(frameBytes * VideoPattern.fps)    // max bytes/sec
+        .putInt(0)                                // padding granularity
+        .putInt(0x10)                             // AVIF_HASINDEX off, interleaved off
+        .putInt(nf).putInt(0).putInt(1)           // totalFrames, initial, streams
+        .putInt(frameBytes).putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)  // reserved
+      cc("LIST"); buf.putInt(strlContent); cc("strl")
+      cc("strh"); buf.putInt(56)
+      cc("vids"); cc("DIB ")
+      buf.putInt(0).putShort(0).putShort(0).putInt(0)   // flags, prio, lang, initial
+        .putInt(1).putInt(VideoPattern.fps)             // scale, rate
+        .putInt(0).putInt(nf)                           // start, length
+        .putInt(frameBytes).putInt(-1).putInt(0)        // bufSize, quality, sampleSize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      cc("strf"); buf.putInt(40)
+      buf.putInt(40).putInt(w).putInt(h)          // biSize, biWidth, biHeight (+: bottom-up)
+        .putShort(1).putShort(24)                 // planes, bpp
+        .putInt(0).putInt(frameBytes)             // BI_RGB, biSizeImage
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      cc("LIST"); buf.putInt(moviContent); cc("movi")
+      var f = 0
+      while (f < nf) {
+        cc("00db"); buf.putInt(frameBytes)
+        var y = h - 1
+        while (y >= 0) { // bottom-up rows, BGR order, padded to 4 bytes
+          var x = 0
+          while (x < w) {
+            buf.put(VideoPattern.b(x, y, f, id).toByte)
+            buf.put(VideoPattern.g(x, y, f, id).toByte)
+            buf.put(VideoPattern.r(x, y, f, id).toByte)
+            x += 1
+          }
+          var p = w * 3
+          while (p < rowSize) { buf.put(0.toByte); p += 1 }
+          y -= 1
+        }
+        f += 1
+      }
+      buf.array()
+    }
+
+    /** (width, height, frames in stream order — each a raw bottom-up
+      * BGR24 DIB raster). A mis-read size field, a skipped pad byte, or
+      * trusting avih over strf where they disagree all fail loudly.
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      require(fourcc() == "RIFF", "not a RIFF file")
+      val riffSize = buf.getInt
+      require(riffSize + 8 <= payload.length, "truncated RIFF")
+      require(fourcc() == "AVI ", "not an AVI")
+      var avihW = -1; var avihH = -1
+      var w = -1; var h = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(end: Int): Unit =
+        while (buf.position() < end) {
+          val id = fourcc()
+          val sz = buf.getInt
+          val next = buf.position() + sz + (sz & 1) // chunks are word-aligned
+          id match {
+            case "LIST" =>
+              fourcc() // list type: hdrl / strl / movi — recurse regardless
+              walk(next)
+            case "avih" =>
+              val p = buf.position()
+              avihW = buf.getInt(p + 32); avihH = buf.getInt(p + 36)
+            case "strf" =>
+              val p = buf.position()
+              require(buf.getInt(p) == 40, "strf is not a BITMAPINFOHEADER")
+              w = buf.getInt(p + 4); h = buf.getInt(p + 8)
+              require(buf.getShort(p + 14) == 24, "not BGR24")
+              require(buf.getInt(p + 16) == 0, "compressed stream")
+            case "00db" | "00dc" =>
+              val fb = new Array[Byte](sz); buf.get(fb); frames += fb
+            case _ => () // strh, idx1, JUNK — framing only
+          }
+          buf.position(next)
+        }
+      walk(8 + riffSize)
+      require(w > 0 && h > 0, "no strf seen before frames")
+      require(w == avihW && h == avihH, s"avih $avihW×$avihH != strf $w×$h")
+      (w, h, frames.toArray)
+    }
+  }
+
+  /** Video table: one real AVI binary per document id, built on the
+    * executors (the video twin of [[imageTable]]/[[audioTable]]).
+    */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, Avi.encode(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Demux + frame-sample + per-frame stats over REAL DIB rasters: every
+    * `stride`-th frame (a training pipeline never featurizes all frames)
+    * is decoded from its bottom-up padded BGR rows into exact integer
+    * channel sums. One `mapPartitions` batch per partition; an mp4/h264
+    * demuxer+codec would slot into [[Avi.decode]]'s position unchanged.
+    */
+  def videoStats(spark: SparkSession, dir: String, stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, dir).as[(Long, Array[Byte])].mapPartitions { batch =>
+      batch.flatMap { case (id, payload) =>
+        val (w, h, frames) = Avi.decode(payload)
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        frames.iterator.zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (fb, fi) =>
+            require(fb.length == rowSize * h, s"frame $fi size ${fb.length}")
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var y = 0
+            while (y < h) {
+              val base = (h - 1 - y) * rowSize // stored bottom-up
+              var x = 0
+              while (x < w) {
+                bs += fb(base + x * 3) & 0xFF
+                gs += fb(base + x * 3 + 1) & 0xFF
+                rs += fb(base + x * 3 + 2) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            (id, w, h, frames.length, fi, rs, gs, bs)
+          }
+      }
+    }.toDF("media_id", "width", "height", "n_frames", "frame_idx",
+      "r_sum", "g_sum", "b_sum")
+  }
+
   /** Frame sampling: every `stride`-th fixed-size byte slice of the
     * payload (a video frame-sampler's plumbing; pure column ops).
     */
@@ -398,6 +587,39 @@ object Multimodal {
       |       CAST(SUM(amp * amp) AS BIGINT) AS win_sq,
       |       CAST(MAX(ABS(amp)) AS INT) AS win_peak
       |FROM amps GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** [[videoStats]] is already scalar — registered as-is. The oracle
+    * enumerates every (frame, x, y) of every sampled frame analytically
+    * from [[VideoPattern]] and aggregates the SAME integer sums the
+    * Spark side computed from demuxed DIB bytes — a mis-walked chunk,
+    * dropped pad byte, or frame-order swap diverges the hash.
+    */
+  def videoCheck(spark: SparkSession, dir: String): DataFrame =
+    videoStats(spark, dir)
+
+  val videoCheckSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(8 + doc_id % 9 AS INT) AS width,
+      |         CAST(8 + doc_id % 7 AS INT) AS height,
+      |         CAST(2 + doc_id % 4 AS INT) AS n_frames
+      |  FROM documents
+      |), px AS (
+      |  SELECT d.media_id, d.width, d.height, d.n_frames,
+      |         CAST(f.f AS INT) AS frame_idx,
+      |         (x.x * 7 + y.y * 11 + f.f * 19 + d.media_id * 13) % 256 AS r,
+      |         (x.x * 5 + y.y * 3 + f.f * 23 + d.media_id * 17) % 256 AS g,
+      |         (x.x + y.y + f.f + d.media_id) % 256 AS b
+      |  FROM dims d
+      |  JOIN range(0, 5) f(f) ON f.f < d.n_frames AND f.f % 2 = 0
+      |  JOIN range(0, 17) x(x) ON x.x < d.width
+      |  JOIN range(0, 15) y(y) ON y.y < d.height
+      |)
+      |SELECT media_id, width, height, n_frames, frame_idx,
+      |       CAST(sum(r) AS BIGINT) AS r_sum,
+      |       CAST(sum(g) AS BIGINT) AS g_sum,
+      |       CAST(sum(b) AS BIGINT) AS b_sum
+      |FROM px GROUP BY 1, 2, 3, 4, 5""".stripMargin
 
   /** [[frameSample]] with each frame projected to its md5 digest. */
   def framesCheck(spark: SparkSession, dir: String): DataFrame =

@@ -40,6 +40,10 @@ object OpsQueries {
     // 0.3: this corpus is near-random (max pairwise cosine ≈ 0.5), so a
     // production-style 0.9 cut returns empty; 0.3 exercises the refine
     "emb_neardups" -> ((s, dir) => Similarity.cosineNearDups(s, dir, threshold = 0.3)),
+    // SemDeDup: k-means-cluster-bounded semantic dedup reusing the IVF
+    // assignment as the clustering (threshold matched to emb_neardups'
+    // corpus calibration)
+    "dedup_semantic" -> ((s, dir) => Similarity.semDedup(s, dir, threshold = 0.3)),
     // retrieval quality: recall@10 of both approximate paths vs brute force
     "ann_recall" -> ((s, dir) => Recall.atK(s, dir)),
     // product quantization: 4-bit codes per subspace, ADC top-k, recall
@@ -96,6 +100,12 @@ object OpsQueries {
       graft.streaming.EventStream.hourlyIncrementalCheck(s, dir)),
     "stream_join_incremental" -> ((s, dir) =>
       graft.streaming.EventStream.joinIncrementalCheck(s, dir)),
+    // checkpoint recovery: three query lifetimes over one checkpoint +
+    // parquet file sink; restart must skip processed files, restore the
+    // watermark, and commit no duplicates — final sink == the
+    // uninterrupted run's oracle
+    "stream_recovery" -> ((s, dir) =>
+      graft.streaming.EventStream.recoveryCheck(s, dir)),
     // multimodal: mm_features/mm_resize decode REAL BMP payloads with
     // javax.imageio and emit pixel stats the oracle recomputes
     // analytically from the planted pattern; mm_media/mm_frames are the
@@ -107,6 +117,9 @@ object OpsQueries {
     // real WAV decode: javax.sound parses executor-built PCM payloads;
     // per-window integer stats vs an analytic planted-truth oracle
     "mm_audio" -> ((s, dir) => Multimodal.audioCheck(s, dir)),
+    // real AVI demux: own RIFF chunk walker over executor-built
+    // containers; per-sampled-frame DIB channel sums vs analytic oracle
+    "mm_video" -> ((s, dir) => Multimodal.videoCheck(s, dir)),
     // winnowing rolling-hash fingerprints (custom Catalyst expression;
     // the oracle recomputes the mod-2^64 hash in HUGEINT SQL)
     "winnow_fingerprints" -> ((s, dir) => Winnow.fingerprintsCheck(s, dir)),
@@ -154,6 +167,7 @@ object OpsQueries {
     "ann_bucket_stats" -> Similarity.bucketStatsSql,
     "ann_multiprobe" -> Similarity.multiprobeSql(),
     "emb_neardups" -> Similarity.cosineNearDupsSql(0.3),
+    "dedup_semantic" -> Similarity.semDedupSql(0.3),
     "ann_recall" -> Recall.atKSql(),
     "pq_codes" -> Pq.codesSql,
     "pq_topk" -> Pq.topKSql(),
@@ -190,6 +204,7 @@ object OpsQueries {
       graft.streaming.EventStream.hourlyIncrementalCheckSql,
     "stream_join_incremental" ->
       graft.streaming.EventStream.joinIncrementalCheckSql,
+    "stream_recovery" -> graft.streaming.EventStream.recoveryCheckSql,
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),
     "text_tfidf" -> TextPrep.tfIdfSql(),
@@ -218,6 +233,7 @@ object OpsQueries {
     "mm_frames" -> Multimodal.framesCheckSql,
     "mm_resize" -> Multimodal.resizeCheckSql,
     "mm_audio" -> Multimodal.audioCheckSql,
+    "mm_video" -> Multimodal.videoCheckSql,
     // winnowing: direct-sum rolling hash in HUGEINT + window-min
     "winnow_fingerprints" -> Winnow.fingerprintsCheckSql(),
     "winnow_neardups" -> Winnow.nearDupsSql()

@@ -330,4 +330,56 @@ object Similarity {
        |JOIN emb ea ON ea.vec_id = a.vec_id
        |JOIN emb eb ON eb.vec_id = b.vec_id
        |WHERE CAST(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) AS DECIMAL(10,6)) >= $threshold""".stripMargin
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    * bounds the pairwise search with a k-means clustering instead of LSH
+    * buckets — reusing [[Ivf.assignments]] as that clustering, so the
+    * index built for retrieval is the same artifact that curbs the
+    * dedup. Within each centroid list, every pair above `threshold`
+    * cosine marks the HIGHER vec_id as a drop; the emitted row names its
+    * keeper (the lowest-id partner — deterministic, no transitivity
+    * needed) via `min_by`. Pair production is O(Σ listᵢ²) with balanced
+    * lists of ≈4√n — the same scale bound SemDeDup's clustering is for.
+    * A near-dup pair split across two lists is missed by design (the
+    * paper's accepted trade); the oracle replays the identical
+    * assignment, so both sides miss identically.
+    */
+  def semDedup(spark: SparkSession, dir: String,
+               threshold: Double = 0.9): DataFrame = {
+    val e = normalized(spark, dir)
+      .join(graft.ops.Ivf.assignments(spark, dir), "vec_id")
+    val a = e.select(col("centroid_id"), col("vec_id").as("keep_c"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("centroid_id"), col("vec_id").as("drop_id"),
+      col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("keep_c") < col("drop_id"))
+      .select(col("centroid_id"), col("drop_id"), col("keep_c"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .cast("decimal(10,6)").as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("centroid_id"), col("drop_id"))
+      .agg(min(col("keep_c")).as("keep_id"),
+        expr("min_by(cos, keep_c)").as("cosine_sim"))
+      .select(col("centroid_id"), col("drop_id"), col("keep_id"),
+        col("cosine_sim"))
+  }
+
+  /** DuckDB twin: same IVF assignment CTEs, same pair filter, `arg_min`
+    * for the keeper's cosine.
+    */
+  def semDedupSql(threshold: Double = 0.9): String =
+    s"""WITH $normCte, ${graft.ops.Ivf.centroidsCte}, m AS MATERIALIZED (
+       |  SELECT a.centroid_id, e.vec_id, e.v, e.norm
+       |  FROM ivf_assign a JOIN emb e USING (vec_id)
+       |), pairs AS (
+       |  SELECT a.centroid_id, b.vec_id AS drop_id, a.vec_id AS keep_c,
+       |         CAST(list_dot_product(a.v, b.v) / (a.norm * b.norm) AS DECIMAL(10,6)) AS cos
+       |  FROM m a JOIN m b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |  WHERE CAST(list_dot_product(a.v, b.v) / (a.norm * b.norm) AS DECIMAL(10,6)) >= $threshold
+       |)
+       |SELECT centroid_id, drop_id, MIN(keep_c) AS keep_id,
+       |       CAST(arg_min(cos, keep_c) AS DOUBLE) AS cosine_sim
+       |FROM pairs GROUP BY 1, 2""".stripMargin
 }

@@ -588,4 +588,89 @@ object EventStream extends Serializable {
        |FROM p JOIN c ON p.user_id = c.user_id
        |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
        |GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Checkpoint recovery: the exactly-once story across query RESTARTS.
+  // The incremental proofs above run one continuous query; production
+  // streams die and resume. This check runs the hourly rollup to a
+  // parquet FILE sink (whose _spark_metadata commit log is what makes
+  // file output exactly-once) in three separate query lifetimes over
+  // one checkpoint.
+  // ------------------------------------------------------------------
+
+  /** The hourly rollup recovered across restarts:
+    *
+    *  1. Query #1 sees only `a_main.parquet`, runs to completion
+    *     (`Trigger.AvailableNow`), and is stopped — a planned "crash"
+    *     after which watermark, window state, and the processed-file log
+    *     live only in the checkpoint.
+    *  2. The filler and late files then arrive; a NEW query object on
+    *     the same checkpoint resumes: it must skip the already-processed
+    *     main file, restore the watermark (so the late file's rows are
+    *     dropped exactly as in the single-lifetime run), and emit only
+    *     windows not already committed by query #1.
+    *  3. A third lifetime with no new input must commit nothing —
+    *     re-emission would duplicate rows in the sink.
+    *
+    * The final sink contents are read back through the sink's own
+    * commit log and must equal [[hourlyIncrementalCheck]]'s oracle —
+    * the same answer as the uninterrupted run, through two restarts.
+    * Harness cost is bounded: two file copies + three short queries over
+    * the same data volume as the single-lifetime check.
+    */
+  def recoveryCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_recovery", dir, "stream_recovery") {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = new org.apache.hadoop.fs.Path(incrementalInput(spark, dir))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_rec").toFile
+      base.deleteOnExit()
+      val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val phased = new org.apache.hadoop.fs.Path(base.getAbsolutePath, "in")
+      val out = new org.apache.hadoop.fs.Path(base.getAbsolutePath, "out")
+      val ck = new org.apache.hadoop.fs.Path(base.getAbsolutePath, "ck")
+      fs.mkdirs(phased)
+      def arrive(name: String): Unit = { // copy preserving the mtime order
+        val src = new org.apache.hadoop.fs.Path(in, name)
+        val dst = new org.apache.hadoop.fs.Path(phased, name)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+          spark.sparkContext.hadoopConfiguration)
+        fs.setTimes(dst, fs.getFileStatus(src).getModificationTime, -1)
+      }
+      def lifetime(): Unit = {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(phased.toString)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("event_type"), col("n_events"), col("total_value"))
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", ck.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      arrive("a_main.parquet")
+      lifetime()                                  // query #1: main only, then "crash"
+      arrive("b_fill.parquet"); arrive("c_late.parquet")
+      lifetime()                                  // query #2: resume, drop late, finalize
+      val committed = spark.read.parquet(out.toString).count()
+      lifetime()                                  // query #3: nothing new → no dups
+      val result = spark.read.parquet(out.toString)
+      require(result.count() == committed,
+        s"restart with no new input changed the sink: $committed -> ${result.count()}")
+      result
+    }
+
+  /** Same oracle arithmetic as [[hourlyIncrementalCheckSql]] — recovery
+    * must reproduce the uninterrupted run's answer exactly.
+    */
+  val recoveryCheckSql: String = hourlyIncrementalCheckSql
 }

@@ -223,4 +223,53 @@ class EventsSpec extends SparkSpec {
     assert(frames.groupBy("media_id").agg(min("frame_idx").as("m"))
       .filter(col("m") =!= 0).count() === 0)
   }
+
+  test("WAV decode recovers the planted samples via javax.sound") {
+    for (id <- Seq(0L, 6L, 123L, 499L)) {
+      val (rate, ch, bits, samples) =
+        Multimodal.Wav.decode(Multimodal.Wav.encode(id))
+      assert(rate === Multimodal.AudioPattern.sampleRate)
+      assert(ch === 1); assert(bits === 16)
+      assert(samples.length === Multimodal.AudioPattern.nSamples(id))
+      samples.zipWithIndex.foreach { case (a, i) =>
+        assert(a === Multimodal.AudioPattern.amp(i, id), s"sample $i of id $id")
+      }
+    }
+  }
+
+  test("AVI demux recovers geometry and every planted frame pixel") {
+    for (id <- Seq(0L, 5L, 123L, 499L)) {
+      val (w, h, frames) = Multimodal.Avi.decode(Multimodal.Avi.encode(id))
+      assert(w === Multimodal.VideoPattern.width(id))
+      assert(h === Multimodal.VideoPattern.height(id))
+      assert(frames.length === Multimodal.VideoPattern.nFrames(id))
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      frames.zipWithIndex.foreach { case (fb, f) =>
+        assert(fb.length === rowSize * h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val base = (h - 1 - y) * rowSize + x * 3 // bottom-up BGR
+          assert((fb(base) & 0xFF) === Multimodal.VideoPattern.b(x, y, f, id))
+          assert((fb(base + 1) & 0xFF) === Multimodal.VideoPattern.g(x, y, f, id))
+          assert((fb(base + 2) & 0xFF) === Multimodal.VideoPattern.r(x, y, f, id))
+        }
+      }
+    }
+  }
+
+  test("video stats sample every other frame of the demuxed stream") {
+    val v = Multimodal.videoStats(spark, sf0001).cache()
+    // stride-2 sampling: only even frame indices, always including 0
+    assert(v.filter(col("frame_idx") % 2 =!= 0).count() === 0)
+    assert(v.filter(col("frame_idx") === 0).count() ===
+      Tables.documents(spark, sf0001).count())
+    // spot-check one row against a direct in-JVM demux
+    val row = v.filter(col("media_id") === 42L && col("frame_idx") === 2).head()
+    val id = 42L
+    val (w, h, frames) = Multimodal.Avi.decode(Multimodal.Avi.encode(id))
+    var gs = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      gs += Multimodal.VideoPattern.g(x, y, 2, id)
+    assert(row.getAs[Long]("g_sum") === gs)
+    assert(row.getAs[Int]("n_frames") === frames.length)
+  }
 }
