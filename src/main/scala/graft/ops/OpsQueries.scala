@@ -129,6 +129,8 @@ object OpsQueries {
     "text_vocab" -> ((s, dir) => TextPrep.vocabulary(s, dir)),
     "text_tfidf" -> ((s, dir) => TextPrep.tfIdf(s, dir)),
     "text_shards" -> ((s, dir) => TextPrep.shards(s, dir)),
+    // global concat-and-chunk packing via two-tier distributed prefix sum
+    "text_pack" -> ((s, dir) => Pack.pack(s, dir)),
     "emb_quantize" -> ((s, dir) => TextPrep.quantize(s, dir)),
     // BM25 lexical top-k — the keyword complement of the ANN path
     "text_bm25" -> ((s, dir) => TextPrep.bm25(s, dir)),
@@ -209,6 +211,7 @@ object OpsQueries {
     "text_vocab" -> TextPrep.vocabularySql(),
     "text_tfidf" -> TextPrep.tfIdfSql(),
     "text_shards" -> TextPrep.shardsSql(),
+    "text_pack" -> Pack.packSql,
     "emb_quantize" -> TextPrep.quantizeSql,
     "text_bm25" -> TextPrep.bm25Sql(),
     "source_quota" -> Sampling.sourceQuotaSql(),

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Global sequence packing: concatenate the whole corpus token stream in
+  * doc_id order and cut it into fixed-length training sequences that
+  * cross document boundaries — the pretraining "concat-and-chunk" step.
+  *
+  * Differs from [[TextPrep.shards]] (per-source grouping, where the
+  * window partition key keeps the running sum parallel): packing needs
+  * ONE global total order, and a naive `Window.orderBy(doc_id)` would
+  * funnel the entire corpus through a single task. Instead the global
+  * running offset is a two-tier prefix sum:
+  *
+  *  - tier 1: docs are bucketed by `doc_id div bucketSize` (a
+  *    data-deterministic, order-aligned key — unlike
+  *    `spark_partition_id`, it cannot shift between jobs), bucket token
+  *    totals are aggregated (map-side combine, ≤ n/bucketSize rows) and
+  *    cumulated with a window over that metadata-scale frame only;
+  *  - tier 2: a window PARTITIONED by bucket computes the within-bucket
+  *    running sum in parallel, and a broadcast join adds the bucket
+  *    offset.
+  *
+  * At 100 TB: tier-1 frame is ~n/bucketSize rows (tune bucketSize so
+  * that stays ~10^5–10^6; cumulating it is metadata work, and can be
+  * tiered again if n outgrows one level); tier-2 window groups are
+  * ≤ bucketSize docs each. No full-corpus single-partition stage exists.
+  */
+object Pack {
+
+  val seqLen     = 256
+  val bucketSize = 100L
+
+  /** Tokens per doc, counted exactly as [[TextPrep.chunks]] tokenizes
+    * (whitespace-split of the normalized text).
+    */
+  private def docTokens: Column =
+    size(split(TextMetrics.normalized(col("text")), " ")).cast("long")
+
+  /** Per-doc global token offsets: (doc_id, doc_tokens, tok_start) where
+    * tok_start is the exclusive prefix sum of doc_tokens in doc_id order.
+    */
+  def assignments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), docTokens.as("doc_tokens"))
+      .filter(col("doc_tokens") > 0)
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    // tier 1: bucket totals → exclusive cumulative offsets. The window
+    // runs over the aggregated frame only (n/bucketSize rows).
+    val offsets = docs.groupBy("bucket").agg(sum("doc_tokens").as("bt"))
+      .withColumn("bucket_offset",
+        coalesce(sum("bt").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("bt")
+    // tier 2: within-bucket exclusive running sum, parallel across buckets.
+    val wb = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(offsets), "bucket")
+      .withColumn("tok_start",
+        col("bucket_offset") + coalesce(sum("doc_tokens").over(wb), lit(0L)))
+      .select("doc_id", "doc_tokens", "tok_start")
+  }
+
+  /** Per-sequence rollup of the packed stream: how many docs land in each
+    * fixed-length sequence, its filled token count (== seqLen everywhere
+    * but the tail), and the doc_id span it covers. `div` (not `/`) keeps
+    * the arithmetic in exact integer space at any corpus size.
+    */
+  def pack(spark: SparkSession, dir: String): DataFrame =
+    assignments(spark, dir)
+      .withColumn("seq_id",
+        explode(sequence(
+          expr(s"tok_start div $seqLen"),
+          expr(s"(tok_start + doc_tokens - 1) div $seqLen"))))
+      .withColumn("tok_in_seq",
+        least(col("tok_start") + col("doc_tokens"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("tok_start"), col("seq_id") * seqLen))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok_in_seq").as("seq_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+
+  val packSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS doc_tokens
+       |  FROM documents
+       |), pos AS (
+       |  SELECT doc_id, doc_tokens,
+       |         CAST(COALESCE(SUM(doc_tokens) OVER (
+       |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+       |  FROM toks WHERE doc_tokens > 0
+       |), spans AS (
+       |  SELECT doc_id, doc_tokens, tok_start,
+       |         unnest(generate_series(tok_start // $seqLen,
+       |                                (tok_start + doc_tokens - 1) // $seqLen)) AS seq_id
+       |  FROM pos
+       |)
+       |SELECT seq_id, COUNT(*) AS n_docs,
+       |       CAST(SUM(LEAST(tok_start + doc_tokens, (seq_id + 1) * $seqLen)
+       |              - GREATEST(tok_start, seq_id * $seqLen)) AS BIGINT) AS seq_tokens,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM spans GROUP BY seq_id""".stripMargin
+}
