@@ -79,6 +79,42 @@ object Contamination {
         (col("n_overlap") > 0).as("contaminated"))
   }
 
+  /** Contaminated docs via a Bloom-prefiltered exact join — the plan for
+    * when the eval side outgrows a broadcast hash relation. [[report]]'s
+    * broadcast join needs the full eval n-gram set in executor memory as
+    * a hash map (~50+ B/entry); a Bloom filter at 1% fpp is ~10
+    * bits/item, so an eval set 40× too big to broadcast exactly still
+    * ships to every executor as a Bloom. The corpus n-grams are then
+    * prefiltered executor-locally (true hits + ~fpp false positives
+    * survive), and only that sliver reaches the exact confirm join —
+    * which at scale is a shuffle join over the survivors, deliberately
+    * NOT broadcast-hinted here (AQE picks broadcast at test SF where the
+    * eval side is tiny; at 100 TB it shuffles the post-Bloom sliver, not
+    * the corpus). Bloom filters have no false negatives, so the result
+    * equals the exact computation row-for-row regardless of fpp — the
+    * oracle is the plain exact SQL, nothing probabilistic leaks into the
+    * output. The membership probe is a Scala UDF over the broadcast
+    * Bloom: no builtin fits (Spark's `might_contain` is
+    * optimizer-internal), and the probe replaces a join, it doesn't sit
+    * on an otherwise-codegen'd path.
+    */
+  def flaggedViaBloom(spark: SparkSession, dir: String, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    val ng = ngrams(spark, dir)
+    val evalNg = ng.filter(col("doc_id") % evalMod === 0)
+      .select("ngram").distinct()
+    // one eval-slice-scale count to size the filter; at 100 TB this is
+    // still benchmark-suite-sized (MBs of text), not corpus-sized
+    val bloom = evalNg.stat.bloomFilter("ngram", math.max(evalNg.count(), 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    ng.filter(col("doc_id") % evalMod =!= 0)
+      .filter(mightContain(col("ngram")))
+      .join(evalNg, Seq("ngram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   // ---------- DuckDB oracle ----------
 
   val reportSql: String = {
@@ -97,6 +133,25 @@ object Contamination {
        |  CAST(count(e.ngram) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination_ratio,
        |  count(e.ngram) > 0 AS contaminated
        |FROM ng t LEFT JOIN eval_ng e ON t.ngram = e.ngram
+       |WHERE t.doc_id % $evalMod <> 0
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** Exact twin of [[flaggedViaBloom]]: the Bloom is an optimization
+    * invisible in the output, so the oracle is the plain inner join.
+    */
+  val flaggedSql: String = {
+    val terms = (0 until n).map(j => s"ws[i.i+$j]").mkString(" || ' ' || ")
+    s"""WITH ng AS (
+       |  SELECT DISTINCT doc_id, $terms AS ngram
+       |  FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |        FROM documents) w
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws)-${n - 1})) AS i) i
+       |), eval_ng AS (
+       |  SELECT DISTINCT ngram FROM ng WHERE doc_id % $evalMod = 0
+       |)
+       |SELECT t.doc_id, count(*) AS n_overlap
+       |FROM ng t JOIN eval_ng e ON t.ngram = e.ngram
        |WHERE t.doc_id % $evalMod <> 0
        |GROUP BY 1""".stripMargin
   }

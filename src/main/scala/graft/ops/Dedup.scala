@@ -160,13 +160,18 @@ object Dedup {
     * persisted; every downstream stage (signatures, counts, intersection)
     * reuses them.
     */
-  def nearDups(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(spark, dir)
-    val pairs = candidates(spark, dir)
-    // Restrict the shingle table to candidate docs BEFORE the pair joins:
-    // the verify stage then shuffles only the (tiny) candidate subset, not
-    // the full corpus — at 100 TB this is the difference between a
-    // broadcast-semi-join and re-shuffling every shingle twice.
+  def nearDups(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    verifiedJaccard(shingles(spark, dir), candidates(spark, dir))
+      .filter(col("jaccard") >= threshold)
+
+  /** Exact Jaccard over candidate pairs (doc_a, doc_b) — shared by
+    * [[nearDups]] and [[incrementalNearDups]]. Restricts the shingle
+    * table to candidate docs BEFORE the pair joins: the verify stage
+    * then shuffles only the (tiny) candidate subset, not the full
+    * corpus — at 100 TB this is the difference between a
+    * broadcast-semi-join and re-shuffling every shingle twice.
+    */
+  private def verifiedJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val docIds = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val shCand = sh.join(broadcast(docIds), Seq("doc_id"))
@@ -183,8 +188,38 @@ object Dedup {
         (coalesce(col("i"), lit(0L)).cast("double") /
           (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double"))
           .cast("decimal(10,6)").as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
+
+  /** Incoming-batch incremental near-dedup — the production ingestion
+    * path: a new batch is checked against the EXISTING corpus's LSH band
+    * index without producing any corpus↔corpus pair. The incoming slice
+    * is simulated as `doc_id % incomingMod == incomingRem` (swap in a
+    * real batch source by replacing the two filters); the corpus side
+    * reads the memoized band index ([[bands]] — at 100 TB a persisted
+    * table maintained by ingestion, not recomputed). Cost is
+    * O(incoming · bucket occupancy): the band join probes corpus buckets
+    * only for the incoming batch's keys, then exact Jaccard verifies the
+    * candidate sliver. Batch-internal duplicates are out of scope here —
+    * that is ordinary [[nearDups]] applied to the batch alone.
+    */
+  def incrementalNearDups(spark: SparkSession, dir: String,
+                          threshold: Double = 0.5): DataFrame = {
+    val bd = bands(spark, dir)
+    val inc = bd.filter(col("doc_id") % incomingMod === incomingRem)
+      .select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val corp = bd.filter(col("doc_id") % incomingMod =!= incomingRem)
+      .select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    val pairs = inc.join(corp, Seq("band", "band_key"))
+      .select("doc_a", "doc_b").distinct()
+    verifiedJaccard(shingles(spark, dir), pairs)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("new_doc"), col("doc_b").as("corpus_doc"),
+        col("jaccard"))
+  }
+
+  /** Deterministic incoming-batch membership for the incremental demo. */
+  val incomingMod = 11
+  val incomingRem = 3
 
   /** Canonical assignment — the step that makes near-dedup actionable:
     * connected components over the verified near-dup pair graph, each
@@ -375,6 +410,21 @@ object Dedup {
     s"""WITH nd AS (
        |${nearDupsSql(threshold)}
        |) SELECT doc_a, doc_b, CAST(jaccard AS DOUBLE) AS jaccard FROM nd""".stripMargin
+
+  /** Oracle for [[incrementalNearDups]]: the symmetric near-dup relation
+    * restricted to pairs straddling the incoming/corpus boundary and
+    * re-oriented (incoming side first). Band-bucket sharing is
+    * symmetric, so this is exactly the incremental join's output.
+    */
+  def incrementalSql(threshold: Double = 0.5): String =
+    s"""WITH nd AS (
+       |${nearDupsSql(threshold)}
+       |)
+       |SELECT CASE WHEN doc_a % $incomingMod = $incomingRem THEN doc_a ELSE doc_b END AS new_doc,
+       |       CASE WHEN doc_a % $incomingMod = $incomingRem THEN doc_b ELSE doc_a END AS corpus_doc,
+       |       CAST(jaccard AS DOUBLE) AS jaccard
+       |FROM nd
+       |WHERE (doc_a % $incomingMod = $incomingRem) <> (doc_b % $incomingMod = $incomingRem)""".stripMargin
 
   def nearDupsSql(threshold: Double): String =
     s"""WITH $candidatesCte, sh_counts AS (

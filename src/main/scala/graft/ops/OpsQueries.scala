@@ -28,6 +28,8 @@ object OpsQueries {
     "dedup_lsh_bands" -> ((s, dir) => Dedup.bands(s, dir)),
     "dedup_candidates" -> ((s, dir) => Dedup.candidates(s, dir)),
     "dedup_neardups" -> ((s, dir) => Dedup.nearDups(s, dir)),
+    // incoming batch vs corpus band index: no corpus-corpus pairs
+    "dedup_incremental" -> ((s, dir) => Dedup.incrementalNearDups(s, dir)),
     "dedup_multisignal" -> ((s, dir) => Dedup.multiSignal(s, dir)),
     "dedup_canonical" -> ((s, dir) => Dedup.canonical(s, dir)),
     "simhash" -> ((s, dir) => SimHash.signatures(s, dir)),
@@ -131,6 +133,10 @@ object OpsQueries {
     "text_shards" -> ((s, dir) => TextPrep.shards(s, dir)),
     // global concat-and-chunk packing via two-tier distributed prefix sum
     "text_pack" -> ((s, dir) => Pack.pack(s, dir)),
+    // BPE merge-candidate scan: top-k adjacent token pairs
+    "bpe_pairs" -> ((s, dir) => TextPrep.bpePairs(s, dir)),
+    // Bloom-prefiltered decontamination (exact result; Bloom is invisible)
+    "contamination_bloom" -> ((s, dir) => Contamination.flaggedViaBloom(s, dir)),
     "emb_quantize" -> ((s, dir) => TextPrep.quantize(s, dir)),
     // BM25 lexical top-k — the keyword complement of the ANN path
     "text_bm25" -> ((s, dir) => TextPrep.bm25(s, dir)),
@@ -162,6 +168,7 @@ object OpsQueries {
     "dedup_lsh_bands" -> Dedup.bandsSql,
     "dedup_candidates" -> Dedup.candidatesSql,
     "dedup_neardups" -> Dedup.nearDupsOutSql(0.5),
+    "dedup_incremental" -> Dedup.incrementalSql(0.5),
     "dedup_multisignal" -> Dedup.multiSignalSql(0.5),
     "dedup_canonical" -> Dedup.canonicalSql(0.5),
     "ann_topk" -> Similarity.bruteForceSql(),
@@ -212,6 +219,8 @@ object OpsQueries {
     "text_tfidf" -> TextPrep.tfIdfSql(),
     "text_shards" -> TextPrep.shardsSql(),
     "text_pack" -> Pack.packSql,
+    "bpe_pairs" -> TextPrep.bpePairsSql(),
+    "contamination_bloom" -> Contamination.flaggedSql,
     "emb_quantize" -> TextPrep.quantizeSql,
     "text_bm25" -> TextPrep.bm25Sql(),
     "source_quota" -> Sampling.sourceQuotaSql(),

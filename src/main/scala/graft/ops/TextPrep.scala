@@ -145,6 +145,40 @@ object TextPrep {
        |              ROWS UNBOUNDED PRECEDING) - chunk_words) / $shardWords) AS INT) AS shard_id
        |FROM joined""".stripMargin
 
+  /** BPE-style merge-candidate scan: count adjacent token pairs across
+    * the corpus and rank the top-k — the inner loop of byte-pair-encoding
+    * vocabulary training, lifted to word level. One explode + one
+    * map-side-combined aggregation shuffling only (pair, partial count);
+    * the top-k runs as TakeOrderedAndProject (per-partition heaps, no
+    * global sort). Ties at the k boundary break on the pair string, so
+    * the selected SET is deterministic across engines.
+    */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val ws = split(TextMetrics.normalized(col("text")), " ")
+    Tables.documents(spark, dir)
+      .select(ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => concat_ws(" ",
+          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+  }
+
+  def bpePairsSql(k: Int = 100): String =
+    s"""WITH w AS (
+       |  SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents
+       |), p AS (
+       |  SELECT ws[i.i] || ' ' || ws[i.i+1] AS pair
+       |  FROM w CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) i
+       |  WHERE len(ws) >= 2
+       |)
+       |SELECT pair, count(*) AS pair_count FROM p
+       |GROUP BY pair ORDER BY pair_count DESC, pair LIMIT $k""".stripMargin
+
   /** Symmetric int8 quantization per embedding: scale = max|x|/127,
     * q_i = round(x_i / scale). The storage/bandwidth primitive for
     * embedding tables — 4× smaller than float32, dequantizes to

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Sampling, SimHash, Similarity, TextMetrics, TextPrep}
+import graft.ops.{Contamination, Dedup, Sampling, SimHash, Similarity, TextMetrics, TextPrep}
 
 class OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -261,6 +261,71 @@ class OpsSpec extends SparkSpec {
     val q2 = Sampling.sourceQuota(spark, sf0001, cap = 10)
     assert(q.exceptAll(q2).count() === 0)
     q.unpersist()
+  }
+
+  test("incremental dedup equals the symmetric near-dups restricted to the batch boundary") {
+    import spark.implicits._
+    val inc = Dedup.incrementalNearDups(spark, sf0001)
+      .select("new_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    // orientation invariants: incoming on the left, corpus on the right
+    inc.foreach { case (n, c) =>
+      assert(n % Dedup.incomingMod === Dedup.incomingRem)
+      assert(c % Dedup.incomingMod !== Dedup.incomingRem)
+    }
+    // equality with the full symmetric relation, re-oriented
+    val ref = Dedup.nearDups(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .filter { case (a, b) =>
+        (a % Dedup.incomingMod == Dedup.incomingRem) !=
+          (b % Dedup.incomingMod == Dedup.incomingRem) }
+      .map { case (a, b) =>
+        if (a % Dedup.incomingMod == Dedup.incomingRem) (a, b) else (b, a) }
+      .toSet
+    assert(inc === ref)
+    assert(inc.nonEmpty, "incoming slice must straddle a planted near-dup pair")
+  }
+
+  test("bloom decontamination equals the exact broadcast join, and the bloom prunes") {
+    import spark.implicits._
+    // no false negatives + exact confirm join ⇒ identical to the exact path
+    val viaBloom = Contamination.flaggedViaBloom(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val exact = Contamination.report(spark, sf0001)
+      .filter(col("contaminated"))
+      .select("doc_id", "n_overlap").as[(Long, Long)].collect().toMap
+    assert(viaBloom === exact)
+    assert(viaBloom.nonEmpty, "fixture plants eval-overlapping docs")
+    // the prefilter must actually prune: at fpp=0.01 the survivors are
+    // ≈ true hits + 1% of misses, strictly fewer than the corpus n-grams
+    val ng = Contamination.ngrams(spark, sf0001)
+      .filter(col("doc_id") % Contamination.evalMod =!= 0).cache()
+    val total = ng.count()
+    val evalNgs = Contamination.ngrams(spark, sf0001)
+      .filter(col("doc_id") % Contamination.evalMod === 0)
+      .select("ngram").distinct()
+    val bloom = evalNgs.stat.bloomFilter("ngram", math.max(evalNgs.count(), 1L), 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val pass = ng.filter(udf((s: String) => bc.value.mightContainString(s)).apply(col("ngram"))).count()
+    val trueHits = ng.join(evalNgs, Seq("ngram")).count()
+    assert(pass < total, "bloom prefilter passed everything")
+    assert(pass >= trueHits, "bloom dropped a true hit (false negative!)")
+    ng.unpersist()
+  }
+
+  test("bpe pair counts conserve tokens and rank deterministically") {
+    import spark.implicits._
+    val top = TextPrep.bpePairs(spark, sf0001, k = 50).cache()
+    assert(top.count() === 50)
+    val counts = top.select("pair_count").as[Long].collect().toSeq
+    assert(counts === counts.sortBy(-_), "not ranked by count desc")
+    // conservation: total pair occurrences == Σ max(words-1, 0)
+    val allPairs = TextPrep.bpePairs(spark, sf0001, k = Int.MaxValue)
+      .agg(sum("pair_count")).as[Long].head()
+    val expected = Tables.documents(spark, sf0001)
+      .select(greatest(size(split(TextMetrics.normalized(col("text")), " ")) - 1, lit(0)).cast("long"))
+      .as[Long].collect().sum
+    assert(allPairs === expected)
+    top.unpersist()
   }
 
   test("bm25 ranks query-term-dense short docs first") {
