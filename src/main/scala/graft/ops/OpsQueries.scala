@@ -142,6 +142,8 @@ object OpsQueries {
     "text_bm25" -> ((s, dir) => TextPrep.bm25(s, dir)),
     // per-source cap via the native TopKPerKey operator (crawl balancing)
     "source_quota" -> ((s, dir) => Sampling.sourceQuota(s, dir)),
+    // token-budget curriculum: best-first fill of per-source budgets
+    "curriculum_select" -> ((s, dir) => Curriculum.select(s, dir)),
     // deterministic hash-based sampling / splitting / mixture weighting
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedDocs(s, dir)),
     "sample_split" -> ((s, dir) => Sampling.split(s, dir)),
@@ -220,6 +222,7 @@ object OpsQueries {
     "text_shards" -> TextPrep.shardsSql(),
     "text_pack" -> Pack.packSql,
     "bpe_pairs" -> TextPrep.bpePairsSql(),
+    "curriculum_select" -> Curriculum.selectSql,
     "contamination_bloom" -> Contamination.flaggedSql,
     "emb_quantize" -> TextPrep.quantizeSql,
     "text_bm25" -> TextPrep.bm25Sql(),

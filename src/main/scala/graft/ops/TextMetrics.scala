@@ -68,14 +68,24 @@ object TextMetrics {
   /** Quality scoring: length, lexical diversity, stopword-rate components
     * combined into one score (the shape of a pretraining quality filter).
     */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
-    val words = size(split(trim(col("text")), "\\s+")).cast("double")
-    val stopHits = regexp_count(lower(col("text")),
-      lit("\\b(the|a|of|and|to|in|is|that)\\b")).cast("double")
-    val uniq = size(array_distinct(split(normalized(col("text")), " "))).cast("double")
-    val lenScore = least(lit(1.0), length(col("text")).cast("double") / 500.0)
-    val uniqRatio = uniq / nullif(words)
-    val stopRatio = stopHits / nullif(words)
+  private def words: Column = size(split(trim(col("text")), "\\s+")).cast("double")
+  private def lenScore: Column =
+    least(lit(1.0), length(col("text")).cast("double") / 500.0)
+  private def uniqRatio: Column =
+    size(array_distinct(split(normalized(col("text")), " "))).cast("double") / nullif(words)
+  private def stopRatio: Column =
+    regexp_count(lower(col("text")),
+      lit("\\b(the|a|of|and|to|in|is|that)\\b")).cast("double") / nullif(words)
+
+  /** The combined quality score as a column over `text` — the exact
+    * formula [[quality]] emits, exposed for rank-based consumers
+    * ([[Curriculum]]).
+    */
+  def qualityScore: Column =
+    lenScore * 0.4 + coalesce(uniqRatio, lit(0.0)) * 0.4 +
+      coalesce(stopRatio, lit(0.0)) * 0.2
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
     // raw doubles throughout (see avg_word_len note): identical IEEE
     // arithmetic in both engines, no rounding step to diverge on
     Tables.documents(spark, dir).select(
@@ -83,11 +93,8 @@ object TextMetrics {
       lenScore.as("len_score"),
       uniqRatio.as("unique_ratio"),
       stopRatio.as("stopword_ratio"),
-      ((lenScore * 0.4 + coalesce(uniqRatio, lit(0.0)) * 0.4 +
-        coalesce(stopRatio, lit(0.0)) * 0.2))
-        .as("quality_score")
+      qualityScore.as("quality_score")
     )
-  }
 
   /** Document fingerprint: md5 of the normalized text — the exact-dedup
     * key (a content-defined fingerprint both engines compute identically).

@@ -328,6 +328,33 @@ class OpsSpec extends SparkSpec {
     top.unpersist()
   }
 
+  test("curriculum select fills each source budget best-first, no gaps") {
+    import spark.implicits._
+    val sel = graft.ops.Curriculum.select(spark, sf0001).cache()
+    assert(sel.count() > 0)
+    // ranks are a contiguous 1..k prefix per source (best-first, no gaps)
+    sel.groupBy("source")
+      .agg(count(lit(1)).as("k"), max("sel_rank").as("mx"), min("sel_rank").as("mn"))
+      .as[(String, Long, Int, Int)].collect().foreach { case (src, k, mx, mn) =>
+        assert(mn === 1 && mx === k, s"source $src ranks not contiguous")
+      }
+    // the last kept doc reaches (or crosses) the budget unless the
+    // source ran out of docs entirely
+    val totalDocs = Tables.documents(spark, sf0001)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    sel.groupBy("source")
+      .agg(max("cum_tokens").as("got"), first("budget").as("b"), count(lit(1)).as("k"))
+      .join(totalDocs, "source")
+      .as[(String, Long, Long, Long, Long)].collect().foreach {
+        case (src, got, b, k, n) =>
+          assert(got >= b || k === n, s"source $src stopped at $got of budget $b")
+      }
+    // kept tokens never exceed budget by more than one document
+    val over = sel.filter(col("cum_tokens") - col("doc_tokens") >= col("budget"))
+    assert(over.count() === 0)
+    sel.unpersist()
+  }
+
   test("bm25 ranks query-term-dense short docs first") {
     val top = TextPrep.bm25(spark, sf0001, k = 20).cache()
     assert(top.count() === 20)
