@@ -115,6 +115,36 @@ object Contamination {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Corpus-wide repeated n-gram detection — the exact substring-dup
+    * signal (the "memorized boilerplate" scan of published
+    * training-data dedup work): n-grams occurring in more than one
+    * document, ranked by document frequency. Reuses the memoized
+    * per-doc distinct n-gram table; one map-side-combined aggregate
+    * shuffling (ngram, partial count), then TakeOrdered heaps for the
+    * top-k — ties at the boundary break on the n-gram string so the
+    * selected set is deterministic.
+    */
+  def repeatedNgrams(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    ngrams(spark, dir)
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("doc_freq"), min("doc_id").as("first_doc"))
+      .filter(col("doc_freq") > 1)
+      .orderBy(col("doc_freq").desc, col("ngram"))
+      .limit(k)
+
+  def repeatedNgramsSql(k: Int = 100): String = {
+    val terms = (0 until n).map(j => s"ws[i.i+$j]").mkString(" || ' ' || ")
+    s"""WITH ng AS (
+       |  SELECT DISTINCT doc_id, $terms AS ngram
+       |  FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |        FROM documents) w
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws)-${n - 1})) AS i) i
+       |)
+       |SELECT ngram, COUNT(*) AS doc_freq, MIN(doc_id) AS first_doc
+       |FROM ng GROUP BY ngram HAVING COUNT(*) > 1
+       |ORDER BY doc_freq DESC, ngram LIMIT $k""".stripMargin
+  }
+
   // ---------- DuckDB oracle ----------
 
   val reportSql: String = {

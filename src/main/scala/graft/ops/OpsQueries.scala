@@ -24,6 +24,8 @@ object OpsQueries {
     "contamination" -> ((s, dir) => Contamination.report(s, dir)),
     // dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    // corpus-wide repeated n-grams (exact substring-dup signal)
+    "dup_ngrams" -> ((s, dir) => Contamination.repeatedNgrams(s, dir)),
     "dedup_shingle_stats" -> ((s, dir) => Dedup.shingleStats(s, dir)),
     "dedup_lsh_bands" -> ((s, dir) => Dedup.bands(s, dir)),
     "dedup_candidates" -> ((s, dir) => Dedup.candidates(s, dir)),
@@ -165,6 +167,7 @@ object OpsQueries {
     "text_redact" -> Redact.scrubSql,
     "corpus_filter" -> CorpusFilter.reportSql,
     "contamination" -> Contamination.reportSql,
+    "dup_ngrams" -> Contamination.repeatedNgramsSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_shingle_stats" -> Dedup.shingleStatsSql,
     "dedup_lsh_bands" -> Dedup.bandsSql,
