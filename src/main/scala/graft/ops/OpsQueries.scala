@@ -135,6 +135,7 @@ object OpsQueries {
     "text_shards" -> ((s, dir) => TextPrep.shards(s, dir)),
     // global concat-and-chunk packing via two-tier distributed prefix sum
     "text_pack" -> ((s, dir) => Pack.pack(s, dir)),
+    "text_pack_assign" -> ((s, dir) => Pack.assignments(s, dir)),
     // BPE merge-candidate scan: top-k adjacent token pairs
     "bpe_pairs" -> ((s, dir) => TextPrep.bpePairs(s, dir)),
     // Bloom-prefiltered decontamination (exact result; Bloom is invisible)
@@ -224,6 +225,7 @@ object OpsQueries {
     "text_tfidf" -> TextPrep.tfIdfSql(),
     "text_shards" -> TextPrep.shardsSql(),
     "text_pack" -> Pack.packSql,
+    "text_pack_assign" -> Pack.assignmentsSql,
     "bpe_pairs" -> TextPrep.bpePairsSql(),
     "curriculum_select" -> Curriculum.selectSql,
     "contamination_bloom" -> Contamination.flaggedSql,

@@ -85,6 +85,20 @@ object Pack {
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
 
+  /** Oracle twin of [[assignments]] — the per-doc mapping is itself the
+    * artifact a shard writer consumes, so it is driver-checked directly.
+    */
+  val assignmentsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS doc_tokens
+       |  FROM documents
+       |)
+       |SELECT doc_id, doc_tokens,
+       |       CAST(COALESCE(SUM(doc_tokens) OVER (
+       |         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+       |FROM toks WHERE doc_tokens > 0""".stripMargin
+
   val packSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id,
