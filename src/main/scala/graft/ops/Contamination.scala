@@ -145,6 +145,43 @@ object Contamination {
        |ORDER BY doc_freq DESC, ngram LIMIT $k""".stripMargin
   }
 
+  /** Per-doc novelty: the fraction of a document's distinct n-grams that
+    * occur in NO other document — the diversity complement of
+    * [[repeatedNgrams]] used to up-weight novel text in curation. Two
+    * map-side-combined aggregates over the memoized n-gram table (gram
+    * doc-frequency, then per-doc rollup) joined on the gram; integer
+    * counts and one double division keep both engines bit-identical.
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val ng = ngrams(spark, dir)
+    val df = ng.groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+    ng.join(df, "ngram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("doc_freq") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_ngrams").cast("double"))
+          .as("novelty_ratio"))
+  }
+
+  val noveltySql: String = {
+    val terms = (0 until n).map(j => s"ws[i.i+$j]").mkString(" || ' ' || ")
+    s"""WITH ng AS (
+       |  SELECT DISTINCT doc_id, $terms AS ngram
+       |  FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |        FROM documents) w
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws)-${n - 1})) AS i) i
+       |), freq AS (
+       |  SELECT ngram, COUNT(*) AS doc_freq FROM ng GROUP BY ngram
+       |)
+       |SELECT ng.doc_id, COUNT(*) AS n_ngrams,
+       |       CAST(SUM(CASE WHEN f.doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |       CAST(SUM(CASE WHEN f.doc_freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+       |FROM ng JOIN freq f USING (ngram)
+       |GROUP BY ng.doc_id""".stripMargin
+  }
+
   // ---------- DuckDB oracle ----------
 
   val reportSql: String = {

@@ -26,6 +26,8 @@ object OpsQueries {
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     // corpus-wide repeated n-grams (exact substring-dup signal)
     "dup_ngrams" -> ((s, dir) => Contamination.repeatedNgrams(s, dir)),
+    // per-doc corpus-unique n-gram fraction (novelty/diversity signal)
+    "text_novelty" -> ((s, dir) => Contamination.novelty(s, dir)),
     "dedup_shingle_stats" -> ((s, dir) => Dedup.shingleStats(s, dir)),
     "dedup_lsh_bands" -> ((s, dir) => Dedup.bands(s, dir)),
     "dedup_candidates" -> ((s, dir) => Dedup.candidates(s, dir)),
@@ -169,6 +171,7 @@ object OpsQueries {
     "corpus_filter" -> CorpusFilter.reportSql,
     "contamination" -> Contamination.reportSql,
     "dup_ngrams" -> Contamination.repeatedNgramsSql(),
+    "text_novelty" -> Contamination.noveltySql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_shingle_stats" -> Dedup.shingleStatsSql,
     "dedup_lsh_bands" -> Dedup.bandsSql,

@@ -355,6 +355,24 @@ class OpsSpec extends SparkSpec {
     sel.unpersist()
   }
 
+  test("novelty is a valid fraction, conserved, and depressed for near-dup docs") {
+    import spark.implicits._
+    val nov = graft.ops.Contamination.novelty(spark, sf0001).cache()
+    assert(nov.count() > 0)
+    assert(nov.filter(col("novelty_ratio") < 0 || col("novelty_ratio") > 1).count() === 0)
+    assert(nov.filter(col("n_unique") > col("n_ngrams")).count() === 0)
+    // planted near-dups share runs of text, so their n-grams are not
+    // corpus-unique: their average novelty sits below the corpus average
+    val dupIds = Dedup.nearDups(spark, sf0001)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val dupAvg = nov.join(dupIds, "doc_id")
+      .agg(avg("novelty_ratio")).as[Double].head()
+    val allAvg = nov.agg(avg("novelty_ratio")).as[Double].head()
+    assert(dupAvg < allAvg,
+      s"near-dup docs avg novelty $dupAvg not below corpus avg $allAvg")
+    nov.unpersist()
+  }
+
   test("bm25 ranks query-term-dense short docs first") {
     val top = TextPrep.bm25(spark, sf0001, k = 20).cache()
     assert(top.count() === 20)
