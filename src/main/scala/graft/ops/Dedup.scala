@@ -221,6 +221,40 @@ object Dedup {
   val incomingMod = 11
   val incomingRem = 3
 
+  /** Train/val/test leakage audit: near-dup pairs bucketed by the split
+    * assignment of each endpoint — the QA gate that catches evaluation
+    * contamination BEFORE training (a test doc whose near-duplicate sits
+    * in train inflates eval scores exactly like benchmark contamination).
+    * Output is the full split×split pair matrix: off-diagonal cells are
+    * leaks; diagonal cells are ordinary within-split redundancy. Costs
+    * two broadcast-sized joins on top of the (already candidate-bounded)
+    * near-dup pair list — the split assignment is a pure hash column, so
+    * at 100 TB the join inputs are (tiny pair list) × (corpus keyed by
+    * doc_id), each a hash join on the pair list's own key.
+    */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val splits = Sampling.split(spark, dir)
+    nearDups(spark, dir, threshold)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"), min("doc_a").as("example_doc_a"))
+  }
+
+  def splitLeakageSql(threshold: Double = 0.5): String =
+    s"""WITH nd AS (
+       |${nearDupsSql(threshold)}
+       |), s AS (
+       |${Sampling.splitSql()}
+       |)
+       |SELECT sa.split AS split_a, sb.split AS split_b,
+       |       COUNT(*) AS n_pairs, MIN(nd.doc_a) AS example_doc_a
+       |FROM nd
+       |JOIN s sa ON sa.doc_id = nd.doc_a
+       |JOIN s sb ON sb.doc_id = nd.doc_b
+       |GROUP BY 1, 2""".stripMargin
+
   /** Canonical assignment — the step that makes near-dedup actionable:
     * connected components over the verified near-dup pair graph, each
     * component labeled by its minimum doc_id ("keep the lowest id, drop

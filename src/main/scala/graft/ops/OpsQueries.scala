@@ -34,6 +34,8 @@ object OpsQueries {
     "dedup_neardups" -> ((s, dir) => Dedup.nearDups(s, dir)),
     // incoming batch vs corpus band index: no corpus-corpus pairs
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalNearDups(s, dir)),
+    // train/val/test leakage audit over near-dup pairs
+    "split_leakage" -> ((s, dir) => Dedup.splitLeakage(s, dir)),
     "dedup_multisignal" -> ((s, dir) => Dedup.multiSignal(s, dir)),
     "dedup_canonical" -> ((s, dir) => Dedup.canonical(s, dir)),
     "simhash" -> ((s, dir) => SimHash.signatures(s, dir)),
@@ -178,6 +180,7 @@ object OpsQueries {
     "dedup_candidates" -> Dedup.candidatesSql,
     "dedup_neardups" -> Dedup.nearDupsOutSql(0.5),
     "dedup_incremental" -> Dedup.incrementalSql(0.5),
+    "split_leakage" -> Dedup.splitLeakageSql(0.5),
     "dedup_multisignal" -> Dedup.multiSignalSql(0.5),
     "dedup_canonical" -> Dedup.canonicalSql(0.5),
     "ann_topk" -> Similarity.bruteForceSql(),

@@ -285,6 +285,19 @@ class OpsSpec extends SparkSpec {
     assert(inc.nonEmpty, "incoming slice must straddle a planted near-dup pair")
   }
 
+  test("split leakage matrix partitions the near-dup pairs exactly") {
+    import spark.implicits._
+    val cells = Dedup.splitLeakage(spark, sf0001)
+      .select("split_a", "split_b", "n_pairs")
+      .as[(String, String, Long)].collect()
+    val valid = Set("train", "val", "test")
+    cells.foreach { case (a, b, n) =>
+      assert(valid(a) && valid(b) && n > 0)
+    }
+    // every near-dup pair lands in exactly one cell
+    assert(cells.map(_._3).sum === Dedup.nearDups(spark, sf0001).count())
+  }
+
   test("bloom decontamination equals the exact broadcast join, and the bloom prunes") {
     import spark.implicits._
     // no false negatives + exact confirm join ⇒ identical to the exact path
