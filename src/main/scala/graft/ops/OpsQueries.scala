@@ -15,6 +15,14 @@ object OpsQueries {
     "text_stats" -> ((s, dir) => TextMetrics.stats(s, dir)),
     "text_lang_id" -> ((s, dir) => TextMetrics.langId(s, dir)),
     "text_quality" -> ((s, dir) => TextMetrics.quality(s, dir)),
+    // model-based quality filter: fixed-weight logistic over the features
+    "quality_model" -> ((s, dir) => QualityModel.score(s, dir)),
+    // bigram stupid-backoff LM perplexity, trained on the train split
+    "lm_score" -> ((s, dir) => LangModel.score(s, dir)),
+    // CCNet-style segment-level corpus dedup (keep first occurrence)
+    "dedup_segments" -> ((s, dir) => SegmentDedup.report(s, dir)),
+    // Misra-Gries heavy hitters + exact confirm pass
+    "heavy_hitters" -> ((s, dir) => Sketch.heavyHitters(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextMetrics.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => TextMetrics.repetition(s, dir)),
     "text_redact" -> ((s, dir) => Redact.scrub(s, dir)),
@@ -167,6 +175,10 @@ object OpsQueries {
     "text_stats" -> TextMetrics.statsSql,
     "text_lang_id" -> TextMetrics.langIdSql,
     "text_quality" -> TextMetrics.qualitySql,
+    "quality_model" -> QualityModel.scoreSql,
+    "lm_score" -> LangModel.scoreSql(),
+    "dedup_segments" -> SegmentDedup.reportSql(),
+    "heavy_hitters" -> Sketch.heavyHittersSql(),
     "text_fingerprint" -> TextMetrics.fingerprintSql,
     "text_repetition" -> TextMetrics.repetitionSql,
     "text_redact" -> Redact.scrubSql,

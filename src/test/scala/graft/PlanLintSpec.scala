@@ -30,6 +30,8 @@ class PlanLintSpec extends SparkSpec {
     "ivfpq_topk", // IVF probe stage broadcasts the √-law centroid table
     "dim_customer_incremental", // upsertDim crossJoins a ONE-ROW max-id
     "events_kmv", // ONE-ROW global count × ONE-ROW merged-sketch k-th min
+    "lm_score", // ONE-ROW (n_tokens, vocab) totals × the bigram stream
+    "heavy_hitters", // ONE-ROW global count × the candidate exact counts
     "dash_summary", "dash_by_type", "dash_trend",
     "dash_recent10", "dash_critical5")
 
