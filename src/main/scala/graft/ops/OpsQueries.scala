@@ -23,6 +23,8 @@ object OpsQueries {
     "dedup_segments" -> ((s, dir) => SegmentDedup.report(s, dir)),
     // Misra-Gries heavy hitters + exact confirm pass
     "heavy_hitters" -> ((s, dir) => Sketch.heavyHitters(s, dir)),
+    // apply the top-k ranked BPE merges to every document
+    "bpe_encode" -> ((s, dir) => TextPrep.bpeEncode(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextMetrics.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => TextMetrics.repetition(s, dir)),
     "text_redact" -> ((s, dir) => Redact.scrub(s, dir)),
@@ -179,6 +181,7 @@ object OpsQueries {
     "lm_score" -> LangModel.scoreSql(),
     "dedup_segments" -> SegmentDedup.reportSql(),
     "heavy_hitters" -> Sketch.heavyHittersSql(),
+    "bpe_encode" -> TextPrep.bpeEncodeSql(),
     "text_fingerprint" -> TextMetrics.fingerprintSql,
     "text_repetition" -> TextMetrics.repetitionSql,
     "text_redact" -> Redact.scrubSql,

@@ -179,6 +179,125 @@ object TextPrep {
        |SELECT pair, count(*) AS pair_count FROM p
        |GROUP BY pair ORDER BY pair_count DESC, pair LIMIT $k""".stripMargin
 
+  /** BPE merge application — encode every document with the top-`k`
+    * merge rules ranked from the corpus pair scan ([[bpePairs]] order:
+    * count desc, pair asc), applied sequentially rank 1..k.
+    *
+    * Token sequences travel as a delimited string `␁␁t1␁␁t2␁␁…␁␁`
+    * (doubled \\u0001 between tokens, which normalized text can never
+    * contain): one merge rule (a,b) is then a single literal
+    * `replace(s, "␁a␁␁b␁", "␁a_b␁")`. Because the pattern consumes one
+    * delimiter from each side of the doubled gap, adjacent matches don't
+    * overlap — `a b a b` merges BOTH pairs, `a a a` merges only the
+    * left pair — which is exactly greedy left-to-right BPE application,
+    * and `replace` has identical left-to-right non-overlapping semantics
+    * in Spark and DuckDB, so the oracle replays the same merges with a
+    * recursive CTE and the md5 of the final string must agree byte-wise.
+    *
+    * The ranked merge table is vocabulary-small; it is collected to the
+    * driver and folded into a codegen'd replace chain — the same way a
+    * production tokenizer ships its merges file to every worker. The
+    * encode pass itself is one narrow projection, no shuffle. (This
+    * applies a FIXED ranking; the iterative trainer that re-counts pairs
+    * after every merge is [[bpeLearnOf]], spec-proven.)
+    */
+  def bpeEncode(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val D = "\u0001"
+    val merges = bpePairs(spark, dir, k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (pair, cnt) => (-cnt, pair) }
+      .map(_._1)
+    val ws = split(TextMetrics.normalized(col("text")), " ")
+    val s0 = concat(lit(D + D), array_join(ws, D + D), lit(D + D))
+    val sN = merges.foldLeft(s0) { (acc, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      replace(acc, lit(D + a + D + D + b + D), lit(D + a + "_" + b + D))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"), sN.as("s"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_tokens_before"),
+        (size(split(col("s"), D + D)) - 2).as("n_tokens_after"),
+        md5(col("s")).as("enc_md5"))
+  }
+
+  def bpeEncodeSql(k: Int = 8): String =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents
+       |), pc AS (
+       |  SELECT ws[i.i] || ' ' || ws[i.i+1] AS pair, count(*) AS pair_count
+       |  FROM w CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) i
+       |  WHERE len(ws) >= 2
+       |  GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT $k
+       |), m AS (
+       |  SELECT row_number() OVER (ORDER BY pair_count DESC, pair) AS rk,
+       |         string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+       |  FROM pc
+       |), enc AS (
+       |  SELECT doc_id,
+       |         chr(1) || chr(1) || array_to_string(ws, chr(1) || chr(1)) || chr(1) || chr(1) AS s,
+       |         0 AS step
+       |  FROM w
+       |  UNION ALL
+       |  SELECT enc.doc_id,
+       |         replace(enc.s, chr(1) || m.a || chr(1) || chr(1) || m.b || chr(1),
+       |                        chr(1) || m.a || '_' || m.b || chr(1)),
+       |         enc.step + 1
+       |  FROM enc JOIN m ON m.rk = enc.step + 1
+       |), fin AS (
+       |  SELECT doc_id, s,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY step DESC) AS rn
+       |  FROM enc
+       |)
+       |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_tokens_before,
+       |       CAST(len(string_split(f.s, chr(1) || chr(1))) - 2 AS INT) AS n_tokens_after,
+       |       md5(f.s) AS enc_md5
+       |FROM w JOIN fin f ON w.doc_id = f.doc_id AND f.rn = 1""".stripMargin
+
+  /** True iterative BPE training over any documents-shaped frame: `iters`
+    * rounds of (count adjacent pairs on the CURRENT sequences → merge the
+    * argmax, ties broken by pair asc). Returns the learned merge rules
+    * with the pair count each saw at merge time — the "merges file".
+    * Each round is one distributed count + one narrow re-encode pass;
+    * production trainers bound the corpus side by sampling
+    * ([[Sampling.hashUniform]] makes that a one-filter change).
+    */
+  def bpeLearnOf(docs: DataFrame, iters: Int): Seq[(String, String, Long)] = {
+    val D = "\u0001"
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var cur = docs
+      .select(split(TextMetrics.normalized(col("text")), " ").as("ws"))
+      .persist()
+    cur.count()
+    for (_ <- 1 to iters) {
+      val top = cur
+        .filter(size(col("ws")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        learned += ((a, b, top(0).getLong(1)))
+        val s = concat(lit(D + D), array_join(col("ws"), D + D), lit(D + D))
+        val merged = replace(s, lit(D + a + D + D + b + D), lit(D + a + "_" + b + D))
+        val next = cur
+          .select(slice(split(merged, D + D), lit(2),
+            size(split(merged, D + D)) - 2).as("ws"))
+          .persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    learned.toSeq
+  }
+
   /** Symmetric int8 quantization per embedding: scale = max|x|/127,
     * q_i = round(x_i / scale). The storage/bandwidth primitive for
     * embedding tables — 4× smaller than float32, dequantizes to

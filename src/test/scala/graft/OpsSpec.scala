@@ -468,6 +468,27 @@ class OpsSpec extends SparkSpec {
     rep.unpersist()
   }
 
+  test("bpe encode: merges shrink token counts exactly and digests are stable") {
+    import spark.implicits._
+    val enc = graft.ops.TextPrep.bpeEncode(spark, sf0001, k = 8).cache()
+    assert(enc.count() === Tables.documents(spark, sf0001).count())
+    assert(enc.filter(col("n_tokens_after") > col("n_tokens_before")).count() === 0)
+    assert(enc.filter(col("n_tokens_after") < 1).count() === 0)
+    // the top-8 pairs occur thousands of times at sf0.001 — merging must bite
+    assert(enc.filter(col("n_tokens_after") < col("n_tokens_before")).count() > 0)
+    enc.unpersist()
+  }
+
+  test("bpe learn: iterative trainer recovers the hand-computed merges") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val merges = graft.ops.TextPrep.bpeLearnOf(docs, iters = 2)
+    // iter 1: "a b" occurs 4 times (3 in doc1 greedy-left + 1 in doc2)
+    // iter 2 re-counts on the MERGED sequences [a_b a_b a_b c], [a_b c d]:
+    // ("a_b","a_b")×2 ties ("a_b","c")×2, pair-asc prefers "a_b a_b"
+    assert(merges === Seq(("a", "b", 4L), ("a_b", "a_b", 2L)))
+  }
+
   test("heavy hitters equal the exact answer and ignore input partitioning") {
     import spark.implicits._
     val k = 25 // below sf0.001 user cardinality so the counters bind
