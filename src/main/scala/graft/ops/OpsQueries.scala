@@ -124,6 +124,10 @@ object OpsQueries {
     // uninterrupted run's oracle
     "stream_recovery" -> ((s, dir) =>
       graft.streaming.EventStream.recoveryCheck(s, dir)),
+    // foreachBatch keyed upsert sink: late batch MERGES (vs append-mode
+    // drop); batchId-idempotent versioned-state commit, replay-checked
+    "stream_upsert" -> ((s, dir) =>
+      graft.streaming.EventStream.upsertCheck(s, dir)),
     // multimodal: mm_features/mm_resize decode REAL BMP payloads with
     // javax.imageio and emit pixel stats the oracle recomputes
     // analytically from the planted pattern; mm_media/mm_frames are the
@@ -241,6 +245,7 @@ object OpsQueries {
     "stream_join_incremental" ->
       graft.streaming.EventStream.joinIncrementalCheckSql,
     "stream_recovery" -> graft.streaming.EventStream.recoveryCheckSql,
+    "stream_upsert" -> graft.streaming.EventStream.upsertCheckSql,
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),
     "text_tfidf" -> TextPrep.tfIdfSql(),

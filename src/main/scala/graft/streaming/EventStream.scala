@@ -673,4 +673,121 @@ object EventStream extends Serializable {
     * must reproduce the uninterrupted run's answer exactly.
     */
   val recoveryCheckSql: String = hourlyIncrementalCheckSql
+
+  // ------------------------------------------------------------------
+  // foreachBatch keyed upsert sink: the Kappa-architecture complement
+  // to the append-mode proofs above. Append mode DROPS late data behind
+  // the watermark; a keyed upsert sink MERGES it — every micro-batch is
+  // folded into per-key state, so the final table equals the batch
+  // aggregate over ALL input including the late file.
+  // ------------------------------------------------------------------
+
+  /** Merge one micro-batch into the versioned keyed state under `base`.
+    *
+    * Commit protocol (the part that makes the sink exactly-once under
+    * foreachBatch's at-least-once contract): state version `v<batchId>`
+    * is written first, then `_committed` (the last applied batchId) is
+    * swapped in via temp-file rename. A replayed batchId ≤ committed is
+    * skipped; a crash between the two writes leaves `_committed` at the
+    * old version, so the replay simply rewrites `v<batchId>` (overwrite)
+    * and re-attempts the swap — either way each batch folds in exactly
+    * once. This is the standard idempotent-MERGE sink every lakehouse
+    * foreachBatch example implements against a transactional table; here
+    * the transaction is the rename.
+    *
+    * Scale shape: the per-batch fold is a keyed full-outer join between
+    * the existing state and the batch's map-side-combined aggregate —
+    * shuffle on user_id only, no event-time state held by Spark, state
+    * size O(distinct keys) regardless of stream length.
+    */
+  private[graft] def upsertBatch(spark: SparkSession, base: org.apache.hadoop.fs.Path,
+                                 batch: DataFrame, batchId: Long): Unit = {
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committedF = new org.apache.hadoop.fs.Path(base, "_committed")
+    val last: Long =
+      if (fs.exists(committedF)) {
+        val in = fs.open(committedF)
+        try in.readLong() finally in.close()
+      } else -1L
+    if (batchId <= last) return // replayed batch: already folded in
+    val delta = batch.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+    val merged =
+      if (last < 0) delta
+      else {
+        val prev = spark.read.parquet(new org.apache.hadoop.fs.Path(base, s"v$last").toString)
+        prev.select(col("user_id"), col("n_events").as("pn"), col("total_value").as("pv"))
+          .join(delta.select(col("user_id"), col("n_events").as("dn"), col("total_value").as("dv")),
+            Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("pn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+            (coalesce(col("pv"), lit(BigDecimal(0)).cast("decimal(18,2)")) +
+              coalesce(col("dv"), lit(BigDecimal(0)).cast("decimal(18,2)")))
+              .cast("decimal(18,2)").as("total_value"))
+      }
+    merged.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(base, s"v$batchId").toString)
+    val tmp = new org.apache.hadoop.fs.Path(base, "_committed.tmp")
+    val outS = fs.create(tmp, true)
+    try outS.writeLong(batchId) finally outS.close()
+    if (fs.exists(committedF)) fs.delete(committedF, false)
+    fs.rename(tmp, committedF)
+  }
+
+  /** The three-file input streamed one file per trigger through the
+    * upsert sink. The late file (batch 3) lands AFTER the other batches
+    * established per-user state — and still merges, so the final state
+    * equals the plain batch groupBy over the whole events table. After
+    * the stream finishes, batch 3 is replayed by hand with the same
+    * batchId: the committed marker must not move and no new state
+    * version may appear (the sink's idempotence, driver-checked).
+    */
+  def upsertCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_upsert", dir, "stream_upsert") {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = incrementalInput(spark, dir)
+      val tmpBase = java.nio.file.Files
+        .createTempDirectory("graft_stream_upsert").toFile
+      tmpBase.deleteOnExit()
+      val state = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "state")
+      val ck = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "ck")
+      val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(state)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          upsertBatch(spark, state, batch, batchId)
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def committed(): Long = {
+        val s = fs.open(new org.apache.hadoop.fs.Path(state, "_committed"))
+        try s.readLong() finally s.close()
+      }
+      val lastId = committed()
+      val versions = fs.listStatus(state).count(_.getPath.getName.startsWith("v"))
+      // replay the final batch verbatim — the sink must refuse to re-fold
+      val lastFile = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+        .sortBy(_.getModificationTime).last.getPath
+      upsertBatch(spark, state, spark.read.schema(schema).parquet(lastFile.toString), lastId)
+      require(committed() == lastId &&
+        fs.listStatus(state).count(_.getPath.getName.startsWith("v")) == versions,
+        "replayed batch mutated the upsert state")
+      spark.read.parquet(new org.apache.hadoop.fs.Path(state, s"v$lastId").toString)
+        .select("user_id", "n_events", "total_value")
+    }
+
+  /** The whole-input batch aggregate — late rows included: the upsert
+    * sink merges them instead of dropping them, which is the contrast
+    * with [[hourlyIncrementalCheckSql]]'s append-mode arithmetic.
+    */
+  val upsertCheckSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1""".stripMargin
 }

@@ -11,8 +11,8 @@ class PlanLintSpec extends SparkSpec {
   // run work inside their builders (streams / reload writes) — their plan
   // shape is covered by their own specs
   private val eager = Set("stream_hourly", "stream_dedup", "stream_sessions",
-    "stream_enrich", "stream_join", "silver_reloaded", "dq_reloaded",
-    "export_reconcile", "io_formats", "compact_roundtrip")
+    "stream_enrich", "stream_join", "stream_upsert", "silver_reloaded",
+    "dq_reloaded", "export_reconcile", "io_formats", "compact_roundtrip")
 
   /** Deliberate nested-loop plans, all with a provably-small broadcast
     * side:

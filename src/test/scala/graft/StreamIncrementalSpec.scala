@@ -41,6 +41,22 @@ class StreamIncrementalSpec extends SparkSpec {
     assert(more.count() === 0)
   }
 
+  test("upsert sink merges the late batch and equals the whole-input aggregate") {
+    val got = EventStream.upsertCheck(spark, sf0001)
+    val expected = Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+    // the upsert sink is late-tolerant: unlike the append-mode rollup it
+    // must NOT lose the late file's rows — exact equality with batch
+    assert(got.count() === expected.count())
+    val diverged = got.as("g").join(expected.as("e"), Seq("user_id"), "full_outer")
+      .filter(col("g.n_events") =!= col("e.n_events") ||
+        col("g.total_value") =!= col("e.total_value") ||
+        col("g.n_events").isNull || col("e.n_events").isNull)
+    assert(diverged.count() === 0)
+  }
+
   test("incremental stream-stream join drops at least one late-click pair") {
     val inc = EventStream.joinIncrementalCheck(spark, sf0001)
     val full = EventStream.joinCheck(spark, sf0001)
