@@ -25,6 +25,10 @@ object OpsQueries {
     "heavy_hitters" -> ((s, dir) => Sketch.heavyHitters(s, dir)),
     // apply the top-k ranked BPE merges to every document
     "bpe_encode" -> ((s, dir) => TextPrep.bpeEncode(s, dir)),
+    // blocked fuzzy similarity join over part names (entity resolution)
+    "fuzzy_parts" -> ((s, dir) => FuzzyJoin.parts(s, dir)),
+    // PSI distribution drift between event-time halves, per value bin
+    "events_psi" -> ((s, dir) => Drift.psi(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextMetrics.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => TextMetrics.repetition(s, dir)),
     "text_redact" -> ((s, dir) => Redact.scrub(s, dir)),
@@ -186,6 +190,8 @@ object OpsQueries {
     "dedup_segments" -> SegmentDedup.reportSql(),
     "heavy_hitters" -> Sketch.heavyHittersSql(),
     "bpe_encode" -> TextPrep.bpeEncodeSql(),
+    "fuzzy_parts" -> FuzzyJoin.partsSql(),
+    "events_psi" -> Drift.psiSql(),
     "text_fingerprint" -> TextMetrics.fingerprintSql,
     "text_repetition" -> TextMetrics.repetitionSql,
     "text_redact" -> Redact.scrubSql,

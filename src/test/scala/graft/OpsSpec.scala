@@ -489,6 +489,39 @@ class OpsSpec extends SparkSpec {
     assert(merges === Seq(("a", "b", 4L), ("a_b", "a_b", 2L)))
   }
 
+  test("fuzzy join: pairs are blocked, ordered, within distance; exact dups all found") {
+    import spark.implicits._
+    val m = graft.ops.FuzzyJoin.parts(spark, sf0001).cache()
+    assert(m.count() > 0)
+    assert(m.filter(col("part_a") >= col("part_b")).count() === 0)
+    assert(m.filter(col("dist") > 2).count() === 0)
+    // blocking soundness: every emitted pair shares at least one token
+    val sharesToken = m.filter(
+      arrays_overlap(split(col("name_a"), " "), split(col("name_b"), " ")))
+    assert(sharesToken.count() === m.count())
+    // completeness on the easy stratum: identical names share all their
+    // tokens, so every exact-duplicate pair must be found (dist = 0)
+    val expectedExact = Tables.part(spark, sf0001)
+      .groupBy("p_name").agg(count(lit(1)).as("g"))
+      .select(sum((col("g") * (col("g") - 1) / 2).cast("long"))).as[Long].head()
+    assert(m.filter(col("dist") === 0).count() === expectedExact)
+    m.unpersist()
+  }
+
+  test("psi drift: full spine, counts conserve, contributions non-negative") {
+    import spark.implicits._
+    val d = graft.ops.Drift.psi(spark, sf0001).cache()
+    assert(d.count() === 10)
+    val total = Tables.events(spark, sf0001).count()
+    assert(d.agg(sum(col("n1") + col("n2"))).as[Long].head() === total)
+    // each period is non-degenerate (the midpoint split saw both halves)
+    assert(d.agg(sum("n1")).as[Long].head() > 0)
+    assert(d.agg(sum("n2")).as[Long].head() > 0)
+    // (p2-p1)·ln(p2/p1) is a product of same-sign factors
+    assert(d.filter(col("psi_contrib") < 0).count() === 0)
+    d.unpersist()
+  }
+
   test("heavy hitters equal the exact answer and ignore input partitioning") {
     import spark.implicits._
     val k = 25 // below sf0.001 user cardinality so the counters bind

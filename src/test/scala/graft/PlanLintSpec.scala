@@ -32,6 +32,7 @@ class PlanLintSpec extends SparkSpec {
     "events_kmv", // ONE-ROW global count × ONE-ROW merged-sketch k-th min
     "lm_score", // ONE-ROW (n_tokens, vocab) totals × the bigram stream
     "heavy_hitters", // ONE-ROW global count × the candidate exact counts
+    "events_psi", // ONE-ROW time midpoint + ONE-ROW period totals
     "dash_summary", "dash_by_type", "dash_trend",
     "dash_recent10", "dash_critical5")
 
