@@ -5,32 +5,39 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Blocked fuzzy similarity join — the entity-resolution primitive:
-  * find pairs of part names within a small edit distance WITHOUT the
-  * all-pairs comparison an unblocked fuzzy join implies.
+  * find name pairs within a small edit distance WITHOUT the all-pairs
+  * comparison an unblocked fuzzy join implies.
   *
-  * Standard token blocking (each record enters one block per distinct
-  * token; only same-block pairs are compared) turns the n² candidate
-  * space into Σ_tok |block|², and a token-frequency cap drops
-  * stop-token blocks — the knob that bounds the worst block at corpus
-  * scale, at a documented recall cost (a pair sharing ONLY capped
-  * tokens is never compared; same tradeoff every ER blocking scheme
-  * makes). The final predicate is exact `levenshtein ≤ maxDist`, which
-  * both engines implement with identical unit-cost edit semantics, so
-  * every emitted pair is a true match within the blocked candidates.
+  * Matching runs on the DISTINCT-NAME dictionary, not the row stream —
+  * the standard ER design: a billion-row table with a bounded name
+  * vocabulary costs one distinct + vocabulary-sized matching, and each
+  * emitted pair carries the record multiplicities (`n_parts_*`) that a
+  * consumer joins back by name. Within the dictionary, token blocking
+  * (each name enters one block per distinct token; only same-block
+  * pairs are compared) turns vocab² into Σ_tok |block|², and a
+  * token-frequency cap drops stop-token blocks — the knob that bounds
+  * the worst block, at a documented recall cost (a pair sharing ONLY
+  * capped tokens is never compared; the tradeoff every ER blocking
+  * scheme makes). The final predicate is exact `levenshtein ≤ maxDist`,
+  * identical unit-cost edit semantics in both engines.
   *
-  * Scale shape: one token explode + one frequency aggregate + one
-  * equi-join on the token (never a cartesian), `distinct` to collapse
-  * pairs blocked by several shared tokens, then the edit-distance
-  * filter as a codegen'd projection over candidate pairs only.
+  * Scale shape: one map-side-combined distinct+count on the name, one
+  * token explode over the dictionary, one equi-join on the token (never
+  * a cartesian), `distinct` to collapse pairs blocked by several shared
+  * tokens, then the edit-distance filter as a codegen'd projection over
+  * candidate pairs only.
   */
 object FuzzyJoin {
 
-  /** Matched part-name pairs: `(part_a < part_b, names, edit distance)`. */
+  /** Matched distinct-name pairs `(name_a < name_b)` with edit distance
+    * and per-side record multiplicities.
+    */
   def parts(spark: SparkSession, dir: String,
             maxDist: Int = 2, maxTokFreq: Long = 500): DataFrame = {
-    val p = Tables.part(spark, dir)
-      .select(col("p_partkey").as("pk"), col("p_name").as("name"))
-    val toks = p.select(col("pk"), col("name"),
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val toks = names.select(col("name"), col("n_parts"),
       explode(array_distinct(split(col("name"), " "))).as("tok"))
     val keptToks = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
       .filter(col("tf") <= maxTokFreq)
@@ -38,9 +45,9 @@ object FuzzyJoin {
     val blocked = toks.join(keptToks, "tok")
     val cand = blocked.as("a")
       .join(blocked.as("b"),
-        col("a.tok") === col("b.tok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("part_a"), col("a.name").as("name_a"),
-        col("b.pk").as("part_b"), col("b.name").as("name_b"))
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("a.n_parts").as("n_parts_a"),
+        col("b.name").as("name_b"), col("b.n_parts").as("n_parts_b"))
       .distinct()
     cand
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
@@ -48,20 +55,20 @@ object FuzzyJoin {
   }
 
   def partsSql(maxDist: Int = 2, maxTokFreq: Long = 500): String =
-    s"""WITH p AS (
-       |  SELECT p_partkey AS pk, p_name AS name FROM part
+    s"""WITH names AS (
+       |  SELECT p_name AS name, COUNT(*) AS n_parts FROM part GROUP BY 1
        |), toks AS (
-       |  SELECT DISTINCT pk, name, unnest(string_split(name, ' ')) AS tok FROM p
+       |  SELECT DISTINCT name, n_parts, unnest(string_split(name, ' ')) AS tok FROM names
        |), kept AS (
        |  SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= $maxTokFreq
        |), bl AS (
-       |  SELECT t.pk, t.name, t.tok FROM toks t JOIN kept USING (tok)
+       |  SELECT t.name, t.n_parts, t.tok FROM toks t JOIN kept USING (tok)
        |), cand AS (
-       |  SELECT DISTINCT a.pk AS part_a, a.name AS name_a,
-       |                  b.pk AS part_b, b.name AS name_b
-       |  FROM bl a JOIN bl b ON a.tok = b.tok AND a.pk < b.pk
+       |  SELECT DISTINCT a.name AS name_a, a.n_parts AS n_parts_a,
+       |                  b.name AS name_b, b.n_parts AS n_parts_b
+       |  FROM bl a JOIN bl b ON a.tok = b.tok AND a.name < b.name
        |)
-       |SELECT part_a, name_a, part_b, name_b,
+       |SELECT name_a, n_parts_a, name_b, n_parts_b,
        |       CAST(levenshtein(name_a, name_b) AS INT) AS dist
        |FROM cand
        |WHERE levenshtein(name_a, name_b) <= $maxDist""".stripMargin

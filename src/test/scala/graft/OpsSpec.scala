@@ -489,22 +489,27 @@ class OpsSpec extends SparkSpec {
     assert(merges === Seq(("a", "b", 4L), ("a_b", "a_b", 2L)))
   }
 
-  test("fuzzy join: pairs are blocked, ordered, within distance; exact dups all found") {
+  test("fuzzy join equals brute force over token-sharing dictionary pairs") {
     import spark.implicits._
     val m = graft.ops.FuzzyJoin.parts(spark, sf0001).cache()
     assert(m.count() > 0)
-    assert(m.filter(col("part_a") >= col("part_b")).count() === 0)
+    assert(m.filter(col("name_a") >= col("name_b")).count() === 0)
     assert(m.filter(col("dist") > 2).count() === 0)
-    // blocking soundness: every emitted pair shares at least one token
-    val sharesToken = m.filter(
-      arrays_overlap(split(col("name_a"), " "), split(col("name_b"), " ")))
-    assert(sharesToken.count() === m.count())
-    // completeness on the easy stratum: identical names share all their
-    // tokens, so every exact-duplicate pair must be found (dist = 0)
-    val expectedExact = Tables.part(spark, sf0001)
-      .groupBy("p_name").agg(count(lit(1)).as("g"))
-      .select(sum((col("g") * (col("g") - 1) / 2).cast("long"))).as[Long].head()
-    assert(m.filter(col("dist") === 0).count() === expectedExact)
+    // the dictionary is vocabulary-sized, so the TEST may brute-force
+    // what the operator must never do: all distinct-name pairs, kept if
+    // they share a token and sit within the distance — exact set match
+    val names = Tables.part(spark, sf0001).select(col("p_name").as("name")).distinct()
+    val brute = names.as("a").crossJoin(names.as("b"))
+      .filter(col("a.name") < col("b.name"))
+      .filter(arrays_overlap(split(col("a.name"), " "), split(col("b.name"), " ")))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.name"), col("b.name")).as[(String, String)].collect().toSet
+    val got = m.select("name_a", "name_b").as[(String, String)].collect().toSet
+    assert(got === brute)
+    // multiplicities map the dictionary match back to record space
+    val totalParts = Tables.part(spark, sf0001).count()
+    assert(m.filter(col("n_parts_a") < 1 || col("n_parts_b") < 1).count() === 0)
+    assert(m.filter(col("n_parts_a") > totalParts).count() === 0)
     m.unpersist()
   }
 
