@@ -23,20 +23,36 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros —
-    * the same truncation DuckDB applies when it reads nanos into its
-    * micros-precision TIMESTAMP, so results stay oracle-comparable.
+  /** The generator has landed `events.parquet` with two `ts` encodings
+    * across data drops: TIMESTAMP(NANOS) — which Spark's parquet reader
+    * rejects by default, so it is read as a nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong` and truncated to micros (the
+    * same truncation DuckDB applies pulling nanos into its
+    * micros-precision TIMESTAMP) — and plain TIMESTAMP(MICROS), which
+    * infers as TIMESTAMP_NTZ and only needs the session-zone cast (UTC
+    * everywhere, so the instant is unchanged). [[normalizeEventTs]]
+    * dispatches on the footer schema; both vintages come out as an
+    * identical micros TIMESTAMP column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // NB: integer DIV, not `/` — long/long is double division in Spark and
-    // nanos (~1.7e18) exceed double's 53-bit mantissa.
-    apply(spark, dir, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    normalizeEventTs(apply(spark, dir, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to a micros TIMESTAMP whatever the
+    * stored encoding (shared with the streaming readers, which face the
+    * same two vintages).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      // NB: integer DIV, not `/` — long/long is double division in Spark
+      // and nanos (~1.7e18) exceed double's 53-bit mantissa.
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

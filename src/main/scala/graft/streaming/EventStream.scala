@@ -17,8 +17,13 @@ import org.apache.spark.sql.types._
   */
 object EventStream extends Serializable {
 
-  /** The events schema as landed by the generator (ts arrives as
-    * TIMESTAMP(NANOS) in parquet → read as long, converted below).
+  /** Schema of the DERIVED incremental-input files ([[incrementalInput]]
+    * writes them itself, with `ts` as a long of event-time MICROS —
+    * exact and independent of how the generator encoded the source).
+    * Source-directory streams do NOT use this: their schema is probed
+    * from the footer by [[sourceSchema]], because the generator has
+    * landed `ts` as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    * data drops.
     */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -29,18 +34,43 @@ object EventStream extends Serializable {
     StructField("props", StringType)
   ))
 
+  private val srcSchemas = scala.collection.concurrent.TrieMap.empty[String, StructType]
+
+  /** Batch-inferred schema of the events files under `dir` (footer-only
+    * read, cached per dir+glob). A stream source needs an explicit
+    * schema, and it must declare whichever `ts` encoding is actually on
+    * disk: TIMESTAMP(NANOS) infers as long under `nanosAsLong`,
+    * TIMESTAMP(MICROS) as TIMESTAMP_NTZ — [[graft.Tables.normalizeEventTs]]
+    * then maps either to the same micros TIMESTAMP column.
+    */
+  private def sourceSchema(spark: SparkSession, dir: String,
+                           glob: Option[String]): StructType =
+    srcSchemas.getOrElseUpdate(glob.fold(dir)(g => s"$dir#$g"), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val r = spark.read
+      glob.foreach(g => r.option("pathGlobFilter", g))
+      r.parquet(dir).schema
+    })
+
+  /** Streaming read of `dir`'s events with `ts` normalized to a micros
+    * TIMESTAMP whatever the stored encoding. */
+  private def eventsStream(spark: SparkSession, dir: String,
+                           glob: Option[String] = None,
+                           options: Map[String, String] = Map.empty): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = spark.readStream.schema(sourceSchema(spark, dir, glob))
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    options.foreach { case (k, v) => reader.option(k, v) }
+    graft.Tables.normalizeEventTs(reader.parquet(dir))
+  }
+
   /** Hourly per-type rollup over a streaming read of a parquet directory
     * (`glob` narrows the directory to matching files — the file source
     * rejects a bare file path as its basePath).
     */
   def hourlyCounts(spark: SparkSession, dir: String,
                    glob: Option[String] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(schema)
-    glob.foreach(g => reader.option("pathGlobFilter", g))
-    reader
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    eventsStream(spark, dir, glob)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       // sum DECIMALs, not doubles: micro-batch arrival order must not be
@@ -104,11 +134,7 @@ object EventStream extends Serializable {
     */
   def enriched(spark: SparkSession, dir: String, userTiers: DataFrame,
                glob: Option[String] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(schema)
-    glob.foreach(g => reader.option("pathGlobFilter", g))
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    eventsStream(spark, dir, glob)
       .join(broadcast(userTiers), Seq("user_id"), "left")
       .withColumn("tier", coalesce(col("tier"), lit("standard")))
   }
@@ -155,12 +181,8 @@ object EventStream extends Serializable {
     */
   def dedupCheck(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "stream_dedup", dir, "stream_dedup") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tbl = "stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
-      val reader = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-      val doubled = reader.parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val doubled = eventsStream(spark, dir, Some("events.parquet"))
         .withColumn("_copy", explode(array(lit(1), lit(2))))
         .drop("_copy")
         .withWatermark("ts", "10 minutes")
@@ -187,12 +209,8 @@ object EventStream extends Serializable {
     */
   def clickPurchaseJoin(spark: SparkSession, dir: String,
                         glob: Option[String] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(tpe: String, prefix: String): DataFrame = {
-      val reader = spark.readStream.schema(schema)
-      glob.foreach(g => reader.option("pathGlobFilter", g))
-      reader.parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      eventsStream(spark, dir, glob)
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(s"${prefix}_id"),
           col("user_id").as(s"${prefix}_user"),
@@ -240,13 +258,10 @@ object EventStream extends Serializable {
       |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
       |GROUP BY 1, 2, 3""".stripMargin
 
-  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
-  }
 
   /** `cents` = value cast DECIMAL(18,2)·100, computed by the same Spark
     * cast the batch path uses: summing longs in state is arrival-order
@@ -284,13 +299,9 @@ object EventStream extends Serializable {
                  glob: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapSec = gapMinutes * 60L
 
-    val reader = spark.readStream.schema(schema)
-    glob.foreach(g => reader.option("pathGlobFilter", g))
-    val events = reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val events = eventsStream(spark, dir, glob)
       .withWatermark("ts", "10 minutes")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"),
@@ -419,7 +430,7 @@ object EventStream extends Serializable {
     */
   private def latePred(maxUs: Long) =
     col("event_type") === "click" && col("event_id") % 2 === 0 &&
-      expr("ts DIV 1000") < maxUs - 12L * 3600 * 1000000
+      col("ts") < maxUs - 12L * 3600 * 1000000
 
   private val lateSql: String =
     """SELECT event_id FROM events
@@ -444,11 +455,13 @@ object EventStream extends Serializable {
     */
   private[graft] def incrementalInput(spark: SparkSession, dir: String): String =
     incDirs.getOrElseUpdate(dir, {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.schema(schema).parquet(s"$dir/events.parquet")
-      val maxUs = raw.agg(max(expr("ts DIV 1000"))).head().getLong(0)
+      // derived files carry ts as long MICROS ([[schema]]) — exact and
+      // independent of the source vintage the normalized read absorbs
+      val raw = graft.Tables.events(spark, dir)
+        .withColumn("ts", unix_micros(col("ts")))
+      val maxUs = raw.agg(max("ts")).head().getLong(0)
       val late = latePred(maxUs)
-      val fill = !late && expr("ts DIV 1000") >= maxUs - 3600L * 1000000
+      val fill = !late && col("ts") >= maxUs - 3600L * 1000000
       val base = java.nio.file.Files
         .createTempDirectory("graft_stream_inc").toFile
       base.deleteOnExit()
@@ -491,7 +504,7 @@ object EventStream extends Serializable {
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(in)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("ts", timestamp_micros(col("ts")))
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -549,7 +562,7 @@ object EventStream extends Serializable {
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(in)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withColumn("ts", timestamp_micros(col("ts")))
           .filter(col("event_type") === tpe)
           .select(col("event_id").as(s"${prefix}_id"),
             col("user_id").as(s"${prefix}_user"),
@@ -641,7 +654,7 @@ object EventStream extends Serializable {
         val q = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(phased.toString)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withColumn("ts", timestamp_micros(col("ts")))
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),

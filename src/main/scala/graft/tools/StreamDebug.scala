@@ -26,7 +26,7 @@ object StreamDebug {
     val q = spark.readStream.schema(graft.streaming.EventStream.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(in)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
