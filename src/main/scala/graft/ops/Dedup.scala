@@ -347,6 +347,44 @@ object Dedup {
        |SELECT doc_id, MIN(lbl) AS canonical_id
        |FROM reach GROUP BY doc_id""".stripMargin
 
+  /** Quality-aware canonical selection — the survivor policy a real
+    * dedup pass applies: within each near-dup cluster keep the HIGHEST
+    * QUALITY document ([[TextMetrics.qualityScore]]), not the
+    * smallest id. One row per cluster with its size and the keeper.
+    *
+    * The argmax is a single map-side-combined `max(struct(quality,
+    * −doc_id))` over the cluster assignment joined to the per-doc
+    * quality frame — no window sort, no per-cluster shuffle beyond the
+    * cluster-keyed aggregate; deterministic because the quality doubles
+    * are computed identically in both engines and ties break to the
+    * smallest doc_id.
+    */
+  def keepBest(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    canonical(spark, dir, threshold)
+      .join(TextMetrics.quality(spark, dir)
+        .select(col("doc_id"), col("quality_score")), "doc_id")
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("canonical_id"), col("n_members"),
+        (-col("m.nid")).as("keep_doc"), col("m.q").as("keep_quality"))
+
+  def keepBestSql(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE cl AS (
+       |${canonicalSql(threshold)}
+       |), q AS (
+       |${TextMetrics.qualitySql}
+       |), ranked AS (
+       |  SELECT cl.canonical_id, cl.doc_id, q.quality_score,
+       |         ROW_NUMBER() OVER (PARTITION BY cl.canonical_id
+       |                            ORDER BY q.quality_score DESC, cl.doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY cl.canonical_id) AS n_members
+       |  FROM cl JOIN q USING (doc_id)
+       |)
+       |SELECT canonical_id, CAST(n_members AS BIGINT) AS n_members,
+       |       doc_id AS keep_doc, quality_score AS keep_quality
+       |FROM ranked WHERE rn = 1""".stripMargin
+
   /** Multi-signal near-dup scoring: the text-level candidates (banded
     * MinHash → Jaccard) joined with the embedding-level cosine of the
     * same pair (`vec_id` and `doc_id` share the id space in the

@@ -27,6 +27,12 @@ object OpsQueries {
     "bpe_encode" -> ((s, dir) => TextPrep.bpeEncode(s, dir)),
     // blocked fuzzy similarity join over part names (entity resolution)
     "fuzzy_parts" -> ((s, dir) => FuzzyJoin.parts(s, dir)),
+    // per-source data card: volumes, quality, dup rate, dominant language
+    "corpus_profile" -> ((s, dir) => Profile.corpusProfile(s, dir)),
+    // per-source PII span counts and affected-document counts
+    "pii_stats" -> ((s, dir) => Redact.piiStats(s, dir)),
+    // quality-aware survivor per near-dup cluster (keep best, not min-id)
+    "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(s, dir)),
     // PSI distribution drift between event-time halves, per value bin
     "events_psi" -> ((s, dir) => Drift.psi(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextMetrics.fingerprint(s, dir)),
@@ -208,6 +214,9 @@ object OpsQueries {
     "split_leakage" -> Dedup.splitLeakageSql(0.5),
     "dedup_multisignal" -> Dedup.multiSignalSql(0.5),
     "dedup_canonical" -> Dedup.canonicalSql(0.5),
+    "corpus_profile" -> Profile.corpusProfileSql,
+    "pii_stats" -> Redact.piiStatsSql,
+    "dedup_keep_best" -> Dedup.keepBestSql(0.5),
     "ann_topk" -> Similarity.bruteForceSql(),
     "ann_lsh_buckets" -> Similarity.lshBucketsSql,
     "ann_bucket_stats" -> Similarity.bucketStatsSql,

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Per-source corpus profile — the "data card" a training-data pipeline
+  * publishes next to every corpus drop: document and token volumes,
+  * aggregate quality, dominant language, and exact-duplicate involvement,
+  * one row per source. Composes the already-oracle-checked per-doc
+  * signals ([[TextMetrics.quality]], [[TextMetrics.langId]],
+  * [[TextMetrics.fingerprint]]) into source-grain aggregates.
+  *
+  * Determinism: `avg_quality` is a DECIMAL(18,6)-grid sum divided ONCE as
+  * a double — summing doubles across rows would let aggregation order
+  * move the low bits; summing on the decimal grid is exact, and the
+  * single final division is the same IEEE operation in both engines.
+  * `top_lang` breaks count ties alphabetically, so the argmax is total.
+  *
+  * Scale shape: three narrow scans of `documents` (words+source, quality,
+  * lang — Catalyst prunes each to its columns), one fingerprint groupBy
+  * (the exact-dedup shuffle, keyed by 16-byte md5), and two source-grain
+  * aggregates with map-side combine; every post-scan frame is
+  * O(sources × langs). No all-pairs step, no driver-side data.
+  */
+object Profile {
+
+  /** One row per source: doc/word volume, summed+averaged quality,
+    * exact-dup involvement, dominant predicted language.
+    */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("words"))
+    val quality = TextMetrics.quality(spark, dir)
+      .select(col("doc_id"),
+        col("quality_score").cast("decimal(18,6)").as("qd"))
+    val fp = TextMetrics.fingerprint(spark, dir)
+    val dupIds = fp.groupBy("fingerprint")
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1)
+      .join(fp, "fingerprint")
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    val agg = docs
+      .join(quality, "doc_id")
+      .join(dupIds, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("words").as("total_words"),
+        sum("qd").as("qsum"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("dup_docs"))
+    val topLang = Tables.documents(spark, dir).select("doc_id", "source")
+      .join(TextMetrics.langId(spark, dir).select("doc_id", "predicted_lang"), "doc_id")
+      .groupBy("source", "predicted_lang")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      // min over (−count, lang): largest count first, alphabetical tiebreak
+      .agg(min(struct((-col("cnt")).as("nc"), col("predicted_lang").as("l"))).as("m"))
+      .select(col("source"), col("m.l").as("top_lang"))
+    agg.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("total_words"),
+        (col("qsum").cast("double") / col("n_docs")).as("avg_quality"),
+        col("dup_docs"), col("top_lang"))
+  }
+
+  val corpusProfileSql: String =
+    s"""WITH q AS (
+       |${TextMetrics.qualitySql}
+       |), lang AS (
+       |${TextMetrics.langIdSql}
+       |), fp AS (
+       |${TextMetrics.fingerprintSql}
+       |), docs AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS words
+       |  FROM documents
+       |), dup AS (
+       |  SELECT doc_id FROM fp
+       |  WHERE fingerprint IN (
+       |    SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) > 1)
+       |), agg AS (
+       |  SELECT d.source,
+       |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(d.words) AS BIGINT) AS total_words,
+       |         SUM(CAST(q.quality_score AS DECIMAL(18,6))) AS qsum,
+       |         CAST(SUM(CASE WHEN dp.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS dup_docs
+       |  FROM docs d
+       |  JOIN q USING (doc_id)
+       |  LEFT JOIN dup dp USING (doc_id)
+       |  GROUP BY 1
+       |), lc AS (
+       |  SELECT d.source, l.predicted_lang, COUNT(*) AS cnt
+       |  FROM documents d JOIN lang l USING (doc_id)
+       |  GROUP BY 1, 2
+       |), tl AS (
+       |  SELECT source, predicted_lang AS top_lang FROM (
+       |    SELECT source, predicted_lang,
+       |           ROW_NUMBER() OVER (PARTITION BY source
+       |                              ORDER BY cnt DESC, predicted_lang) AS rn
+       |    FROM lc)
+       |  WHERE rn = 1
+       |)
+       |SELECT a.source, a.n_docs, a.total_words,
+       |       CAST(a.qsum AS DOUBLE) / a.n_docs AS avg_quality,
+       |       a.dup_docs, t.top_lang
+       |FROM agg a JOIN tl t USING (source)""".stripMargin
+}

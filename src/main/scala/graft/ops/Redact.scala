@@ -41,6 +41,27 @@ object Redact {
       regexp_count(col("text"), lit(ssnRe)).as("n_ids"),
       md5(redacted(col("text"))).as("redacted_digest"))
 
+  /** Per-source PII density — the audit table a compliance review reads
+    * before a corpus ships: how many PII spans of each type each source
+    * contributes, and how many of its documents carry any. Integer sums
+    * of per-doc regex counts, so the aggregate is exact and
+    * order-independent; scale shape is one narrow text scan + one
+    * source-grain aggregate with map-side combine (sources are few).
+    */
+  def piiStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("source"),
+      regexp_count(col("text"), lit(emailRe)).as("e"),
+      regexp_count(col("text"), lit(phoneRe)).as("p"),
+      regexp_count(col("text"), lit(ssnRe)).as("i"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("e").as("n_emails"),
+        sum("p").as("n_phones"),
+        sum("i").as("n_ids"),
+        sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"))
+
   // ---------- DuckDB oracle ----------
 
   // SQL single-quoted strings pass backslashes through untouched, so the
@@ -55,4 +76,20 @@ object Redact {
        |      '$ssnRe', '[ID]', 'g'),
        |      '$phoneRe', '[PHONE]', 'g')) AS redacted_digest
        |FROM documents""".stripMargin
+
+  val piiStatsSql: String =
+    s"""WITH c AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(text, '$emailRe')) AS INT) AS e,
+       |    CAST(len(regexp_extract_all(text, '$phoneRe')) AS INT) AS p,
+       |    CAST(len(regexp_extract_all(text, '$ssnRe')) AS INT) AS i
+       |  FROM documents
+       |)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(e) AS BIGINT) AS n_emails,
+       |  CAST(SUM(p) AS BIGINT) AS n_phones,
+       |  CAST(SUM(i) AS BIGINT) AS n_ids,
+       |  CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+       |FROM c GROUP BY 1""".stripMargin
 }

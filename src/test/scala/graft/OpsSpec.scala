@@ -135,6 +135,67 @@ class OpsSpec extends SparkSpec {
     assert(out(3) === "clean text stays byte-identical")
   }
 
+  test("corpus profile: volumes conserve, dup and lang columns consistent") {
+    val prof = graft.ops.Profile.corpusProfile(spark, sf0001).cache()
+    val docs = Tables.documents(spark, sf0001).cache()
+    // every source appears exactly once and doc counts conserve
+    assert(prof.count() === docs.select("source").distinct().count())
+    assert(prof.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    // dup_docs is bounded by n_docs and globally matches the exact-dup set
+    assert(prof.filter(col("dup_docs") > col("n_docs")).count() === 0)
+    val fp = TextMetrics.fingerprint(spark, sf0001)
+    val expectDups = fp.groupBy("fingerprint").count().filter(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+    assert(prof.agg(sum("dup_docs")).head().getLong(0) === expectDups)
+    // top_lang is one of the predicted langs of that source's docs
+    val langs = docs.select("doc_id", "source")
+      .join(TextMetrics.langId(spark, sf0001), "doc_id")
+      .select("source", "predicted_lang").distinct()
+      .as[(String, String)].collect().groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    prof.select("source", "top_lang").as[(String, String)].collect().foreach {
+      case (s, l) => assert(langs(s).contains(l), s"top_lang $l not predicted in $s")
+    }
+  }
+
+  test("pii stats: planted PII counted per source, clean corpus all zero") {
+    val dir = java.nio.file.Files.createTempDirectory("pii_docs")
+    Seq(
+      (1L, "mail jane@example.com or bob@test.org", "en", "web", 1L),
+      (2L, "call 555-867-5309", "en", "web", 1L),
+      (3L, "ssn 123-45-6789 and mail a@b.io", "en", "books", 1L),
+      (4L, "nothing sensitive here", "en", "books", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Redact.piiStats(spark, dir.toString)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("books", 2L, 1L, 0L, 1L, 1L),
+      ("web", 2L, 2L, 1L, 0L, 2L)))
+    // the shipped corpus is PII-free: the registered query proves parity,
+    // this proves the zeros are genuine
+    val corpus = graft.ops.Redact.piiStats(spark, sf0001)
+    assert(corpus.filter(col("n_emails") + col("n_phones") + col("n_ids") > 0)
+      .count() === 0)
+  }
+
+  test("keep-best dedup: keeper is the max-quality member of each cluster") {
+    val canon = graft.ops.Dedup.canonical(spark, sf0001)
+    val q = TextMetrics.quality(spark, sf0001).select("doc_id", "quality_score")
+    val best = graft.ops.Dedup.keepBest(spark, sf0001).cache()
+    // one keeper per cluster, member counts match the assignment
+    val sizes = canon.groupBy("canonical_id").count()
+    val j = best.join(sizes, "canonical_id")
+    assert(j.count() === sizes.count())
+    assert(j.filter(col("n_members") =!= col("count")).count() === 0)
+    // no member of the cluster beats its keeper on (quality, -doc_id)
+    val members = canon.join(q, "doc_id")
+    val viol = members.join(best, "canonical_id")
+      .filter(col("quality_score") > col("keep_quality") ||
+        (col("quality_score") === col("keep_quality") && col("doc_id") < col("keep_doc")))
+    assert(viol.count() === 0)
+  }
+
   test("modAffineM61 long-arithmetic == BigInteger (a·H + b) mod 2^61-1") {
     import java.math.BigInteger
     val rnd = new scala.util.Random(7)
