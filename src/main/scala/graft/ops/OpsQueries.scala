@@ -33,6 +33,12 @@ object OpsQueries {
     "pii_stats" -> ((s, dir) => Redact.piiStats(s, dir)),
     // quality-aware survivor per near-dup cluster (keep best, not min-id)
     "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(s, dir)),
+    // per-label embedding QA: dims, zero vectors, norm stats
+    "emb_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
+    // k-NN label agreement of the exact neighbor structure
+    "ann_label_purity" -> ((s, dir) => Similarity.labelPurity(s, dir)),
+    // length-bucketed batching: per-bucket batch and padding cost
+    "batch_padding" -> ((s, dir) => Pack.paddingStats(s, dir)),
     // PSI distribution drift between event-time halves, per value bin
     "events_psi" -> ((s, dir) => Drift.psi(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextMetrics.fingerprint(s, dir)),
@@ -217,6 +223,9 @@ object OpsQueries {
     "corpus_profile" -> Profile.corpusProfileSql,
     "pii_stats" -> Redact.piiStatsSql,
     "dedup_keep_best" -> Dedup.keepBestSql(0.5),
+    "emb_stats" -> Similarity.embStatsSql,
+    "ann_label_purity" -> Similarity.labelPuritySql(),
+    "batch_padding" -> Pack.paddingStatsSql,
     "ann_topk" -> Similarity.bruteForceSql(),
     "ann_lsh_buckets" -> Similarity.lshBucketsSql,
     "ann_bucket_stats" -> Similarity.bucketStatsSql,

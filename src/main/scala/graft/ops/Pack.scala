@@ -85,6 +85,54 @@ object Pack {
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
 
+  /** Inference-batching efficiency: bucket documents by
+    * next-power-of-two token length and report, per bucket, how many
+    * batches of [[batchSize]] they fill and how much padding the bucket
+    * cap costs — the table that justifies length-bucketed batching over
+    * naive padding-to-max. The power-of-two cap is computed with exact
+    * integer bit arithmetic (`length(bin(n−1))`, the same
+    * engine-portable ⌈log₂⌉ trick as [[AnnParams.ceilLog2]]'s SQL twin)
+    * — no floating log whose ulp could straddle a boundary. One narrow
+    * scan + one ≤⌈log₂(max_len)⌉-group aggregate; scan-bound at any
+    * corpus size.
+    */
+  val batchSize = 32
+
+  def paddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), docTokens.as("toks"))
+      .filter(col("toks") > 0)
+      .withColumn("bucket_len",
+        when(col("toks") <= 1, 1L)
+          .otherwise(expr("CAST(shiftleft(CAST(1 AS BIGINT), length(bin(toks - 1))) AS BIGINT)")))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
+      .select(col("bucket_len"), col("n_docs"), col("total_tokens"),
+        expr(s"(n_docs + ${batchSize - 1}) div $batchSize").as("n_batches"),
+        (col("n_docs") * col("bucket_len") - col("total_tokens")).as("pad_tokens"),
+        ((col("n_docs") * col("bucket_len") - col("total_tokens")).cast("double") /
+          (col("n_docs") * col("bucket_len"))).as("pad_frac"))
+
+  val paddingStatsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS toks
+       |  FROM documents
+       |), b AS (
+       |  SELECT CASE WHEN toks <= 1 THEN 1
+       |              ELSE (CAST(1 AS BIGINT) << length(bin(toks - 1))) END AS bucket_len,
+       |         toks
+       |  FROM toks WHERE toks > 0
+       |)
+       |SELECT bucket_len,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       |  CAST((COUNT(*) + ${batchSize - 1}) // $batchSize AS BIGINT) AS n_batches,
+       |  CAST(COUNT(*) * bucket_len - SUM(toks) AS BIGINT) AS pad_tokens,
+       |  CAST(COUNT(*) * bucket_len - SUM(toks) AS DOUBLE)
+       |    / (COUNT(*) * bucket_len) AS pad_frac
+       |FROM b GROUP BY 1""".stripMargin
+
   /** Oracle twin of [[assignments]] — the per-doc mapping is itself the
     * artifact a shard writer consumes, so it is driver-checked directly.
     */

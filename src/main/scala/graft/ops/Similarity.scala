@@ -224,6 +224,90 @@ object Similarity {
        |  FROM embeddings
        |)""".stripMargin
 
+  /** Per-label embedding QA — the sanity table a pipeline publishes
+    * before anything trains on a vector drop: vector counts, dimension
+    * consistency (min==max or the drop is malformed), zero-vector count
+    * (un-normalizable rows), and norm statistics. `avg_norm` sums on the
+    * DECIMAL(18,6) grid and divides once as a double so aggregation
+    * order cannot move the low bits; min/max of doubles are
+    * order-independent as-is. One narrow scan + one label-grain
+    * aggregate with map-side combine — scan-bound at any corpus size.
+    */
+  def embStats(spark: SparkSession, dir: String): DataFrame =
+    normalized(spark, dir)
+      .select(col("label"), col("norm"), size(col("v")).as("dim"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("dim").as("min_dim"),
+        max("dim").as("max_dim"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("zero_vecs"),
+        min("norm").as("min_norm"),
+        max("norm").as("max_norm"),
+        sum(col("norm").cast("decimal(18,6)")).as("snorm"))
+      .select(col("label"), col("n_vecs"), col("min_dim"), col("max_dim"),
+        col("zero_vecs"), col("min_norm"), col("max_norm"),
+        (col("snorm").cast("double") / col("n_vecs")).as("avg_norm"))
+
+  // def, not val: normCte is declared later in the object and a val here
+  // would capture null at initialization order
+  def embStatsSql: String =
+    s"""WITH $normCte
+       |SELECT label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(MIN(len(v)) AS INT) AS min_dim,
+       |  CAST(MAX(len(v)) AS INT) AS max_dim,
+       |  CAST(SUM(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vecs,
+       |  MIN(norm) AS min_norm,
+       |  MAX(norm) AS max_norm,
+       |  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+       |FROM emb GROUP BY 1""".stripMargin
+
+  /** End-task quality of the neighbor structure: does a vector's top-k
+    * neighborhood share its label? Per label: query count, top-1
+    * agreement, and k-NN vote purity — the metric that tells you whether
+    * an ANN index is good enough to POWER something, beyond recall@k
+    * against brute force. Counts are exact integers; the one `purity`
+    * ratio is a single double division. Rides the memoized exact top-k
+    * ([[bruteForceTopK]]); the label joins shuffle only O(queries·k)
+    * pairs, with the tiny label side broadcast under AQE.
+    */
+  def labelPurity(spark: SparkSession, dir: String,
+                  k: Int = 10, queryMod: Int = 50): DataFrame = {
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    bruteForceTopK(spark, dir, k, queryMod)
+      .join(lab.select(col("vec_id").as("query_id"), col("label").as("query_label")),
+        "query_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("neighbor_label")),
+        "neighbor_id")
+      .groupBy("query_label")
+      .agg(countDistinct("query_id").as("n_queries"),
+        sum(when(col("rank") === 1 && col("neighbor_label") === col("query_label"), 1L)
+          .otherwise(0L)).as("top1_matches"),
+        sum(when(col("neighbor_label") === col("query_label"), 1L)
+          .otherwise(0L)).as("topk_matches"),
+        count(lit(1)).as("topk_total"))
+      .select(col("query_label").as("label"), col("n_queries"),
+        col("top1_matches"), col("topk_matches"), col("topk_total"),
+        (col("topk_matches").cast("double") / col("topk_total")).as("purity"))
+  }
+
+  def labelPuritySql(k: Int = 10, queryMod: Int = 50): String =
+    s"""WITH tk AS (
+       |${bruteForceSql(k, queryMod)}
+       |), lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |)
+       |SELECT ql.label,
+       |  CAST(COUNT(DISTINCT tk.query_id) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN tk.rank = 1 AND nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS top1_matches,
+       |  CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS topk_matches,
+       |  CAST(COUNT(*) AS BIGINT) AS topk_total,
+       |  CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS purity
+       |FROM tk
+       |JOIN lab ql ON ql.vec_id = tk.query_id
+       |JOIN lab nl ON nl.vec_id = tk.neighbor_id
+       |GROUP BY 1""".stripMargin
+
   def bruteForceSql(k: Int = 10, queryMod: Int = 50): String =
     s"""WITH $normCte, q AS (
        |  SELECT vec_id AS query_id, v AS qv, norm AS qn FROM emb WHERE ${AnnParams.queryPredSql(queryMod)}

@@ -196,6 +196,68 @@ class OpsSpec extends SparkSpec {
     assert(viol.count() === 0)
   }
 
+  test("embedding stats: dims uniform, counts conserve, avg within bounds") {
+    val st = graft.ops.Similarity.embStats(spark, sf0001).cache()
+    assert(st.agg(sum("n_vecs")).head().getLong(0) ===
+      Tables.embeddings(spark, sf0001).count())
+    // every label's vectors share the declared dimension
+    assert(st.filter(col("min_dim") =!= graft.ops.Similarity.dim ||
+      col("max_dim") =!= graft.ops.Similarity.dim).count() === 0)
+    assert(st.filter(col("zero_vecs") =!= 0).count() === 0, "fixture has no zero vectors")
+    assert(st.filter(col("avg_norm") < col("min_norm") ||
+      col("avg_norm") > col("max_norm")).count() === 0)
+  }
+
+  test("label purity: count identities hold and top-1 beats chance") {
+    val k = 10
+    val p = graft.ops.Similarity.labelPurity(spark, sf0001, k = k).cache()
+    // every query contributes exactly k neighbor rows
+    assert(p.filter(col("topk_total") =!= col("n_queries") * k).count() === 0)
+    assert(p.filter(col("top1_matches") > col("n_queries")).count() === 0)
+    assert(p.filter(col("topk_matches") > col("topk_total")).count() === 0)
+    assert(p.filter(col("purity") < 0.0 || col("purity") > 1.0).count() === 0)
+    // the metric is DISCRIMINATIVE: on the isotropic driver fixture the
+    // labels carry no geometric signal, so top-1 agreement must sit at
+    // the uniform-chance rate (1/labels) ...
+    val labels = Tables.embeddings(spark, sf0001).select("label").distinct().count()
+    val (m, q) = p.agg(sum("top1_matches"), sum("n_queries"))
+      .as[(Long, Long)].head()
+    val isoPurity = m.toDouble / q
+    assert(isoPurity > 0.5 / labels && isoPurity < 3.0 / labels,
+      s"isotropic top-1 purity $isoPurity far from chance 1.0/$labels")
+    // ... and on the clustered fixture (labels == geometric clusters)
+    // the same metric must read near-perfect
+    val dir = java.nio.file.Files.createTempDirectory("purity_clustered").toString
+    graft.tools.ClusteredFixture.write(spark, dir)
+    val cp = graft.ops.Similarity.labelPurity(spark, dir, k = k).cache()
+    val (cm, cq) = cp.agg(sum("top1_matches"), sum("n_queries"))
+      .as[(Long, Long)].head()
+    assert(cm.toDouble / cq > 0.9,
+      s"clustered top-1 purity ${cm.toDouble / cq} should be near 1")
+  }
+
+  test("batch padding: buckets are tight powers of two and volumes conserve") {
+    val pad = graft.ops.Pack.paddingStats(spark, sf0001).cache()
+    val toks = Tables.documents(spark, sf0001)
+      .select(size(split(TextMetrics.normalized(col("text")), " ")).cast("long").as("t"))
+      .filter(col("t") > 0).cache()
+    assert(pad.agg(sum("n_docs")).head().getLong(0) === toks.count())
+    assert(pad.agg(sum("total_tokens")).head().getLong(0) ===
+      toks.agg(sum("t")).head().getLong(0))
+    pad.select("bucket_len", "pad_tokens", "n_docs", "total_tokens")
+      .as[(Long, Long, Long, Long)].collect().foreach { case (b, p, n, tt) =>
+        assert((b & (b - 1)) === 0L, s"bucket $b not a power of two")
+        assert(p === n * b - tt)
+      }
+    // tightness: each doc's bucket is the SMALLEST power of two ≥ toks,
+    // so no doc could fit the next bucket down
+    val tight = toks.withColumn("bucket",
+      when(col("t") <= 1, 1L)
+        .otherwise(expr("CAST(shiftleft(CAST(1 AS BIGINT), length(bin(t - 1))) AS BIGINT)")))
+    assert(tight.filter(col("t") > col("bucket") ||
+      (col("bucket") > 1 && col("t") * 2 <= col("bucket"))).count() === 0)
+  }
+
   test("modAffineM61 long-arithmetic == BigInteger (a·H + b) mod 2^61-1") {
     import java.math.BigInteger
     val rnd = new scala.util.Random(7)
