@@ -17,11 +17,14 @@ import graft.Tables
   * single final division is the same IEEE operation in both engines.
   * `top_lang` breaks count ties alphabetically, so the argmax is total.
   *
-  * Scale shape: three narrow scans of `documents` (words+source, quality,
-  * lang — Catalyst prunes each to its columns), one fingerprint groupBy
-  * (the exact-dedup shuffle, keyed by 16-byte md5), and two source-grain
-  * aggregates with map-side combine; every post-scan frame is
-  * O(sources × langs). No all-pairs step, no driver-side data.
+  * Scale shape: every per-doc signal (words, quality, language,
+  * fingerprint) is a projection of the same row, so the profile is ONE
+  * codegen'd scan of `documents` — not a scan per signal stitched with
+  * corpus-sized doc_id joins. The only row-level shuffle is the
+  * exact-dup count, a window over the 16-byte fingerprint (group size =
+  * duplicate multiplicity, no skew); the source-grain aggregates behind
+  * it partial-aggregate map-side, so the second exchange carries
+  * O(sources × langs) rows. No all-pairs step, no driver-side data.
   */
 object Profile {
 
@@ -29,29 +32,21 @@ object Profile {
     * exact-dup involvement, dominant predicted language.
     */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(
-      col("doc_id"), col("source"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("words"))
-    val quality = TextMetrics.quality(spark, dir)
-      .select(col("doc_id"),
-        col("quality_score").cast("decimal(18,6)").as("qd"))
-    val fp = TextMetrics.fingerprint(spark, dir)
-    val dupIds = fp.groupBy("fingerprint")
-      .agg(count(lit(1)).as("k"))
-      .filter(col("k") > 1)
-      .join(fp, "fingerprint")
-      .select(col("doc_id"), lit(1L).as("is_dup"))
-    val agg = docs
-      .join(quality, "doc_id")
-      .join(dupIds, Seq("doc_id"), "left")
-      .groupBy("source")
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Tables.documents(spark, dir).select(
+      col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("words"),
+      TextMetrics.qualityScore.cast("decimal(18,6)").as("qd"),
+      TextMetrics.predictedLangOf(col("text")).as("predicted_lang"),
+      md5(TextMetrics.normalized(col("text"))).as("fingerprint"))
+    val flagged = perDoc.withColumn("fp_count",
+      count(lit(1)).over(Window.partitionBy("fingerprint")))
+    val agg = flagged.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("words").as("total_words"),
         sum("qd").as("qsum"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("dup_docs"))
-    val topLang = Tables.documents(spark, dir).select("doc_id", "source")
-      .join(TextMetrics.langId(spark, dir).select("doc_id", "predicted_lang"), "doc_id")
-      .groupBy("source", "predicted_lang")
+        sum(when(col("fp_count") > 1, 1L).otherwise(0L)).as("dup_docs"))
+    val topLang = flagged.groupBy("source", "predicted_lang")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("source")
       // min over (−count, lang): largest count first, alphabetical tiebreak

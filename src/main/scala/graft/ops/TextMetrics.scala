@@ -50,6 +50,21 @@ object TextMetrics {
     "fr" -> "\\b(le|la|les|des|et|est|que|une)\\b"
   )
 
+  /** The argmax-language expression over a text column — the exact rule
+    * [[langId]] registers, exposed for single-scan consumers
+    * ([[Profile]]) that fuse it with other per-doc projections.
+    */
+  def predictedLangOf(text: Column): Column = {
+    val hits = langMarkers.map { case (l, re) =>
+      l -> regexp_count(lower(text), lit(re))
+    }
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldLeft(Option.empty[Column]) {
+      case (None, (l, h))    => Some(when(best > 0 && h === best, l))
+      case (Some(c), (l, h)) => Some(c.when(best > 0 && h === best, l))
+    }.get.otherwise("und")
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select(
       col("doc_id") +: langMarkers.map { case (l, re) =>
