@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builder-side scale-experiment fixture: replicate the sf tables N×
+  * with FK-consistent id offsets so the same Bench queries run on 10×
+  * the rows (the protocol behind SCALE.md's measured-scaling tables).
+  *
+  *  - `documents`: doc_id offset per copy; copies get a distinct prefix
+  *    word, so each doc gains N−1 genuine NEAR-duplicates (exercises
+  *    dedup growth) while exact fingerprints stay distinct.
+  *  - `embeddings`: vec_id offset per copy; the first component is
+  *    perturbed by a small copy-dependent epsilon — labels and cluster
+  *    structure survive, exact-tie degeneracy (cosine ≡ 1 pairs) does
+  *    not.
+  *  - `events`: event_id/user_id offset per copy (10× distinct users,
+  *    same time range — densifies, as a bigger deployment would).
+  *
+  * Usage: runMain graft.tools.Replicate <srcSfDir> <dstDir> [copies]
+  */
+object Replicate {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(dst).mkdirs()
+
+    val docs = graft.Tables.documents(spark, src)
+    val docMax = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until copies).map { c =>
+      docs.select(
+        (col("doc_id") + lit(c * docMax)).as("doc_id"),
+        (if (c == 0) col("text")
+         else concat(lit(s"copy$c "), col("text"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
+
+    val emb = graft.Tables.embeddings(spark, src)
+    val vecMax = emb.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until copies).map { c =>
+      emb.select(
+        (col("vec_id") + lit(c * vecMax)).as("vec_id"),
+        concat(array((element_at(col("embedding"), 1) + lit(c * 1e-3f))
+            .cast("float")),
+          slice(col("embedding"), 2, graft.ops.Similarity.dim - 1))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
+
+    val ev = graft.Tables.events(spark, src)
+    val evMax = ev.agg(max("event_id")).head().getLong(0) + 1
+    val userMax = ev.agg(max("user_id")).head().getLong(0) + 1
+    (0 until copies).map { c =>
+      ev.select(
+        (col("event_id") + lit(c * evMax)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(c * userMax)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
+
+    // remaining tables pass through unchanged (star/dq queries are not
+    // part of the document/vector scale experiments)
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+      }
+    println(s"[replicate] wrote ${copies}x $src -> $dst")
+    spark.stop()
+  }
+}
