@@ -385,6 +385,44 @@ object Dedup {
        |       doc_id AS keep_doc, quality_score AS keep_quality
        |FROM ranked WHERE rn = 1""".stripMargin
 
+  /** Cross-source near-duplication matrix — syndication/mirror
+    * detection: how many verified near-dup pairs join documents of each
+    * (unordered) source pair. A diagonal-heavy matrix means duplication
+    * is internal boilerplate; heavy off-diagonal cells name the source
+    * pairs republishing each other's content — which decides WHERE a
+    * dedup pass should spend its budget. Rides the verified near-dup
+    * graph (graph-sized, never corpus-sized); the two source lookups
+    * shuffle only pair endpoints, with the (doc_id, source) side
+    * reduced before the join.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    nearDups(spark, dir, threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"),
+        col("jaccard"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_pairs"), max("jaccard").as("max_jaccard"))
+  }
+
+  def sourceOverlapSql(threshold: Double = 0.5): String =
+    s"""WITH nd AS (
+       |${nearDupsSql(threshold)}
+       |), s AS (
+       |  SELECT doc_id, source FROM documents
+       |)
+       |SELECT LEAST(sa.source, sb.source) AS source_x,
+       |       GREATEST(sa.source, sb.source) AS source_y,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       MAX(nd.jaccard) AS max_jaccard
+       |FROM nd
+       |JOIN s sa ON sa.doc_id = nd.doc_a
+       |JOIN s sb ON sb.doc_id = nd.doc_b
+       |GROUP BY 1, 2""".stripMargin
+
   /** Multi-signal near-dup scoring: the text-level candidates (banded
     * MinHash → Jaccard) joined with the embedding-level cosine of the
     * same pair (`vec_id` and `doc_id` share the id space in the

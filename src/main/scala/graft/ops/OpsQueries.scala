@@ -29,6 +29,12 @@ object OpsQueries {
     "fuzzy_parts" -> ((s, dir) => FuzzyJoin.parts(s, dir)),
     // per-source data card: volumes, quality, dup rate, dominant language
     "corpus_profile" -> ((s, dir) => Profile.corpusProfile(s, dir)),
+    // the same card maintained via mergeable partial state (MV pattern)
+    "corpus_profile_incremental" -> ((s, dir) => Profile.corpusProfileIncremental(s, dir)),
+    // cross-source near-dup matrix (syndication detection)
+    "dedup_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
+    // one-row key-skew diagnostic for the events aggregation key
+    "events_skew_report" -> ((s, dir) => Salting.skewReport(s, dir)),
     // per-source PII span counts and affected-document counts
     "pii_stats" -> ((s, dir) => Redact.piiStats(s, dir)),
     // quality-aware survivor per near-dup cluster (keep best, not min-id)
@@ -221,6 +227,11 @@ object OpsQueries {
     "dedup_multisignal" -> Dedup.multiSignalSql(0.5),
     "dedup_canonical" -> Dedup.canonicalSql(0.5),
     "corpus_profile" -> Profile.corpusProfileSql,
+    // incremental maintenance must be invisible in the result: the
+    // oracle is the full recompute
+    "corpus_profile_incremental" -> Profile.corpusProfileSql,
+    "dedup_source_overlap" -> Dedup.sourceOverlapSql(0.5),
+    "events_skew_report" -> Salting.skewReportSql,
     "pii_stats" -> Redact.piiStatsSql,
     "dedup_keep_best" -> Dedup.keepBestSql(0.5),
     "emb_stats" -> Similarity.embStatsSql,

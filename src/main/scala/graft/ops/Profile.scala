@@ -28,18 +28,21 @@ import graft.Tables
   */
 object Profile {
 
+  /** The one-scan per-doc signal frame both profile paths start from. */
+  private def perDoc(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("words"),
+      TextMetrics.qualityScore.cast("decimal(18,6)").as("qd"),
+      TextMetrics.predictedLangOf(col("text")).as("predicted_lang"),
+      md5(TextMetrics.normalized(col("text"))).as("fingerprint"))
+
   /** One row per source: doc/word volume, summed+averaged quality,
     * exact-dup involvement, dominant predicted language.
     */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perDoc = Tables.documents(spark, dir).select(
-      col("source"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("words"),
-      TextMetrics.qualityScore.cast("decimal(18,6)").as("qd"),
-      TextMetrics.predictedLangOf(col("text")).as("predicted_lang"),
-      md5(TextMetrics.normalized(col("text"))).as("fingerprint"))
-    val flagged = perDoc.withColumn("fp_count",
+    val flagged = perDoc(spark, dir).withColumn("fp_count",
       count(lit(1)).over(Window.partitionBy("fingerprint")))
     val agg = flagged.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -51,6 +54,51 @@ object Profile {
       .groupBy("source")
       // min over (−count, lang): largest count first, alphabetical tiebreak
       .agg(min(struct((-col("cnt")).as("nc"), col("predicted_lang").as("l"))).as("m"))
+      .select(col("source"), col("m.l").as("top_lang"))
+    agg.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("total_words"),
+        (col("qsum").cast("double") / col("n_docs")).as("avg_quality"),
+        col("dup_docs"), col("top_lang"))
+  }
+
+  /** The data card maintained INCREMENTALLY — MV maintenance for
+    * governance, the [[EventsOps.dailyIncremental]] pattern applied to
+    * the profile: partial state at the (fingerprint, source, lang)
+    * grain is built for the existing corpus and for an arriving batch
+    * separately (here: even/odd doc_id halves standing in for
+    * yesterday's corpus and today's delivery), merged by summation, and
+    * only then rolled up to the card. Every stored measure is a sum (or
+    * count) — mergeable by construction — so absorbing a new batch
+    * costs one scan of the BATCH plus a state-sized merge, never a
+    * rescan of the corpus. The exact-dup count works across batches
+    * because the fingerprint grain survives in the state: a duplicate
+    * arriving months after its original still flips both rows' fp_total
+    * above 1. The oracle is the full-recompute profile — incremental
+    * maintenance must be invisible in the result, decimal-grid sums
+    * make it exactly so.
+    */
+  def corpusProfileIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pd = perDoc(spark, dir)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("fingerprint", "source", "predicted_lang")
+        .agg(count(lit(1)).as("cnt"), sum("words").as("w"), sum("qd").as("q"))
+    val state = partial(pd.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val delta = partial(pd.filter(pmod(col("doc_id"), lit(2)) === 1))
+    val merged = state.unionByName(delta)
+      .groupBy("fingerprint", "source", "predicted_lang")
+      .agg(sum("cnt").as("cnt"), sum("w").as("w"), sum("q").as("q"))
+    val withTot = merged.withColumn("fp_total",
+      sum("cnt").over(Window.partitionBy("fingerprint")))
+    val agg = withTot.groupBy("source")
+      .agg(sum("cnt").as("n_docs"),
+        sum("w").as("total_words"),
+        sum("q").as("qsum"),
+        sum(when(col("fp_total") > 1, col("cnt")).otherwise(0L)).as("dup_docs"))
+    val topLang = merged.groupBy("source", "predicted_lang")
+      .agg(sum("cnt").as("lc"))
+      .groupBy("source")
+      .agg(min(struct((-col("lc")).as("nc"), col("predicted_lang").as("l"))).as("m"))
       .select(col("source"), col("m.l").as("top_lang"))
     agg.join(topLang, "source")
       .select(col("source"), col("n_docs"), col("total_words"),

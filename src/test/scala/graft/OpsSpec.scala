@@ -196,6 +196,40 @@ class OpsSpec extends SparkSpec {
     assert(viol.count() === 0)
   }
 
+  test("source overlap matrix partitions the near-dup pairs exactly") {
+    val nd = graft.ops.Dedup.nearDups(spark, sf0001)
+    val ov = graft.ops.Dedup.sourceOverlap(spark, sf0001).cache()
+    // every pair lands in exactly one unordered source cell
+    assert(ov.agg(sum("n_pairs")).head().getLong(0) === nd.count())
+    assert(ov.filter(col("source_x") > col("source_y")).count() === 0)
+    assert(ov.filter(col("max_jaccard") < 0.5 || col("max_jaccard") > 1.0).count() === 0)
+  }
+
+  test("skew report identities hold against the exact key counts") {
+    val r = graft.ops.Salting.skewReport(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    val (nRows, nKeys, maxCnt, top10, t1, t10, avg) = r
+    val counts = Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt")).cache()
+    assert(nRows === Tables.events(spark, sf0001).count())
+    assert(nKeys === counts.count())
+    assert(maxCnt === counts.agg(max("cnt")).head().getLong(0))
+    assert(top10 >= maxCnt && top10 <= nRows)
+    assert(t1 === maxCnt.toDouble / nRows)
+    assert(t10 === top10.toDouble / nRows)
+    assert(avg === nRows.toDouble / nKeys)
+  }
+
+  test("incremental corpus profile equals the full recompute exactly") {
+    val full = graft.ops.Profile.corpusProfile(spark, sf0001)
+    val inc = graft.ops.Profile.corpusProfileIncremental(spark, sf0001)
+    // exact equality including the decimal-grid avg: maintenance must be
+    // invisible in the result
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+    assert(inc.count() === full.count())
+  }
+
   test("embedding stats: dims uniform, counts conserve, avg within bounds") {
     val st = graft.ops.Similarity.embStats(spark, sf0001).cache()
     assert(st.agg(sum("n_vecs")).head().getLong(0) ===

@@ -33,6 +33,8 @@ class PlanLintSpec extends SparkSpec {
     "lm_score", // ONE-ROW (n_tokens, vocab) totals × the bigram stream
     "heavy_hitters", // ONE-ROW global count × the candidate exact counts
     "events_psi", // ONE-ROW time midpoint + ONE-ROW period totals
+    "events_skew_report", // ONE-ROW totals × ONE-ROW top-10 aggregate
+    "ann_label_purity", // composes the ann_topk brute-force truth
     "dash_summary", "dash_by_type", "dash_trend",
     "dash_recent10", "dash_critical5")
 
