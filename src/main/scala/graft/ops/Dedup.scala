@@ -385,6 +385,49 @@ object Dedup {
        |       doc_id AS keep_doc, quality_score AS keep_quality
        |FROM ranked WHERE rn = 1""".stripMargin
 
+  /** Per-source content drift between two corpus halves — the text
+    * analogue of [[Drift.psi]]: the shingle-set Jaccard between a
+    * source's even- and odd-id documents (standing in for two corpus
+    * deliveries). A source whose deliveries cover the same material
+    * scores high; a low score flags a distribution shift the downstream
+    * mixture weights were not calibrated for. Rides the memoized
+    * distinct-shingle table: one doc_id join to attach sources, one
+    * (source, shingle)-keyed aggregate — O(corpus shingles), map-side
+    * combined, never pairwise.
+    */
+  def shingleDrift(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val perHalf = shingles(spark, dir)
+      .join(src, "doc_id")
+      .select(col("source"), col("shingle"), pmod(col("doc_id"), lit(2)).as("half"))
+      .distinct()
+      .groupBy("source", "shingle")
+      .agg(count(lit(1)).as("halves"))
+    perHalf.groupBy("source")
+      .agg(count(lit(1)).as("union_shingles"),
+        sum(when(col("halves") === 2, 1L).otherwise(0L)).as("common_shingles"))
+      .select(col("source"), col("union_shingles"), col("common_shingles"),
+        (col("common_shingles").cast("double") / col("union_shingles"))
+          .as("jaccard"))
+  }
+
+  // def, not val: shinglesCte is declared later in the object and a val
+  // here would capture null at initialization order
+  def shingleDriftSql: String =
+    s"""WITH $shinglesCte, s AS (
+       |  SELECT doc_id, source FROM documents
+       |), t AS (
+       |  SELECT DISTINCT s.source, d.shingle, d.doc_id % 2 AS half
+       |  FROM doc_shingles d JOIN s USING (doc_id)
+       |), a AS (
+       |  SELECT source, shingle, COUNT(*) AS halves FROM t GROUP BY 1, 2
+       |)
+       |SELECT source,
+       |       CAST(COUNT(*) AS BIGINT) AS union_shingles,
+       |       CAST(SUM(CASE WHEN halves = 2 THEN 1 ELSE 0 END) AS BIGINT) AS common_shingles,
+       |       CAST(SUM(CASE WHEN halves = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS jaccard
+       |FROM a GROUP BY 1""".stripMargin
+
   /** Cross-source near-duplication matrix — syndication/mirror
     * detection: how many verified near-dup pairs join documents of each
     * (unordered) source pair. A diagonal-heavy matrix means duplication

@@ -33,6 +33,8 @@ object OpsQueries {
     "corpus_profile_incremental" -> ((s, dir) => Profile.corpusProfileIncremental(s, dir)),
     // cross-source near-dup matrix (syndication detection)
     "dedup_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
+    // per-source shingle-set Jaccard between corpus halves (text drift)
+    "corpus_shingle_drift" -> ((s, dir) => Dedup.shingleDrift(s, dir)),
     // one-row key-skew diagnostic for the events aggregation key
     "events_skew_report" -> ((s, dir) => Salting.skewReport(s, dir)),
     // per-source PII span counts and affected-document counts
@@ -231,6 +233,7 @@ object OpsQueries {
     // oracle is the full recompute
     "corpus_profile_incremental" -> Profile.corpusProfileSql,
     "dedup_source_overlap" -> Dedup.sourceOverlapSql(0.5),
+    "corpus_shingle_drift" -> Dedup.shingleDriftSql,
     "events_skew_report" -> Salting.skewReportSql,
     "pii_stats" -> Redact.piiStatsSql,
     "dedup_keep_best" -> Dedup.keepBestSql(0.5),

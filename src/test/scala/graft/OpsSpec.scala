@@ -220,6 +220,20 @@ class OpsSpec extends SparkSpec {
     assert(avg === nRows.toDouble / nKeys)
   }
 
+  test("shingle drift: identities vs the raw shingle table, jaccard in [0,1]") {
+    val d = graft.ops.Dedup.shingleDrift(spark, sf0001).cache()
+    assert(d.filter(col("jaccard") < 0.0 || col("jaccard") > 1.0).count() === 0)
+    assert(d.filter(col("common_shingles") > col("union_shingles")).count() === 0)
+    // union identity per source against an independent computation
+    val sh = graft.ops.Dedup.shingles(spark, sf0001)
+      .join(Tables.documents(spark, sf0001).select("doc_id", "source"), "doc_id")
+    val expect = sh.select("source", "shingle").distinct()
+      .groupBy("source").agg(count(lit(1)).as("u"))
+    val j = d.join(expect, "source")
+    assert(j.filter(col("union_shingles") =!= col("u")).count() === 0)
+    assert(j.count() === d.count())
+  }
+
   test("incremental corpus profile equals the full recompute exactly") {
     val full = graft.ops.Profile.corpusProfile(spark, sf0001)
     val inc = graft.ops.Profile.corpusProfileIncremental(spark, sf0001)
