@@ -35,6 +35,8 @@ object OpsQueries {
     "dedup_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
     // per-source shingle-set Jaccard between corpus halves (text drift)
     "corpus_shingle_drift" -> ((s, dir) => Dedup.shingleDrift(s, dir)),
+    // the data card folded from STREAMED deliveries (foreachBatch state)
+    "stream_profile" -> ((s, dir) => graft.streaming.DocStream.profileCheck(s, dir)),
     // one-row key-skew diagnostic for the events aggregation key
     "events_skew_report" -> ((s, dir) => Salting.skewReport(s, dir)),
     // per-source PII span counts and affected-document counts
@@ -234,6 +236,8 @@ object OpsQueries {
     "corpus_profile_incremental" -> Profile.corpusProfileSql,
     "dedup_source_overlap" -> Dedup.sourceOverlapSql(0.5),
     "corpus_shingle_drift" -> Dedup.shingleDriftSql,
+    // streaming maintenance must be invisible: full-recompute oracle
+    "stream_profile" -> Profile.corpusProfileSql,
     "events_skew_report" -> Salting.skewReportSql,
     "pii_stats" -> Redact.piiStatsSql,
     "dedup_keep_best" -> Dedup.keepBestSql(0.5),

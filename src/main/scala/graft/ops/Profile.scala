@@ -28,14 +28,57 @@ import graft.Tables
   */
 object Profile {
 
-  /** The one-scan per-doc signal frame both profile paths start from. */
-  private def perDoc(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+  /** The one-scan per-doc signal frame every profile path starts from
+    * (package-visible: the streaming fold projects arriving batches
+    * through the SAME expressions).
+    */
+  private[graft] def perDocOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"), col("source"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("words"),
       TextMetrics.qualityScore.cast("decimal(18,6)").as("qd"),
       TextMetrics.predictedLangOf(col("text")).as("predicted_lang"),
       md5(TextMetrics.normalized(col("text"))).as("fingerprint"))
+
+  private def perDoc(spark: SparkSession, dir: String): DataFrame =
+    perDocOf(Tables.documents(spark, dir))
+
+  /** Mergeable partial state at the (fingerprint, source, lang) grain —
+    * sums only, so partials built per batch fold by re-summation.
+    */
+  private[graft] def partialOf(df: DataFrame): DataFrame =
+    perDocOf(df)
+      .groupBy("fingerprint", "source", "predicted_lang")
+      .agg(count(lit(1)).as("cnt"), sum("words").as("w"), sum("qd").as("q"))
+
+  /** Fold two partial-state frames into one (the merge every incremental
+    * path shares).
+    */
+  private[graft] def mergeState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("fingerprint", "source", "predicted_lang")
+      .agg(sum("cnt").as("cnt"), sum("w").as("w"), sum("q").as("q"))
+
+  /** The data card rolled up from merged partial state. */
+  private[graft] def cardFromState(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withTot = state.withColumn("fp_total",
+      sum("cnt").over(Window.partitionBy("fingerprint")))
+    val agg = withTot.groupBy("source")
+      .agg(sum("cnt").as("n_docs"),
+        sum("w").as("total_words"),
+        sum("q").as("qsum"),
+        sum(when(col("fp_total") > 1, col("cnt")).otherwise(0L)).as("dup_docs"))
+    val topLang = state.groupBy("source", "predicted_lang")
+      .agg(sum("cnt").as("lc"))
+      .groupBy("source")
+      .agg(min(struct((-col("lc")).as("nc"), col("predicted_lang").as("l"))).as("m"))
+      .select(col("source"), col("m.l").as("top_lang"))
+    agg.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("total_words"),
+        (col("qsum").cast("double") / col("n_docs")).as("avg_quality"),
+        col("dup_docs"), col("top_lang"))
+  }
 
   /** One row per source: doc/word volume, summed+averaged quality,
     * exact-dup involvement, dominant predicted language.
@@ -78,32 +121,10 @@ object Profile {
     * make it exactly so.
     */
   def corpusProfileIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pd = perDoc(spark, dir)
-    def partial(df: DataFrame): DataFrame =
-      df.groupBy("fingerprint", "source", "predicted_lang")
-        .agg(count(lit(1)).as("cnt"), sum("words").as("w"), sum("qd").as("q"))
-    val state = partial(pd.filter(pmod(col("doc_id"), lit(2)) === 0))
-    val delta = partial(pd.filter(pmod(col("doc_id"), lit(2)) === 1))
-    val merged = state.unionByName(delta)
-      .groupBy("fingerprint", "source", "predicted_lang")
-      .agg(sum("cnt").as("cnt"), sum("w").as("w"), sum("q").as("q"))
-    val withTot = merged.withColumn("fp_total",
-      sum("cnt").over(Window.partitionBy("fingerprint")))
-    val agg = withTot.groupBy("source")
-      .agg(sum("cnt").as("n_docs"),
-        sum("w").as("total_words"),
-        sum("q").as("qsum"),
-        sum(when(col("fp_total") > 1, col("cnt")).otherwise(0L)).as("dup_docs"))
-    val topLang = merged.groupBy("source", "predicted_lang")
-      .agg(sum("cnt").as("lc"))
-      .groupBy("source")
-      .agg(min(struct((-col("lc")).as("nc"), col("predicted_lang").as("l"))).as("m"))
-      .select(col("source"), col("m.l").as("top_lang"))
-    agg.join(topLang, "source")
-      .select(col("source"), col("n_docs"), col("total_words"),
-        (col("qsum").cast("double") / col("n_docs")).as("avg_quality"),
-        col("dup_docs"), col("top_lang"))
+    val docs = Tables.documents(spark, dir)
+    val state = partialOf(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val delta = partialOf(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    cardFromState(mergeState(state, delta))
   }
 
   val corpusProfileSql: String =

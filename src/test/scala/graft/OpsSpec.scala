@@ -244,6 +244,14 @@ class OpsSpec extends SparkSpec {
     assert(inc.count() === full.count())
   }
 
+  test("streamed profile fold equals the batch data card exactly") {
+    val streamed = graft.streaming.DocStream.profileCheck(spark, sf0001)
+    val full = graft.ops.Profile.corpusProfile(spark, sf0001)
+    assert(streamed.exceptAll(full).count() === 0)
+    assert(full.exceptAll(streamed).count() === 0)
+    assert(streamed.count() === full.count())
+  }
+
   test("embedding stats: dims uniform, counts conserve, avg within bounds") {
     val st = graft.ops.Similarity.embStats(spark, sf0001).cache()
     assert(st.agg(sum("n_vecs")).head().getLong(0) ===
