@@ -37,6 +37,8 @@ object OpsQueries {
     "corpus_shingle_drift" -> ((s, dir) => Dedup.shingleDrift(s, dir)),
     // the data card folded from STREAMED deliveries (foreachBatch state)
     "stream_profile" -> ((s, dir) => graft.streaming.DocStream.profileCheck(s, dir)),
+    // keep-with-probability-quality soft filter + calibration report
+    "sample_quality_weighted" -> ((s, dir) => Sampling.qualityWeighted(s, dir)),
     // one-row key-skew diagnostic for the events aggregation key
     "events_skew_report" -> ((s, dir) => Salting.skewReport(s, dir)),
     // per-source PII span counts and affected-document counts
@@ -238,6 +240,7 @@ object OpsQueries {
     "corpus_shingle_drift" -> Dedup.shingleDriftSql,
     // streaming maintenance must be invisible: full-recompute oracle
     "stream_profile" -> Profile.corpusProfileSql,
+    "sample_quality_weighted" -> Sampling.qualityWeightedSql(),
     "events_skew_report" -> Salting.skewReportSql,
     "pii_stats" -> Redact.piiStatsSql,
     "dedup_keep_best" -> Dedup.keepBestSql(0.5),

@@ -117,4 +117,51 @@ object Sampling {
        |  FROM documents
        |) WHERE rk <= $cap""".stripMargin
   }
+
+  /** Quality-weighted (importance) sampling — the soft quality filter:
+    * each document is kept with probability equal to its quality score,
+    * so high-quality docs survive deterministically more often than
+    * boilerplate WITHOUT the hard cliff of a threshold. Membership is
+    * `hashUniform(doc_id) < quality` — no RNG state, identical under
+    * any partitioning, and replayable months later from the same salt.
+    * The report carries its own calibration check: `expected_kept` is
+    * the decimal-grid sum of the per-doc probabilities, which the
+    * realized `n_kept` must track (binomial concentration) — a drifted
+    * hash or a broken score shows up as a gap. One narrow scan + one
+    * source-grain aggregate; scan-bound at any corpus size.
+    */
+  def qualityWeighted(spark: SparkSession, dir: String,
+                      salt: String = "qw1"): DataFrame = {
+    val u = hashUniform(col("doc_id"), salt)
+    Tables.documents(spark, dir).select(
+      col("source"),
+      TextMetrics.qualityScore.as("q"),
+      (u < TextMetrics.qualityScore).as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("q").cast("decimal(18,6)")).as("eq"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("eq").cast("double").as("expected_kept"),
+        (col("n_kept").cast("double") / col("n_docs")).as("kept_rate"))
+  }
+
+  def qualityWeightedSql(salt: String = "qw1"): String = {
+    val u = hashUniformSql("doc_id", salt)
+    s"""WITH q AS (
+       |${TextMetrics.qualitySql}
+       |), d AS (
+       |  SELECT doc_id, source FROM documents
+       |), t AS (
+       |  SELECT d.source, q.quality_score AS qs,
+       |         CASE WHEN $u < q.quality_score THEN 1 ELSE 0 END AS kept
+       |  FROM d JOIN q USING (doc_id)
+       |)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS expected_kept,
+       |  CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_rate
+       |FROM t GROUP BY 1""".stripMargin
+  }
 }

@@ -244,6 +244,23 @@ class OpsSpec extends SparkSpec {
     assert(inc.count() === full.count())
   }
 
+  test("quality-weighted sample tracks its own expected keep count") {
+    val s = graft.ops.Sampling.qualityWeighted(spark, sf0001).cache()
+    assert(s.filter(col("n_kept") > col("n_docs")).count() === 0)
+    assert(s.filter(col("kept_rate") < 0.0 || col("kept_rate") > 1.0).count() === 0)
+    // binomial concentration: realized keeps within 4·σ of the summed
+    // per-doc probabilities (σ ≤ √n/2), corpus-wide
+    val (kept, expect, n) = s.agg(sum("n_kept"), sum("expected_kept"), sum("n_docs"))
+      .as[(Long, Double, Long)].head()
+    assert(math.abs(kept - expect) <= 4 * math.sqrt(n.toDouble) / 2 + 1,
+      s"realized $kept vs expected $expect over $n docs")
+    // high-quality sources keep more: kept_rate orders with expected rate
+    // (hash membership invariance under repartition is proven in FsUtilSpec)
+    val rates = s.select((col("expected_kept") / col("n_docs")).as("er"), col("kept_rate"))
+      .as[(Double, Double)].collect()
+    assert(rates.forall { case (er, kr) => math.abs(er - kr) < 0.35 })
+  }
+
   test("streamed profile fold equals the batch data card exactly") {
     val streamed = graft.streaming.DocStream.profileCheck(spark, sf0001)
     val full = graft.ops.Profile.corpusProfile(spark, sf0001)
