@@ -544,6 +544,79 @@ object Multimodal {
     * pixel of thumbnail cell (i, j) is ((i·w)/8, (j·h)/8) with floor
     * division — `//` in DuckDB, Java int division on the Spark side.
     */
+  /** Perceptual image fingerprint (average hash): decode, NN-sample the
+    * raster to 8×8, gray = r+g+b per sampled pixel, bit k = 1 iff the
+    * pixel is brighter than the image mean — the classic aHash, the
+    * cheapest member of the perceptual-dedup family (pHash/dHash share
+    * the shape). Emitted as a 64-char bit string in row-major order:
+    * engine-portable, no signed-64-bit overflow for bit 63, and
+    * Hamming distance is a position-wise compare. The brightness test
+    * is `gray·64 > total` — exact integer arithmetic, no division to
+    * round apart. Near-dup images then group by hash (exact) or by
+    * banded hash substrings (Hamming), the same LSH shape as SimHash
+    * banding on text. Scale: one mapPartitions decode pass, stats-sized
+    * output; the oracle recomputes every bit analytically from the
+    * planted pattern.
+    */
+  def imageAHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir).as[(Long, Array[Byte])].mapPartitions { batch =>
+      batch.map { case (id, payload) =>
+        val img = Bmp.decode(payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray = new Array[Long](64)
+        var tot = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val rgb = img.getRGB(i * w / 8, j * h / 8)
+            val g = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)).toLong
+            gray(j * 8 + i) = g
+            tot += g
+            i += 1
+          }
+          j += 1
+        }
+        val bits = new java.lang.StringBuilder(64)
+        var k = 0
+        var ones = 0L
+        while (k < 64) {
+          if (gray(k) * 64L > tot) { bits.append('1'); ones += 1 }
+          else bits.append('0')
+          k += 1
+        }
+        (id, w, h, bits.toString, ones)
+      }
+    }.toDF("media_id", "width", "height", "ahash", "n_set")
+  }
+
+  val aHashSql: String =
+    s"""WITH dims AS (
+       |  $dimsSql
+       |), samp AS (
+       |  SELECT d.media_id, d.width, d.height,
+       |         CAST(j.j * 8 + i.i AS INT) AS k,
+       |         (d.width * i.i) // 8 AS sx,
+       |         (d.height * j.j) // 8 AS sy
+       |  FROM dims d, range(0, 8) i(i), range(0, 8) j(j)
+       |), g AS (
+       |  SELECT media_id, width, height, k,
+       |         (sx * 7 + sy * 11 + media_id * 13) % 256
+       |       + (sx * 5 + sy * 3 + media_id * 17) % 256
+       |       + (sx + sy + media_id) % 256 AS gray
+       |  FROM samp
+       |), t AS (
+       |  SELECT media_id, width, height, k, gray,
+       |         SUM(gray) OVER (PARTITION BY media_id) AS tot
+       |  FROM g
+       |)
+       |SELECT media_id, width, height,
+       |       string_agg(CASE WHEN gray * 64 > tot THEN '1' ELSE '0' END, ''
+       |                  ORDER BY k) AS ahash,
+       |       CAST(SUM(CASE WHEN gray * 64 > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+       |FROM t GROUP BY 1, 2, 3""".stripMargin
+
   val resizeCheckSql: String =
     s"""WITH dims AS (
        |  $dimsSql

@@ -164,6 +164,8 @@ object OpsQueries {
     "mm_features" -> ((s, dir) => Multimodal.featuresCheck(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.framesCheck(s, dir)),
     "mm_resize" -> ((s, dir) => Multimodal.resizeCheck(s, dir)),
+    // perceptual aHash fingerprint over the decoded raster
+    "mm_ahash" -> ((s, dir) => Multimodal.imageAHash(s, dir)),
     // real WAV decode: javax.sound parses executor-built PCM payloads;
     // per-window integer stats vs an analytic planted-truth oracle
     "mm_audio" -> ((s, dir) => Multimodal.audioCheck(s, dir)),
@@ -323,6 +325,7 @@ object OpsQueries {
     "mm_features" -> Multimodal.featuresCheckSql,
     "mm_frames" -> Multimodal.framesCheckSql,
     "mm_resize" -> Multimodal.resizeCheckSql,
+    "mm_ahash" -> Multimodal.aHashSql,
     "mm_audio" -> Multimodal.audioCheckSql,
     "mm_video" -> Multimodal.videoCheckSql,
     // winnowing: direct-sum rolling hash in HUGEINT + window-min

@@ -244,6 +244,21 @@ class OpsSpec extends SparkSpec {
     assert(inc.count() === full.count())
   }
 
+  test("aHash: 64 bits, set-count consistent, discriminative across images") {
+    val h = graft.ops.Multimodal.imageAHash(spark, sf0001).cache()
+    assert(h.count() === Tables.documents(spark, sf0001).count())
+    assert(h.filter(length(col("ahash")) =!= 64).count() === 0)
+    // n_set is the number of '1' characters in the hash
+    assert(h.filter(col("n_set") =!=
+      (length(col("ahash")) - length(regexp_replace(col("ahash"), "1", ""))))
+      .count() === 0)
+    // the planted patterns vary per id: hashes must be largely distinct
+    // (a constant hash would also pass the oracle — this is the guard)
+    val n = h.count()
+    assert(h.select("ahash").distinct().count() > n / 2,
+      "aHash is not discriminating between distinct images")
+  }
+
   test("quality-weighted sample tracks its own expected keep count") {
     val s = graft.ops.Sampling.qualityWeighted(spark, sf0001).cache()
     assert(s.filter(col("n_kept") > col("n_docs")).count() === 0)
