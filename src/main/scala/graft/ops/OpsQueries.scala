@@ -47,6 +47,8 @@ object OpsQueries {
     "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(s, dir)),
     // per-label embedding QA: dims, zero vectors, norm stats
     "emb_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
+    // text-store vs vector-store referential integrity per source
+    "emb_coverage" -> ((s, dir) => Similarity.coverage(s, dir)),
     // k-NN label agreement of the exact neighbor structure
     "ann_label_purity" -> ((s, dir) => Similarity.labelPurity(s, dir)),
     // length-bucketed batching: per-bucket batch and padding cost
@@ -247,6 +249,7 @@ object OpsQueries {
     "pii_stats" -> Redact.piiStatsSql,
     "dedup_keep_best" -> Dedup.keepBestSql(0.5),
     "emb_stats" -> Similarity.embStatsSql,
+    "emb_coverage" -> Similarity.coverageSql,
     "ann_label_purity" -> Similarity.labelPuritySql(),
     "batch_padding" -> Pack.paddingStatsSql,
     "ann_topk" -> Similarity.bruteForceSql(),

@@ -262,6 +262,36 @@ object Similarity {
        |  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
        |FROM emb GROUP BY 1""".stripMargin
 
+  /** Referential integrity between the text and vector stores — the
+    * check a multimodal lakehouse runs before a retrieval index build:
+    * per source, how many documents have an embedding (`vec_id` and
+    * `doc_id` share the id space in the testdata) and how many vectors
+    * are orphaned (no document). Two anti-join-shaped aggregates on the
+    * id — each side reduced to its id column at the scan, so at 100 TB
+    * this shuffles two id streams, never payloads.
+    */
+  def coverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), lit(1L).as("has_vec"))
+    docs.join(vecs, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("has_vec"), lit(0L))).as("n_embedded"))
+      .select(col("source"), col("n_docs"), col("n_embedded"),
+        (col("n_docs") - col("n_embedded")).as("n_missing"),
+        (col("n_embedded").cast("double") / col("n_docs")).as("coverage"))
+  }
+
+  val coverageSql: String =
+    """SELECT d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_embedded,
+      |  CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      |  CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS coverage
+      |FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+      |GROUP BY 1""".stripMargin
+
   /** End-task quality of the neighbor structure: does a vector's top-k
     * neighborhood share its label? Per label: query count, top-1
     * agreement, and k-NN vote purity — the metric that tells you whether

@@ -244,6 +244,18 @@ class OpsSpec extends SparkSpec {
     assert(inc.count() === full.count())
   }
 
+  test("embedding coverage matches an independent anti-join") {
+    val cov = graft.ops.Similarity.coverage(spark, sf0001).cache()
+    assert(cov.agg(sum("n_docs")).head().getLong(0) ===
+      Tables.documents(spark, sf0001).count())
+    val missing = Tables.documents(spark, sf0001).select("doc_id")
+      .join(Tables.embeddings(spark, sf0001)
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .count()
+    assert(cov.agg(sum("n_missing")).head().getLong(0) === missing)
+    assert(cov.filter(col("coverage") < 0.0 || col("coverage") > 1.0).count() === 0)
+  }
+
   test("aHash: 64 bits, set-count consistent, discriminative across images") {
     val h = graft.ops.Multimodal.imageAHash(spark, sf0001).cache()
     assert(h.count() === Tables.documents(spark, sf0001).count())
