@@ -10,6 +10,62 @@ import graft.streaming.EventStream
   */
 class StreamIncrementalSpec extends SparkSpec {
 
+  test("profile fold recovers across query restarts on one checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(spark, sf0001)
+    val base = java.nio.file.Files.createTempDirectory("doc_restart").toFile
+    val fs = new org.apache.hadoop.fs.Path(base.getAbsolutePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new org.apache.hadoop.fs.Path(base.getAbsolutePath, "in")
+    val state = new org.apache.hadoop.fs.Path(base.getAbsolutePath, "state")
+    val ck = new org.apache.hadoop.fs.Path(base.getAbsolutePath, "ck")
+    fs.mkdirs(in); fs.mkdirs(state)
+    def deliver(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new org.apache.hadoop.fs.Path(base.getAbsolutePath, name + ".stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(in, name))
+      fs.delete(stage, true)
+    }
+    def lifetime(): Unit = {
+      val q = spark.readStream.schema(graft.streaming.DocStream.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          graft.streaming.DocStream.profileBatch(spark, state, batch, batchId)
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def committed(): Long = {
+      val s = fs.open(new org.apache.hadoop.fs.Path(state, "_committed"))
+      try s.readLong() finally s.close()
+    }
+    // lifetime 1 sees only the first delivery, then "crashes"
+    deliver(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "a_even.parquet")
+    lifetime()
+    val afterFirst = committed()
+    // the second delivery arrives; a NEW query on the same checkpoint
+    // must skip the processed file and fold only the new one
+    deliver(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "b_odd.parquet")
+    lifetime()
+    assert(committed() > afterFirst, "restart did not fold the new delivery")
+    // a third lifetime with no new input must not move the state
+    val settled = committed()
+    lifetime()
+    assert(committed() === settled, "empty restart mutated the state")
+    // the recovered card equals the batch recompute exactly
+    val card = graft.ops.Profile.cardFromState(
+      spark.read.parquet(new org.apache.hadoop.fs.Path(state, s"v$settled").toString))
+    val full = graft.ops.Profile.corpusProfile(spark, sf0001)
+    assert(card.exceptAll(full).count() === 0)
+    assert(full.exceptAll(card).count() === 0)
+  }
+
   test("incremental hourly rollup drops late rows and withholds open windows") {
     val inc = EventStream.hourlyIncrementalCheck(spark, sf0001)
     val full = Tables.events(spark, sf0001)
