@@ -271,6 +271,83 @@ object Multimodal {
       "win_sum", "win_sq", "win_peak")
   }
 
+  /** Perceptual audio fingerprint — the energy-hash twin of
+    * [[imageAHash]]: one bit per 64-sample window, set when the
+    * window's energy (Σ amp², exact integer) exceeds the clip mean —
+    * the test is `sq·n_windows > total`, division-free. Emitted as a
+    * bit string whose length is the clip's window count, so clips of
+    * different lengths are honestly incomparable (production systems
+    * band fixed-length frames the same way). One decode pass,
+    * stats-sized output; every bit oracle-recomputed analytically from
+    * the planted PCM pattern.
+    */
+  /** The fingerprint kernel: (window count, bit string, set-bit count)
+    * from raw samples — package-visible so the spec can feed crafted
+    * loud/quiet clips (the planted corpus pattern is uniform noise, so
+    * its energies are honestly near-constant; semantics are proven on
+    * structured input, bit-exactness on the corpus by the oracle).
+    */
+  private[graft] def energyBits(samples: Array[Int], win: Int): (Int, String, Long) = {
+    val nw = samples.length / win
+    val sq = new Array[Long](nw)
+    var tot = 0L
+    var w = 0
+    while (w < nw) {
+      var acc = 0L
+      var i = w * win
+      while (i < (w + 1) * win) {
+        val a = samples(i); acc += a.toLong * a; i += 1
+      }
+      sq(w) = acc; tot += acc; w += 1
+    }
+    val sb = new java.lang.StringBuilder(nw)
+    var ones = 0L
+    var k = 0
+    while (k < nw) {
+      if (sq(k) * nw > tot) { sb.append('1'); ones += 1 }
+      else sb.append('0')
+      k += 1
+    }
+    (nw, sb.toString, ones)
+  }
+
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = AudioPattern.windowSamples
+    audioTable(spark, dir).as[(Long, Array[Byte])].mapPartitions { batch =>
+      batch.map { case (id, payload) =>
+        val (_, channels, bits, samples) = Wav.decode(payload)
+        require(channels == 1 && bits == 16)
+        val (nw, hash, ones) = energyBits(samples, win)
+        (id, nw, hash, ones)
+      }
+    }.toDF("media_id", "n_windows", "ehash", "n_set")
+  }
+
+  val audioFingerprintSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(256 + (doc_id % 7) * 64 AS INT) AS n FROM documents
+      |), s AS (
+      |  SELECT d.doc_id, d.n, CAST(w.w AS INT) AS win_idx,
+      |         (CAST(w.w AS INT) * 64 + CAST(i.i AS INT)) * 31 + d.doc_id * 17 AS base
+      |  FROM d
+      |  JOIN range(0, 10) w(w) ON w.w < d.n // 64
+      |  CROSS JOIN range(0, 64) i(i)
+      |), amps AS (
+      |  SELECT doc_id, n, win_idx, CAST(base % 4001 - 2000 AS BIGINT) AS amp FROM s
+      |), wsq AS (
+      |  SELECT doc_id, n, win_idx, SUM(amp * amp) AS sq FROM amps GROUP BY 1, 2, 3
+      |), t AS (
+      |  SELECT doc_id, n // 64 AS nw, win_idx, sq,
+      |         SUM(sq) OVER (PARTITION BY doc_id) AS tot
+      |  FROM wsq
+      |)
+      |SELECT doc_id AS media_id, CAST(nw AS INT) AS n_windows,
+      |       string_agg(CASE WHEN sq * nw > tot THEN '1' ELSE '0' END, ''
+      |                  ORDER BY win_idx) AS ehash,
+      |       CAST(SUM(CASE WHEN sq * nw > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+      |FROM t GROUP BY 1, 2""".stripMargin
+
   // ---------- real video path: encode → RIFF walk → per-frame stats ----------
 
   /** Deterministic per-id video geometry/pattern — the planted truth the

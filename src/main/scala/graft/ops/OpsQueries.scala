@@ -168,6 +168,8 @@ object OpsQueries {
     "mm_resize" -> ((s, dir) => Multimodal.resizeCheck(s, dir)),
     // perceptual aHash fingerprint over the decoded raster
     "mm_ahash" -> ((s, dir) => Multimodal.imageAHash(s, dir)),
+    // energy-hash audio fingerprint over decoded PCM windows
+    "mm_audio_fingerprint" -> ((s, dir) => Multimodal.audioFingerprint(s, dir)),
     // real WAV decode: javax.sound parses executor-built PCM payloads;
     // per-window integer stats vs an analytic planted-truth oracle
     "mm_audio" -> ((s, dir) => Multimodal.audioCheck(s, dir)),
@@ -329,6 +331,7 @@ object OpsQueries {
     "mm_frames" -> Multimodal.framesCheckSql,
     "mm_resize" -> Multimodal.resizeCheckSql,
     "mm_ahash" -> Multimodal.aHashSql,
+    "mm_audio_fingerprint" -> Multimodal.audioFingerprintSql,
     "mm_audio" -> Multimodal.audioCheckSql,
     "mm_video" -> Multimodal.videoCheckSql,
     // winnowing: direct-sum rolling hash in HUGEINT + window-min

@@ -271,6 +271,36 @@ class OpsSpec extends SparkSpec {
       "aHash is not discriminating between distinct images")
   }
 
+  test("audio fingerprint: window count matches clip length, bits consistent") {
+    val h = graft.ops.Multimodal.audioFingerprint(spark, sf0001).cache()
+    assert(h.count() === Tables.documents(spark, sf0001).count())
+    // hash length == declared window count == clip-length formula
+    assert(h.filter(length(col("ehash")) =!= col("n_windows")).count() === 0)
+    assert(h.filter(col("n_windows") =!=
+      ((lit(256) + pmod(col("media_id"), lit(7)) * 64) / 64).cast("int")).count() === 0)
+    assert(h.filter(col("n_set") =!=
+      (length(col("ehash")) - length(regexp_replace(col("ehash"), "1", ""))))
+      .count() === 0)
+    // semantics on structured input (the planted corpus is uniform noise
+    // whose window energies are honestly near-constant, so discrimination
+    // is proven on crafted clips instead): loud windows set their bit,
+    // quiet windows clear it, exactly
+    val win = 64
+    def clip(pattern: String): Array[Int] =
+      pattern.toCharArray.flatMap(c => Array.fill(win)(if (c == 'L') 1000 else 1))
+    Seq(
+      "LQQQ" -> "1000",
+      "QLLQ" -> "0110",
+      "LLLL" -> "0000", // all-equal energies: no window EXCEEDS the mean
+      "QQQL" -> "0001"
+    ).foreach { case (p, expect) =>
+      val (nw, hash, ones) = graft.ops.Multimodal.energyBits(clip(p), win)
+      assert(nw === p.length)
+      assert(hash === expect, s"pattern $p")
+      assert(ones === expect.count(_ == '1'))
+    }
+  }
+
   test("quality-weighted sample tracks its own expected keep count") {
     val s = graft.ops.Sampling.qualityWeighted(spark, sf0001).cache()
     assert(s.filter(col("n_kept") > col("n_docs")).count() === 0)
