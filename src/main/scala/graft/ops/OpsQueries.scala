@@ -37,6 +37,8 @@ object OpsQueries {
     "corpus_shingle_drift" -> ((s, dir) => Dedup.shingleDrift(s, dir)),
     // the data card folded from STREAMED deliveries (foreachBatch state)
     "stream_profile" -> ((s, dir) => graft.streaming.DocStream.profileCheck(s, dir)),
+    // cross-batch exact dedup against externalized fingerprint state
+    "stream_dedup_docs" -> ((s, dir) => graft.streaming.DocStream.dedupCheck(s, dir)),
     // keep-with-probability-quality soft filter + calibration report
     "sample_quality_weighted" -> ((s, dir) => Sampling.qualityWeighted(s, dir)),
     // one-row key-skew diagnostic for the events aggregation key
@@ -246,6 +248,7 @@ object OpsQueries {
     "corpus_shingle_drift" -> Dedup.shingleDriftSql,
     // streaming maintenance must be invisible: full-recompute oracle
     "stream_profile" -> Profile.corpusProfileSql,
+    "stream_dedup_docs" -> graft.streaming.DocStream.dedupCheckSql,
     "sample_quality_weighted" -> Sampling.qualityWeightedSql(),
     "events_skew_report" -> Salting.skewReportSql,
     "pii_stats" -> Redact.piiStatsSql,

@@ -100,6 +100,101 @@ object DocStream {
     fs.rename(tmp, committedF)
   }
 
+  /** Fold one micro-batch into the seen-fingerprint dedup state: the
+    * batch's min-doc_id per fingerprint, anti-joined against the state
+    * (a fingerprint seen in an EARLIER batch keeps its earlier
+    * survivor), unioned in. Same versioned commit protocol as
+    * [[profileBatch]].
+    */
+  private[graft] def dedupBatch(spark: SparkSession,
+                                base: org.apache.hadoop.fs.Path,
+                                batch: DataFrame, batchId: Long): Unit = {
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committedF = new org.apache.hadoop.fs.Path(base, "_committed")
+    val last: Long =
+      if (fs.exists(committedF)) {
+        val in = fs.open(committedF)
+        try in.readLong() finally in.close()
+      } else -1L
+    if (batchId <= last) return
+    val bmin = batch.select(col("doc_id"),
+      md5(graft.ops.TextMetrics.normalized(col("text"))).as("fingerprint"))
+      .groupBy("fingerprint").agg(min("doc_id").as("keep_doc"))
+    val merged =
+      if (last < 0) bmin
+      else {
+        val prev = spark.read
+          .parquet(new org.apache.hadoop.fs.Path(base, s"v$last").toString)
+        prev.unionByName(bmin.join(prev, Seq("fingerprint"), "left_anti"))
+      }
+    merged.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(base, s"v$batchId").toString)
+    val tmp = new org.apache.hadoop.fs.Path(base, "_committed.tmp")
+    val outS = fs.create(tmp, true)
+    try outS.writeLong(batchId) finally outS.close()
+    if (fs.exists(committedF)) fs.delete(committedF, false)
+    fs.rename(tmp, committedF)
+  }
+
+  /** Streaming cross-batch exact dedup — continuous-ingestion dedup as a
+    * production pipeline runs it: per arriving delivery, new fingerprints
+    * claim a survivor (the batch's min doc_id); fingerprints already in
+    * state keep their earlier survivor, so a duplicate arriving in a
+    * later delivery is dropped against state, not against a corpus
+    * rescan. Spark's built-in `dropDuplicates` on an unbounded stream
+    * would hold every key in executor state forever with no event-time
+    * bound; this externalized fingerprint table IS that state, mergeable
+    * and restart-safe via the commit protocol. The oracle replays the
+    * arrival rule in SQL: survivor = min even-half doc_id when the
+    * fingerprint has an even-half copy (delivery 1), else min odd-half
+    * doc_id. Per batch: one map-side-combined min per fingerprint + one
+    * state-sized anti-join — O(batch + state), never O(corpus²).
+    */
+  def dedupCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_dedup_docs", dir, "stream_dedup_docs") {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = deliveries(spark, dir)
+      val tmpBase = java.nio.file.Files
+        .createTempDirectory("graft_stream_docdedup").toFile
+      tmpBase.deleteOnExit()
+      val state = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "state")
+      val ck = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "ck")
+      val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(state)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          dedupBatch(spark, state, batch, batchId)
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val lastId = {
+        val s = fs.open(new org.apache.hadoop.fs.Path(state, "_committed"))
+        try s.readLong() finally s.close()
+      }
+      spark.read
+        .parquet(new org.apache.hadoop.fs.Path(state, s"v$lastId").toString)
+    }
+
+  val dedupCheckSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      |  FROM documents
+      |), ev AS (
+      |  SELECT fingerprint, MIN(doc_id) AS keep FROM fp WHERE doc_id % 2 = 0 GROUP BY 1
+      |), od AS (
+      |  SELECT fingerprint, MIN(doc_id) AS keep FROM fp WHERE doc_id % 2 = 1 GROUP BY 1
+      |)
+      |SELECT f.fingerprint, COALESCE(e.keep, o.keep) AS keep_doc
+      |FROM (SELECT DISTINCT fingerprint FROM fp) f
+      |LEFT JOIN ev e USING (fingerprint)
+      |LEFT JOIN od o USING (fingerprint)""".stripMargin
+
   /** The registered check: stream the two deliveries one file per
     * trigger through the fold, replay the last batch (the committed
     * marker must not move), and roll the final state up to the card.

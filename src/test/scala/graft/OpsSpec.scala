@@ -318,6 +318,29 @@ class OpsSpec extends SparkSpec {
     assert(rates.forall { case (er, kr) => math.abs(er - kr) < 0.35 })
   }
 
+  test("streaming doc dedup: earlier delivery's survivor wins across batches") {
+    // crafted corpus: doc 2 (delivery 1, even) and docs 1,3 (delivery 2,
+    // odd) share one fingerprint — the CROSS-batch survivor must be 2,
+    // not the global min 1; doc 4 is unique
+    val dir = java.nio.file.Files.createTempDirectory("docdedup")
+    Seq(
+      (1L, "same text", "en", "web", 1L),
+      (2L, "same text", "en", "web", 1L),
+      (3L, "same  text", "en", "web", 1L), // normalizes to the same fingerprint
+      (4L, "unique text", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.streaming.DocStream.dedupCheck(spark, dir.toString)
+      .orderBy("keep_doc").as[(String, Long)].collect()
+    assert(got.map(_._2).toSeq === Seq(2L, 4L),
+      s"expected survivors 2 (earlier delivery beats global-min 1) and 4, got ${got.toSeq}")
+    // and on the real corpus the survivor set covers every fingerprint once
+    val real = graft.streaming.DocStream.dedupCheck(spark, sf0001)
+    val fps = TextMetrics.fingerprint(spark, sf0001).select("fingerprint").distinct()
+    assert(real.count() === fps.count())
+    assert(real.select("fingerprint").distinct().count() === real.count())
+  }
+
   test("streamed profile fold equals the batch data card exactly") {
     val streamed = graft.streaming.DocStream.profileCheck(spark, sf0001)
     val full = graft.ops.Profile.corpusProfile(spark, sf0001)
