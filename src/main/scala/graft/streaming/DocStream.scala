@@ -70,71 +70,34 @@ object DocStream {
     })
 
   /** Fold one micro-batch of documents into the versioned profile state
-    * under `base` — same commit protocol as [[EventStream.upsertBatch]]
+    * under `base` — commit protocol in [[VersionedState]]
     * (version write, then `_committed` swap by rename; replays with
     * batchId ≤ committed are skipped).
     */
   private[graft] def profileBatch(spark: SparkSession,
                                   base: org.apache.hadoop.fs.Path,
-                                  batch: DataFrame, batchId: Long): Unit = {
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committedF = new org.apache.hadoop.fs.Path(base, "_committed")
-    val last: Long =
-      if (fs.exists(committedF)) {
-        val in = fs.open(committedF)
-        try in.readLong() finally in.close()
-      } else -1L
-    if (batchId <= last) return // replayed batch: already folded in
-    val delta = graft.ops.Profile.partialOf(batch)
-    val merged =
-      if (last < 0) delta
-      else graft.ops.Profile.mergeState(
-        spark.read.parquet(new org.apache.hadoop.fs.Path(base, s"v$last").toString),
-        delta)
-    merged.write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(base, s"v$batchId").toString)
-    val tmp = new org.apache.hadoop.fs.Path(base, "_committed.tmp")
-    val outS = fs.create(tmp, true)
-    try outS.writeLong(batchId) finally outS.close()
-    if (fs.exists(committedF)) fs.delete(committedF, false)
-    fs.rename(tmp, committedF)
-  }
+                                  batch: DataFrame, batchId: Long): Unit =
+    VersionedState.fold(spark, base, batchId) { prev =>
+      val delta = graft.ops.Profile.partialOf(batch)
+      prev.fold(delta)(graft.ops.Profile.mergeState(_, delta))
+    }
 
   /** Fold one micro-batch into the seen-fingerprint dedup state: the
     * batch's min-doc_id per fingerprint, anti-joined against the state
     * (a fingerprint seen in an EARLIER batch keeps its earlier
-    * survivor), unioned in. Same versioned commit protocol as
+    * survivor), unioned in. Commit protocol in [[VersionedState]], same as
     * [[profileBatch]].
     */
   private[graft] def dedupBatch(spark: SparkSession,
                                 base: org.apache.hadoop.fs.Path,
-                                batch: DataFrame, batchId: Long): Unit = {
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committedF = new org.apache.hadoop.fs.Path(base, "_committed")
-    val last: Long =
-      if (fs.exists(committedF)) {
-        val in = fs.open(committedF)
-        try in.readLong() finally in.close()
-      } else -1L
-    if (batchId <= last) return
-    val bmin = batch.select(col("doc_id"),
-      md5(graft.ops.TextMetrics.normalized(col("text"))).as("fingerprint"))
-      .groupBy("fingerprint").agg(min("doc_id").as("keep_doc"))
-    val merged =
-      if (last < 0) bmin
-      else {
-        val prev = spark.read
-          .parquet(new org.apache.hadoop.fs.Path(base, s"v$last").toString)
-        prev.unionByName(bmin.join(prev, Seq("fingerprint"), "left_anti"))
-      }
-    merged.write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(base, s"v$batchId").toString)
-    val tmp = new org.apache.hadoop.fs.Path(base, "_committed.tmp")
-    val outS = fs.create(tmp, true)
-    try outS.writeLong(batchId) finally outS.close()
-    if (fs.exists(committedF)) fs.delete(committedF, false)
-    fs.rename(tmp, committedF)
-  }
+                                batch: DataFrame, batchId: Long): Unit =
+    VersionedState.fold(spark, base, batchId) { prev =>
+      val bmin = batch.select(col("doc_id"),
+        md5(graft.ops.TextMetrics.normalized(col("text"))).as("fingerprint"))
+        .groupBy("fingerprint").agg(min("doc_id").as("keep_doc"))
+      prev.fold(bmin)(p =>
+        p.unionByName(bmin.join(p, Seq("fingerprint"), "left_anti")))
+    }
 
   /** Streaming cross-batch exact dedup — continuous-ingestion dedup as a
     * production pipeline runs it: per arriving delivery, new fingerprints

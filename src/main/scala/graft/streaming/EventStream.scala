@@ -695,18 +695,9 @@ object EventStream extends Serializable {
   // aggregate over ALL input including the late file.
   // ------------------------------------------------------------------
 
-  /** Merge one micro-batch into the versioned keyed state under `base`.
-    *
-    * Commit protocol (the part that makes the sink exactly-once under
-    * foreachBatch's at-least-once contract): state version `v<batchId>`
-    * is written first, then `_committed` (the last applied batchId) is
-    * swapped in via temp-file rename. A replayed batchId ≤ committed is
-    * skipped; a crash between the two writes leaves `_committed` at the
-    * old version, so the replay simply rewrites `v<batchId>` (overwrite)
-    * and re-attempts the swap — either way each batch folds in exactly
-    * once. This is the standard idempotent-MERGE sink every lakehouse
-    * foreachBatch example implements against a transactional table; here
-    * the transaction is the rename.
+  /** Merge one micro-batch into the versioned keyed state under `base`
+    * ([[VersionedState]] carries the commit protocol that makes the
+    * sink exactly-once under foreachBatch's at-least-once contract).
     *
     * Scale shape: the per-batch fold is a keyed full-outer join between
     * the existing state and the batch's map-side-combined aggregate —
@@ -714,23 +705,13 @@ object EventStream extends Serializable {
     * size O(distinct keys) regardless of stream length.
     */
   private[graft] def upsertBatch(spark: SparkSession, base: org.apache.hadoop.fs.Path,
-                                 batch: DataFrame, batchId: Long): Unit = {
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committedF = new org.apache.hadoop.fs.Path(base, "_committed")
-    val last: Long =
-      if (fs.exists(committedF)) {
-        val in = fs.open(committedF)
-        try in.readLong() finally in.close()
-      } else -1L
-    if (batchId <= last) return // replayed batch: already folded in
-    val delta = batch.groupBy("user_id").agg(
-      count(lit(1)).as("n_events"),
-      sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
-    val merged =
-      if (last < 0) delta
-      else {
-        val prev = spark.read.parquet(new org.apache.hadoop.fs.Path(base, s"v$last").toString)
-        prev.select(col("user_id"), col("n_events").as("pn"), col("total_value").as("pv"))
+                                 batch: DataFrame, batchId: Long): Unit =
+    VersionedState.fold(spark, base, batchId) { prev =>
+      val delta = batch.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+      prev.fold(delta) { p =>
+        p.select(col("user_id"), col("n_events").as("pn"), col("total_value").as("pv"))
           .join(delta.select(col("user_id"), col("n_events").as("dn"), col("total_value").as("dv")),
             Seq("user_id"), "full_outer")
           .select(col("user_id"),
@@ -739,14 +720,7 @@ object EventStream extends Serializable {
               coalesce(col("dv"), lit(BigDecimal(0)).cast("decimal(18,2)")))
               .cast("decimal(18,2)").as("total_value"))
       }
-    merged.write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(base, s"v$batchId").toString)
-    val tmp = new org.apache.hadoop.fs.Path(base, "_committed.tmp")
-    val outS = fs.create(tmp, true)
-    try outS.writeLong(batchId) finally outS.close()
-    if (fs.exists(committedF)) fs.delete(committedF, false)
-    fs.rename(tmp, committedF)
-  }
+    }
 
   /** The three-file input streamed one file per trigger through the
     * upsert sink. The late file (batch 3) lands AFTER the other batches
