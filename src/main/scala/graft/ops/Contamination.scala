@@ -79,6 +79,40 @@ object Contamination {
         (col("n_overlap") > 0).as("contaminated"))
   }
 
+  /** Per-source contamination rollup — which ingestion sources leak the
+    * eval set: document counts, contaminated counts, and the n-gram
+    * overlap mass aggregated per source. Rides [[report]]'s per-doc
+    * frame (memoized n-gram table underneath); one extra source-grain
+    * aggregate with map-side combine.
+    */
+  def bySource(spark: SparkSession, dir: String): DataFrame =
+    report(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum("n_ngrams").as("total_ngrams"),
+        sum("n_overlap").as("total_overlap"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        col("total_ngrams"), col("total_overlap"),
+        (col("n_contaminated").cast("double") / col("n_docs"))
+          .as("contaminated_rate"))
+
+  def bySourceSql: String =
+    s"""WITH rep AS (
+       |$reportSql
+       |), s AS (
+       |  SELECT doc_id, source FROM documents
+       |)
+       |SELECT s.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN rep.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  CAST(SUM(rep.n_ngrams) AS BIGINT) AS total_ngrams,
+       |  CAST(SUM(rep.n_overlap) AS BIGINT) AS total_overlap,
+       |  CAST(SUM(CASE WHEN rep.contaminated THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contaminated_rate
+       |FROM rep JOIN s USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   /** Contaminated docs via a Bloom-prefiltered exact join — the plan for
     * when the eval side outgrows a broadcast hash relation. [[report]]'s
     * broadcast join needs the full eval n-gram set in executor memory as

@@ -428,6 +428,28 @@ object Dedup {
        |       CAST(SUM(CASE WHEN halves = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS jaccard
        |FROM a GROUP BY 1""".stripMargin
 
+  /** Near-dup cluster-size histogram — how concentrated the duplication
+    * is: many size-2 clusters mean scattered copies (cheap to dedup);
+    * a few giant clusters mean template/boilerplate families that
+    * deserve their own rule. Two metadata-scale aggregates over the
+    * canonical assignment (graph-sized, never corpus-sized).
+    */
+  def clusterSizes(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame =
+    canonical(spark, dir, threshold)
+      .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
+  def clusterSizesSql(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE cl AS (
+       |${canonicalSql(threshold)}
+       |), sizes AS (
+       |  SELECT canonical_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1
+       |)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |       CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |FROM sizes GROUP BY 1""".stripMargin
+
   /** Cross-source near-duplication matrix — syndication/mirror
     * detection: how many verified near-dup pairs join documents of each
     * (unordered) source pair. A diagonal-heavy matrix means duplication

@@ -351,6 +351,48 @@ object EventsOps {
        |WINDOW w AS (PARTITION BY event_type ORDER BY event_date
        |             ROWS BETWEEN ${days - 1} PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** DAU / trailing-28-day MAU stickiness — the engagement ratio every
+    * product dashboard tracks. The naive formulation (per day, count
+    * distinct users over a 28-day range join) is |days| × |user-days|;
+    * instead each (user, active-day) pair EXPLODES into the ≤28
+    * observation days it contributes to — linear ×window in the distinct
+    * user-day table, shuffled once on the observation day for the
+    * distinct count. Days with no event in the window simply don't
+    * appear (no spine — absence is honest here).
+    */
+  def stickiness(spark: SparkSession, dir: String, window: Int = 28): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val dau = ud.groupBy(col("d").as("event_date"))
+      .agg(countDistinct("user_id").as("dau"))
+    val mau = ud
+      .withColumn("event_date",
+        explode(sequence(col("d"), date_add(col("d"), window - 1))))
+      .groupBy("event_date")
+      .agg(countDistinct("user_id").as(s"mau$window"))
+      // only days that themselves have activity are reported
+      .join(dau, "event_date")
+    mau.select(col("event_date"), col("dau"), col(s"mau$window"),
+      (col("dau").cast("double") / col(s"mau$window")).as("stickiness"))
+  }
+
+  def stickinessSql(window: Int = 28): String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+       |), dau AS (
+       |  SELECT d AS event_date, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1
+       |), obs AS (
+       |  SELECT CAST(unnest(generate_series(d, d + INTERVAL ${window - 1} DAY,
+       |                                     INTERVAL 1 DAY)) AS DATE) AS event_date,
+       |         user_id
+       |  FROM ud
+       |), mau AS (
+       |  SELECT event_date, COUNT(DISTINCT user_id) AS mau$window FROM obs GROUP BY 1
+       |)
+       |SELECT m.event_date, dau.dau, m.mau$window,
+       |       CAST(dau.dau AS DOUBLE) / m.mau$window AS stickiness
+       |FROM mau m JOIN dau USING (event_date)""".stripMargin
+
   /** Weekly cohort retention: users grouped by the week of their first
     * event; for each (cohort_week, week_offset) the count of distinct
     * users active that week. Two aggregates keyed by user, then one by

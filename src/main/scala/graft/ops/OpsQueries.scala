@@ -33,6 +33,10 @@ object OpsQueries {
     "corpus_profile_incremental" -> ((s, dir) => Profile.corpusProfileIncremental(s, dir)),
     // cross-source near-dup matrix (syndication detection)
     "dedup_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
+    // near-dup cluster-size histogram (dup concentration diagnostic)
+    "dedup_cluster_sizes" -> ((s, dir) => Dedup.clusterSizes(s, dir)),
+    // which sources leak the eval set
+    "contamination_by_source" -> ((s, dir) => Contamination.bySource(s, dir)),
     // per-source shingle-set Jaccard between corpus halves (text drift)
     "corpus_shingle_drift" -> ((s, dir) => Dedup.shingleDrift(s, dir)),
     // the data card folded from STREAMED deliveries (foreachBatch state)
@@ -121,6 +125,8 @@ object OpsQueries {
     // 7-day trailing moving average over the daily rollup (window, no
     // extra shuffle of raw events)
     "events_ma" -> ((s, dir) => EventsOps.movingAvg(s, dir)),
+    // DAU / trailing-28-day MAU engagement ratio (explode, not range join)
+    "events_stickiness" -> ((s, dir) => EventsOps.stickiness(s, dir)),
     // identical semantics through the skew-safe two-phase salted plan
     "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
     // KMV distinct sketch: per-day + merged whole-range estimates
@@ -245,6 +251,8 @@ object OpsQueries {
     // oracle is the full recompute
     "corpus_profile_incremental" -> Profile.corpusProfileSql,
     "dedup_source_overlap" -> Dedup.sourceOverlapSql(0.5),
+    "dedup_cluster_sizes" -> Dedup.clusterSizesSql(0.5),
+    "contamination_by_source" -> Contamination.bySourceSql,
     "corpus_shingle_drift" -> Dedup.shingleDriftSql,
     // streaming maintenance must be invisible: full-recompute oracle
     "stream_profile" -> Profile.corpusProfileSql,
@@ -283,6 +291,7 @@ object OpsQueries {
     "events_retention" -> EventsOps.retentionSql,
     "events_anomaly" -> EventsOps.dailyAnomaliesSql,
     "events_ma" -> EventsOps.movingAvgSql(),
+    "events_stickiness" -> EventsOps.stickinessSql(),
     // the salted plan must produce byte-identical results to the plain one
     "events_top_users_salted" -> EventsOps.topUsersSql(),
     "events_kmv" -> Sketch.kmvDistinctUsersSql(),

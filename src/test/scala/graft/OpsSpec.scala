@@ -196,6 +196,38 @@ class OpsSpec extends SparkSpec {
     assert(viol.count() === 0)
   }
 
+  test("cluster-size histogram conserves members and clusters") {
+    val cs = graft.ops.Dedup.clusterSizes(spark, sf0001).cache()
+    val canon = graft.ops.Dedup.canonical(spark, sf0001)
+    assert(cs.select(sum(col("cluster_size") * col("n_clusters"))).head().getLong(0)
+      === canon.count())
+    assert(cs.agg(sum("n_clusters")).head().getLong(0) ===
+      canon.select("canonical_id").distinct().count())
+    // near-dup components always have ≥ 2 members
+    assert(cs.filter(col("cluster_size") < 2).count() === 0)
+  }
+
+  test("per-source contamination rollup conserves the per-doc report") {
+    val rep = Contamination.report(spark, sf0001).cache()
+    val by = graft.ops.Contamination.bySource(spark, sf0001).cache()
+    assert(by.agg(sum("n_docs")).head().getLong(0) === rep.count())
+    assert(by.agg(sum("n_contaminated")).head().getLong(0) ===
+      rep.filter(col("contaminated")).count())
+    assert(by.filter(col("contaminated_rate") < 0.0 ||
+      col("contaminated_rate") > 1.0).count() === 0)
+  }
+
+  test("stickiness: dau ≤ mau, ratio in (0,1], identity on a single day") {
+    val st = graft.ops.EventsOps.stickiness(spark, sf0001).cache()
+    assert(st.count() > 0)
+    assert(st.filter(col("dau") > col("mau28")).count() === 0)
+    assert(st.filter(col("stickiness") <= 0.0 || col("stickiness") > 1.0).count() === 0)
+    // the FIRST active day's window contains only itself ⇒ dau == mau
+    val first = st.orderBy("event_date").limit(1)
+      .select(col("dau") === col("mau28")).head().getBoolean(0)
+    assert(first, "first day's trailing window must equal its own dau")
+  }
+
   test("source overlap matrix partitions the near-dup pairs exactly") {
     val nd = graft.ops.Dedup.nearDups(spark, sf0001)
     val ov = graft.ops.Dedup.sourceOverlap(spark, sf0001).cache()
