@@ -54,6 +54,46 @@ object CorpusFilter {
 
   // ---------- DuckDB oracle (composes the component oracles) ----------
 
+  /** Materialize the curated corpus — the step after the keep/drop
+    * decision: write the kept documents as REBALANCE-compacted parquet
+    * (AQE right-sizes the files — at 100 TB an unbalanced write here is
+    * a small-file explosion), read the files back, and report per-source
+    * reconciliation totals FROM THE RELOADED DATA. The oracle recomputes
+    * the same totals from the keep rule directly, so a drop lost in the
+    * write path, a row duplicated by a partial task retry, or a
+    * truncated file diverges the counts. Same write-then-reload proof
+    * shape as `export_reconcile`, applied to the curation output.
+    */
+  def export(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "corpus_export", dir, "corpus_export") {
+      val kept = report(spark, dir).filter(col("keep")).select("doc_id")
+        .join(graft.Tables.documents(spark, dir), "doc_id")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_corpus_export").toFile
+      out.deleteOnExit()
+      val target = s"${out.getAbsolutePath}/curated"
+      kept.hint("rebalance").write.mode("overwrite").parquet(target)
+      spark.read.parquet(target)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("sum_ids"),
+          min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+    }
+
+  def exportSql: String =
+    s"""WITH rep AS (
+       |$reportSql
+       |)
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(d.doc_id) AS BIGINT) AS sum_ids,
+       |  CAST(MIN(d.doc_id) AS BIGINT) AS min_id,
+       |  CAST(MAX(d.doc_id) AS BIGINT) AS max_id
+       |FROM rep JOIN documents d USING (doc_id)
+       |WHERE rep.keep
+       |GROUP BY 1""".stripMargin
+
   val reportSql: String =
     s"""WITH fpr AS (
        |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp

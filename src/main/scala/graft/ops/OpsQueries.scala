@@ -66,6 +66,8 @@ object OpsQueries {
     "text_redact" -> ((s, dir) => Redact.scrub(s, dir)),
     // capstone: keep/drop per doc with first-failing-rule reason
     "corpus_filter" -> ((s, dir) => CorpusFilter.report(s, dir)),
+    // write the curated corpus, reload it, reconcile per source
+    "corpus_export" -> ((s, dir) => CorpusFilter.export(s, dir)),
     // benchmark decontamination: n-gram overlap vs the eval-set slice
     "contamination" -> ((s, dir) => Contamination.report(s, dir)),
     // dedup
@@ -234,6 +236,7 @@ object OpsQueries {
     "text_repetition" -> TextMetrics.repetitionSql,
     "text_redact" -> Redact.scrubSql,
     "corpus_filter" -> CorpusFilter.reportSql,
+    "corpus_export" -> CorpusFilter.exportSql,
     "contamination" -> Contamination.reportSql,
     "dup_ngrams" -> Contamination.repeatedNgramsSql(),
     "text_novelty" -> Contamination.noveltySql,

@@ -196,6 +196,17 @@ class OpsSpec extends SparkSpec {
     assert(viol.count() === 0)
   }
 
+  test("curated-corpus export reloads exactly the kept documents") {
+    val exported = graft.ops.CorpusFilter.export(spark, sf0001)
+    val kept = graft.ops.CorpusFilter.report(spark, sf0001).filter(col("keep"))
+      .join(Tables.documents(spark, sf0001), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("doc_id").as("s"))
+    val j = exported.join(kept, "source")
+    assert(j.count() === exported.count() && j.count() === kept.count())
+    assert(j.filter(col("n_docs") =!= col("n") || col("sum_ids") =!= col("s"))
+      .count() === 0)
+  }
+
   test("cluster-size histogram conserves members and clusters") {
     val cs = graft.ops.Dedup.clusterSizes(spark, sf0001).cache()
     val canon = graft.ops.Dedup.canonical(spark, sf0001)
