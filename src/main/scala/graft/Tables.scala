@@ -45,13 +45,23 @@ object Tables {
     */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       // NB: integer DIV, not `/` — long/long is double division in Spark
       // and nanos (~1.7e18) exceed double's 53-bit mantissa.
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
-      case _                => df
+      case TimestampNTZType =>
+        // cast NTZ→instant is zone-sensitive; every entrypoint pins UTC,
+        // assert rather than silently reinterpret under a stray zone
+        val zone = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(zone == "UTC",
+          s"NTZ ts normalization requires spark.sql.session.timeZone=UTC, got $zone")
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType    => df
+      case other            => sys.error(
+        s"events.ts has unsupported type $other — expected TIMESTAMP, " +
+          "TIMESTAMP_NTZ, or INT64 nanos; add an explicit normalization " +
+          "branch rather than letting it flow through unnormalized")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

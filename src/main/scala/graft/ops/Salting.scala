@@ -44,11 +44,15 @@ object Salting {
     * names the reducer that will straggle. One counting aggregate (the
     * same shuffle the production groupBy would do) + two one-row
     * aggregates joined by broadcast; the top-10 is a total order
-    * (count desc, key) so ties cannot flap the report.
+    * (count desc, key) so ties cannot flap the report. The counts frame
+    * is memoized (lineage-cut snapshot) so its shuffle runs ONCE even
+    * though two report branches consume it.
     */
   def skewReport(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.events(spark, dir)
-      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val counts = graft.Memo(spark, "skew_user_counts", dir, "skew") {
+      Tables.events(spark, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    }
     val top = counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
       .agg(sum("cnt").as("top10_rows"), max("cnt").as("max_cnt"))
     counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"))

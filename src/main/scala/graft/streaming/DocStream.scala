@@ -66,6 +66,14 @@ object DocStream {
       val t0 = System.currentTimeMillis()
       writeOne(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "a_even.parquet", t0)
       writeOne(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "b_odd.parquet", t0 + 60000)
+      // The even-before-odd delivery order (which the dedup survivor rule
+      // and its oracle encode) is carried ONLY by these mtimes; fail fast
+      // on a filesystem that ignores setTimes instead of letting the
+      // survivor rule silently flip to path order.
+      val mA = fs.getFileStatus(new org.apache.hadoop.fs.Path(basePath, "a_even.parquet")).getModificationTime
+      val mB = fs.getFileStatus(new org.apache.hadoop.fs.Path(basePath, "b_odd.parquet")).getModificationTime
+      require(mA < mB,
+        s"filesystem ignored setTimes (a=$mA, b=$mB); delivery order would be undefined")
       base.getAbsolutePath
     })
 

@@ -40,7 +40,11 @@ object Replicate {
         (col("doc_id") + lit(c * docMax)).as("doc_id"),
         (if (c == 0) col("text")
          else concat(lit(s"copy$c "), col("text"))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"),
+        // keep n_chars == length(text) on prefixed copies so char-count
+        // reconciliation ops stay truthful on scale-experiment data
+        (col("n_chars") + lit(if (c == 0) 0 else s"copy$c ".length))
+          .as("n_chars"))
     }.reduce(_ unionAll _)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
 

@@ -66,6 +66,30 @@ class StreamIncrementalSpec extends SparkSpec {
     assert(full.exceptAll(card).count() === 0)
   }
 
+  test("versioned state recovers a missing commit marker and prunes old versions") {
+    import graft.streaming.VersionedState
+    val base = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("vstate").toString)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VersionedState.fold(spark, base, 0L) { _ => spark.range(3).toDF("id") }
+    VersionedState.fold(spark, base, 1L) { prev =>
+      prev.get.union(spark.range(3, 5).toDF("id"))
+    }
+    assert(VersionedState.committed(spark, base) === 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base, "v0")),
+      "superseded version was not pruned")
+    // simulate the legacy crash window: marker lost after v1 completed
+    fs.delete(new org.apache.hadoop.fs.Path(base, "_committed"), false)
+    assert(VersionedState.committed(spark, base) === 1L,
+      "missing marker must recover from the completed v-dir, not restart at -1")
+    // a replayed batch is still skipped after recovery (no data loss, no refold)
+    VersionedState.fold(spark, base, 1L) { _ =>
+      fail("replayed batch must be skipped")
+    }
+    assert(spark.read.parquet(
+      new org.apache.hadoop.fs.Path(base, "v1").toString).count() === 5)
+  }
+
   test("incremental hourly rollup drops late rows and withholds open windows") {
     val inc = EventStream.hourlyIncrementalCheck(spark, sf0001)
     val full = Tables.events(spark, sf0001)
