@@ -40,6 +40,14 @@ object AnnParams {
   def corpusSize(spark: SparkSession, dir: String): Long =
     sizes.getOrElseUpdate(dir, graft.Tables.embeddings(spark, dir).count())
 
+  /** Corpus size for an arbitrary vector corpus — keyed by
+    * (dir, corpus.countTable) so derived corpora get their own knobs.
+    */
+  def corpusSizeOf(spark: SparkSession, dir: String,
+                   corpus: Similarity.VecCorpus): Long =
+    sizes.getOrElseUpdate(s"$dir#${corpus.countTable}",
+      corpus.countOf(spark, dir))
+
   /** ⌈log₂ m⌉ for m ≥ 1, in exact integer arithmetic. */
   def ceilLog2(m: Long): Int =
     if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
@@ -101,12 +109,15 @@ object AnnParams {
        |  FROM (SELECT (count(*) + ${targetBucket - 1}) // $targetBucket AS m FROM embeddings)
        |)""".stripMargin
 
+  /** SQL twin of [[nCentroids]] over an arbitrary knob table. */
+  def nCentroidsSqlFor(table: String): String =
+    s"""ivf_params AS MATERIALIZED (
+       |  SELECT GREATEST(16, CAST(CEIL(SQRT(count(*) / 4.0)) AS INT)) AS nc
+       |  FROM $table
+       |)""".stripMargin
+
   /** SQL twin of [[nCentroids]] over the embeddings table. */
-  val nCentroidsSql: String =
-    """ivf_params AS MATERIALIZED (
-      |  SELECT GREATEST(16, CAST(CEIL(SQRT(count(*) / 4.0)) AS INT)) AS nc
-      |  FROM embeddings
-      |)""".stripMargin
+  val nCentroidsSql: String = nCentroidsSqlFor("embeddings")
 
   /** SQL twin of [[nProbe]]; requires `ivf_params` in scope. */
   val nProbeSql: String =

@@ -39,10 +39,11 @@ object Ivf {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** First-k corpus vectors — the k-means seeds. */
-  private def seeds(spark: SparkSession, dir: String): DataFrame =
-    Similarity.normalized(spark, dir)
+  private def seeds(spark: SparkSession, dir: String,
+                    c: Similarity.VecCorpus): DataFrame =
+    c.normalizedOf(spark, dir)
       .filter(col("vec_id") <
-        AnnParams.nCentroids(AnnParams.corpusSize(spark, dir)))
+        AnnParams.nCentroids(AnnParams.corpusSizeOf(spark, dir, c)))
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
         col("norm").as("cnorm"))
 
@@ -85,8 +86,9 @@ object Ivf {
       .select("vec_id", "centroid_id")
   }
 
-  private def coarseN(spark: SparkSession, dir: String): Long = {
-    val nc = AnnParams.nCentroids(AnnParams.corpusSize(spark, dir))
+  private def coarseN(spark: SparkSession, dir: String,
+                      c: Similarity.VecCorpus = Similarity.embCorpus): Long = {
+    val nc = AnnParams.nCentroids(AnnParams.corpusSizeOf(spark, dir, c))
     math.max(1, math.floor(math.sqrt(nc.toDouble)).toLong)
   }
 
@@ -96,7 +98,7 @@ object Ivf {
   def seedAssignments(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "ivf_seed_assign", dir, "ivf_seed_assign") {
       hierarchicalAssign(Similarity.normalized(spark, dir),
-        seeds(spark, dir), coarseN(spark, dir))
+        seeds(spark, dir, Similarity.embCorpus), coarseN(spark, dir))
     }
 
   /** Lloyd iterations applied to the seeds (see [[centroids]]). */
@@ -123,26 +125,31 @@ object Ivf {
   /** K-means-refined centroids: [[refineRounds]] Lloyd steps from the
     * seeds.
     */
-  def centroids(spark: SparkSession, dir: String): DataFrame =
-    centroidsAt(spark, dir, refineRounds)
+  def centroids(spark: SparkSession, dir: String,
+                corpus: Similarity.VecCorpus = Similarity.embCorpus): DataFrame =
+    centroidsAt(spark, dir, refineRounds, corpus)
 
   /** Centroids after an explicit round count (sweep/spec aid; rounds = 0
     * is the raw seeds).
     */
-  def centroidsAt(spark: SparkSession, dir: String, rounds: Int): DataFrame =
-    graft.Memo(spark, s"ivf_centroids_$rounds", dir, "ivf_centroids") {
-      val e = Similarity.normalized(spark, dir)
-      val cn = coarseN(spark, dir)
-      (1 to rounds).foldLeft(seeds(spark, dir))((c, _) => refineOnce(e, c, cn))
+  def centroidsAt(spark: SparkSession, dir: String, rounds: Int,
+                  corpus: Similarity.VecCorpus = Similarity.embCorpus): DataFrame =
+    graft.Memo(spark, corpus.memoName(s"ivf_centroids_$rounds"), dir,
+      corpus.memoName("ivf_centroids")) {
+      val e = corpus.normalizedOf(spark, dir)
+      val cn = coarseN(spark, dir, corpus)
+      (1 to rounds).foldLeft(seeds(spark, dir, corpus))((c, _) => refineOnce(e, c, cn))
     }
 
   /** (vec_id, centroid_id) against the REFINED centroids — the inverted
     * file every probe reads.
     */
-  def assignments(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "ivf_assignments", dir, "ivf_assignments") {
-      hierarchicalAssign(Similarity.normalized(spark, dir),
-        centroids(spark, dir), coarseN(spark, dir))
+  def assignments(spark: SparkSession, dir: String,
+                  corpus: Similarity.VecCorpus = Similarity.embCorpus): DataFrame =
+    graft.Memo(spark, corpus.memoName("ivf_assignments"), dir,
+      corpus.memoName("ivf_assignments")) {
+      hierarchicalAssign(corpus.normalizedOf(spark, dir),
+        centroids(spark, dir, corpus), coarseN(spark, dir, corpus))
     }
 
   /** Inverted-list sizes — the probe-cost profile. */
@@ -162,14 +169,16 @@ object Ivf {
     * with the corpus ([[AnnParams.nProbe]]) unless overridden.
     */
   def topK(spark: SparkSession, dir: String, k: Int = 10,
-           queryMod: Int = 50, nProbeOverride: Int = 0): DataFrame = {
+           queryMod: Int = 50, nProbeOverride: Int = 0,
+           corpus: Similarity.VecCorpus = Similarity.embCorpus): DataFrame = {
     val nProbe =
       if (nProbeOverride > 0) nProbeOverride
-      else AnnParams.nProbe(AnnParams.corpusSize(spark, dir))
+      else AnnParams.nProbe(AnnParams.corpusSizeOf(spark, dir, corpus))
     // memoized per parameterization (see Similarity.bruteForceTopK)
-    graft.Memo(spark, s"ivf_topk_${k}_${queryMod}_$nProbe", dir, "ivf_topk") {
-      topKWith(spark, dir, centroids(spark, dir), assignments(spark, dir),
-        nProbe, k, queryMod)
+    graft.Memo(spark, corpus.memoName(s"ivf_topk_${k}_${queryMod}_$nProbe"),
+      dir, corpus.memoName("ivf_topk")) {
+      topKWith(spark, dir, centroids(spark, dir, corpus),
+        assignments(spark, dir, corpus), nProbe, k, queryMod, corpus)
     }
   }
 
@@ -178,10 +187,10 @@ object Ivf {
     * ([[Pq.ivfPqTopK]]).
     */
   private[ops] def probesOf(spark: SparkSession, dir: String,
-                            cent: DataFrame, nProbe: Int,
-                            queryMod: Int): DataFrame = {
+                            cent: DataFrame, nProbe: Int, queryMod: Int,
+                            corpus: Similarity.VecCorpus = Similarity.embCorpus): DataFrame = {
     val c = broadcast(cent)
-    val q = Similarity.normalized(spark, dir)
+    val q = corpus.normalizedOf(spark, dir)
       .filter(AnnParams.queryPred(queryMod))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val qcos = (dot(col("qv"), col("cv")) / (col("qn") * col("cnorm")))
@@ -197,10 +206,10 @@ object Ivf {
   /** [[topK]] against explicit centroids + assignment (sweep/spec aid). */
   private[graft] def topKWith(spark: SparkSession, dir: String,
                               cent: DataFrame, assign: DataFrame,
-                              nProbe: Int, k: Int = 10,
-                              queryMod: Int = 50): DataFrame = {
-    val e = Similarity.normalized(spark, dir).join(assign, "vec_id")
-    val probes = probesOf(spark, dir, cent, nProbe, queryMod)
+                              nProbe: Int, k: Int = 10, queryMod: Int = 50,
+                              corpus: Similarity.VecCorpus = Similarity.embCorpus): DataFrame = {
+    val e = corpus.normalizedOf(spark, dir).join(assign, "vec_id")
+    val probes = probesOf(spark, dir, cent, nProbe, queryMod, corpus)
 
     // search only vectors in the probed lists
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
@@ -272,19 +281,23 @@ object Ivf {
        |)""".stripMargin
 
   /** Seeds → [[refineRounds]] Lloyd steps → final `ivf_assign` over the
-    * refined `ivf_centroids`.
+    * refined `ivf_centroids` — knob count from `countTable` (the SQL
+    * twin of the corpus parameterization; requires an `emb` CTE in
+    * scope whatever its provenance).
     */
-  val centroidsCte: String = {
+  def centroidsCteFor(countTable: String): String = {
     val rounds = (1 to refineRounds).map { r =>
       val in = if (r == 1) "ivf_seeds" else s"ivf_cent_${r - 1}"
       val out = if (r == refineRounds) "ivf_centroids" else s"ivf_cent_$r"
       refineCte(s"ivr$r", in, out)
     }.mkString(", ")
-    s"""${AnnParams.nCentroidsSql}, ivf_seeds AS MATERIALIZED (
+    s"""${AnnParams.nCentroidsSqlFor(countTable)}, ivf_seeds AS MATERIALIZED (
        |  SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm
        |  FROM emb WHERE vec_id < (SELECT nc FROM ivf_params)
        |), $rounds, ${hierCte("ivf", "ivf_centroids")}""".stripMargin
   }
+
+  val centroidsCte: String = centroidsCteFor("embeddings")
 
   val assignmentsSql: String =
     s"WITH ${Similarity.normCte}, $centroidsCte SELECT vec_id, centroid_id FROM ivf_assign"
@@ -294,7 +307,14 @@ object Ivf {
        |SELECT centroid_id, count(*) AS n_vectors FROM ivf_assign GROUP BY 1""".stripMargin
 
   def topKSql(k: Int = 10, queryMod: Int = 50): String =
-    s"""WITH ${Similarity.normCte}, $centroidsCte, ${AnnParams.nProbeSql}, ea AS (
+    topKSqlFor(k, queryMod, Similarity.normCte, "embeddings")
+
+  /** [[topKSql]] over an arbitrary `emb` CTE + knob table — the oracle
+    * twin of `topK(..., corpus)`.
+    */
+  def topKSqlFor(k: Int, queryMod: Int, embCte: String,
+                 countTable: String): String =
+    s"""WITH $embCte, ${centroidsCteFor(countTable)}, ${AnnParams.nProbeSql}, ea AS (
        |  SELECT e.*, a.centroid_id FROM emb e JOIN ivf_assign a USING (vec_id)
        |), q AS (
        |  SELECT vec_id AS query_id, v AS qv, norm AS qn

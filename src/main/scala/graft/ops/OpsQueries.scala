@@ -108,6 +108,17 @@ object OpsQueries {
     "pq_recall" -> ((s, dir) => Recall.pqAtK(s, dir)),
     // the composed production stack: IVF probes → ADC over codes → rerank
     "ivfpq_topk" -> ((s, dir) => Pq.ivfPqTopK(s, dir)),
+    // engine-produced embeddings: hashing-trick n-gram featurizer over
+    // documents.text — unit-norm vector exploded to (doc_id, pos, feature)
+    "emb_featurize" -> ((s, dir) => Featurize.featurized(s, dir)),
+    // IVF top-k over the DERIVED vectors — text → vector → index → search
+    // end-to-end, no fixture embeddings anywhere in the chain
+    "ann_topk_derived" -> ((s, dir) =>
+      Ivf.topK(s, dir, corpus = Featurize.corpus)),
+    // the full residual IVF-PQ stack (probe → ADC → rerank) on derived
+    // vectors — same code path as ivfpq_topk, different VecCorpus
+    "ivfpq_topk_derived" -> ((s, dir) =>
+      Pq.ivfPqTopK(s, dir, corpus = Featurize.corpus)),
     "ivf_assign" -> ((s, dir) => Ivf.assignments(s, dir)),
     "ivf_list_stats" -> ((s, dir) => Ivf.listStats(s, dir)),
     "ivf_topk" -> ((s, dir) => Ivf.topK(s, dir)),
@@ -279,6 +290,11 @@ object OpsQueries {
     "pq_topk" -> Pq.topKSql(),
     "pq_recall" -> Recall.pqAtKSql(),
     "ivfpq_topk" -> Pq.ivfPqSql(),
+    "emb_featurize" -> Featurize.featurizedSql,
+    "ann_topk_derived" ->
+      Ivf.topKSqlFor(10, 50, Featurize.corpus.embCte, "documents"),
+    "ivfpq_topk_derived" ->
+      Pq.ivfPqSqlFor(10, 100, 50, Featurize.corpus.embCte, "documents"),
     "ivf_assign" -> Ivf.assignmentsSql,
     "ivf_list_stats" -> Ivf.listStatsSql,
     "ivf_topk" -> Ivf.topKSql(),

@@ -48,11 +48,13 @@ object Pq {
   /** Exploded (vec_id, sub, sv) subvectors — shared by training,
     * encoding, and the query LUT.
     */
-  private def subvectors(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "pq_subvectors", dir, "pq_subvectors") {
+  private def subvectors(spark: SparkSession, dir: String,
+                         c: Similarity.VecCorpus = Similarity.embCorpus): DataFrame =
+    graft.Memo(spark, c.memoName("pq_subvectors"), dir,
+      c.memoName("pq_subvectors")) {
       val subs = (0 until numSub).map(s =>
         struct(lit(s).as("sub"), slice(col("v"), s * subDim + 1, subDim).as("sv")))
-      Similarity.normalized(spark, dir)
+      c.normalizedOf(spark, dir)
         .select(col("vec_id"), explode(array(subs: _*)).as("e"))
         .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
     }
@@ -90,17 +92,20 @@ object Pq {
         s => s.getField("m")).as("cw"))
   }
 
-  def codebooks(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "pq_codebooks", dir, "pq_codebooks") {
-      lloydCodebooks(subvectors(spark, dir))
+  def codebooks(spark: SparkSession, dir: String,
+                c: Similarity.VecCorpus = Similarity.embCorpus): DataFrame =
+    graft.Memo(spark, c.memoName("pq_codebooks"), dir,
+      c.memoName("pq_codebooks")) {
+      lloydCodebooks(subvectors(spark, dir, c))
     }
 
   /** The stored artifact: (vec_id, sub, code) — 8 four-bit codes per
     * vector.
     */
-  def codes(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "pq_codes", dir, "pq_codes") {
-      assign(subvectors(spark, dir), codebooks(spark, dir))
+  def codes(spark: SparkSession, dir: String,
+            c: Similarity.VecCorpus = Similarity.embCorpus): DataFrame =
+    graft.Memo(spark, c.memoName("pq_codes"), dir, c.memoName("pq_codes")) {
+      assign(subvectors(spark, dir, c), codebooks(spark, dir, c))
     }
 
   // ---------- residual encoding (true IVF-PQ, Jégou TPAMI'11 §IV) ----------
@@ -119,21 +124,25 @@ object Pq {
   /** (vec_id, centroid_id, rv = v − centroid): exact element-wise IEEE
     * subtraction of the vector and its refined IVF centroid.
     */
-  private def residuals(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "pqr_residuals", dir, "pqr_residuals") {
-      Similarity.normalized(spark, dir)
-        .join(Ivf.assignments(spark, dir), "vec_id")
-        .join(broadcast(Ivf.centroids(spark, dir)), "centroid_id")
+  private def residuals(spark: SparkSession, dir: String,
+                        c: Similarity.VecCorpus = Similarity.embCorpus): DataFrame =
+    graft.Memo(spark, c.memoName("pqr_residuals"), dir,
+      c.memoName("pqr_residuals")) {
+      c.normalizedOf(spark, dir)
+        .join(Ivf.assignments(spark, dir, c), "vec_id")
+        .join(broadcast(Ivf.centroids(spark, dir, c)), "centroid_id")
         .select(col("vec_id"), col("centroid_id"),
           zip_with(col("v"), col("cv"), (x, y) => x - y).as("rv"))
     }
 
   /** Exploded (vec_id, sub, sv) RESIDUAL subvectors. */
-  private def rsubvectors(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "pqr_subvectors", dir, "pqr_subvectors") {
+  private def rsubvectors(spark: SparkSession, dir: String,
+                          c: Similarity.VecCorpus = Similarity.embCorpus): DataFrame =
+    graft.Memo(spark, c.memoName("pqr_subvectors"), dir,
+      c.memoName("pqr_subvectors")) {
       val subs = (0 until numSub).map(s =>
         struct(lit(s).as("sub"), slice(col("rv"), s * subDim + 1, subDim).as("sv")))
-      residuals(spark, dir)
+      residuals(spark, dir, c)
         .select(col("vec_id"), explode(array(subs: _*)).as("e"))
         .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
     }
@@ -141,17 +150,20 @@ object Pq {
   /** The shared residual codebook (same seeding + one Lloyd round as the
     * raw codebook, trained on residual subvectors pooled over all lists).
     */
-  def residualCodebooks(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "pqr_codebooks", dir, "pqr_codebooks") {
-      lloydCodebooks(rsubvectors(spark, dir))
+  def residualCodebooks(spark: SparkSession, dir: String,
+                        c: Similarity.VecCorpus = Similarity.embCorpus): DataFrame =
+    graft.Memo(spark, c.memoName("pqr_codebooks"), dir,
+      c.memoName("pqr_codebooks")) {
+      lloydCodebooks(rsubvectors(spark, dir, c))
     }
 
   /** (vec_id, sub, code) over the residual codebook — what an IVF-PQ
     * index actually stores per list entry.
     */
-  def residualCodes(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "pqr_codes", dir, "pqr_codes") {
-      assign(rsubvectors(spark, dir), residualCodebooks(spark, dir))
+  def residualCodes(spark: SparkSession, dir: String,
+                    c: Similarity.VecCorpus = Similarity.embCorpus): DataFrame =
+    graft.Memo(spark, c.memoName("pqr_codes"), dir, c.memoName("pqr_codes")) {
+      assign(rsubvectors(spark, dir, c), residualCodebooks(spark, dir, c))
     }
 
   /** ADC (asymmetric distance computation) top-k: the query keeps its raw
@@ -219,8 +231,9 @@ object Pq {
     * candidate set — shared by [[rerankTopK]] and [[ivfPqTopK]].
     */
   private def rerankOf(spark: SparkSession, dir: String, cands: DataFrame,
-                       k: Int, queryMod: Int): DataFrame = {
-    val e = Similarity.normalized(spark, dir)
+                       k: Int, queryMod: Int,
+                       c: Similarity.VecCorpus = Similarity.embCorpus): DataFrame = {
+    val e = c.normalizedOf(spark, dir)
     val q = e.filter(AnnParams.queryPred(queryMod))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"))
@@ -253,19 +266,22 @@ object Pq {
     * (≈ √(n/4)·128 rows — broadcastable at any n where √-law holds).
     */
   def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
-                shortlist: Int = 100, queryMod: Int = 50): DataFrame =
-    graft.Memo(spark, s"ivfpq_topk_${k}_${shortlist}_$queryMod", dir, "ivfpq_topk") {
-      val nProbe = AnnParams.nProbe(AnnParams.corpusSize(spark, dir))
-      val cent = Ivf.centroids(spark, dir)
-      val probes = Ivf.probesOf(spark, dir, cent, nProbe, queryMod)
+                shortlist: Int = 100, queryMod: Int = 50,
+                corpus: Similarity.VecCorpus = Similarity.embCorpus): DataFrame =
+    graft.Memo(spark,
+      corpus.memoName(s"ivfpq_topk_${k}_${shortlist}_$queryMod"), dir,
+      corpus.memoName("ivfpq_topk")) {
+      val nProbe = AnnParams.nProbe(AnnParams.corpusSizeOf(spark, dir, corpus))
+      val cent = Ivf.centroids(spark, dir, corpus)
+      val probes = Ivf.probesOf(spark, dir, cent, nProbe, queryMod, corpus)
       val cands = probes.select("query_id", "centroid_id")
-        .join(Ivf.assignments(spark, dir), "centroid_id")
+        .join(Ivf.assignments(spark, dir, corpus), "centroid_id")
         .filter(col("vec_id") =!= col("query_id"))
         .select("query_id", "vec_id", "centroid_id")
 
-      val cb = residualCodebooks(spark, dir)
+      val cb = residualCodebooks(spark, dir, corpus)
       // residual LUT: raw query subvector · residual codeword
-      val lut = subvectors(spark, dir)
+      val lut = subvectors(spark, dir, corpus)
         .filter(AnnParams.queryPred(queryMod))
         .withColumnRenamed("vec_id", "query_id")
         .join(broadcast(cb), Seq("sub"))
@@ -290,8 +306,8 @@ object Pq {
       val cself = cent.select(col("centroid_id"),
         dot(col("cv"), col("cv")).cast("decimal(18,9)").as("c2"))
       // ‖v̂‖ = sqrt(c·c + 2·Σ c_sub·cw + Σ cw·cw) — exact DECIMAL sums
-      val rn = residualCodes(spark, dir)
-        .join(Ivf.assignments(spark, dir), "vec_id")
+      val rn = residualCodes(spark, dir, corpus)
+        .join(Ivf.assignments(spark, dir, corpus), "vec_id")
         .join(broadcast(ccw), Seq("centroid_id", "sub", "code"))
         .groupBy("vec_id", "centroid_id")
         .agg(sum(col("cc")).as("scc"), sum(col("w2")).as("sw2"))
@@ -300,7 +316,7 @@ object Pq {
           sqrt((col("c2") + lit(2) * col("scc") + col("sw2")).cast("double"))
             .as("rnorm"))
 
-      val ad = residualCodes(spark, dir).join(cands, "vec_id")
+      val ad = residualCodes(spark, dir, corpus).join(cands, "vec_id")
         .join(broadcast(lut), Seq("query_id", "sub", "code"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"),
           col("centroid_id"))
@@ -315,7 +331,7 @@ object Pq {
             .orderBy(col("adc_sim").desc, col("neighbor_id"))))
         .filter(col("rk") <= shortlist)
         .select("query_id", "neighbor_id")
-      rerankOf(spark, dir, short, k, queryMod)
+      rerankOf(spark, dir, short, k, queryMod, corpus)
     }
 
   // ---------- DuckDB oracles ----------
@@ -418,7 +434,14 @@ object Pq {
        |) WHERE rank <= $k""".stripMargin
 
   def ivfPqSql(k: Int = 10, shortlist: Int = 100, queryMod: Int = 50): String =
-    s"""WITH ${Similarity.normCte}, ${Ivf.centroidsCte}, ${AnnParams.nProbeSql}, psub AS (
+    ivfPqSqlFor(k, shortlist, queryMod, Similarity.normCte, "embeddings")
+
+  /** [[ivfPqSql]] over an arbitrary `emb` CTE + knob table — the oracle
+    * twin of `ivfPqTopK(..., corpus)`.
+    */
+  def ivfPqSqlFor(k: Int, shortlist: Int, queryMod: Int,
+                  embCte: String, countTable: String): String =
+    s"""WITH $embCte, ${Ivf.centroidsCteFor(countTable)}, ${AnnParams.nProbeSql}, psub AS (
        |  SELECT vec_id, CAST(s.s AS INT) AS sub,
        |         v[CAST(s.s AS INT) * $subDim + 1 : CAST(s.s AS INT) * $subDim + $subDim] AS sv
        |  FROM emb CROSS JOIN range(0, $numSub) s(s)

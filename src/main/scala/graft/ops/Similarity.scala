@@ -29,6 +29,32 @@ object Similarity {
 
   val dim = 64
 
+  /** A pluggable vector corpus for the retrieval stack (IVF, residual
+    * PQ, ADC, rerank): the normalized frame (vec_id, v, label, norm),
+    * the table whose row count sets the [[AnnParams]] knobs, and the SQL
+    * CTE that reproduces the frame for the DuckDB oracle. [[embCorpus]]
+    * is the fixture embeddings table; [[Featurize.corpus]] is the
+    * engine-derived text-featurizer corpus — the same index/search code
+    * serves both.
+    */
+  final case class VecCorpus(key: String, countTable: String,
+                             normalizedOf: (SparkSession, String) => DataFrame,
+                             countOf: (SparkSession, String) => Long,
+                             embCte: String) {
+    /** Memo names/families stay unprefixed for the default corpus so
+      * existing bench attribution is unchanged.
+      */
+    def memoName(base: String): String =
+      if (key == "emb") base else s"${key}_$base"
+  }
+
+  lazy val embCorpus: VecCorpus = VecCorpus(
+    key = "emb",
+    countTable = "embeddings",
+    normalizedOf = (s, d) => normalized(s, d),
+    countOf = (s, d) => graft.Tables.embeddings(s, d).count(),
+    embCte = normCte)
+
   /** Deterministic ±1 hyperplane weights: +1 iff the first hex char of
     * md5("<plane>_<dim>") is 0-7 (i.e. top bit of the digest is 0).
     */
