@@ -99,16 +99,55 @@ object Multimodal {
     }
   }
 
-  /** Image table: one real BMP binary per document id, built on the
-    * executors. At 100 TB this is the ingest-side scan of a binary
-    * column; everything downstream sees only (id, bytes).
+  /** Real COMPRESSED-codec writer: the same planted [[Pattern]] raster
+    * encoded as PNG through `javax.imageio` — a genuine
+    * deflate-compressed payload (what 100% of real image corpora carry),
+    * decoded by the same ImageIO path as BMP. PNG is lossless, so every
+    * planted-truth oracle carries over byte-exact; JPEG would need
+    * tolerance-checked stats and is deliberately not the proof vehicle.
     */
-  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+  object Png {
+    def encode(id: Long): Array[Byte] = {
+      val w = Pattern.width(id)
+      val h = Pattern.height(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (Pattern.r(x, y, id) << 16) |
+            (Pattern.g(x, y, id) << 8) | Pattern.b(x, y, id))
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** Image table: one real image binary per document id, built on the
+    * executors with `enc`. At 100 TB this is the ingest-side scan of a
+    * binary column; everything downstream sees only (id, bytes).
+    */
+  private def imageTableWith(spark: SparkSession, dir: String,
+                             enc: Long => Array[Byte]): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(ids => ids.map(id => (id, Bmp.encode(id))))
+      .mapPartitions(ids => ids.map(id => (id, enc(id))))
       .toDF("media_id", "payload")
   }
+
+  def imageTable(spark: SparkSession, dir: String): DataFrame =
+    imageTableWith(spark, dir, Bmp.encode)
+
+  /** One real PNG binary per document id — the compressed-codec twin of
+    * [[imageTable]].
+    */
+  def pngTable(spark: SparkSession, dir: String): DataFrame =
+    imageTableWith(spark, dir, Png.encode)
 
   /** Batched decode + feature extraction over REAL pixels: width, height,
     * exact per-channel integer sums, and per-channel means (one IEEE
@@ -116,9 +155,19 @@ object Multimodal {
     * `mapPartitions` batch per partition; the decoder touches only the
     * payload bytes.
     */
-  def imageStats(spark: SparkSession, dir: String): DataFrame = {
+  def imageStats(spark: SparkSession, dir: String): DataFrame =
+    imageStatsOf(spark, imageTable(spark, dir))
+
+  /** [[imageStats]] over the PNG payloads — same decoder entry point
+    * (`ImageIO.read` dispatches on the magic bytes), same stats, but the
+    * bytes crossed a real compression boundary.
+    */
+  def pngStats(spark: SparkSession, dir: String): DataFrame =
+    imageStatsOf(spark, pngTable(spark, dir))
+
+  private def imageStatsOf(spark: SparkSession, tbl: DataFrame): DataFrame = {
     import spark.implicits._
-    imageTable(spark, dir).as[(Long, Array[Byte])].mapPartitions { batch =>
+    tbl.as[(Long, Array[Byte])].mapPartitions { batch =>
       batch.map { case (id, payload) =>
         val img = Bmp.decode(payload)
         val (w, h) = (img.getWidth, img.getHeight)
@@ -635,9 +684,20 @@ object Multimodal {
     * output; the oracle recomputes every bit analytically from the
     * planted pattern.
     */
-  def imageAHash(spark: SparkSession, dir: String): DataFrame = {
+  def imageAHash(spark: SparkSession, dir: String): DataFrame =
+    aHashOf(spark, imageTable(spark, dir))
+
+  /** [[imageAHash]] over the PNG payloads — perceptual fingerprint of a
+    * genuinely compressed raster; being lossless, the aHash is
+    * bit-identical to the BMP leg's, which is itself the proof (a lossy
+    * codec would flip bits and break the exact-group dedup).
+    */
+  def pngAHash(spark: SparkSession, dir: String): DataFrame =
+    aHashOf(spark, pngTable(spark, dir))
+
+  private def aHashOf(spark: SparkSession, tbl: DataFrame): DataFrame = {
     import spark.implicits._
-    imageTable(spark, dir).as[(Long, Array[Byte])].mapPartitions { batch =>
+    tbl.as[(Long, Array[Byte])].mapPartitions { batch =>
       batch.map { case (id, payload) =>
         val img = Bmp.decode(payload)
         val (w, h) = (img.getWidth, img.getHeight)

@@ -189,6 +189,11 @@ object OpsQueries {
     "mm_resize" -> ((s, dir) => Multimodal.resizeCheck(s, dir)),
     // perceptual aHash fingerprint over the decoded raster
     "mm_ahash" -> ((s, dir) => Multimodal.imageAHash(s, dir)),
+    // COMPRESSED-codec leg: the same planted raster as a real
+    // deflate-compressed PNG, decoded by ImageIO's PNG reader — the
+    // lossless round trip makes the analytic BMP oracles carry over
+    "mm_png_features" -> ((s, dir) => Multimodal.pngStats(s, dir)),
+    "mm_png_ahash" -> ((s, dir) => Multimodal.pngAHash(s, dir)),
     // energy-hash audio fingerprint over decoded PCM windows
     "mm_audio_fingerprint" -> ((s, dir) => Multimodal.audioFingerprint(s, dir)),
     // real WAV decode: javax.sound parses executor-built PCM payloads;
@@ -362,6 +367,9 @@ object OpsQueries {
     "mm_frames" -> Multimodal.framesCheckSql,
     "mm_resize" -> Multimodal.resizeCheckSql,
     "mm_ahash" -> Multimodal.aHashSql,
+    // lossless codec ⇒ the analytic planted-truth oracles are identical
+    "mm_png_features" -> Multimodal.featuresCheckSql,
+    "mm_png_ahash" -> Multimodal.aHashSql,
     "mm_audio_fingerprint" -> Multimodal.audioFingerprintSql,
     "mm_audio" -> Multimodal.audioCheckSql,
     "mm_video" -> Multimodal.videoCheckSql,

@@ -314,6 +314,29 @@ class OpsSpec extends SparkSpec {
       "aHash is not discriminating between distinct images")
   }
 
+  test("PNG leg: payload is a real compressed PNG and round-trips the raster") {
+    // genuine codec: magic bytes + the payload is NOT the raw raster
+    val p = graft.ops.Multimodal.Png.encode(7L)
+    assert(p.take(8).toSeq === Seq(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte), "missing PNG signature")
+    val img = graft.ops.Multimodal.Bmp.decode(p)
+    val (w, h) = (img.getWidth, img.getHeight)
+    assert(w === graft.ops.Multimodal.Pattern.width(7L))
+    assert(h === graft.ops.Multimodal.Pattern.height(7L))
+    // lossless round trip: every decoded pixel equals the planted pattern
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF) === graft.ops.Multimodal.Pattern.r(x, y, 7L))
+      assert(((rgb >> 8) & 0xFF) === graft.ops.Multimodal.Pattern.g(x, y, 7L))
+      assert((rgb & 0xFF) === graft.ops.Multimodal.Pattern.b(x, y, 7L))
+    }
+    // and the distributed stats over PNG equal the BMP leg exactly
+    val png = graft.ops.Multimodal.pngStats(spark, sf0001)
+    val bmp = graft.ops.Multimodal.imageStats(spark, sf0001)
+    assert(png.exceptAll(bmp).count() === 0)
+    assert(bmp.exceptAll(png).count() === 0)
+  }
+
   test("audio fingerprint: window count matches clip length, bits consistent") {
     val h = graft.ops.Multimodal.audioFingerprint(spark, sf0001).cache()
     assert(h.count() === Tables.documents(spark, sf0001).count())
