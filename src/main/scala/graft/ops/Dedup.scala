@@ -84,16 +84,30 @@ object Dedup {
     */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "dedup_shingles", dir, "dedup_shingles") {
-      val docs = Tables.documents(spark, dir)
-        .select(col("doc_id"), split(TextMetrics.normalized(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-      docs
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(col("ws")) - 3),
-            i => concat_ws(" ", element_at(col("ws"), i + 1),
-              element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))).as("shingle"))
-        .distinct()
+      shinglesFrom(Tables.documents(spark, dir))
     }
+
+  /** [[shingles]] over an arbitrary (doc_id, text, …) frame — the
+    * streaming path shingles each arriving micro-batch with THIS.
+    */
+  def shinglesFrom(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), split(TextMetrics.normalized(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    docs
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ", element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of an arbitrary candidate pair set
+    * against an arbitrary shingle table (streaming entry point —
+    * batch-internal callers use [[nearDups]]).
+    */
+  def verifiedJaccardFrom(sh: DataFrame, pairs: DataFrame): DataFrame =
+    verifiedJaccard(sh, pairs)
 
   /** Per-doc shingle counts (the deterministic stage check). */
   def shingleStats(spark: SparkSession, dir: String): DataFrame =

@@ -43,6 +43,9 @@ object OpsQueries {
     "stream_profile" -> ((s, dir) => graft.streaming.DocStream.profileCheck(s, dir)),
     // cross-batch exact dedup against externalized fingerprint state
     "stream_dedup_docs" -> ((s, dir) => graft.streaming.DocStream.dedupCheck(s, dir)),
+    // streaming NEAR-dedup: per-batch LSH-index probe + exact verify
+    // against streamed state; earlier delivery's survivor kept
+    "stream_neardups" -> ((s, dir) => graft.streaming.DocStream.nearDupsCheck(s, dir)),
     // keep-with-probability-quality soft filter + calibration report
     "sample_quality_weighted" -> ((s, dir) => Sampling.qualityWeighted(s, dir)),
     // one-row key-skew diagnostic for the events aggregation key
@@ -276,6 +279,7 @@ object OpsQueries {
     // streaming maintenance must be invisible: full-recompute oracle
     "stream_profile" -> Profile.corpusProfileSql,
     "stream_dedup_docs" -> graft.streaming.DocStream.dedupCheckSql,
+    "stream_neardups" -> graft.streaming.DocStream.nearDupsCheckSql,
     "sample_quality_weighted" -> Sampling.qualityWeightedSql(),
     "events_skew_report" -> Salting.skewReportSql,
     "pii_stats" -> Redact.piiStatsSql,

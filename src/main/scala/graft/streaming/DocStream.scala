@@ -107,6 +107,139 @@ object DocStream {
         p.unionByName(bmin.join(p, Seq("fingerprint"), "left_anti")))
     }
 
+  // ---------- streaming NEAR-dedup: probe the LSH index per batch ----------
+
+  /** Read a committed versioned state, None before the first commit. */
+  private def stateDf(spark: SparkSession,
+                      base: org.apache.hadoop.fs.Path): Option[DataFrame] = {
+    val last = VersionedState.committed(spark, base)
+    if (last < 0) None
+    else Some(spark.read.parquet(
+      new org.apache.hadoop.fs.Path(base, s"v$last").toString))
+  }
+
+  /** Fold one micro-batch through the streaming near-dedup: the batch's
+    * docs are shingled → minhashed → banded, PROBED against the
+    * accumulated LSH band index (earlier batches only), candidates are
+    * verified by exact Jaccard against the accumulated shingle store,
+    * and matches ≥ `threshold` append to the matches state; then the
+    * batch's bands and shingles fold into the index/store states.
+    *
+    * Three versioned states under `base` (`index`, `shingles`,
+    * `matches`), each batchId-idempotent via [[VersionedState]]. Every
+    * state row carries `since_batch`, and the probe reads only rows
+    * with `since_batch < batchId` — so a crash BETWEEN the three folds
+    * replays to the identical result regardless of which folds had
+    * committed (the batch's own rows, if already folded, are invisible
+    * to its replayed probe). Per batch the cost is O(batch shingles +
+    * probed bucket occupancy + verified candidate sliver) — the corpus
+    * is never rescanned, exactly the [[graft.ops.Dedup.incrementalNearDups]]
+    * cost model with the memoized index replaced by streamed state.
+    */
+  private[graft] def nearDupBatch(spark: SparkSession,
+                                  base: org.apache.hadoop.fs.Path,
+                                  batch: DataFrame, batchId: Long,
+                                  threshold: Double = 0.5): Unit = {
+    import graft.ops.Dedup
+    val indexBase = new org.apache.hadoop.fs.Path(base, "index")
+    val shBase = new org.apache.hadoop.fs.Path(base, "shingles")
+    val matchBase = new org.apache.hadoop.fs.Path(base, "matches")
+    // batch-derived artifacts (lineage-local, no state dependency)
+    val batchSh = Dedup.shinglesFrom(batch)
+    val batchBands = Dedup.bandsFrom(Dedup.minhashFrom(batchSh))
+
+    VersionedState.fold(spark, matchBase, batchId) { prevMatches =>
+      val earlier = col("since_batch") < batchId
+      val prevIdx = stateDf(spark, indexBase).map(_.filter(earlier))
+      val prevSh = stateDf(spark, shBase).map(_.filter(earlier))
+      val fresh = (prevIdx, prevSh) match {
+        case (Some(idx), Some(sh)) =>
+          val pairs = batchBands.select(col("band"), col("band_key"),
+              col("doc_id").as("doc_a"))
+            .join(idx.select(col("band"), col("band_key"),
+              col("doc_id").as("doc_b")), Seq("band", "band_key"))
+            .select("doc_a", "doc_b").distinct()
+          Dedup.verifiedJaccardFrom(
+            batchSh.unionByName(sh.select("doc_id", "shingle")), pairs)
+            .filter(col("jaccard") >= threshold)
+            .select(col("doc_a").as("new_doc"), col("doc_b").as("corpus_doc"),
+              col("jaccard").cast("double").as("jaccard"))
+        case _ => // first batch: nothing to probe
+          batchSh.limit(0).select(col("doc_id").as("new_doc"),
+            col("doc_id").as("corpus_doc"), lit(0.0).as("jaccard"))
+      }
+      prevMatches.fold(fresh)(_.unionByName(fresh))
+    }
+    VersionedState.fold(spark, indexBase, batchId) { prev =>
+      val add = batchBands.withColumn("since_batch", lit(batchId))
+      prev.fold(add)(_.unionByName(add))
+    }
+    VersionedState.fold(spark, shBase, batchId) { prev =>
+      val add = batchSh.withColumn("since_batch", lit(batchId))
+      prev.fold(add)(_.unionByName(add))
+    }
+  }
+
+  /** Streaming near-dedup — the composition a continuous ingest actually
+    * runs: per arriving delivery, probe the accumulated LSH band index,
+    * exact-verify candidates, keep the EARLIER delivery's doc as the
+    * corpus survivor (matches are oriented new → corpus). The registered
+    * check streams the even-id docs then the odd-id docs (one file per
+    * trigger), replays the final batch (states must not move), and
+    * returns the accumulated matches. The oracle is the batch near-dup
+    * relation restricted to pairs straddling the two deliveries,
+    * oriented odd (arrived second) → even (arrived first) — the
+    * streaming machinery must be invisible in the result.
+    */
+  def nearDupsCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_neardups", dir, "stream_neardups") {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = deliveries(spark, dir)
+      val tmpBase = java.nio.file.Files
+        .createTempDirectory("graft_stream_neardup").toFile
+      tmpBase.deleteOnExit()
+      val base = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "state")
+      val ck = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "ck")
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(base)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          nearDupBatch(spark, base, batch, batchId)
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val matchBase = new org.apache.hadoop.fs.Path(base, "matches")
+      val lastId = VersionedState.committed(spark, matchBase)
+      // replay the final delivery: every state's marker must hold still
+      val lastFile = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+        .sortBy(_.getModificationTime).last.getPath
+      nearDupBatch(spark, base,
+        spark.read.schema(schema).parquet(lastFile.toString), lastId)
+      require(VersionedState.committed(spark, matchBase) == lastId,
+        "replayed batch mutated the matches state")
+      spark.read.parquet(
+        new org.apache.hadoop.fs.Path(matchBase, s"v$lastId").toString)
+    }
+
+  /** The batch near-dup relation restricted to delivery-straddling
+    * pairs, oriented second-delivery → first-delivery (same shape as
+    * [[graft.ops.Dedup.incrementalSql]] with parity as the membership).
+    */
+  val nearDupsCheckSql: String =
+    s"""WITH nd AS (
+       |${graft.ops.Dedup.nearDupsSql(0.5)}
+       |)
+       |SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_doc,
+       |       CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS corpus_doc,
+       |       CAST(jaccard AS DOUBLE) AS jaccard
+       |FROM nd
+       |WHERE (doc_a % 2) <> (doc_b % 2)""".stripMargin
+
   /** Streaming cross-batch exact dedup — continuous-ingestion dedup as a
     * production pipeline runs it: per arriving delivery, new fingerprints
     * claim a survivor (the batch's min doc_id); fingerprints already in
