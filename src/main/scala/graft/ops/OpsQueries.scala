@@ -147,6 +147,9 @@ object OpsQueries {
     "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
     // KMV distinct sketch: per-day + merged whole-range estimates
     "events_kmv" -> ((s, dir) => Sketch.kmvDistinctUsers(s, dir)),
+    // mergeable quantile sketch: per-day weighted anchors merged into
+    // whole-range estimates with a provable rank-error bound + confirm
+    "events_quantiles_sketch" -> ((s, dir) => Sketch.quantileSketch(s, dir)),
     // as-of join (union + carry-forward window) vs DuckDB's native ASOF
     "events_asof" -> ((s, dir) => AsofJoin.purchaseAttribution(s, dir)),
     // binned interval join vs DuckDB's native BETWEEN range join
@@ -323,6 +326,7 @@ object OpsQueries {
     // the salted plan must produce byte-identical results to the plain one
     "events_top_users_salted" -> EventsOps.topUsersSql(),
     "events_kmv" -> Sketch.kmvDistinctUsersSql(),
+    "events_quantiles_sketch" -> Sketch.quantileSketchSql(),
     "events_asof" -> AsofJoin.purchaseAttributionSql,
     "events_interval_join" -> RangeJoin.sessionErrorLoadSql(),
     "io_formats" -> graft.io.Formats.roundtripSql,

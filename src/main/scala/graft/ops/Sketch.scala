@@ -152,6 +152,138 @@ object Sketch {
        |GROUP BY user_id, t.n_total
        |HAVING COUNT(*) > t.n_total / ${k + 1}.0""".stripMargin
 
+  /** Mergeable quantile sketch — per-day bounded summaries merged into a
+    * whole-range quantile estimate with a PROVABLE rank-error bound and
+    * an exact confirm pass, the approximate companion to
+    * [[EventsOps.valueQuantiles]] (which sorts; at 100 TB per-day
+    * mergeable state is what survives, same argument as the KMV sketch
+    * above).
+    *
+    * Summary of a (type, day) group of n rows: the order statistics at
+    * ranks {step, 2·step, …} ∪ {n} with step = ⌈n/k⌉, each carrying the
+    * weight of the raw rows it closes — ≤ k+1 rows per group, the
+    * equi-spaced special case of the GK/q-digest summary family
+    * (Greenwald & Khanna, SIGMOD'01 — public technique). Merging is a
+    * weighted union: sort all anchors by value, accumulate weights, and
+    * answer quantile q with the first anchor whose cumulative weight
+    * reaches target = ⌈q·N⌉. Each day's contribution to any cumulative
+    * weight differs from its true ≤-count by < step_d, so the merged
+    * estimate's rank error is bounded by Σ_d step_d — the `err_bound`
+    * column; `rank_err` is the measured distance from the target to the
+    * estimate's TRUE rank interval [lo+1, hi] (the exact confirm pass:
+    * one counting scan, no sort). Everything is integer or
+    * order-of-doubles deterministic, so the DuckDB oracle replays the
+    * sketch path bit-for-bit AND re-derives the confirm counts.
+    *
+    * Scale: the per-day window sorts within (type, day) partitions
+    * (bounded, parallel); state is days×k rows per type (KBs); the
+    * merge ranks ≤ days×k rows; the confirm is one scan with a
+    * broadcast of 3 estimates per type. The full-range sort never
+    * happens.
+    */
+  def quantileSketch(spark: SparkSession, dir: String,
+                     k: Int = 16): DataFrame = {
+    val pcts = Seq(50, 95, 99)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("event_date"),
+        col("value"), col("event_id"))
+
+    val byDay = Window.partitionBy("event_type", "event_date")
+      .orderBy(col("value"), col("event_id"))
+    val counts = ev.groupBy("event_type", "event_date")
+      .agg(count(lit(1)).as("n_d"))
+      .withColumn("step", expr(s"(n_d + ${k - 1}) DIV $k"))
+    val ranked = ev.withColumn("r", row_number().over(byDay))
+      .join(counts, Seq("event_type", "event_date"))
+    // the per-(type, day) mergeable state: ≤ k+1 weighted anchors
+    val anchors = ranked
+      .filter(col("r") % col("step") === 0 || col("r") === col("n_d"))
+      .withColumn("w", when(col("r") % col("step") === 0, col("step"))
+        .otherwise(col("n_d") % col("step")))
+      .select("event_type", "event_date", "value", "r", "w")
+
+    // merge: weighted cumulative rank over the anchor union per type
+    val mergeW = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_date"), col("r"))
+    val cum = anchors.withColumn("cumw", sum("w").over(mergeW))
+    val totals = counts.groupBy("event_type")
+      .agg(sum("n_d").as("n"), sum("step").as("err_bound"))
+    val targets = totals.select(col("event_type"), col("n"), col("err_bound"),
+      explode(array(pcts.map(lit): _*)).as("pct"))
+      .withColumn("target_rank", expr("(n * pct + 99) DIV 100"))
+
+    val est = cum.join(broadcast(targets), Seq("event_type"))
+      .filter(col("cumw") >= col("target_rank"))
+      .groupBy("event_type", "pct", "n", "err_bound", "target_rank")
+      .agg(min("value").as("sketch_value"))
+
+    // exact confirm: one counting pass, no sort
+    val confirm = ev.join(broadcast(est), Seq("event_type"))
+      .groupBy("event_type", "pct", "n", "err_bound", "target_rank",
+        "sketch_value")
+      .agg(sum(when(col("value") < col("sketch_value"), 1L).otherwise(0L))
+          .as("rank_lo"),
+        sum(when(col("value") <= col("sketch_value"), 1L).otherwise(0L))
+          .as("rank_hi"))
+    confirm.select(col("event_type"), col("pct"), col("n"),
+      col("target_rank"), col("sketch_value"), col("rank_lo"), col("rank_hi"),
+      greatest(lit(0L), col("rank_lo") + 1 - col("target_rank"),
+        col("target_rank") - col("rank_hi")).as("rank_err"),
+      col("err_bound"))
+  }
+
+  /** Oracle: the identical sketch replayed in SQL (same day summaries,
+    * same weighted merge, same confirm counts).
+    */
+  def quantileSketchSql(k: Int = 16): String =
+    s"""WITH ranked AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS event_date, value, event_id,
+       |         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+       |                            ORDER BY value, event_id) AS r,
+       |         COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS n_d
+       |  FROM events
+       |), anchors AS (
+       |  SELECT event_type, event_date, value, r,
+       |         CASE WHEN r % ((n_d + ${k - 1}) // $k) = 0
+       |              THEN (n_d + ${k - 1}) // $k
+       |              ELSE n_d % ((n_d + ${k - 1}) // $k) END AS w
+       |  FROM ranked
+       |  WHERE r % ((n_d + ${k - 1}) // $k) = 0 OR r = n_d
+       |), cum AS (
+       |  SELECT event_type, value, event_date, r, w,
+       |         SUM(w) OVER (PARTITION BY event_type
+       |                      ORDER BY value, event_date, r) AS cumw
+       |  FROM anchors
+       |), totals AS (
+       |  SELECT event_type, CAST(SUM(n_d) AS BIGINT) AS n,
+       |         CAST(SUM(step) AS BIGINT) AS err_bound
+       |  FROM (SELECT DISTINCT event_type, event_date, n_d,
+       |               (n_d + ${k - 1}) // $k AS step
+       |        FROM ranked)
+       |  GROUP BY 1
+       |), targets AS (
+       |  SELECT event_type, n, err_bound, CAST(p.pct AS INT) AS pct,
+       |         (n * p.pct + 99) // 100 AS target_rank
+       |  FROM totals, (VALUES (50), (95), (99)) p(pct)
+       |), est AS (
+       |  SELECT t.event_type, t.pct, t.n, t.err_bound, t.target_rank,
+       |         MIN(c.value) AS sketch_value
+       |  FROM targets t JOIN cum c
+       |    ON c.event_type = t.event_type AND c.cumw >= t.target_rank
+       |  GROUP BY 1, 2, 3, 4, 5
+       |), confirm AS (
+       |  SELECT e.event_type, s.pct, s.n, s.err_bound, s.target_rank,
+       |         s.sketch_value,
+       |         CAST(SUM(CASE WHEN e.value < s.sketch_value THEN 1 ELSE 0 END) AS BIGINT) AS rank_lo,
+       |         CAST(SUM(CASE WHEN e.value <= s.sketch_value THEN 1 ELSE 0 END) AS BIGINT) AS rank_hi
+       |  FROM events e JOIN est s ON s.event_type = e.event_type
+       |  GROUP BY 1, 2, 3, 4, 5, 6
+       |)
+       |SELECT event_type, pct, n, target_rank, sketch_value, rank_lo, rank_hi,
+       |       GREATEST(0, rank_lo + 1 - target_rank, target_rank - rank_hi) AS rank_err,
+       |       err_bound
+       |FROM confirm""".stripMargin
+
   /** Oracle: the global ranking formulation — result-identical because the
     * merged sketch equals the global k-min sketch (see above).
     */

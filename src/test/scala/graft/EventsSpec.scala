@@ -158,6 +158,20 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: rank error within the provable bound, state compressed") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: ~67 rows per (type, day) > k=16, so the summary genuinely
+    // compresses (step ≈ 5) and the error bound genuinely binds
+    val q = graft.ops.Sketch.quantileSketch(spark, "/root/testdata/sf0.01")
+    assert(q.count() === 15) // 5 types × 3 quantiles
+    assert(q.filter(col("rank_err") > col("err_bound")).count() === 0,
+      "merged estimate strayed outside the provable rank-error bound")
+    // the bound is a small fraction of n — the sketch is useful, not vacuous
+    assert(q.filter(col("err_bound") * 10 > col("n")).count() === 0)
+    // the estimate is always a real data value (an order statistic)
+    assert(q.filter(col("rank_hi") <= col("rank_lo")).count() === 0)
+  }
+
   test("dashboard text rendering includes all five sections") {
     val out = graft.dq.Dashboard.render(spark, sf0001)
     assert(out.contains("Total checks:"))
