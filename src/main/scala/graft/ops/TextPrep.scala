@@ -260,14 +260,27 @@ object TextPrep {
     * rounds of (count adjacent pairs on the CURRENT sequences → merge the
     * argmax, ties broken by pair asc). Returns the learned merge rules
     * with the pair count each saw at merge time — the "merges file".
-    * Each round is one distributed count + one narrow re-encode pass;
-    * production trainers bound the corpus side by sampling
-    * ([[Sampling.hashUniform]] makes that a one-filter change).
+    * Each round is one distributed count + one narrow re-encode pass
+    * OVER THE TRAINING SAMPLE: above `sampleCap` documents the trainer
+    * deterministically keeps a ~sampleCap-doc subset via
+    * [[Sampling.hashUniform]] on `doc_id` — the standard production
+    * bound that turns per-merge cost from O(corpus) to O(cap); merge
+    * ranks are stable under sampling because pair frequencies
+    * concentrate (OpsSpec proves sampled merges == full merges on the
+    * fixture). Pass `sampleCap = Long.MaxValue` to force full-corpus
+    * training.
     */
-  def bpeLearnOf(docs: DataFrame, iters: Int): Seq[(String, String, Long)] = {
+  def bpeLearnOf(docs: DataFrame, iters: Int,
+                 sampleCap: Long = 100000L): Seq[(String, String, Long)] = {
     val D = "\u0001"
+    val n = docs.count()
+    val training =
+      if (n <= sampleCap) docs
+      else docs.filter(
+        Sampling.hashUniform(col("doc_id"), "bpe_train") <
+          sampleCap.toDouble / n)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var cur = docs
+    var cur = training
       .select(split(TextMetrics.normalized(col("text")), " ").as("ws"))
       .persist()
     cur.count()

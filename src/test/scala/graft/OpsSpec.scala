@@ -831,6 +831,32 @@ class OpsSpec extends SparkSpec {
     assert(merges === Seq(("a", "b", 4L), ("a_b", "a_b", 2L)))
   }
 
+  test("bpe learn: sampled training recovers the full-corpus merges") {
+    import spark.implicits._
+    // Sampling preserves merge RANKS when pair frequencies concentrate
+    // (every real tokenizer corpus; NOT the uniform word-soup fixture,
+    // where the top pairs are near-ties that any subset reorders — the
+    // documented premise of the sampling gate). Concentrated fixture:
+    // every doc repeats the same phrase k_d ≥ 3 times behind a unique
+    // prefix word, so all competing pair counts scale with the kept
+    // docs and ANY nonempty hashUniform sample ranks them identically.
+    val docs = (0L until 200L).map { id =>
+      val k = 3 + (id % 4).toInt
+      (id, s"d$id " + Seq.fill(k)("the quick fox").mkString(" "))
+    }.toDF("doc_id", "text")
+    val full = graft.ops.TextPrep.bpeLearnOf(docs, iters = 3,
+      sampleCap = Long.MaxValue)
+    // cap below the corpus size forces the hashUniform sample (200 docs
+    // → ~80 kept); merge RULES must agree — counts differ by design
+    val sampled = graft.ops.TextPrep.bpeLearnOf(docs, iters = 3,
+      sampleCap = 80L)
+    assert(sampled.map(m => (m._1, m._2)) === full.map(m => (m._1, m._2)),
+      s"sampled merges ${sampled.map(m => m._1 + " " + m._2)} != " +
+        s"full ${full.map(m => m._1 + " " + m._2)}")
+    // and the sample was genuinely smaller: merge-time counts shrank
+    assert(sampled.map(_._3).sum < full.map(_._3).sum)
+  }
+
   test("fuzzy join equals brute force over token-sharing dictionary pairs") {
     import spark.implicits._
     val m = graft.ops.FuzzyJoin.parts(spark, sf0001).cache()
