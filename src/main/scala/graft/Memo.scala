@@ -73,6 +73,22 @@ object Memo {
   /** The declared family of a memo name seen so far this session. */
   private[graft] def familyOf(name: String): Option[String] = families.get(name)
 
+  /** Families recorded (by [[tracking]]) with ≥ 2 distinct toucher
+    * queries — shared infrastructure whose build cost would otherwise be
+    * billed to whichever user happens to run first (and flap with
+    * eviction order; the r8 `pq_codes` 0.08↔2.26 s lesson). Value = the
+    * touchers, so the caller can pick a builder.
+    */
+  private[graft] def sharedFamilies: Map[String, Set[String]] =
+    touchers.filter(_._2.size >= 2).toMap
+
+  /** Families recorded with exactly one toucher — per-query result
+    * memos, which a pre-warm pass must re-cold so the timed run still
+    * pays them.
+    */
+  private[graft] def singleTouchFamilies: Set[String] =
+    touchers.filter(_._2.size <= 1).keys.toSet
+
   /** Unpersist and drop every memo entry whose family's last observed
     * toucher (alphabetically) is `query`. Safe by construction: a
     * mis-eviction degrades to recompute on the next `apply`, never to a

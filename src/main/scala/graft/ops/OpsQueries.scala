@@ -71,6 +71,9 @@ object OpsQueries {
     "corpus_filter" -> ((s, dir) => CorpusFilter.report(s, dir)),
     // write the curated corpus, reload it, reconcile per source
     "corpus_export" -> ((s, dir) => CorpusFilter.export(s, dir)),
+    // the full curation DAG chained through materialized files:
+    // clean → pack → rollup, reconciled per stage from the reloaded data
+    "curation_e2e" -> ((s, dir) => CurationE2e.run(s, dir)),
     // benchmark decontamination: n-gram overlap vs the eval-set slice
     "contamination" -> ((s, dir) => Contamination.report(s, dir)),
     // dedup
@@ -259,6 +262,7 @@ object OpsQueries {
     "text_redact" -> Redact.scrubSql,
     "corpus_filter" -> CorpusFilter.reportSql,
     "corpus_export" -> CorpusFilter.exportSql,
+    "curation_e2e" -> CurationE2e.runSql,
     "contamination" -> Contamination.reportSql,
     "dup_ngrams" -> Contamination.repeatedNgramsSql(),
     "text_novelty" -> Contamination.noveltySql,

@@ -43,8 +43,15 @@ object Pack {
   /** Per-doc global token offsets: (doc_id, doc_tokens, tok_start) where
     * tok_start is the exclusive prefix sum of doc_tokens in doc_id order.
     */
-  def assignments(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def assignments(spark: SparkSession, dir: String): DataFrame =
+    assignmentsFrom(Tables.documents(spark, dir))
+
+  /** [[assignments]] over an arbitrary (doc_id, text, …) frame — the
+    * curation DAG packs the CLEANED corpus it just reloaded, not the
+    * raw table.
+    */
+  def assignmentsFrom(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), docTokens.as("doc_tokens"))
       .filter(col("doc_tokens") > 0)
       .withColumn("bucket", expr(s"doc_id div $bucketSize"))
@@ -71,7 +78,14 @@ object Pack {
     * the arithmetic in exact integer space at any corpus size.
     */
   def pack(spark: SparkSession, dir: String): DataFrame =
-    assignments(spark, dir)
+    packOf(assignments(spark, dir))
+
+  /** The per-sequence rollup from an (doc_id, doc_tokens, tok_start)
+    * assignment frame — split out so the curation DAG can roll up the
+    * assignment file it RELOADED.
+    */
+  def packOf(asg: DataFrame): DataFrame =
+    asg
       .withColumn("seq_id",
         explode(sequence(
           expr(s"tok_start div $seqLen"),
