@@ -108,7 +108,11 @@ object Bench {
       .mkString("{", ",", "}")
     val streamFull = streamNames
       .map(k => "\"" + k + "\":" + fullRun(k)).mkString("{", ",", "}")
-    val total = finalResults.map(_._2).sum
+    // headline total includes the pre-warm pass: the same work r8's
+    // total counted inside per-query numbers, now billed separately —
+    // keeps round-over-round totals comparable while per-query numbers
+    // became stable marginals
+    val total = finalResults.map(_._2).sum + prewarmSec
     // failures carried in-band: stderr is routinely discarded by callers
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_full_run":$streamFull,"memo_prewarm_sec":$prewarmSec,"failed":$failedJson,"sf":"$sfDir"}""")

@@ -106,6 +106,11 @@ object OpsQueries {
     // assignment as the clustering (threshold matched to emb_neardups'
     // corpus calibration)
     "dedup_semantic" -> ((s, dir) => Similarity.semDedup(s, dir, threshold = 0.3)),
+    // SemDeDup end-to-end from text: cluster-bounded pairwise cosine over
+    // the ENGINE-DERIVED vectors (real near-dup texts score ≈1 here,
+    // unlike the isotropic fixture — hence the production 0.8 cut)
+    "dedup_semantic_derived" -> ((s, dir) =>
+      Similarity.semDedup(s, dir, threshold = 0.8, corpus = Featurize.corpus)),
     // retrieval quality: recall@10 of both approximate paths vs brute force
     "ann_recall" -> ((s, dir) => Recall.atK(s, dir)),
     // product quantization: 4-bit codes per subspace, ADC top-k, recall
@@ -120,11 +125,11 @@ object OpsQueries {
     // IVF top-k over the DERIVED vectors — text → vector → index → search
     // end-to-end, no fixture embeddings anywhere in the chain
     "ann_topk_derived" -> ((s, dir) =>
-      Ivf.topK(s, dir, corpus = Featurize.corpus)),
+      Ivf.topK(s, dir, queryMod = 200, corpus = Featurize.corpus)),
     // the full residual IVF-PQ stack (probe → ADC → rerank) on derived
     // vectors — same code path as ivfpq_topk, different VecCorpus
     "ivfpq_topk_derived" -> ((s, dir) =>
-      Pq.ivfPqTopK(s, dir, corpus = Featurize.corpus)),
+      Pq.ivfPqTopK(s, dir, queryMod = 200, corpus = Featurize.corpus)),
     "ivf_assign" -> ((s, dir) => Ivf.assignments(s, dir)),
     "ivf_list_stats" -> ((s, dir) => Ivf.listStats(s, dir)),
     "ivf_topk" -> ((s, dir) => Ivf.topK(s, dir)),
@@ -301,6 +306,8 @@ object OpsQueries {
     "ann_multiprobe" -> Similarity.multiprobeSql(),
     "emb_neardups" -> Similarity.cosineNearDupsSql(0.3),
     "dedup_semantic" -> Similarity.semDedupSql(0.3),
+    "dedup_semantic_derived" ->
+      Similarity.semDedupSqlFor(0.8, Featurize.corpus.embCte, "documents"),
     "ann_recall" -> Recall.atKSql(),
     "pq_codes" -> Pq.codesSql,
     "pq_topk" -> Pq.topKSql(),
@@ -308,9 +315,9 @@ object OpsQueries {
     "ivfpq_topk" -> Pq.ivfPqSql(),
     "emb_featurize" -> Featurize.featurizedSql,
     "ann_topk_derived" ->
-      Ivf.topKSqlFor(10, 50, Featurize.corpus.embCte, "documents"),
+      Ivf.topKSqlFor(10, 200, Featurize.corpus.embCte, "documents"),
     "ivfpq_topk_derived" ->
-      Pq.ivfPqSqlFor(10, 100, 50, Featurize.corpus.embCte, "documents"),
+      Pq.ivfPqSqlFor(10, 100, 200, Featurize.corpus.embCte, "documents"),
     "ivf_assign" -> Ivf.assignmentsSql,
     "ivf_list_stats" -> Ivf.listStatsSql,
     "ivf_topk" -> Ivf.topKSql(),

@@ -485,9 +485,10 @@ object Similarity {
     * assignment, so both sides miss identically.
     */
   def semDedup(spark: SparkSession, dir: String,
-               threshold: Double = 0.9): DataFrame = {
-    val e = normalized(spark, dir)
-      .join(graft.ops.Ivf.assignments(spark, dir), "vec_id")
+               threshold: Double = 0.9,
+               corpus: VecCorpus = Similarity.embCorpus): DataFrame = {
+    val e = corpus.normalizedOf(spark, dir)
+      .join(graft.ops.Ivf.assignments(spark, dir, corpus), "vec_id")
     val a = e.select(col("centroid_id"), col("vec_id").as("keep_c"),
       col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("centroid_id"), col("vec_id").as("drop_id"),
@@ -509,7 +510,14 @@ object Similarity {
     * for the keeper's cosine.
     */
   def semDedupSql(threshold: Double = 0.9): String =
-    s"""WITH $normCte, ${graft.ops.Ivf.centroidsCte}, m AS MATERIALIZED (
+    semDedupSqlFor(threshold, normCte, "embeddings")
+
+  /** [[semDedupSql]] over an arbitrary `emb` CTE + knob table — the
+    * oracle twin of `semDedup(..., corpus)`.
+    */
+  def semDedupSqlFor(threshold: Double, embCte: String,
+                     countTable: String): String =
+    s"""WITH $embCte, ${graft.ops.Ivf.centroidsCteFor(countTable)}, m AS MATERIALIZED (
        |  SELECT a.centroid_id, e.vec_id, e.v, e.norm
        |  FROM ivf_assign a JOIN emb e USING (vec_id)
        |), pairs AS (
