@@ -155,6 +155,9 @@ object OpsQueries {
     "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
     // KMV distinct sketch: per-day + merged whole-range estimates
     "events_kmv" -> ((s, dir) => Sketch.kmvDistinctUsers(s, dir)),
+    // HyperLogLog distinct sketch: constant-size mergeable registers,
+    // per-day states max-merged into the whole-range estimate
+    "events_hll" -> ((s, dir) => Sketch.hllDistinctUsers(s, dir)),
     // mergeable quantile sketch: per-day weighted anchors merged into
     // whole-range estimates with a provable rank-error bound + confirm
     "events_quantiles_sketch" -> ((s, dir) => Sketch.quantileSketch(s, dir)),
@@ -337,6 +340,7 @@ object OpsQueries {
     // the salted plan must produce byte-identical results to the plain one
     "events_top_users_salted" -> EventsOps.topUsersSql(),
     "events_kmv" -> Sketch.kmvDistinctUsersSql(),
+    "events_hll" -> Sketch.hllDistinctUsersSql(),
     "events_quantiles_sketch" -> Sketch.quantileSketchSql(),
     "events_asof" -> AsofJoin.purchaseAttributionSql,
     "events_interval_join" -> RangeJoin.sessionErrorLoadSql(),

@@ -284,6 +284,138 @@ object Sketch {
        |       err_bound
        |FROM confirm""".stripMargin
 
+  /** HyperLogLog distinct-count sketch (Flajolet et al., AofA'07 —
+    * public technique; the de-facto standard for distinct counting at
+    * scale) — the CONSTANT-size companion to the KMV sketch above: where
+    * KMV keeps k hash values, HLL keeps m = 2^b one-byte registers
+    * (register j = max ρ of the keys landing in j, ρ = leading-zero rank
+    * of the remaining hash bits). Registers merge by element-wise MAX —
+    * an algebraic aggregate, so Spark computes the whole sketch with
+    * map-side partial aggregation: at 100 TB each task reduces its split
+    * to m bytes before anything shuffles, and the per-day states the
+    * query materializes union into the whole-range estimate without
+    * rescanning (the 'all' row below is built by MERGING the day
+    * registers, exactly the cross-shard/cross-day reuse a production
+    * rollup needs).
+    *
+    * Everything is deterministic and engine-replayable:
+    *  - the "randomness" is the same md5 content hash as [[h60]]
+    *    (register = low b bits, ρ from the remaining 52 via the length
+    *    of the binary string — `bin()` exists in both engines);
+    *  - Σ 2^−M_j is summed as the EXACT integer Σ 2^(53−M_j) (≤ m·2^53
+    *    fits a long), so the harmonic mean is order-independent;
+    *  - the standard small-range correction (linear counting on the V
+    *    empty registers when E_raw ≤ 2.5m) branches on exact integers,
+    *    so both engines take the same branch; the one `ln` matches the
+    *    precedent [[graft.ops.TextPrep.bm25]] set, and the estimate is
+    *    rounded to a DECIMAL(14,4) grid before comparison.
+    *
+    * `within_bound` asserts |rel_err| ≤ 3·1.04/√m — the 3σ band of the
+    * raw estimator, conservative for the linear-counting regime.
+    */
+  def hllDistinctUsers(spark: SparkSession, dir: String, b: Int = 8): DataFrame =
+    hllOf(Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"), col("user_id")), b)
+
+  /** Same, over any (event_date, user_id) frame — partitioning-invariant
+    * (hash content, algebraic max), which the spec proves by re-running
+    * on a repartitioned input; the raw-regime branch is proven on a
+    * synthetic high-cardinality frame.
+    */
+  def hllOf(dayKeys: DataFrame, b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val dh = dayKeys
+      .select(col("event_date"), h60(col("user_id")).as("h")).distinct()
+    val w = expr(s"h DIV $m")
+    val rho = dh.select(col("event_date"), pmod(col("h"), lit(m.toLong)).as("reg"),
+      when(w > 0, lit(53) - length(bin(w))).otherwise(lit(53)).as("rho"))
+    val dayReg = rho.groupBy("event_date", "reg").agg(max("rho").as("mj"))
+    // merge = element-wise max of the day registers (never rescans dh)
+    val scopeReg = dayReg
+      .select(col("event_date").cast("string").as("scope"), col("reg"), col("mj"))
+      .unionByName(dayReg.groupBy("reg").agg(max("mj").as("mj"))
+        .select(lit("all").as("scope"), col("reg"), col("mj")))
+    // registers no key ever touched hold ρ = 0: join against the spine
+    val spine = scopeReg.select("scope").distinct()
+      .select(col("scope"), explode(sequence(lit(0), lit(m - 1))).as("reg"))
+    val filled = spine.join(scopeReg, Seq("scope", "reg"), "left")
+      .select(col("scope"), coalesce(col("mj"), lit(0)).as("mj"))
+    val st = filled.groupBy("scope").agg(
+      // 2^(53−mj) is exact in a double for mj ∈ [0,53]; the long sum is
+      // exact and order-free (≤ m·2^53 = 2^61 < 2^63)
+      sum(pow(lit(2.0), lit(53) - col("mj")).cast("long")).as("s"),
+      sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v"))
+    val ex = dh.groupBy(col("event_date").cast("string").as("scope"))
+      .agg(count(lit(1)).as("n_exact"))
+      .unionByName(dh.select("h").distinct().agg(count(lit(1)).as("n_exact"))
+        .select(lit("all").as("scope"), col("n_exact")))
+    val raw = lit(alpha) * m * m * lit(9007199254740992.0) / col("s").cast("double")
+    val isLinear = raw <= lit(2.5 * m) && col("v") > 0
+    val estD = when(isLinear,
+      lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+      .otherwise(raw).cast("decimal(14,4)").cast("double")
+    st.join(ex, "scope")
+      .select(col("scope"), col("n_exact"),
+        when(isLinear, lit("linear")).otherwise(lit("raw")).as("mode"),
+        estD.as("hll_estimate"),
+        ((estD - col("n_exact")) / col("n_exact")).as("rel_err"),
+        (abs((estD - col("n_exact")) / col("n_exact")) <=
+          lit(3.0 * 1.04 / math.sqrt(m))).as("within_bound"))
+  }
+
+  /** Oracle: the identical register arithmetic replayed in SQL. */
+  def hllDistinctUsersSql(b: Int = 8): String = {
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val bound = 3.0 * 1.04 / math.sqrt(m)
+    s"""WITH dh AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS event_date,
+       |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM events
+       |), rho AS (
+       |  SELECT event_date, h % $m AS reg,
+       |         CASE WHEN h // $m > 0 THEN 53 - length(bin(h // $m)) ELSE 53 END AS rho
+       |  FROM dh
+       |), dayreg AS (
+       |  SELECT event_date, reg, MAX(rho) AS mj FROM rho GROUP BY 1, 2
+       |), scopereg AS (
+       |  SELECT CAST(event_date AS VARCHAR) AS scope, reg, mj FROM dayreg
+       |  UNION ALL
+       |  SELECT 'all' AS scope, reg, MAX(mj) AS mj FROM dayreg GROUP BY 2
+       |), spine AS (
+       |  SELECT scope, i.range AS reg
+       |  FROM (SELECT DISTINCT scope FROM scopereg) sc CROSS JOIN range(0, $m) i
+       |), filled AS (
+       |  SELECT sp.scope, sp.reg, COALESCE(r.mj, 0) AS mj
+       |  FROM spine sp LEFT JOIN scopereg r ON r.scope = sp.scope AND r.reg = sp.reg
+       |), st AS (
+       |  SELECT scope,
+       |         CAST(SUM(CAST(power(2.0, 53 - mj) AS BIGINT)) AS BIGINT) AS s,
+       |         SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v
+       |  FROM filled GROUP BY 1
+       |), ex AS (
+       |  SELECT CAST(event_date AS VARCHAR) AS scope, COUNT(*) AS n_exact
+       |  FROM dh GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'all', COUNT(DISTINCT h) FROM dh
+       |), est AS (
+       |  SELECT scope, n_exact,
+       |    CASE WHEN raw <= ${2.5 * m} AND v > 0 THEN 'linear' ELSE 'raw' END AS mode,
+       |    CAST(CAST(CASE WHEN raw <= ${2.5 * m} AND v > 0
+       |         THEN $m * ln($m / CAST(v AS DOUBLE))
+       |         ELSE raw END AS DECIMAL(14,4)) AS DOUBLE) AS hll_estimate
+       |  FROM (SELECT st.scope, n_exact, v,
+       |               CAST($alpha AS DOUBLE) * $m * $m * 9007199254740992E0
+       |                 / CAST(s AS DOUBLE) AS raw
+       |        FROM st JOIN ex ON st.scope = ex.scope)
+       |)
+       |SELECT scope, CAST(n_exact AS BIGINT) AS n_exact, mode, hll_estimate,
+       |       (hll_estimate - n_exact) / n_exact AS rel_err,
+       |       abs((hll_estimate - n_exact) / n_exact) <= $bound AS within_bound
+       |FROM est""".stripMargin
+  }
+
   /** Oracle: the global ranking formulation — result-identical because the
     * merged sketch equals the global k-min sketch (see above).
     */

@@ -158,6 +158,28 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch: within bound, merge-consistent, raw regime at high cardinality") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Sketch.hllDistinctUsers(spark, "/root/testdata/sf0.01")
+    // every scope (30 days + 'all') inside the 3-sigma band
+    assert(rows.count() === 31)
+    assert(rows.filter(!col("within_bound")).count() === 0)
+    // partitioning invariance: content-hash registers + algebraic max
+    val dayKeys = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(to_date(col("ts")).as("event_date"), col("user_id"))
+    val rep = graft.ops.Sketch.hllOf(dayKeys.repartition(7))
+    assert(rows.exceptAll(rep).count() === 0 && rep.exceptAll(rows).count() === 0)
+    // high-cardinality synthetic frame exercises the RAW harmonic-mean
+    // branch (n = 5000 >> 2.5m = 640) and its error bound
+    val big = spark.range(5000)
+      .select(lit(java.sql.Date.valueOf("2024-01-01")).as("event_date"),
+        col("id").as("user_id"))
+    val raw = graft.ops.Sketch.hllOf(big)
+      .filter(col("scope") === "all").collect().head
+    assert(raw.getAs[String]("mode") === "raw")
+    assert(raw.getAs[Boolean]("within_bound"))
+  }
+
   test("quantile sketch: rank error within the provable bound, state compressed") {
     import org.apache.spark.sql.functions._
     // sf0.01: ~67 rows per (type, day) > k=16, so the summary genuinely
