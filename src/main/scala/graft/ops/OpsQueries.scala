@@ -246,6 +246,10 @@ object OpsQueries {
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedDocs(s, dir)),
     "sample_split" -> ((s, dir) => Sampling.split(s, dir)),
     "sample_mixture" -> ((s, dir) => Sampling.mixture(s, dir)),
+    // temperature-scaled source mixing (p^0.5) against a token budget
+    "sample_temperature" -> ((s, dir) => Sampling.temperatureMixture(s, dir)),
+    // deterministic multi-epoch shard/order assignment for the reader
+    "epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(s, dir)),
     // native per-key top-k operator (custom LogicalPlan/Strategy/Exec)
     "topk_native" -> ((s, dir) =>
       graft.plans.TopK.perKey(s,
@@ -372,6 +376,8 @@ object OpsQueries {
     "sample_stratified" -> Sampling.stratifiedDocsSql(),
     "sample_split" -> Sampling.splitSql(),
     "sample_mixture" -> Sampling.mixtureSql(),
+    "sample_temperature" -> Sampling.temperatureMixtureSql(),
+    "epoch_shuffle" -> Sampling.epochShuffleSql(),
     // native operator vs the standard window formulation
     "topk_native" ->
       """SELECT event_id, ts, user_id, event_type, value FROM (

@@ -146,6 +146,149 @@ object Sampling {
         (col("n_kept").cast("double") / col("n_docs")).as("kept_rate"))
   }
 
+  /** Temperature-scaled source mixing (the multilingual-LM standard:
+    * sample source s with probability ∝ p_s^α, α < 1 flattening the raw
+    * token distribution so head sources are down-weighted and tail
+    * sources up-weighted — Devlin et al.'s mBERT exponentiated smoothing
+    * / Conneau & Lample XLM §3.1, public technique). α is fixed at 0.5 so
+    * the power is `sqrt`, IEEE-correctly-rounded and therefore
+    * bit-identical across engines; the cross-source normalizer sums on a
+    * DECIMAL(18,6) grid (order-free), and the final per-source rate is
+    * rounded to DECIMAL(12,8) before any membership comparison — the
+    * 2^-32-granular content hash cannot sit on a boundary.
+    *
+    * Output per source: raw share `p_raw`, temperature weight, the
+    * sampling rate that hits a 30%-of-corpus token budget
+    * (`min(1, w_s·B/n_s)`), and realized-vs-expected kept counts (the
+    * same calibration self-check as [[qualityWeighted]]).
+    *
+    * Scale: one narrow scan computes per-doc token counts; everything
+    * after the source-grain aggregate is O(sources). Membership stays a
+    * salted content hash — re-sharding cannot move a document in or out
+    * of the mixture, so the mixture is reproducible months later from
+    * (salt, α, budget) alone. The one-row totals crossJoin is broadcast
+    * (PlanLint-allowlisted).
+    */
+  def temperatureMixture(spark: SparkSession, dir: String,
+                         budgetFrac: Double = 0.3,
+                         salt: String = "temp1"): DataFrame = {
+    // functions.split is shadowed by this object's train/val/test `split`
+    val norm = TextMetrics.normalized(col("text"))
+    val nToks = size(filter(
+      org.apache.spark.sql.functions.split(norm, " "),
+      t => length(t) > 0)).cast("long")
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), nToks.as("n_toks"),
+      hashUniform(col("doc_id"), salt).as("u"))
+    val bySrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .withColumn("sq", sqrt(col("n_tokens").cast("double")).cast("decimal(18,6)"))
+    val totals = bySrc.agg(
+      sum("n_tokens").as("tot_tokens"), sum("sq").as("tot_sq"))
+    val rated = bySrc.crossJoin(broadcast(totals)).select(
+      col("source"), col("n_docs"), col("n_tokens"),
+      (col("n_tokens").cast("double") / col("tot_tokens").cast("double")).as("p_raw"),
+      (col("sq").cast("double") / col("tot_sq").cast("double")).as("weight"),
+      least(lit(1.0),
+        col("sq").cast("double") / col("tot_sq").cast("double") * lit(budgetFrac)
+          * col("tot_tokens").cast("double") / col("n_tokens").cast("double"))
+        .cast("decimal(12,8)").as("rate_dec"))
+    docs.join(broadcast(rated), "source")
+      .groupBy("source")
+      .agg(first("n_docs").as("n_docs"), first("n_tokens").as("n_tokens"),
+        first("p_raw").as("p_raw"), first("weight").as("weight"),
+        first(col("rate_dec").cast("double")).as("sample_rate"),
+        sum(when(col("u") < col("rate_dec").cast("double"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("u") < col("rate_dec").cast("double"), col("n_toks"))
+          .otherwise(0L)).as("kept_tokens"))
+  }
+
+  def temperatureMixtureSql(budgetFrac: Double = 0.3,
+                            salt: String = "temp1"): String = {
+    val u = hashUniformSql("doc_id", salt)
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(list_filter(
+       |           string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |           t -> t <> '')) AS BIGINT) AS n_toks,
+       |         $u AS u
+       |  FROM documents
+       |), by_src AS (
+       |  SELECT source, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+       |         CAST(sqrt(CAST(SUM(n_toks) AS DOUBLE)) AS DECIMAL(18,6)) AS sq
+       |  FROM d GROUP BY 1
+       |), totals AS (
+       |  SELECT SUM(n_tokens) AS tot_tokens, SUM(sq) AS tot_sq FROM by_src
+       |), rated AS (
+       |  SELECT source, n_docs, n_tokens,
+       |         CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS p_raw,
+       |         CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE) AS weight,
+       |         CAST(LEAST(1.0,
+       |           CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE) * $budgetFrac
+       |             * CAST(tot_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |           AS DECIMAL(12,8)) AS rate_dec
+       |  FROM by_src, totals
+       |)
+       |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+       |       CAST(r.n_tokens AS BIGINT) AS n_tokens, r.p_raw, r.weight,
+       |       CAST(r.rate_dec AS DOUBLE) AS sample_rate,
+       |       CAST(SUM(CASE WHEN d.u < CAST(r.rate_dec AS DOUBLE)
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN d.u < CAST(r.rate_dec AS DOUBLE)
+       |                THEN d.n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM d JOIN rated r USING (source)
+       |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
+
+  /** Deterministic multi-epoch training-order shuffle — the "global
+    * shuffle" step that turns a curated corpus into per-epoch reader
+    * shards: each (epoch, doc) gets a salted content-hash order key, the
+    * top ⌈log₂⌉ bits of which pick the shard and the rest the position
+    * within it. Properties a trainer needs, all by construction:
+    * reproducible (same salt → same order on any engine/partitioning),
+    * epoch-decorrelated (the epoch is inside the hash, so each epoch is
+    * an independent permutation), and shard-local (a reader consumes one
+    * shard sequentially; no global sort ever runs — the rank window
+    * partitions by (epoch, shard), each ≈ corpus/shards rows, the shard
+    * count chosen at production scale so a shard fits a reader. For
+    * corpora where even one shard's rank exceeds a partition, the
+    * two-tier prefix-sum of [[Pack.pack]] applies unchanged).
+    */
+  def epochShuffle(spark: SparkSession, dir: String, epochs: Int = 2,
+                   shards: Int = 8, salt: String = "ep1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = hashUniform(
+      concat(col("epoch").cast("string"), lit("_"), col("doc_id").cast("string")),
+      salt)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("u", u)
+      .withColumn("shard", floor(col("u") * shards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy(col("u"), col("doc_id"))))
+      .select("epoch", "shard", "pos", "doc_id")
+  }
+
+  def epochShuffleSql(epochs: Int = 2, shards: Int = 8,
+                      salt: String = "ep1"): String = {
+    val u = hashUniformSql(
+      "CAST(epoch AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)", salt)
+    s"""WITH e AS (
+       |  SELECT doc_id, CAST(i.range AS INT) AS epoch
+       |  FROM documents CROSS JOIN range(0, $epochs) i
+       |), h AS (
+       |  SELECT doc_id, epoch, $u AS u FROM e
+       |)
+       |SELECT epoch, CAST(floor(u * $shards) AS INT) AS shard,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY epoch, CAST(floor(u * $shards) AS INT)
+       |         ORDER BY u, doc_id) AS INT) AS pos,
+       |       doc_id
+       |FROM h""".stripMargin
+  }
+
   def qualityWeightedSql(salt: String = "qw1"): String = {
     val u = hashUniformSql("doc_id", salt)
     s"""WITH q AS (

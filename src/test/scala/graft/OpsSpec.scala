@@ -121,6 +121,47 @@ class OpsSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("temperature mixing flattens the source distribution toward the budget") {
+    val t = graft.ops.Sampling.temperatureMixture(spark, sf0001).cache()
+    val rows = t.collect()
+    // weights are a distribution that preserves the size ORDER but
+    // flattens the RATIOS: w_i/w_j = sqrt(p_i/p_j), so the head/tail
+    // ratio provably shrinks (the defining property of alpha < 1)
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-9)
+    val byP = rows.sortBy(_.getAs[Double]("p_raw"))
+    assert(byP.map(_.getAs[Double]("weight")).sliding(2).forall(w => w(0) <= w(1)))
+    val pr = byP.map(_.getAs[Double]("p_raw"))
+    val wr = byP.map(_.getAs[Double]("weight"))
+    assert(wr.last / wr.head < pr.last / pr.head,
+      s"ratio not flattened: ${wr.last / wr.head} vs ${pr.last / pr.head}")
+    // realized kept tokens land near the 30% budget (hash concentration)
+    val totTok = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val keptTok = rows.map(_.getAs[Long]("kept_tokens")).sum.toDouble
+    assert(keptTok / totTok > 0.2 && keptTok / totTok < 0.45,
+      s"kept ${keptTok / totTok} of tokens vs 0.3 budget")
+    t.unpersist()
+  }
+
+  test("epoch shuffle: per-epoch permutations are dense, distinct, re-shard stable") {
+    val e = graft.ops.Sampling.epochShuffle(spark, sf0001).cache()
+    val n = Tables.documents(spark, sf0001).count()
+    // each epoch covers every doc exactly once
+    assert(e.groupBy("epoch").count().filter(col("count") =!= n).count() === 0)
+    // positions are dense within each (epoch, shard)
+    assert(e.groupBy("epoch", "shard").agg(
+      count(lit(1)).as("n"), max("pos").as("mx"))
+      .filter(col("n") =!= col("mx")).count() === 0)
+    // the two epochs are different permutations: some doc changes shard
+    // or position (md5 decorrelation makes identical assignment absurd)
+    val e0 = e.filter(col("epoch") === 0).select("doc_id", "shard", "pos")
+    val e1 = e.filter(col("epoch") === 1).select("doc_id", "shard", "pos")
+    assert(e0.exceptAll(e1).count() > 0)
+    // determinism under re-partitioning: same output from a 7-way reshard
+    val again = graft.ops.Sampling.epochShuffle(spark, sf0001)
+    assert(e.exceptAll(again).count() === 0 && again.exceptAll(e).count() === 0)
+    e.unpersist()
+  }
+
   test("PII redaction scrubs planted emails/phones/ids and nothing else") {
     val planted = Seq(
       "mail me at jane.doe+spam@example.co.uk today",

@@ -34,6 +34,7 @@ class PlanLintSpec extends SparkSpec {
     "heavy_hitters", // ONE-ROW global count × the candidate exact counts
     "events_psi", // ONE-ROW time midpoint + ONE-ROW period totals
     "events_skew_report", // ONE-ROW totals × ONE-ROW top-10 aggregate
+    "sample_temperature", // ONE-ROW token/normalizer totals × source grain
     "ann_label_purity", // composes the ann_topk brute-force truth
     "dash_summary", "dash_by_type", "dash_trend",
     "dash_recent10", "dash_critical5")
