@@ -238,6 +238,8 @@ object OpsQueries {
     "emb_quantize" -> ((s, dir) => TextPrep.quantize(s, dir)),
     // BM25 lexical top-k — the keyword complement of the ANN path
     "text_bm25" -> ((s, dir) => TextPrep.bm25(s, dir)),
+    // hybrid retrieval: BM25 ∪ derived-vector cosine fused by RRF
+    "retrieval_rrf" -> ((s, dir) => Retrieval.hybridRrf(s, dir)),
     // per-source cap via the native TopKPerKey operator (crawl balancing)
     "source_quota" -> ((s, dir) => Sampling.sourceQuota(s, dir)),
     // token-budget curriculum: best-first fill of per-source budgets
@@ -372,6 +374,7 @@ object OpsQueries {
     "contamination_bloom" -> Contamination.flaggedSql,
     "emb_quantize" -> TextPrep.quantizeSql,
     "text_bm25" -> TextPrep.bm25Sql(),
+    "retrieval_rrf" -> Retrieval.hybridRrfSql(),
     "source_quota" -> Sampling.sourceQuotaSql(),
     "sample_stratified" -> Sampling.stratifiedDocsSql(),
     "sample_split" -> Sampling.splitSql(),

@@ -784,6 +784,34 @@ class OpsSpec extends SparkSpec {
     top.unpersist()
   }
 
+  test("hybrid RRF: score identity, leg coverage, distributed top-k plan") {
+    val f = graft.ops.Retrieval.hybridRrf(spark, sf0001).cache()
+    val rows = f.collect()
+    assert(rows.length === 10)
+    // score is exactly the declared function of the rank columns
+    rows.foreach { r =>
+      val (rl, rv) = (r.getAs[Int]("rank_lex"), r.getAs[Int]("rank_vec"))
+      val expect = (if (rl > 0) 1.0 / (60 + rl) else 0.0) +
+        (if (rv > 0) 1.0 / (60 + rv) else 0.0)
+      assert(r.getAs[Double]("rrf_score") === expect)
+      assert(rl >= 0 && rl <= 20 && rv >= 0 && rv <= 20)
+      assert(rl > 0 || rv > 0)
+    }
+    // a doc retrieved by BOTH legs at rank r beats one retrieved by a
+    // single leg at the same r — fusion genuinely rewards agreement
+    val both = rows.filter(r => r.getAs[Int]("rank_lex") > 0 && r.getAs[Int]("rank_vec") > 0)
+    if (both.nonEmpty) {
+      val bestSingle = 1.0 / 61.0
+      assert(both.map(_.getAs[Double]("rrf_score")).max >= bestSingle ||
+        rows.map(_.getAs[Double]("rrf_score")).max < bestSingle)
+    }
+    // the dense leg's corpus top-k must plan as TakeOrdered, not a
+    // global Sort over the corpus
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
+    f.unpersist()
+  }
+
   test("quality model: valid probabilities, threshold keep, declared linear form") {
     import spark.implicits._
     val m = graft.ops.QualityModel.score(spark, sf0001).cache()
