@@ -128,6 +128,39 @@ object Multimodal {
     }
   }
 
+  /** LOSSY-codec writer: the planted [[Pattern]] raster as a real JPEG
+    * through `javax.imageio` (DCT + quantization at the writer's default
+    * quality). Unlike BMP/PNG the decoded pixels are NOT the planted
+    * ones, so the proof changes shape: the registered query checks the
+    * decoded per-channel MEANS against the analytic truth within a fixed
+    * tolerance INSIDE the query (JPEG quantizes AC coefficients hard but
+    * preserves block DC — image-level means survive within a few
+    * levels), and emits booleans the oracle expects to be TRUE. A broken
+    * decoder, a swapped channel order, or a corrupted payload flips a
+    * boolean and fails the hash compare.
+    */
+  object Jpeg {
+    def encode(id: Long): Array[Byte] = {
+      val w = Pattern.width(id)
+      val h = Pattern.height(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (Pattern.r(x, y, id) << 16) |
+            (Pattern.g(x, y, id) << 8) | Pattern.b(x, y, id))
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+  }
+
   /** Image table: one real image binary per document id, built on the
     * executors with `enc`. At 100 TB this is the ingest-side scan of a
     * binary column; everything downstream sees only (id, bytes).
@@ -148,6 +181,62 @@ object Multimodal {
     */
   def pngTable(spark: SparkSession, dir: String): DataFrame =
     imageTableWith(spark, dir, Png.encode)
+
+  /** One real JPEG binary per document id — the lossy-codec leg. */
+  def jpegTable(spark: SparkSession, dir: String): DataFrame =
+    imageTableWith(spark, dir, Jpeg.encode)
+
+  /** Decode the JPEG payloads and bound the decoded means against the
+    * planted truth: (media_id, width, height, r_ok, g_ok, b_ok) with
+    * X_ok = |decoded channel mean − analytic channel mean| ≤ tolerance.
+    * Dims must survive exactly; means within the DC-preservation
+    * tolerance — `tol` levels for R/G, `tolChroma` for B, which rides
+    * almost entirely on the 4:2:0-subsampled, harder-quantized Cb plane
+    * (measured on the fixture: max mean errors ≈ 2.4 / 1.5 / 9.1). The
+    * spec separately proves the codec is genuinely lossy (pixel-level
+    * error nonzero) so this is not vacuously the PNG leg.
+    */
+  def jpegCheck(spark: SparkSession, dir: String,
+                tol: Double = 4.0, tolChroma: Double = 12.0): DataFrame = {
+    import spark.implicits._
+    jpegTable(spark, dir).as[(Long, Array[Byte])].mapPartitions { batch =>
+      batch.map { case (id, payload) =>
+        val img = Bmp.decode(payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var trs = 0L; var tgs = 0L; var tbs = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            rs += (rgb >> 16) & 0xFF; gs += (rgb >> 8) & 0xFF; bs += rgb & 0xFF
+            trs += Pattern.r(x, y, id); tgs += Pattern.g(x, y, id)
+            tbs += Pattern.b(x, y, id)
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        (id, w, h,
+          math.abs(rs / n - trs / n) <= tol,
+          math.abs(gs / n - tgs / n) <= tol,
+          math.abs(bs / n - tbs / n) <= tolChroma)
+      }
+    }.toDF("media_id", "width", "height", "r_ok", "g_ok", "b_ok")
+  }
+
+  /** Oracle for [[jpegCheck]]: analytic dims + all-TRUE tolerance flags —
+    * the Spark side must EARN the TRUEs from real decoded bytes.
+    * (def: `dimsSql` initializes later in the object.)
+    */
+  def jpegCheckSql: String =
+    s"""WITH dims AS (
+       |  $dimsSql
+       |)
+       |SELECT media_id, width, height,
+       |       TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok
+       |FROM dims""".stripMargin
 
   /** Batched decode + feature extraction over REAL pixels: width, height,
     * exact per-channel integer sums, and per-channel means (one IEEE

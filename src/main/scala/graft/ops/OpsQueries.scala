@@ -211,6 +211,8 @@ object OpsQueries {
     // lossless round trip makes the analytic BMP oracles carry over
     "mm_png_features" -> ((s, dir) => Multimodal.pngStats(s, dir)),
     "mm_png_ahash" -> ((s, dir) => Multimodal.pngAHash(s, dir)),
+    // LOSSY-codec leg: real JPEG decode, means bounded vs planted truth
+    "mm_jpeg" -> ((s, dir) => Multimodal.jpegCheck(s, dir)),
     // energy-hash audio fingerprint over decoded PCM windows
     "mm_audio_fingerprint" -> ((s, dir) => Multimodal.audioFingerprint(s, dir)),
     // real WAV decode: javax.sound parses executor-built PCM payloads;
@@ -402,6 +404,8 @@ object OpsQueries {
     // lossless codec ⇒ the analytic planted-truth oracles are identical
     "mm_png_features" -> Multimodal.featuresCheckSql,
     "mm_png_ahash" -> Multimodal.aHashSql,
+    // lossy codec ⇒ tolerance flags earned from the decoded bytes
+    "mm_jpeg" -> Multimodal.jpegCheckSql,
     "mm_audio_fingerprint" -> Multimodal.audioFingerprintSql,
     "mm_audio" -> Multimodal.audioCheckSql,
     "mm_video" -> Multimodal.videoCheckSql,

@@ -378,6 +378,33 @@ class OpsSpec extends SparkSpec {
     assert(bmp.exceptAll(png).count() === 0)
   }
 
+  test("JPEG leg: payload is a real lossy JPEG, dims survive, means bounded") {
+    import graft.ops.Multimodal
+    val ids = Seq(1L, 7L, 42L)
+    ids.foreach { id =>
+      val payload = Multimodal.Jpeg.encode(id)
+      // JFIF magic: a real JPEG container, not a renamed raster
+      assert((payload(0) & 0xFF) === 0xFF && (payload(1) & 0xFF) === 0xD8)
+      val img = Multimodal.Bmp.decode(payload)
+      assert(img.getWidth === Multimodal.Pattern.width(id))
+      assert(img.getHeight === Multimodal.Pattern.height(id))
+      // genuinely lossy: at least one pixel differs from the planted
+      // raster (else this is the PNG leg in disguise)
+      val anyDiff = (0 until img.getHeight).exists { y =>
+        (0 until img.getWidth).exists { x =>
+          val rgb = img.getRGB(x, y)
+          ((rgb >> 16) & 0xFF) != Multimodal.Pattern.r(x, y, id) ||
+            ((rgb >> 8) & 0xFF) != Multimodal.Pattern.g(x, y, id) ||
+            (rgb & 0xFF) != Multimodal.Pattern.b(x, y, id)
+        }
+      }
+      assert(anyDiff, s"JPEG decode of id=$id reproduced the raster exactly")
+    }
+    // the registered check passes end-to-end on the sf0.001 corpus
+    val chk = Multimodal.jpegCheck(spark, sf0001)
+    assert(chk.filter(!col("r_ok") || !col("g_ok") || !col("b_ok")).count() === 0)
+  }
+
   test("audio fingerprint: window count matches clip length, bits consistent") {
     val h = graft.ops.Multimodal.audioFingerprint(spark, sf0001).cache()
     assert(h.count() === Tables.documents(spark, sf0001).count())
