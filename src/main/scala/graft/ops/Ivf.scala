@@ -223,6 +223,145 @@ object Ivf {
       .filter(col("rank") <= k)
   }
 
+  /** The held-out-batch split for the index-maintenance demonstration:
+    * vectors with `vec_id % 10 == 7` arrive AFTER the index was built on
+    * the other ~90%.
+    */
+  private val appendMod = 10
+  private val appendRem = 7
+
+  /** The base (pre-append) vector corpus — same [[Similarity.VecCorpus]]
+    * plumbing the derived-featurizer corpus uses, so the centroid build
+    * and knob formulas run unchanged on the subset.
+    */
+  lazy val baseCorpus: Similarity.VecCorpus = Similarity.VecCorpus(
+    key = "ivb",
+    countTable = s"(SELECT * FROM embeddings WHERE vec_id % $appendMod != $appendRem)",
+    normalizedOf = (s, d) => Similarity.normalized(s, d)
+      .filter(col("vec_id") % appendMod =!= appendRem),
+    countOf = (s, d) => graft.Tables.embeddings(s, d)
+      .filter(col("vec_id") % appendMod =!= appendRem).count(),
+    embCte = s"""emb AS MATERIALIZED (
+                |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+                |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+                |  FROM embeddings WHERE vec_id % $appendMod != $appendRem
+                |)""".stripMargin)
+
+  /** Incremental index maintenance — what a production vector store does
+    * between periodic rebuilds: a NEW batch of vectors is folded into an
+    * EXISTING IVF index by assigning each to its nearest frozen centroid
+    * (no recluster, no touch of the already-indexed corpus), and the
+    * per-list growth is reported with a rebalance trigger.
+    *
+    * The index is built on the base ~90% of the corpus (`vec_id % 10 !=
+    * 7`); the held-out 10% is the arriving batch. `needs_split` flags a
+    * list whose post-append size exceeds 2× the mean base list — the
+    * signal that drift has concentrated and a recluster (or list split,
+    * à la FAISS's IVF rebuild guidance) is due. The flag compares exact
+    * integers (`n_after · nc > 2 · n_base_total`), so both engines
+    * branch identically.
+    *
+    * At 100 TB this is the plan you want: the batch (small) cross-joins
+    * only the broadcast √-law centroid table; the indexed corpus is
+    * never rescanned; the report aggregates are centroid-grain.
+    */
+  def appendReport(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroids(spark, dir, baseCorpus)
+    val baseAssign = assignments(spark, dir, baseCorpus)
+    val batch = Similarity.normalized(spark, dir)
+      .filter(col("vec_id") % appendMod === appendRem)
+    val newAssign = hierarchicalAssign(batch, cent,
+      coarseN(spark, dir, baseCorpus))
+    val nBaseTotal = AnnParams.corpusSizeOf(spark, dir, baseCorpus)
+    val nc = AnnParams.nCentroids(nBaseTotal)
+    baseAssign.groupBy("centroid_id").agg(count(lit(1)).as("n_base"))
+      .join(newAssign.groupBy("centroid_id").agg(count(lit(1)).as("nn")),
+        Seq("centroid_id"), "left")
+      .select(col("centroid_id"), col("n_base"),
+        coalesce(col("nn"), lit(0L)).as("n_new"))
+      .withColumn("n_after", col("n_base") + col("n_new"))
+      .withColumn("needs_split",
+        col("n_after") * lit(nc.toLong) > lit(2L * nBaseTotal))
+  }
+
+  def appendReportSql: String =
+    s"""WITH ${baseCorpus.embCte}, ${centroidsCteFor(baseCorpus.countTable)}, newv AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings WHERE vec_id % $appendMod = $appendRem
+       |), ${hierCte("app", "ivf_centroids", "newv")}, base AS (
+       |  SELECT centroid_id, COUNT(*) AS n_base FROM ivf_assign GROUP BY 1
+       |), newc AS (
+       |  SELECT centroid_id, COUNT(*) AS n_new FROM app_assign GROUP BY 1
+       |), t AS (SELECT COUNT(*) AS n_base_total FROM emb)
+       |SELECT b.centroid_id, CAST(b.n_base AS BIGINT) AS n_base,
+       |       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+       |       CAST(b.n_base + COALESCE(n.n_new, 0) AS BIGINT) AS n_after,
+       |       (b.n_base + COALESCE(n.n_new, 0)) * (SELECT nc FROM ivf_params)
+       |         > 2 * t.n_base_total AS needs_split
+       |FROM base b LEFT JOIN newc n USING (centroid_id), t""".stripMargin
+
+  /** Metadata-FILTERED IVF top-k — the probed scale path of
+    * [[Similarity.filteredTopK]]: same probe stage (nProbe nearest
+    * lists), but the admissibility predicate (neighbor label == query
+    * label) is applied to the inverted-list rows BEFORE scoring, so
+    * inadmissible vectors are neither scored nor ranked. This is the
+    * pre-filter execution order a production vector store uses when the
+    * filter is selective: with lists stored label-partitioned the
+    * predicate prunes at the scan, and the per-query candidate count
+    * drops from nProbe·list to nProbe·list/|labels|. (Post-filtering a
+    * top-k would instead silently return < k admissible rows even when
+    * the lists held more — the classic filtered-ANN bug.)
+    */
+  def filteredTopK(spark: SparkSession, dir: String, k: Int = 10,
+                   queryMod: Int = 50): DataFrame = {
+    val nProbe = AnnParams.nProbe(AnnParams.corpusSize(spark, dir))
+    val e = Similarity.normalized(spark, dir)
+      .join(assignments(spark, dir), "vec_id")
+    val probes = probesOf(spark, dir, centroids(spark, dir),
+      nProbe, queryMod)
+      .join(Similarity.normalized(spark, dir)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel")),
+        "query_id")
+    val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .cast("decimal(10,6)")
+    probes.join(e, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("vec_id").as("neighbor_id"), cos.as("cosine_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  def filteredTopKSql(k: Int = 10, queryMod: Int = 50): String =
+    s"""WITH ${Similarity.normCte}, $centroidsCte, ${AnnParams.nProbeSql}, ea AS (
+       |  SELECT e.*, a.centroid_id FROM emb e JOIN ivf_assign a USING (vec_id)
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm AS qn, label AS qlabel
+       |  FROM ea WHERE ${AnnParams.queryPredSql(queryMod)}
+       |), probes AS (
+       |  SELECT query_id, qv, qn, qlabel, centroid_id FROM (
+       |    SELECT q.query_id, q.qv, q.qn, q.qlabel, c.centroid_id,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             CAST(list_dot_product(q.qv, c.cv) / (q.qn * c.cnorm) AS DECIMAL(10,6)) DESC,
+       |             c.centroid_id) AS rk
+       |    FROM q CROSS JOIN ivf_centroids c
+       |  ) WHERE rk <= (SELECT np FROM nprobe_params)
+       |), scored AS (
+       |  SELECT p.query_id, p.qlabel AS label, e.vec_id AS neighbor_id,
+       |         CAST(list_dot_product(p.qv, e.v) / (p.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |  FROM probes p JOIN ea e USING (centroid_id)
+       |  WHERE e.vec_id != p.query_id AND e.label = p.qlabel
+       |)
+       |SELECT query_id, label, neighbor_id,
+       |       CAST(cosine_sim AS DOUBLE) AS cosine_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
+
   // ---------- DuckDB oracles ----------
 
   /** Hierarchical-assignment CTE block over centroid table `cent`,
@@ -230,7 +369,7 @@ object Ivf {
     * Mirrors [[hierarchicalAssign]] exactly (same DECIMAL(10,6) rounding,
     * same lower-id tiebreaks).
     */
-  private def hierCte(p: String, cent: String): String =
+  private def hierCte(p: String, cent: String, src: String = "emb"): String =
     s"""${p}_coarse AS MATERIALIZED (
        |  SELECT centroid_id AS coarse_id, cv AS gv, cnorm AS gnorm
        |  FROM $cent
@@ -249,7 +388,7 @@ object Ivf {
        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |             CAST(list_dot_product(e.v, g.gv) / (e.norm * g.gnorm) AS DECIMAL(10,6)) DESC,
        |             g.coarse_id) AS rk
-       |    FROM emb e CROSS JOIN ${p}_coarse g
+       |    FROM $src e CROSS JOIN ${p}_coarse g
        |  ) WHERE rk = 1
        |), ${p}_assign AS MATERIALIZED (
        |  SELECT vec_id, centroid_id FROM (

@@ -133,6 +133,13 @@ object OpsQueries {
     "ivf_assign" -> ((s, dir) => Ivf.assignments(s, dir)),
     "ivf_list_stats" -> ((s, dir) => Ivf.listStats(s, dir)),
     "ivf_topk" -> ((s, dir) => Ivf.topK(s, dir)),
+    // filtered vector search: metadata predicate (query's label) applied
+    // BEFORE scoring — exact pre-filter baseline + the IVF-probed path
+    "ann_topk_filtered" -> ((s, dir) => Similarity.filteredTopK(s, dir)),
+    "ivf_topk_filtered" -> ((s, dir) => Ivf.filteredTopK(s, dir)),
+    // incremental index maintenance: a held-out batch folded into the
+    // frozen base index (no recluster), per-list growth + rebalance flag
+    "ivf_append" -> ((s, dir) => Ivf.appendReport(s, dir)),
     // events / time series
     "events_daily" -> ((s, dir) => EventsOps.daily(s, dir)),
     // state+delta partial-agg merge == the one-pass rollup (MV maintenance)
@@ -161,6 +168,10 @@ object OpsQueries {
     // mergeable quantile sketch: per-day weighted anchors merged into
     // whole-range estimates with a provable rank-error bound + confirm
     "events_quantiles_sketch" -> ((s, dir) => Sketch.quantileSketch(s, dir)),
+    // Count-Min frequency sketch: per-day d×w counter states sum-merged
+    // into the whole range; point estimates proven never-under and
+    // checked against the ε·N overcount bound
+    "events_cms" -> ((s, dir) => Sketch.cmsUserCounts(s, dir)),
     // as-of join (union + carry-forward window) vs DuckDB's native ASOF
     "events_asof" -> ((s, dir) => AsofJoin.purchaseAttribution(s, dir)),
     // binned interval join vs DuckDB's native BETWEEN range join
@@ -235,6 +246,9 @@ object OpsQueries {
     "text_pack_assign" -> ((s, dir) => Pack.assignments(s, dir)),
     // BPE merge-candidate scan: top-k adjacent token pairs
     "bpe_pairs" -> ((s, dir) => TextPrep.bpePairs(s, dir)),
+    // PMI collocations: top-k adjacent pairs by pointwise mutual
+    // information — the phrase-detection statistic tokenizers fuse on
+    "text_pmi" -> ((s, dir) => TextPrep.pmi(s, dir)),
     // Bloom-prefiltered decontamination (exact result; Bloom is invisible)
     "contamination_bloom" -> ((s, dir) => Contamination.flaggedViaBloom(s, dir)),
     "emb_quantize" -> ((s, dir) => TextPrep.quantize(s, dir)),
@@ -329,6 +343,9 @@ object OpsQueries {
       Ivf.topKSqlFor(10, 200, Featurize.corpus.embCte, "documents"),
     "ivfpq_topk_derived" ->
       Pq.ivfPqSqlFor(10, 100, 200, Featurize.corpus.embCte, "documents"),
+    "ann_topk_filtered" -> Similarity.filteredTopKSql(),
+    "ivf_topk_filtered" -> Ivf.filteredTopKSql(),
+    "ivf_append" -> Ivf.appendReportSql,
     "ivf_assign" -> Ivf.assignmentsSql,
     "ivf_list_stats" -> Ivf.listStatsSql,
     "ivf_topk" -> Ivf.topKSql(),
@@ -350,6 +367,7 @@ object OpsQueries {
     "events_kmv" -> Sketch.kmvDistinctUsersSql(),
     "events_hll" -> Sketch.hllDistinctUsersSql(),
     "events_quantiles_sketch" -> Sketch.quantileSketchSql(),
+    "events_cms" -> Sketch.cmsUserCountsSql(),
     "events_asof" -> AsofJoin.purchaseAttributionSql,
     "events_interval_join" -> RangeJoin.sessionErrorLoadSql(),
     "io_formats" -> graft.io.Formats.roundtripSql,
@@ -372,6 +390,7 @@ object OpsQueries {
     "text_pack" -> Pack.packSql,
     "text_pack_assign" -> Pack.assignmentsSql,
     "bpe_pairs" -> TextPrep.bpePairsSql(),
+    "text_pmi" -> TextPrep.pmiSql(),
     "curriculum_select" -> Curriculum.selectSql,
     "contamination_bloom" -> Contamination.flaggedSql,
     "emb_quantize" -> TextPrep.quantizeSql,

@@ -224,6 +224,57 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Metadata-FILTERED exact top-k — the "filtered search" every
+    * production vector store exposes: each query retrieves only
+    * neighbors satisfying a metadata predicate (here: sharing the
+    * query's `label` — the tenant/category-constrained case). The
+    * filter applies BEFORE scoring (pre-filter semantics): top-k ranks
+    * the admissible subset only, so a query whose label has < k other
+    * members returns fewer rows rather than padding with inadmissible
+    * neighbors, and recall is well-defined within the subset.
+    *
+    * Unlike the unfiltered brute force (a deliberate broadcast
+    * nested-loop), the label equality gives this join an EQUI component,
+    * so Spark plans a hash join on label — at 100 TB with
+    * label-partitioned storage this is partition pruning: the scan
+    * touches only the query's label partition. The probed scale path is
+    * [[Ivf.filteredTopK]].
+    */
+  def filteredTopK(spark: SparkSession, dir: String,
+                   k: Int = 10, queryMod: Int = 50): DataFrame = {
+    val e = normalized(spark, dir)
+    val q = broadcast(e.filter(AnnParams.queryPred(queryMod))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("label")))
+    val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .cast("decimal(10,6)")
+    import org.apache.spark.sql.expressions.Window
+    q.join(e, Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        cos.as("cosine_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  def filteredTopKSql(k: Int = 10, queryMod: Int = 50): String =
+    s"""WITH $normCte, q AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm AS qn, label
+       |  FROM emb WHERE ${AnnParams.queryPredSql(queryMod)}
+       |), pairs AS (
+       |  SELECT q.query_id, q.label, e.vec_id AS neighbor_id,
+       |         CAST(list_dot_product(q.qv, e.v) / (q.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |  FROM q JOIN emb e ON e.label = q.label AND e.vec_id != q.query_id
+       |)
+       |SELECT query_id, label, neighbor_id,
+       |       CAST(cosine_sim AS DOUBLE) AS cosine_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM pairs
+       |) WHERE rank <= $k""".stripMargin
+
   // ---------- DuckDB oracles ----------
 
   /** Embeddings-with-norm CTE; list_dot_product sums sequentially like

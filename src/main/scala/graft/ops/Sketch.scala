@@ -447,4 +447,114 @@ object Sketch {
        |       (kmv_estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
        |         AS rel_err
        |FROM est""".stripMargin
+
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan, J. Algorithms
+    * 2005 — public technique) — the POINT-FREQUENCY companion to the
+    * distinct (KMV/HLL) and rank (quantile) sketches above: a d×w counter
+    * matrix where row i increments counter h_i(key) mod w; the estimate
+    * for a key is the MIN over its d counters. Counters merge by
+    * element-wise ADDITION — algebraic, so per-day states union into the
+    * whole-range sketch without rescanning events (the same cross-day
+    * reuse the HLL query proves for distinct counts), and at 100 TB each
+    * task's map-side partial reduces its split to ≤ d·w longs before
+    * anything shuffles.
+    *
+    * Two provable properties, both emitted as columns:
+    *  - `never_under`: CMS never under-counts (every counter a key hashes
+    *    into contains at least that key's full count) — holds
+    *    unconditionally, an invariant of the structure;
+    *  - `within_bound`: overcount ≤ (e/w)·N, the paper's ε·N bound at
+    *    δ = e^−d. It is probabilistic per key, but DETERMINISTIC given
+    *    the md5 row-salted hash, so both engines compute the identical
+    *    boolean and the oracle hash-matches even if some key exceeded it.
+    *
+    * The point-query sample is id-deterministic (`user_id % queryMod`),
+    * like every other measurement sample in this library; the exact
+    * counts beside the estimates are reported ground truth, not part of
+    * the sketch path.
+    */
+  def cmsUserCounts(spark: SparkSession, dir: String, d: Int = 4,
+                    w: Int = 256, queryMod: Int = 7): DataFrame =
+    cmsOf(Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"), col("user_id")),
+      d, w, queryMod)
+
+  /** Same, over any (event_date, user_id) frame — partitioning-invariant
+    * (content hash + algebraic sums), which the spec proves by re-running
+    * repartitioned, and merge-correct (day sketches summed == the sketch
+    * of the whole range), which the spec proves against a direct global
+    * build.
+    */
+  def cmsOf(dayKeys: DataFrame, d: Int = 4, w: Int = 256,
+            queryMod: Int = 7): DataFrame = {
+    // row-salted 60-bit hash → counter column: h_i(key) = md5(i‖'_'‖key)
+    def bucket(r: org.apache.spark.sql.Column,
+               key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(conv(substring(md5(concat_ws("_", r.cast("string"),
+        key.cast("string"))), 1, 15), 16, 10).cast("long"), lit(w.toLong))
+
+    // per-(day,user) exact counts: one map-side-combined aggregate, the
+    // shared input of the sketch path and the ground truth
+    val dayUser = dayKeys.groupBy("event_date", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+    // d counter updates per key; day sketch = (day, row, col) sums,
+    // bounded at days × d × w rows no matter the key cardinality
+    val dayCms = dayUser
+      .select(col("event_date"), col("user_id"), col("cnt"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("c", bucket(col("r"), col("user_id")))
+      .groupBy("event_date", "r", "c").agg(sum("cnt").as("counter"))
+    // merge = counter addition across the day states (never rescans)
+    val merged = dayCms.groupBy("r", "c").agg(sum("counter").as("counter"))
+
+    val total = dayUser.agg(sum("cnt").as("n_total"))
+    val exact = dayUser.groupBy("user_id").agg(sum("cnt").as("n_exact"))
+      .filter(col("user_id") % queryMod === 0)
+    val estimates = exact
+      .select(col("user_id"), col("n_exact"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("c", bucket(col("r"), col("user_id")))
+      .join(merged, Seq("r", "c"))
+      .groupBy("user_id", "n_exact").agg(min("counter").as("cms_estimate"))
+    // one-row totals broadcast (PlanLint-allowlisted shape)
+    estimates.crossJoin(broadcast(total))
+      .select(col("user_id"), col("n_exact"), col("cms_estimate"),
+        (col("cms_estimate") - col("n_exact")).as("overcount"),
+        (col("cms_estimate") >= col("n_exact")).as("never_under"),
+        ((col("cms_estimate") - col("n_exact")).cast("double") <=
+          lit(math.E / w) * col("n_total").cast("double")).as("within_bound"))
+  }
+
+  /** Oracle: the identical counter arithmetic replayed in SQL. */
+  def cmsUserCountsSql(d: Int = 4, w: Int = 256, queryMod: Int = 7): String =
+    s"""WITH du AS (
+       |  SELECT CAST(ts AS DATE) AS event_date, user_id, COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |), daycms AS (
+       |  SELECT event_date, r, c, SUM(cnt) AS counter FROM (
+       |    SELECT event_date, cnt, i.range AS r,
+       |           CAST('0x' || substr(md5(i.range || '_' || user_id), 1, 15) AS BIGINT) % $w AS c
+       |    FROM du CROSS JOIN range(0, $d) i
+       |  ) GROUP BY 1, 2, 3
+       |), merged AS (
+       |  SELECT r, c, SUM(counter) AS counter FROM daycms GROUP BY 1, 2
+       |), t AS (SELECT SUM(cnt) AS n_total FROM du),
+       |exact AS (
+       |  SELECT user_id, SUM(cnt) AS n_exact FROM du
+       |  WHERE user_id % $queryMod = 0 GROUP BY 1
+       |), est AS (
+       |  SELECT user_id, n_exact, MIN(counter) AS cms_estimate FROM (
+       |    SELECT e.user_id, e.n_exact, i.range AS r,
+       |           CAST('0x' || substr(md5(i.range || '_' || e.user_id), 1, 15) AS BIGINT) % $w AS c
+       |    FROM exact e CROSS JOIN range(0, $d) i
+       |  ) p JOIN merged m ON m.r = p.r AND m.c = p.c
+       |  GROUP BY 1, 2
+       |)
+       |SELECT user_id, CAST(n_exact AS BIGINT) AS n_exact,
+       |       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       |       CAST(cms_estimate - n_exact AS BIGINT) AS overcount,
+       |       cms_estimate >= n_exact AS never_under,
+       |       CAST(cms_estimate - n_exact AS DOUBLE) <=
+       |         ${math.E / w} * CAST(t.n_total AS DOUBLE) AS within_bound
+       |FROM est, t""".stripMargin
 }

@@ -179,6 +179,78 @@ object TextPrep {
        |SELECT pair, count(*) AS pair_count FROM p
        |GROUP BY pair ORDER BY pair_count DESC, pair LIMIT $k""".stripMargin
 
+  /** Pointwise mutual information over adjacent token pairs (Church &
+    * Hanks 1990 — the classic collocation/phrase-detection statistic;
+    * word2vec's word2phrase pass is the same score with a discount).
+    * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) from the bigram
+    * table and p(·) from the unigram table — high-PMI pairs are the
+    * multi-word expressions a tokenizer should fuse and a dedup shingle
+    * should not split.
+    *
+    * Plan shape: one token explode feeds BOTH count tables (unigram and
+    * bigram aggregates are map-side combined), the two totals are
+    * ONE-ROW broadcasts, and the unigram joins run on the bigram table
+    * AFTER the `minCount` filter — at 100 TB the joined stream is the
+    * (Zipf-truncated) frequent-pair set, not the corpus. The one `ln`
+    * rides the same cross-engine contract as [[bm25]]/the HLL estimator,
+    * and lands on a DECIMAL(10,6) grid before ranking, so both engines
+    * select the same top-k set (ties at the boundary break on the pair
+    * string).
+    */
+  def pmi(spark: SparkSession, dir: String,
+          minCount: Long = 5, k: Int = 50): DataFrame = {
+    val ws = split(TextMetrics.normalized(col("text")), " ")
+    val toks = Tables.documents(spark, dir).select(ws.as("ws"))
+    val uni = toks.select(explode(col("ws")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_tok"))
+    val pairs = toks.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("a"),
+          element_at(col("ws"), i + 2).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val uTot = uni.agg(sum("n_tok").as("n_tokens"))
+    val bTot = big.agg(sum("n_ab").as("n_bigrams"))
+    val pmiCol = log(
+      (col("n_ab").cast("double") * col("n_tokens") * col("n_tokens")) /
+        (col("n_bigrams").cast("double") * col("n_a") * col("n_b")))
+      .cast("decimal(10,6)")
+    big.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("token").as("a"), col("n_tok").as("n_a")), "a")
+      .join(uni.select(col("token").as("b"), col("n_tok").as("n_b")), "b")
+      .crossJoin(broadcast(uTot)).crossJoin(broadcast(bTot))
+      .select(concat_ws(" ", col("a"), col("b")).as("pair"),
+        col("n_ab").as("pair_count"), pmiCol.as("pmi"))
+      .orderBy(col("pmi").desc, col("pair")).limit(k)
+  }
+
+  def pmiSql(minCount: Long = 5, k: Int = 50): String =
+    s"""WITH w AS (
+       |  SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents
+       |), uni AS (
+       |  SELECT token, COUNT(*) AS n_tok FROM (
+       |    SELECT unnest(ws) AS token FROM w
+       |  ) GROUP BY 1
+       |), p AS (
+       |  SELECT ws[i.i] AS a, ws[i.i+1] AS b
+       |  FROM w CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) i
+       |  WHERE len(ws) >= 2
+       |), big AS (
+       |  SELECT a, b, COUNT(*) AS n_ab FROM p GROUP BY 1, 2
+       |), t AS (SELECT SUM(n_tok) AS n_tokens FROM uni),
+       |bt AS (SELECT SUM(n_ab) AS n_bigrams FROM big),
+       |j AS (
+       |  SELECT big.a, big.b, big.n_ab,
+       |         CAST(CAST(ln(CAST(big.n_ab AS DOUBLE) * t.n_tokens * t.n_tokens
+       |           / (CAST(bt.n_bigrams AS DOUBLE) * ua.n_tok * ub.n_tok)) AS DECIMAL(10,6)) AS DOUBLE) AS pmi
+       |  FROM big JOIN uni ua ON ua.token = big.a
+       |           JOIN uni ub ON ub.token = big.b, t, bt
+       |  WHERE big.n_ab >= $minCount
+       |)
+       |SELECT a || ' ' || b AS pair, CAST(n_ab AS BIGINT) AS pair_count, pmi
+       |FROM j ORDER BY pmi DESC, pair LIMIT $k""".stripMargin
+
   /** BPE merge application — encode every document with the top-`k`
     * merge rules ranked from the corpus pair scan ([[bpePairs]] order:
     * count desc, pair asc), applied sequentially rank 1..k.

@@ -194,6 +194,28 @@ class EventsSpec extends SparkSpec {
     assert(q.filter(col("rank_hi") <= col("rank_lo")).count() === 0)
   }
 
+  test("count-min sketch: never under-counts, bound holds, merge == global") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Sketch.cmsUserCounts(spark, "/root/testdata/sf0.01")
+      .cache()
+    assert(rows.count() > 0)
+    // the structural invariant: CMS estimates are always >= truth
+    assert(rows.filter(!col("never_under")).count() === 0)
+    // the epsilon*N overcount bound (deterministic given the md5 hash)
+    assert(rows.filter(!col("within_bound")).count() === 0)
+    // partitioning invariance: content hash + algebraic counter sums
+    val dayKeys = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(to_date(col("ts")).as("event_date"), col("user_id"))
+    val rep = graft.ops.Sketch.cmsOf(dayKeys.repartition(7))
+    assert(rows.exceptAll(rep).count() === 0 && rep.exceptAll(rows).count() === 0)
+    // merge correctness: collapsing the dates to one pseudo-day (a direct
+    // global build) yields the same point estimates as the per-day merge
+    val collapsed = graft.ops.Sketch.cmsOf(
+      dayKeys.withColumn("event_date", lit(java.sql.Date.valueOf("2024-01-01"))))
+    assert(rows.exceptAll(collapsed).count() === 0 &&
+      collapsed.exceptAll(rows).count() === 0)
+  }
+
   test("dashboard text rendering includes all five sections") {
     val out = graft.dq.Dashboard.render(spark, sf0001)
     assert(out.contains("Total checks:"))

@@ -46,6 +46,47 @@ class IvfSpec extends SparkSpec {
       s"refined max/mean $refinedRatio should beat seeds $seedRatio")
   }
 
+  test("filtered search: pre-filter semantics, admissible neighbors only") {
+    val exact = graft.ops.Similarity.filteredTopK(spark, sf01).cache()
+    val lab = Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("label").as("true_label"))
+    // every returned neighbor satisfies the predicate (its own label ==
+    // the query's) — the defining property of pre-filter search
+    assert(exact.join(lab, exact("neighbor_id") === lab("vec_id"))
+      .filter(col("true_label") =!= col("label")).count() === 0)
+    // filtering changed the answer: the admissible top-k is NOT just the
+    // unfiltered top-k with misses dropped (rank 1 differs somewhere)
+    val unf = graft.ops.Similarity.bruteForceTopK(spark, sf01)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("unf_top1"))
+    val top1 = exact.filter(col("rank") === 1)
+      .join(unf, "query_id")
+    assert(top1.filter(col("neighbor_id") =!= col("unf_top1")).count() > 0)
+    // the IVF-probed path agrees with exact filtered search on rank-1
+    // for most queries (recall within the probed lists)
+    val ivfF = Ivf.filteredTopK(spark, sf01).filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("ivf_top1"))
+    val joined = exact.filter(col("rank") === 1).join(ivfF, "query_id").cache()
+    val agree = joined.filter(col("neighbor_id") === col("ivf_top1")).count()
+    assert(agree.toDouble / joined.count() >= 0.8,
+      s"filtered IVF top-1 agreement ${agree.toDouble / joined.count()}")
+  }
+
+  test("index append: every batch vector lands in exactly one frozen list") {
+    val rep = Ivf.appendReport(spark, sf01).cache()
+    val batchSize = Tables.embeddings(spark, sf01)
+      .filter(col("vec_id") % 10 === 7).count()
+    // conservation: the appended counts sum to the batch size (each new
+    // vector assigned to exactly one existing centroid, none lost)
+    assert(rep.agg(sum("n_new")).head().getLong(0) === batchSize)
+    // the base index is intact: base counts sum to the base corpus size
+    val baseSize = Tables.embeddings(spark, sf01)
+      .filter(col("vec_id") % 10 =!= 7).count()
+    assert(rep.agg(sum("n_base")).head().getLong(0) === baseSize)
+    // arithmetic consistency of the report
+    assert(rep.filter(col("n_after") =!= col("n_base") + col("n_new")).count() === 0)
+  }
+
   test("nProbe formula tracks the centroid count") {
     assert(AnnParams.nProbe(500) === (3 * AnnParams.nCentroids(500) + 3) / 4)
     // probed fraction stays ~3/4 as the corpus grows

@@ -751,6 +751,34 @@ class OpsSpec extends SparkSpec {
     top.unpersist()
   }
 
+  test("pmi: bounded set, min-count respected, collocations score positive") {
+    import graft.ops.TextPrep
+    val pmiDir = "/root/testdata/sf0.01"
+    val p = TextPrep.pmi(spark, pmiDir).cache()
+    assert(p.count() <= 50 && p.count() > 0)
+    assert(p.filter(col("pair_count") < 5).count() === 0)
+    // top-ranked pairs co-occur more than independence predicts
+    assert(p.filter(col("pmi") <= 0).count() === 0,
+      "a top-50 PMI pair scored at or below independence")
+    // PMI is symmetric in the marginals: recomputing one pair by hand
+    val ws = split(graft.ops.TextMetrics.normalized(col("text")), " ")
+    val toks = Tables.documents(spark, pmiDir).select(explode(ws).as("t"))
+    val first = p.orderBy(col("pmi").desc, col("pair")).head()
+    val parts = first.getAs[String]("pair").split(" ", 2)
+    val a = parts(0)
+    val b = parts(1)
+    val na = toks.filter(col("t") === a).count().toDouble
+    val nb = toks.filter(col("t") === b).count().toDouble
+    val nTok = toks.count().toDouble
+    val nBig = Tables.documents(spark, pmiDir)
+      .select(greatest(size(ws) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum("nb")).head().getLong(0).toDouble
+    val byHand = math.log(
+      first.getAs[Long]("pair_count").toDouble * nTok * nTok / (nBig * na * nb))
+    assert(math.abs(byHand -
+      first.getAs[java.math.BigDecimal]("pmi").doubleValue) < 1e-4)
+  }
+
   test("curriculum select fills each source budget best-first, no gaps") {
     import spark.implicits._
     val sel = graft.ops.Curriculum.select(spark, sf0001).cache()

@@ -25,11 +25,15 @@ class PlanLintSpec extends SparkSpec {
     */
   private val allowedNlj = Set(
     "ann_topk", "ivf_assign", "ivf_list_stats", "ivf_topk",
+    "ivf_topk_filtered", // same probe stage: broadcast centroid cross join
+    "ivf_append", // batch × broadcast √-law centroid table (assignment)
     "ann_recall", // composes ann_topk + ivf_topk, inherits their plans
     "pq_recall", // composes the ann_topk brute-force truth
     "ivfpq_topk", // IVF probe stage broadcasts the √-law centroid table
     "dim_customer_incremental", // upsertDim crossJoins a ONE-ROW max-id
     "events_kmv", // ONE-ROW global count × ONE-ROW merged-sketch k-th min
+    "events_cms", // ONE-ROW event total × the point-estimate rows
+    "text_pmi", // ONE-ROW unigram/bigram totals × the frequent-pair set
     "lm_score", // ONE-ROW (n_tokens, vocab) totals × the bigram stream
     "heavy_hitters", // ONE-ROW global count × the candidate exact counts
     "events_psi", // ONE-ROW time midpoint + ONE-ROW period totals
