@@ -207,6 +207,10 @@ object OpsQueries {
     // drop); batchId-idempotent versioned-state commit, replay-checked
     "stream_upsert" -> ((s, dir) =>
       graft.streaming.EventStream.upsertCheck(s, dir)),
+    // streaming HLL: per-batch register deltas max-merged through the
+    // versioned-state sink; the oracle is the BATCH sketch SQL verbatim
+    "stream_hll" -> ((s, dir) =>
+      graft.streaming.EventStream.hllStreamCheck(s, dir)),
     // multimodal: mm_features/mm_resize decode REAL BMP payloads with
     // javax.imageio and emit pixel stats the oracle recomputes
     // analytically from the planted pattern; mm_media/mm_frames are the
@@ -249,6 +253,12 @@ object OpsQueries {
     // PMI collocations: top-k adjacent pairs by pointwise mutual
     // information — the phrase-detection statistic tokenizers fuse on
     "text_pmi" -> ((s, dir) => TextPrep.pmi(s, dir)),
+    // per-language tokenizer parity: realized merge compression and
+    // chars/token by lang — the fairness QA a tokenizer drop ships with
+    "bpe_fertility" -> ((s, dir) => TextPrep.fertility(s, dir)),
+    // z-order vs single-key layout: per-file (user × day) footprints —
+    // the multi-column data-skipping comparison an OPTIMIZE would publish
+    "zorder_layout" -> ((s, dir) => Layout.zorderReport(s, dir)),
     // Bloom-prefiltered decontamination (exact result; Bloom is invisible)
     "contamination_bloom" -> ((s, dir) => Contamination.flaggedViaBloom(s, dir)),
     "emb_quantize" -> ((s, dir) => TextPrep.quantize(s, dir)),
@@ -383,6 +393,8 @@ object OpsQueries {
       graft.streaming.EventStream.joinIncrementalCheckSql,
     "stream_recovery" -> graft.streaming.EventStream.recoveryCheckSql,
     "stream_upsert" -> graft.streaming.EventStream.upsertCheckSql,
+    // identical to events_hll's oracle: the streamed fold must be invisible
+    "stream_hll" -> Sketch.hllDistinctUsersSql(),
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),
     "text_tfidf" -> TextPrep.tfIdfSql(),
@@ -391,6 +403,8 @@ object OpsQueries {
     "text_pack_assign" -> Pack.assignmentsSql,
     "bpe_pairs" -> TextPrep.bpePairsSql(),
     "text_pmi" -> TextPrep.pmiSql(),
+    "bpe_fertility" -> TextPrep.fertilitySql(),
+    "zorder_layout" -> Layout.zorderReportSql(),
     "curriculum_select" -> Curriculum.selectSql,
     "contamination_bloom" -> Contamination.flaggedSql,
     "emb_quantize" -> TextPrep.quantizeSql,

@@ -323,14 +323,39 @@ object Sketch {
     * synthetic high-cardinality frame.
     */
   def hllOf(dayKeys: DataFrame, b: Int = 8): DataFrame = {
+    val dh = dayHashes(dayKeys)
+    hllEstimates(dayRegisters(dh, b), dh, b)
+  }
+
+  /** Distinct (event_date, user-hash) pairs — the shared input of the
+    * register build and the exact ground truth.
+    */
+  private[graft] def dayHashes(dayKeys: DataFrame): DataFrame =
+    dayKeys.select(col("event_date"), h60(col("user_id")).as("h")).distinct()
+
+  /** Per-(day, register) max-ρ — the CONSTANT-SIZE mergeable HLL state.
+    * Exposed separately so the streaming fold
+    * ([[graft.streaming.EventStream.hllStreamCheck]]) can max-merge
+    * per-batch register deltas into versioned state; re-hashed
+    * duplicates across batches are absorbed by the max, so the fold is
+    * idempotent per key by construction.
+    */
+  private[graft] def dayRegisters(dh: DataFrame, b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val w = expr(s"h DIV $m")
+    dh.select(col("event_date"), pmod(col("h"), lit(m.toLong)).as("reg"),
+      when(w > 0, lit(53) - length(bin(w))).otherwise(lit(53)).as("rho"))
+      .groupBy("event_date", "reg").agg(max("rho").as("mj"))
+  }
+
+  /** Estimates from a register state; `dh` supplies the exact ground
+    * truth the report carries beside the sketch (not part of the sketch
+    * path).
+    */
+  private[graft] def hllEstimates(dayReg: DataFrame, dh: DataFrame,
+                                  b: Int = 8): DataFrame = {
     val m = 1 << b
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val dh = dayKeys
-      .select(col("event_date"), h60(col("user_id")).as("h")).distinct()
-    val w = expr(s"h DIV $m")
-    val rho = dh.select(col("event_date"), pmod(col("h"), lit(m.toLong)).as("reg"),
-      when(w > 0, lit(53) - length(bin(w))).otherwise(lit(53)).as("rho"))
-    val dayReg = rho.groupBy("event_date", "reg").agg(max("rho").as("mj"))
     // merge = element-wise max of the day registers (never rescans dh)
     val scopeReg = dayReg
       .select(col("event_date").cast("string").as("scope"), col("reg"), col("mj"))

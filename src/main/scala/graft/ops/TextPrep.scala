@@ -294,8 +294,13 @@ object TextPrep {
         md5(col("s")).as("enc_md5"))
   }
 
-  def bpeEncodeSql(k: Int = 8): String =
-    s"""WITH RECURSIVE w AS (
+  /** The CTE body shared by [[bpeEncodeSql]] and [[fertilitySql]] —
+    * emitted without the leading `WITH RECURSIVE` so callers can extend
+    * the chain (the recursive `enc` CTE forces RECURSIVE onto the
+    * OUTERMOST WITH of whatever query embeds this).
+    */
+  private def bpeEncodeCtes(k: Int): String =
+    s"""w AS (
        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
        |  FROM documents
        |), pc AS (
@@ -322,11 +327,59 @@ object TextPrep {
        |  SELECT doc_id, s,
        |         row_number() OVER (PARTITION BY doc_id ORDER BY step DESC) AS rn
        |  FROM enc
+       |), encoded AS (
+       |  SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_tokens_before,
+       |         CAST(len(string_split(f.s, chr(1) || chr(1))) - 2 AS INT) AS n_tokens_after,
+       |         md5(f.s) AS enc_md5
+       |  FROM w JOIN fin f ON w.doc_id = f.doc_id AND f.rn = 1
+       |)""".stripMargin
+
+  def bpeEncodeSql(k: Int = 8): String =
+    s"""WITH RECURSIVE ${bpeEncodeCtes(k)}
+       |SELECT doc_id, n_tokens_before, n_tokens_after, enc_md5
+       |FROM encoded""".stripMargin
+
+  /** Per-language tokenizer parity report — the fairness/efficiency QA a
+    * tokenizer drop ships with (fertility disparities across languages
+    * are a documented failure mode of shared multilingual vocabularies):
+    * per `lang`, word and post-merge token totals, the realized
+    * compression (tokens per word — merges only fuse, so ≤ 1; a language
+    * the merge table under-serves compresses less), and normalized chars
+    * per token. Ratios land on a DECIMAL(12,6) grid; everything else is
+    * exact integer sums. Cost: the [[bpeEncode]] projection (narrow, no
+    * shuffle) + one lang-grain aggregate.
+    */
+  def fertility(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      length(TextMetrics.normalized(col("text"))).cast("long").as("nc"))
+    bpeEncode(spark, dir, k).join(docs, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens_before").cast("long")).as("n_words"),
+        sum(col("n_tokens_after").cast("long")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words"))
+          .cast("decimal(12,6)").as("tokens_per_word"),
+        (col("n_chars").cast("double") / col("n_tokens"))
+          .cast("decimal(12,6)").as("chars_per_token"))
+  }
+
+  def fertilitySql(k: Int = 8): String =
+    s"""WITH RECURSIVE ${bpeEncodeCtes(k)}, d AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) AS nc
+       |  FROM documents
+       |), j AS (
+       |  SELECT d.lang, e.n_tokens_before, e.n_tokens_after, d.nc
+       |  FROM encoded e JOIN d USING (doc_id)
        |)
-       |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_tokens_before,
-       |       CAST(len(string_split(f.s, chr(1) || chr(1))) - 2 AS INT) AS n_tokens_after,
-       |       md5(f.s) AS enc_md5
-       |FROM w JOIN fin f ON w.doc_id = f.doc_id AND f.rn = 1""".stripMargin
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_tokens_before) AS BIGINT) AS n_words,
+       |       CAST(SUM(n_tokens_after) AS BIGINT) AS n_tokens,
+       |       CAST(CAST(CAST(SUM(n_tokens_after) AS DOUBLE) / SUM(n_tokens_before) AS DECIMAL(12,6)) AS DOUBLE) AS tokens_per_word,
+       |       CAST(CAST(CAST(SUM(nc) AS DOUBLE) / SUM(n_tokens_after) AS DECIMAL(12,6)) AS DOUBLE) AS chars_per_token
+       |FROM j GROUP BY 1""".stripMargin
 
   /** True iterative BPE training over any documents-shaped frame: `iters`
     * rounds of (count adjacent pairs on the CURRENT sequences → merge the

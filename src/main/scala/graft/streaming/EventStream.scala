@@ -777,4 +777,79 @@ object EventStream extends Serializable {
     """SELECT user_id, COUNT(*) AS n_events,
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1""".stripMargin
+
+  /** Fold one micro-batch's HLL register deltas into versioned state by
+    * element-wise MAX — the streaming materialization of the sketch's
+    * algebraic merge ([[graft.ops.Sketch.hllOf]]). State size is bounded
+    * at days × 2^b registers no matter how long the stream runs — the
+    * property that makes sketches THE answer to streaming distinct
+    * counts (exact streaming distinct state grows with key cardinality,
+    * cf. the externalized fingerprint table in
+    * [[DocStream.dedupBatch]]). Max-merge is idempotent per key, so a
+    * replayed batch could not corrupt state even without the batchId
+    * guard — the guard still applies, as for every sink sharing
+    * [[VersionedState]].
+    */
+  private[graft] def hllBatch(spark: SparkSession,
+                              base: org.apache.hadoop.fs.Path,
+                              batch: DataFrame, batchId: Long): Unit =
+    VersionedState.fold(spark, base, batchId) { prev =>
+      val delta = graft.ops.Sketch.dayRegisters(graft.ops.Sketch.dayHashes(
+        batch.select(to_date(timestamp_micros(col("ts"))).as("event_date"),
+          col("user_id"))))
+      prev.fold(delta)(p => p.unionByName(delta)
+        .groupBy("event_date", "reg").agg(max("mj").as("mj")))
+    }
+
+  /** The three-file input streamed one file per trigger through the HLL
+    * register fold; after replaying the final batch (state must hold
+    * still), the folded registers are rolled up to the per-day +
+    * whole-range estimates. The oracle is the BATCH sketch SQL verbatim
+    * ([[graft.ops.Sketch.hllDistinctUsersSql]]): arrival order, batch
+    * boundaries, and the streaming machinery must all be invisible in
+    * the estimates — the definition of a mergeable sketch. (The exact
+    * ground-truth columns beside the estimates come from the static
+    * table, as in the batch query; only the registers are streamed
+    * state.)
+    */
+  def hllStreamCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_hll", dir, "stream_hll") {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = incrementalInput(spark, dir)
+      val tmpBase = java.nio.file.Files
+        .createTempDirectory("graft_stream_hll").toFile
+      tmpBase.deleteOnExit()
+      val state = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "state")
+      val ck = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "ck")
+      val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(state)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          hllBatch(spark, state, batch, batchId)
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def committed(): Long = {
+        val s = fs.open(new org.apache.hadoop.fs.Path(state, "_committed"))
+        try s.readLong() finally s.close()
+      }
+      val lastId = committed()
+      val versions = fs.listStatus(state).count(_.getPath.getName.startsWith("v"))
+      val lastFile = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+        .sortBy(_.getModificationTime).last.getPath
+      hllBatch(spark, state, spark.read.schema(schema).parquet(lastFile.toString), lastId)
+      require(committed() == lastId &&
+        fs.listStatus(state).count(_.getPath.getName.startsWith("v")) == versions,
+        "replayed batch mutated the register state")
+      val reg = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(state, s"v$lastId").toString)
+      val dh = graft.ops.Sketch.dayHashes(graft.Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("event_date"), col("user_id")))
+      graft.ops.Sketch.hllEstimates(reg, dh)
+    }
 }

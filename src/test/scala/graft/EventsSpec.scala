@@ -216,6 +216,14 @@ class EventsSpec extends SparkSpec {
       collapsed.exceptAll(rows).count() === 0)
   }
 
+  test("streaming hll register fold equals the batch sketch exactly") {
+    val streamed = graft.streaming.EventStream.hllStreamCheck(spark, sf0001)
+    val batch = graft.ops.Sketch.hllDistinctUsers(spark, sf0001)
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "stream-folded registers diverged from the batch sketch")
+  }
+
   test("dashboard text rendering includes all five sections") {
     val out = graft.dq.Dashboard.render(spark, sf0001)
     assert(out.contains("Total checks:"))

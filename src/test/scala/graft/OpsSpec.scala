@@ -779,6 +779,38 @@ class OpsSpec extends SparkSpec {
       first.getAs[java.math.BigDecimal]("pmi").doubleValue) < 1e-4)
   }
 
+  test("fertility: compression <= 1, totals conserve vs the encode pass") {
+    import graft.ops.TextPrep
+    val f = TextPrep.fertility(spark, sf0001).cache()
+    assert(f.count() > 0)
+    // merges only fuse: per-lang token count never exceeds word count
+    assert(f.filter(col("n_tokens") > col("n_words")).count() === 0)
+    // totals reconcile against the per-doc encode output
+    val enc = TextPrep.bpeEncode(spark, sf0001)
+      .agg(sum(col("n_tokens_before").cast("long")).as("w"),
+        sum(col("n_tokens_after").cast("long")).as("t")).head()
+    val agg = f.agg(sum("n_words"), sum("n_tokens")).head()
+    assert(agg.getLong(0) === enc.getAs[Long]("w"))
+    assert(agg.getLong(1) === enc.getAs[Long]("t"))
+  }
+
+  test("zorder bounds both dimensions; single-key sort leaves one at full width") {
+    val rep = graft.ops.Layout.zorderReport(spark, "/root/testdata/sf0.01").cache()
+    def avgSpan(layout: String, c: String): Double =
+      rep.filter(col("layout") === layout)
+        .agg(avg(col(c).cast("double"))).head().getDouble(0)
+    // the single-key layout nails its own key...
+    assert(avgSpan("user_sort", "user_span") < avgSpan("zorder", "user_span"))
+    // ...but leaves the day dimension unpruned; z-order bounds it
+    assert(avgSpan("zorder", "day_span") < avgSpan("user_sort", "day_span") / 2,
+      s"zorder day span ${avgSpan("zorder", "day_span")} vs " +
+        s"user_sort ${avgSpan("user_sort", "day_span")}")
+    // row conservation per layout
+    val tot = Tables.events(spark, "/root/testdata/sf0.01").count()
+    assert(rep.groupBy("layout").agg(sum("n_rows").as("n")).filter(col("n") =!= tot)
+      .count() === 0)
+  }
+
   test("curriculum select fills each source budget best-first, no gaps") {
     import spark.implicits._
     val sel = graft.ops.Curriculum.select(spark, sf0001).cache()

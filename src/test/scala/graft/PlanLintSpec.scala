@@ -11,7 +11,7 @@ class PlanLintSpec extends SparkSpec {
   // run work inside their builders (streams / reload writes) — their plan
   // shape is covered by their own specs
   private val eager = Set("stream_hourly", "stream_dedup", "stream_sessions",
-    "stream_enrich", "stream_join", "stream_upsert", "silver_reloaded",
+    "stream_enrich", "stream_join", "stream_upsert", "stream_hll", "silver_reloaded",
     "dq_reloaded", "export_reconcile", "io_formats", "compact_roundtrip")
 
   /** Deliberate nested-loop plans, all with a provably-small broadcast
@@ -34,6 +34,7 @@ class PlanLintSpec extends SparkSpec {
     "events_kmv", // ONE-ROW global count × ONE-ROW merged-sketch k-th min
     "events_cms", // ONE-ROW event total × the point-estimate rows
     "text_pmi", // ONE-ROW unigram/bigram totals × the frequent-pair set
+    "zorder_layout", // ONE-ROW exact min/max bounds × the key stream
     "lm_score", // ONE-ROW (n_tokens, vocab) totals × the bigram stream
     "heavy_hitters", // ONE-ROW global count × the candidate exact counts
     "events_psi", // ONE-ROW time midpoint + ONE-ROW period totals
