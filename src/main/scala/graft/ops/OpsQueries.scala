@@ -259,6 +259,9 @@ object OpsQueries {
     // z-order vs single-key layout: per-file (user × day) footprints —
     // the multi-column data-skipping comparison an OPTIMIZE would publish
     "zorder_layout" -> ((s, dir) => Layout.zorderReport(s, dir)),
+    // maximal duplicated substring spans (positional anchors + interval
+    // merge — the suffix-array dedup signal, reformulated to shard)
+    "dedup_substring" -> ((s, dir) => SubstringDedup.report(s, dir)),
     // Bloom-prefiltered decontamination (exact result; Bloom is invisible)
     "contamination_bloom" -> ((s, dir) => Contamination.flaggedViaBloom(s, dir)),
     "emb_quantize" -> ((s, dir) => TextPrep.quantize(s, dir)),
@@ -405,6 +408,7 @@ object OpsQueries {
     "text_pmi" -> TextPrep.pmiSql(),
     "bpe_fertility" -> TextPrep.fertilitySql(),
     "zorder_layout" -> Layout.zorderReportSql(),
+    "dedup_substring" -> SubstringDedup.reportSql,
     "curriculum_select" -> Curriculum.selectSql,
     "contamination_bloom" -> Contamination.flaggedSql,
     "emb_quantize" -> TextPrep.quantizeSql,

@@ -794,6 +794,33 @@ class OpsSpec extends SparkSpec {
     assert(agg.getLong(1) === enc.getAs[Long]("t"))
   }
 
+  test("substring spans: bounds hold on the corpus, exact on a planted fixture") {
+    val rep = graft.ops.SubstringDedup.report(spark, "/root/testdata/sf0.01").cache()
+    assert(rep.count() > 0)
+    // a span never exceeds the doc, and every span carries >= n words
+    assert(rep.filter(col("dup_words") > col("n_words")).count() === 0)
+    assert(rep.filter(col("dup_words") <
+      col("n_spans") * graft.ops.SubstringDedup.n).count() === 0)
+
+    // planted fixture (n = 5): A and B share the 7-word run "c1..c7"
+    // (anchors at 3 consecutive positions -> ONE merged 7-word span in
+    // each); C repeats its own 5-word run "r1..r5" at two offsets with a
+    // 3-word gap -> intervals [0,4] and [8,12] stay SEPARATE islands;
+    // D shares nothing and must not appear.
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "a1 a2 c1 c2 c3 c4 c5 c6 c7 a3 a4"), // 11 words, span 7
+      (2L, "c1 c2 c3 c4 c5 c6 c7 b1 b2"), // 9 words, span 7
+      (3L, "r1 r2 r3 r4 r5 g1 g2 g3 r1 r2 r3 r4 r5"), // 13 words, 2 spans of 5
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.SubstringDedup.reportOf(planted)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_spans", "dup_words").as[(Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got === Seq((1L, 11L, 1L, 7L), (2L, 9L, 1L, 7L), (3L, 13L, 2L, 10L)))
+  }
+
   test("zorder bounds both dimensions; single-key sort leaves one at full width") {
     val rep = graft.ops.Layout.zorderReport(spark, "/root/testdata/sf0.01").cache()
     def avgSpan(layout: String, c: String): Double =
