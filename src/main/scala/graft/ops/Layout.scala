@@ -71,14 +71,15 @@ object Layout {
     val tagged = withB.select(col("u"), col("d"),
       (z * files / zmax).cast("int").as("zfile"),
       (col("un") * files / grid).cast("int").as("ufile"))
-    def perFile(fileCol: String, layout: String): DataFrame =
-      tagged.groupBy(col(fileCol).as("file_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          (max("u") - min("u")).as("user_span"),
-          (max("d") - min("d")).as("day_span"))
-        .select(lit(layout).as("layout"), col("file_id"), col("n_rows"),
-          col("user_span"), col("day_span"))
-    perFile("ufile", "user_sort").unionByName(perFile("zfile", "zorder"))
+    // one scan for both layouts: tag-explode each row into its two
+    // (layout, file) memberships, then a single grouped aggregate
+    tagged.select(col("u"), col("d"), explode(array(
+        struct(lit("user_sort").as("layout"), col("ufile").as("file_id")),
+        struct(lit("zorder").as("layout"), col("zfile").as("file_id")))).as("lf"))
+      .groupBy(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        (max("u") - min("u")).as("user_span"),
+        (max("d") - min("d")).as("day_span"))
   }
 
   def zorderReportSql(files: Int = 16): String = {

@@ -57,15 +57,21 @@ object SubstringDedup {
         .as(Seq("pos", "gram")))
 
   def report(spark: SparkSession, dir: String): DataFrame =
-    reportOf(Tables.documents(spark, dir))
+    // memoize the positional-anchor frame: reportOf consumes it on BOTH
+    // sides of the hot-gram join (the count and the join-back) —
+    // unmemoized, each branch re-runs the scan + explode
+    reportOf(graft.Memo(spark, "substring_anchors", dir, "substring_anchors") {
+      anchors(Tables.documents(spark, dir))
+    }, Tables.documents(spark, dir))
 
   /** Per-document duplicated-span audit over any documents-shaped frame:
     * (doc_id, n_words, n_spans, dup_words, dup_frac) for documents
     * carrying at least one span. The spec drives this with a planted
     * fixture whose maximal spans are hand-computable.
     */
-  def reportOf(docs: DataFrame): DataFrame = {
-    val a = anchors(docs)
+  def reportOf(docs: DataFrame): DataFrame = reportOf(anchors(docs), docs)
+
+  private def reportOf(a: DataFrame, docs: DataFrame): DataFrame = {
     val hot = a.groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("gram")
     val covered = a.join(hot, "gram").select(col("doc_id"), col("pos"))
