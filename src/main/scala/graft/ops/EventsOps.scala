@@ -102,6 +102,56 @@ object EventsOps {
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("session_value"))
   }
 
+  /** Ordered per-session trajectory assembly — the shape behavioral /
+    * agent training data ships in: each session becomes ONE example
+    * whose payload is the exact time-ordered action sequence. The
+    * sessionization is [[sessions]]' flagging verbatim; the assembly is
+    * `collect_list(struct(ts, event_id, type))` + `array_sort` — the
+    * collect order is partition-nondeterministic, the sort (total key:
+    * ts then unique event_id) makes the result exact, which is the only
+    * safe way to build ordered sequences in a distributed groupBy.
+    * State per group is one session's events (time-gap-bounded), never
+    * a user's history. One window pass + one grouped assembly.
+    */
+  def trajectories(spark: SparkSession, dir: String,
+                   gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seq = transform(
+      array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+      s => s.getField("event_type"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(" ", seq).as("trajectory"))
+  }
+
+  def trajectoriesSql(gapMinutes: Int = 30): String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL
+       |                   OR date_diff('second', prev_ts, ts) > ${gapMinutes * 60}
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM lagged
+       |), numbered AS (
+       |  SELECT *, SUM(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged
+       |)
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |       CAST(COUNT(*) AS BIGINT) AS n_events,
+       |       string_agg(event_type, ' ' ORDER BY ts, event_id) AS trajectory
+       |FROM numbered GROUP BY 1, 2""".stripMargin
+
   /** O2-style top-k: highest-value users (deterministic tiebreak). */
   def topUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.events(spark, dir)

@@ -145,6 +145,9 @@ object OpsQueries {
     // state+delta partial-agg merge == the one-pass rollup (MV maintenance)
     "events_daily_incremental" -> ((s, dir) => EventsOps.dailyIncremental(s, dir)),
     "events_sessions" -> ((s, dir) => EventsOps.sessions(s, dir)),
+    // ordered per-session action sequences — behavioral/agent training
+    // examples assembled with a deterministic distributed sort
+    "events_trajectories" -> ((s, dir) => EventsOps.trajectories(s, dir)),
     "events_top_users" -> ((s, dir) => EventsOps.topUsers(s, dir)),
     "events_pivot" -> ((s, dir) => EventsOps.dailyPivot(s, dir)),
     "events_props" -> ((s, dir) => EventsOps.propsStats(s, dir)),
@@ -365,6 +368,7 @@ object OpsQueries {
     "events_daily" -> EventsOps.dailySql,
     "events_daily_incremental" -> EventsOps.dailySql,
     "events_sessions" -> EventsOps.sessionsSql(),
+    "events_trajectories" -> EventsOps.trajectoriesSql(),
     "events_top_users" -> EventsOps.topUsersSql(),
     "events_pivot" -> EventsOps.dailyPivotSql,
     "events_props" -> EventsOps.propsStatsSql,

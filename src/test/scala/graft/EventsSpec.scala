@@ -216,6 +216,24 @@ class EventsSpec extends SparkSpec {
       collapsed.exceptAll(rows).count() === 0)
   }
 
+  test("trajectories: ordered assembly conserves events and matches sessions") {
+    import org.apache.spark.sql.functions._
+    val tr = EventsOps.trajectories(spark, sf0001).cache()
+    // every event lands in exactly one trajectory
+    assert(tr.agg(sum("n_events")).head().getLong(0) ===
+      Tables.events(spark, sf0001).count())
+    // the sequence length equals the session's event count
+    assert(tr.filter(size(split(col("trajectory"), " ")) =!= col("n_events"))
+      .count() === 0)
+    // (user, session) grain identical to the sessions rollup
+    val sess = EventsOps.sessions(spark, sf0001).select("user_id", "session_seq")
+    assert(tr.select("user_id", "session_seq").exceptAll(sess).count() === 0 &&
+      sess.exceptAll(tr.select("user_id", "session_seq")).count() === 0)
+    // ordering is deterministic under repartitioning
+    val again = EventsOps.trajectories(spark, sf0001)
+    assert(tr.exceptAll(again).count() === 0)
+  }
+
   test("streaming hll register fold equals the batch sketch exactly") {
     val streamed = graft.streaming.EventStream.hllStreamCheck(spark, sf0001)
     val batch = graft.ops.Sketch.hllDistinctUsers(spark, sf0001)
