@@ -66,7 +66,10 @@ object SparkEntry {
     // target, re-read, compare against the ordinary read-side oracle
     "silver_reloaded" -> ((s, dir) => graft.io.ReloadChecks.silverReloaded(s, dir)),
     "dq_reloaded" -> ((s, dir) => graft.io.ReloadChecks.dqReloaded(s, dir)),
-    "export_reconcile" -> ((s, dir) => graft.io.ReloadChecks.exportReconcile(s, dir))
+    "export_reconcile" -> ((s, dir) => graft.io.ReloadChecks.exportReconcile(s, dir)),
+    // compliance delete: rewrite-purge a user set, audit FROM the
+    // reloaded files (per-user deleted counts + purged flag)
+    "purge_users" -> ((s, dir) => graft.io.ReloadChecks.purgeUsers(s, dir))
   )
 
   // `* REPLACE`: DuckDB's project-all-but-recast — the salary/purchase
@@ -99,6 +102,7 @@ object SparkEntry {
       """ SELECT CAST(count(*) AS BIGINT) AS staged_rows,
         |        CAST(count(*) AS BIGINT) AS loaded_rows,
         |        TRUE AS reconciled
-        | FROM fact""".stripMargin)
+        | FROM fact""".stripMargin),
+    "purge_users" -> graft.io.ReloadChecks.purgeUsersSql
   )
 }

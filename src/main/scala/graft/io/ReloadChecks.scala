@@ -70,4 +70,54 @@ object ReloadChecks {
       Seq((rec.staged, rec.loaded, rec.ok))
         .toDF("staged_rows", "loaded_rows", "reconciled")
     }
+
+  /** Compliance delete (right-to-be-forgotten): purge a deterministic
+    * set of users (`user_id % mod == rem` — standing in for the DSR
+    * queue) from the events table by REWRITE — the only way to delete
+    * from immutable columnar files, and what Delta/Iceberg DELETE
+    * compiles to under the hood. The per-user audit row a DSR process
+    * must retain is computed FROM THE RELOADED FILES: `n_deleted` =
+    * count before − count remaining in the rewritten table, `purged` =
+    * zero rows remain. A writer bug that leaks or over-deletes rows
+    * diverges these numbers from the read-side oracle (which states
+    * what SHOULD have been deleted) — the same written-state proof
+    * shape as `corpus_export`/`silver_reloaded`. The driver-checked
+    * `require` additionally pins total row conservation: exactly the
+    * audited rows disappeared, nothing else.
+    *
+    * At 100 TB the rewrite is partition-pruned (only partitions holding
+    * DSR users rewrite — here the table is unpartitioned so the rewrite
+    * is full, as the smallest honest demonstration); the audit is two
+    * map-side-combined per-user counts.
+    */
+  def purgeUsers(spark: SparkSession, dir: String,
+                 mod: Int = 97, rem: Int = 13): DataFrame =
+    graft.Memo(spark, "purge_users", dir, "purge_users") {
+      val ev = graft.Tables.events(spark, dir)
+      val hit = col("user_id") % mod === rem
+      val target = tmpDir("graft_purge") + "/events"
+      ev.filter(!hit)
+        .write.mode("overwrite").parquet(target)
+      val reloaded = spark.read.parquet(target)
+
+      val before = ev.filter(hit).groupBy("user_id")
+        .agg(count(lit(1)).as("n_before"))
+      val after = reloaded.filter(hit).groupBy("user_id")
+        .agg(count(lit(1)).as("n_remaining"))
+      val audit = before.join(after, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (col("n_before") - coalesce(col("n_remaining"), lit(0L))).as("n_deleted"),
+          (coalesce(col("n_remaining"), lit(0L)) === 0L).as("purged"))
+
+      // row conservation, from the reloaded files: only the audited
+      // rows disappeared
+      val deleted = audit.agg(sum("n_deleted")).head().getLong(0)
+      require(reloaded.count() == ev.count() - deleted,
+        "purge rewrite lost or duplicated unrelated rows")
+      audit
+    }
+
+  val purgeUsersSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_deleted, TRUE AS purged
+      |FROM events WHERE user_id % 97 = 13 GROUP BY 1""".stripMargin
 }

@@ -35,6 +35,20 @@ class IngestExportSpec extends SparkSpec {
     assert(r2.ok && r2.loaded === r.loaded)
   }
 
+  test("compliance purge deletes exactly the requested users, audited from files") {
+    import org.apache.spark.sql.functions._
+    val audit = graft.io.ReloadChecks.purgeUsers(spark, sf0001).cache()
+    assert(audit.count() > 0, "fixture has no users matching the DSR predicate")
+    // every audited user fully purged, with a positive deleted count
+    assert(audit.filter(!col("purged")).count() === 0)
+    assert(audit.filter(col("n_deleted") <= 0).count() === 0)
+    // the audit covers exactly the users the predicate names
+    val expected = Tables.events(spark, sf0001)
+      .filter(col("user_id") % 97 === 13).select("user_id").distinct()
+    assert(audit.select("user_id").exceptAll(expected).count() === 0 &&
+      expected.exceptAll(audit.select("user_id")).count() === 0)
+  }
+
   test("catalog schemas match produced frames; v_dm_task queryable (S9)") {
     assert(Catalog.conforms(
       Pipeline.silver(spark, sf0001).drop(), Catalog.silverSchema))

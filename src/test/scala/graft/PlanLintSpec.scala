@@ -12,7 +12,8 @@ class PlanLintSpec extends SparkSpec {
   // shape is covered by their own specs
   private val eager = Set("stream_hourly", "stream_dedup", "stream_sessions",
     "stream_enrich", "stream_join", "stream_upsert", "stream_hll", "silver_reloaded",
-    "dq_reloaded", "export_reconcile", "io_formats", "compact_roundtrip")
+    "dq_reloaded", "export_reconcile", "purge_users", "io_formats",
+    "compact_roundtrip")
 
   /** Deliberate nested-loop plans, all with a provably-small broadcast
     * side:
