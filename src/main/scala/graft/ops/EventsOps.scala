@@ -152,6 +152,56 @@ object EventsOps {
        |       string_agg(event_type, ' ' ORDER BY ts, event_id) AS trajectory
        |FROM numbered GROUP BY 1, 2""".stripMargin
 
+  /** CDC apply — materialize the final table state from a change log
+    * (the Debezium → MERGE INTO pattern every lakehouse ingestion runs):
+    * each event is an I/U/D operation on its user's profile row
+    * (signup → insert, error → tombstone delete, anything else →
+    * update), applied in (ts, event_id) order; the final state keeps
+    * each key's LAST operation and drops tombstoned keys.
+    *
+    * The scale-relevant choice: latest-wins is computed with a
+    * map-side-combinable `max_by(payload, orderKey)` aggregate — each
+    * task reduces its split to one candidate row per key before the
+    * shuffle — NOT a row_number window, which would shuffle and sort
+    * every change. The order key (ts, event_id) is total, so the
+    * result is deterministic and the DuckDB oracle can use the readable
+    * window formulation; both must agree exactly.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val op = when(col("event_type") === "signup", "I")
+      .when(col("event_type") === "error", "D").otherwise("U")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), op.as("op"), col("value"))
+      .groupBy("user_id")
+      .agg(expr("max_by(named_struct('op', op, 'ts', ts, 'value', value)," +
+        " named_struct('ts', ts, 'eid', event_id))").as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.op") =!= "D")
+      .select(col("user_id"), col("last.op").as("last_op"),
+        col("last.ts").as("last_ts"),
+        col("last.value").cast("decimal(18,2)").as("last_value"),
+        col("n_changes"))
+  }
+
+  val cdcApplySql: String =
+    """WITH ops AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN event_type = 'signup' THEN 'I'
+      |              WHEN event_type = 'error' THEN 'D'
+      |              ELSE 'U' END AS op,
+      |         value
+      |  FROM events
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |              ORDER BY ts DESC, event_id DESC) AS rk,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM ops
+      |)
+      |SELECT user_id, op AS last_op, ts AS last_ts,
+      |       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
+      |       CAST(n_changes AS BIGINT) AS n_changes
+      |FROM ranked WHERE rk = 1 AND op != 'D'""".stripMargin
+
   /** O2-style top-k: highest-value users (deterministic tiebreak). */
   def topUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.events(spark, dir)

@@ -148,6 +148,9 @@ object OpsQueries {
     // ordered per-session action sequences — behavioral/agent training
     // examples assembled with a deterministic distributed sort
     "events_trajectories" -> ((s, dir) => EventsOps.trajectories(s, dir)),
+    // CDC apply: final state from an I/U/D change log via map-side
+    // max_by latest-wins with tombstone drop (the MERGE INTO pattern)
+    "cdc_apply" -> ((s, dir) => EventsOps.cdcApply(s, dir)),
     "events_top_users" -> ((s, dir) => EventsOps.topUsers(s, dir)),
     "events_pivot" -> ((s, dir) => EventsOps.dailyPivot(s, dir)),
     "events_props" -> ((s, dir) => EventsOps.propsStats(s, dir)),
@@ -369,6 +372,7 @@ object OpsQueries {
     "events_daily_incremental" -> EventsOps.dailySql,
     "events_sessions" -> EventsOps.sessionsSql(),
     "events_trajectories" -> EventsOps.trajectoriesSql(),
+    "cdc_apply" -> EventsOps.cdcApplySql,
     "events_top_users" -> EventsOps.topUsersSql(),
     "events_pivot" -> EventsOps.dailyPivotSql,
     "events_props" -> EventsOps.propsStatsSql,

@@ -234,6 +234,28 @@ class EventsSpec extends SparkSpec {
     assert(tr.exceptAll(again).count() === 0)
   }
 
+  test("cdc apply: latest wins, tombstones drop keys, changes conserve") {
+    import org.apache.spark.sql.functions._
+    val state = EventsOps.cdcApply(spark, sf0001).cache()
+    val ev = Tables.events(spark, sf0001)
+    // surviving keys = users whose LAST event (ts, event_id order) is
+    // not an error — recomputed via the window formulation
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val last = ev.withColumn("rk", row_number().over(byUser))
+      .filter(col("rk") === 1)
+    val expectedSurvivors = last.filter(col("event_type") =!= "error")
+      .select("user_id")
+    assert(state.select("user_id").exceptAll(expectedSurvivors).count() === 0 &&
+      expectedSurvivors.exceptAll(state.select("user_id")).count() === 0)
+    // tombstoned keys really are absent
+    val tombstoned = last.filter(col("event_type") === "error").count()
+    assert(tombstoned > 0, "fixture produced no tombstoned users")
+    // n_changes sums to the change-log rows for surviving users
+    val expectedChanges = ev.join(expectedSurvivors.distinct(), "user_id").count()
+    assert(state.agg(sum("n_changes")).head().getLong(0) === expectedChanges)
+  }
+
   test("streaming hll register fold equals the batch sketch exactly") {
     val streamed = graft.streaming.EventStream.hllStreamCheck(spark, sf0001)
     val batch = graft.ops.Sketch.hllDistinctUsers(spark, sf0001)
