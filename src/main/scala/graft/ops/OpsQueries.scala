@@ -217,6 +217,10 @@ object OpsQueries {
     // versioned-state sink; the oracle is the BATCH sketch SQL verbatim
     "stream_hll" -> ((s, dir) =>
       graft.streaming.EventStream.hllStreamCheck(s, dir)),
+    // streaming CDC: latest-wins fold with in-state tombstones; oracle
+    // is the BATCH cdc_apply SQL verbatim
+    "stream_cdc" -> ((s, dir) =>
+      graft.streaming.EventStream.cdcStreamCheck(s, dir)),
     // multimodal: mm_features/mm_resize decode REAL BMP payloads with
     // javax.imageio and emit pixel stats the oracle recomputes
     // analytically from the planted pattern; mm_media/mm_frames are the
@@ -406,6 +410,8 @@ object OpsQueries {
     "stream_upsert" -> graft.streaming.EventStream.upsertCheckSql,
     // identical to events_hll's oracle: the streamed fold must be invisible
     "stream_hll" -> Sketch.hllDistinctUsersSql(),
+    // identical to cdc_apply's oracle: the streamed fold must be invisible
+    "stream_cdc" -> EventsOps.cdcApplySql,
     "text_chunks" -> TextPrep.chunksSql(),
     "text_vocab" -> TextPrep.vocabularySql(),
     "text_tfidf" -> TextPrep.tfIdfSql(),

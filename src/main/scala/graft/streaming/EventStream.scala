@@ -778,6 +778,100 @@ object EventStream extends Serializable {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Fold one micro-batch's change-log rows into CDC state by
+    * latest-wins merge: the batch reduces to one candidate per key with
+    * the same map-side `max_by` as [[graft.ops.EventsOps.cdcApply]],
+    * then a keyed full-outer join against state keeps whichever side's
+    * (ts, event_id) order key is larger, summing the change counts.
+    * Tombstones STAY in state (a 'D' must keep winning over earlier
+    * U/I rows replayed or arriving late) and are dropped only at read
+    * time — the standard compaction rule for log-structured merge.
+    * State is O(keys); per batch one batch aggregate + one state-sized
+    * join.
+    */
+  private[graft] def cdcBatch(spark: SparkSession,
+                              base: org.apache.hadoop.fs.Path,
+                              batch: DataFrame, batchId: Long): Unit =
+    VersionedState.fold(spark, base, batchId) { prev =>
+      val op = when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D").otherwise("U")
+      val delta = batch
+        .withColumn("ts", timestamp_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("ts"), op.as("op"), col("value"))
+        .groupBy("user_id")
+        .agg(expr("max_by(named_struct('op', op, 'ts', ts, 'value', value," +
+          " 'eid', event_id), named_struct('ts', ts, 'eid', event_id))").as("last"),
+          count(lit(1)).as("n_changes"))
+        .select(col("user_id"), col("last.op").as("op"), col("last.ts").as("ts"),
+          col("last.value").as("value"), col("last.eid").as("eid"),
+          col("n_changes"))
+      prev.fold(delta) { p =>
+        val pr = p.select(col("user_id"), struct(col("op"), col("ts"),
+          col("value"), col("eid")).as("pl"), col("n_changes").as("pn"))
+        val dr = delta.select(col("user_id"), struct(col("op"), col("ts"),
+          col("value"), col("eid")).as("dl"), col("n_changes").as("dn"))
+        pr.join(dr, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            when(col("dl").isNull, col("pl"))
+              .when(col("pl").isNull, col("dl"))
+              .when(struct(col("dl.ts"), col("dl.eid")) >
+                struct(col("pl.ts"), col("pl.eid")), col("dl"))
+              .otherwise(col("pl")).as("w"),
+            (coalesce(col("pn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_changes"))
+          .select(col("user_id"), col("w.op").as("op"), col("w.ts").as("ts"),
+            col("w.value").as("value"), col("w.eid").as("eid"), col("n_changes"))
+      }
+    }
+
+  /** The three-file input streamed one file per trigger through the CDC
+    * fold; the late file still merges (its rows carry older order keys,
+    * so they only win where state has nothing newer — exactly
+    * latest-wins). After replaying the final batch (state must hold
+    * still), tombstoned keys are dropped at read time and the state
+    * must equal the BATCH [[graft.ops.EventsOps.cdcApplySql]] oracle
+    * verbatim — arrival order and batch boundaries invisible.
+    */
+  def cdcStreamCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_cdc", dir, "stream_cdc") {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = incrementalInput(spark, dir)
+      val tmpBase = java.nio.file.Files
+        .createTempDirectory("graft_stream_cdc").toFile
+      tmpBase.deleteOnExit()
+      val state = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "state")
+      val ck = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "ck")
+      val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(state)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          cdcBatch(spark, state, batch, batchId)
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def committed(): Long = {
+        val s = fs.open(new org.apache.hadoop.fs.Path(state, "_committed"))
+        try s.readLong() finally s.close()
+      }
+      val lastId = committed()
+      val versions = fs.listStatus(state).count(_.getPath.getName.startsWith("v"))
+      val lastFile = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+        .sortBy(_.getModificationTime).last.getPath
+      cdcBatch(spark, state, spark.read.schema(schema).parquet(lastFile.toString), lastId)
+      require(committed() == lastId &&
+        fs.listStatus(state).count(_.getPath.getName.startsWith("v")) == versions,
+        "replayed batch mutated the CDC state")
+      spark.read.parquet(new org.apache.hadoop.fs.Path(state, s"v$lastId").toString)
+        .filter(col("op") =!= "D")
+        .select(col("user_id"), col("op").as("last_op"), col("ts").as("last_ts"),
+          col("value").cast("decimal(18,2)").as("last_value"), col("n_changes"))
+    }
+
   /** Fold one micro-batch's HLL register deltas into versioned state by
     * element-wise MAX — the streaming materialization of the sketch's
     * algebraic merge ([[graft.ops.Sketch.hllOf]]). State size is bounded

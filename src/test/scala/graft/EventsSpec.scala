@@ -256,6 +256,14 @@ class EventsSpec extends SparkSpec {
     assert(state.agg(sum("n_changes")).head().getLong(0) === expectedChanges)
   }
 
+  test("streaming cdc fold equals the batch apply exactly") {
+    val streamed = graft.streaming.EventStream.cdcStreamCheck(spark, sf0001)
+    val batch = EventsOps.cdcApply(spark, sf0001)
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "stream-folded CDC state diverged from the batch apply")
+  }
+
   test("streaming hll register fold equals the batch sketch exactly") {
     val streamed = graft.streaming.EventStream.hllStreamCheck(spark, sf0001)
     val batch = graft.ops.Sketch.hllDistinctUsers(spark, sf0001)

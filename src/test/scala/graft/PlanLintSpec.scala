@@ -11,7 +11,8 @@ class PlanLintSpec extends SparkSpec {
   // run work inside their builders (streams / reload writes) — their plan
   // shape is covered by their own specs
   private val eager = Set("stream_hourly", "stream_dedup", "stream_sessions",
-    "stream_enrich", "stream_join", "stream_upsert", "stream_hll", "silver_reloaded",
+    "stream_enrich", "stream_join", "stream_upsert", "stream_hll",
+    "stream_cdc", "silver_reloaded",
     "dq_reloaded", "export_reconcile", "purge_users", "io_formats",
     "compact_roundtrip")
 
