@@ -113,6 +113,9 @@ object OpsQueries {
       Similarity.semDedup(s, dir, threshold = 0.8, corpus = Featurize.corpus)),
     // retrieval quality: recall@10 of both approximate paths vs brute force
     "ann_recall" -> ((s, dir) => Recall.atK(s, dir)),
+    // matryoshka truncation recall: how much neighborhood structure
+    // each prefix width retains vs the full-dimension truth
+    "emb_matryoshka" -> ((s, dir) => Recall.matryoshka(s, dir)),
     // product quantization: 4-bit codes per subspace, ADC top-k, recall
     "pq_codes" -> ((s, dir) => Pq.codes(s, dir)),
     "pq_topk" -> ((s, dir) => Pq.topK(s, dir)),
@@ -357,6 +360,7 @@ object OpsQueries {
     "dedup_semantic_derived" ->
       Similarity.semDedupSqlFor(0.8, Featurize.corpus.embCte, "documents"),
     "ann_recall" -> Recall.atKSql(),
+    "emb_matryoshka" -> Recall.matryoshkaSql(),
     "pq_codes" -> Pq.codesSql,
     "pq_topk" -> Pq.topKSql(),
     "pq_recall" -> Recall.pqAtKSql(),

@@ -70,6 +70,89 @@ object Recall {
           "ivfpq", k))
   }
 
+  /** Matryoshka truncation recall (Kusupati et al., NeurIPS'22 — MRL;
+    * public technique): recall@k of exact search over PREFIX-TRUNCATED
+    * vectors against the full-dimension truth, per truncation width.
+    * This is the measurement behind the modern embedding-serving trade
+    * (store/search the first d dims, rerank with the full vector): it
+    * quantifies how much neighborhood structure each prefix width
+    * retains. On matryoshka-TRAINED embeddings the curve stays high;
+    * on the isotropic fixture it decays toward d/dim — either way the
+    * dial is measured, not assumed. Same per-query + overall output
+    * shape as [[atK]]; cost is queries × corpus per width, bounded by
+    * the measurement sample cap like every truth pass here.
+    */
+  def matryoshka(spark: SparkSession, dir: String, k: Int = 10,
+                 queryMod: Int = 50,
+                 dims: Seq[Int] = Seq(32, 16, 8)): DataFrame = {
+    val truth = Similarity.bruteForceTopK(spark, dir, k, queryMod)
+      .select(col("query_id"), col("neighbor_id"))
+    dims.map(d => hitsOf(truth, truncTopK(spark, dir, d, k, queryMod),
+        s"dim_$d", k))
+      .reduce(_ unionByName _)
+  }
+
+  /** Exact top-k over the first `d` vector components, renormalized;
+    * zero-prefix vectors are excluded on both sides (unrankable).
+    */
+  private def truncTopK(spark: SparkSession, dir: String, d: Int,
+                        k: Int, queryMod: Int): DataFrame = {
+    val dot2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val base = Similarity.normalized(spark, dir)
+      .select(col("vec_id"), slice(col("v"), 1, d).as("vd"))
+      .withColumn("nd", sqrt(dot2(col("vd"), col("vd"))))
+      .filter(col("nd") > 0)
+    val q = broadcast(base.filter(AnnParams.queryPred(queryMod))
+      .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("nd").as("qn")))
+    val cos = (dot2(col("qv"), col("vd")) / (col("qn") * col("nd")))
+      .cast("decimal(10,6)")
+    import org.apache.spark.sql.expressions.Window
+    q.join(base, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cosine_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id")
+  }
+
+  private def truncSql(d: Int, k: Int, queryMod: Int): String =
+    s"""WITH ${Similarity.normCteAs("emb")}, embd AS (
+       |  SELECT vec_id, v[1:$d] AS vd,
+       |         sqrt(list_dot_product(v[1:$d], v[1:$d])) AS nd
+       |  FROM emb
+       |), q AS (
+       |  SELECT vec_id AS query_id, vd AS qv, nd AS qn
+       |  FROM embd WHERE ${AnnParams.queryPredSql(queryMod)} AND nd > 0
+       |), pairs AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         CAST(list_dot_product(q.qv, e.vd) / (q.qn * e.nd) AS DECIMAL(10,6)) AS cosine_sim
+       |  FROM q JOIN embd e ON e.vec_id != q.query_id AND e.nd > 0
+       |)
+       |SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rk
+       |  FROM pairs
+       |) WHERE rk <= $k""".stripMargin
+
+  def matryoshkaSql(k: Int = 10, queryMod: Int = 50,
+                    dims: Seq[Int] = Seq(32, 16, 8)): String = {
+    val blocks = dims.map(d => block(s"dim_$d", truncSql(d, k, queryMod)))
+      .mkString(",\n")
+    val selects = dims.map { d =>
+      s"""SELECT method, query_id, hits, CAST(hits AS DOUBLE) / $k AS recall
+         |FROM per_dim_$d
+         |UNION ALL
+         |SELECT method, query_id, hits, CAST(hits AS DOUBLE) / (nq * $k) AS recall
+         |FROM all_dim_$d""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM (${Similarity.bruteForceSql(k, queryMod)})
+       |), $blocks
+       |$selects""".stripMargin
+  }
+
   // ---------- DuckDB oracle ----------
 
   private def block(method: String, approxSql: String): String =

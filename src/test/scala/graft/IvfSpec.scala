@@ -87,6 +87,16 @@ class IvfSpec extends SparkSpec {
     assert(rep.filter(col("n_after") =!= col("n_base") + col("n_new")).count() === 0)
   }
 
+  test("matryoshka: recall in [0,1] and wider prefixes retain more") {
+    val m = Recall.matryoshka(spark, sf01).cache()
+    assert(m.filter(col("recall") < 0 || col("recall") > 1).count() === 0)
+    def overall(method: String): Double =
+      m.filter(col("query_id") === -1 && col("method") === method)
+        .select("recall").head().getDouble(0)
+    assert(overall("dim_32") > overall("dim_8"),
+      s"dim_32 ${overall("dim_32")} should beat dim_8 ${overall("dim_8")}")
+  }
+
   test("nProbe formula tracks the centroid count") {
     assert(AnnParams.nProbe(500) === (3 * AnnParams.nCentroids(500) + 3) / 4)
     // probed fraction stays ~3/4 as the corpus grows

@@ -30,6 +30,7 @@ class PlanLintSpec extends SparkSpec {
     "ivf_topk_filtered", // same probe stage: broadcast centroid cross join
     "ivf_append", // batch × broadcast √-law centroid table (assignment)
     "ann_recall", // composes ann_topk + ivf_topk, inherits their plans
+    "emb_matryoshka", // truncated brute-force truth passes, query-side broadcast
     "pq_recall", // composes the ann_topk brute-force truth
     "ivfpq_topk", // IVF probe stage broadcasts the √-law centroid table
     "dim_customer_incremental", // upsertDim crossJoins a ONE-ROW max-id
