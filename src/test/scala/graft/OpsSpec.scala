@@ -821,6 +821,50 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq((1L, 11L, 1L, 7L), (2L, 9L, 1L, 7L), (3L, 13L, 2L, 10L)))
   }
 
+  test("substring spans equal a brute-force reference on random corpora") {
+    import spark.implicits._
+    val n = graft.ops.SubstringDedup.n
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val docs = (1 to 15).map { id =>
+        val len = 3 + rnd.nextInt(28)
+        (id.toLong, Seq.fill(len)(s"t${rnd.nextInt(6)}").mkString(" "))
+      }
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val gramCount = scala.collection.mutable.Map.empty[Seq[String], Int]
+      toks.values.foreach { ws =>
+        if (ws.length >= n) (0 to ws.length - n).foreach { i =>
+          val g = ws.slice(i, i + n)
+          gramCount(g) = gramCount.getOrElse(g, 0) + 1
+        }
+      }
+      val expect = toks.flatMap { case (id, ws) =>
+        if (ws.length < n) None
+        else {
+          val covered = (0 to ws.length - n)
+            .filter(i => gramCount(ws.slice(i, i + n)) >= 2)
+          if (covered.isEmpty) None
+          else {
+            var spans = List.empty[(Int, Int)]
+            covered.foreach { p =>
+              spans match {
+                case (ps, pe) :: rest if p <= pe + 1 =>
+                  spans = (ps, math.max(pe, p + n - 1)) :: rest
+                case _ => spans = (p, p + n - 1) :: spans
+              }
+            }
+            Some((id, ws.length.toLong, spans.length.toLong,
+              spans.map { case (s, e) => e - s + 1L }.sum))
+          }
+        }
+      }.toSeq.sortBy(_._1)
+      val got = graft.ops.SubstringDedup.reportOf(docs.toDF("doc_id", "text"))
+        .orderBy("doc_id").select("doc_id", "n_words", "n_spans", "dup_words")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got === expect, s"round $round diverged from the reference")
+    }
+  }
+
   test("zorder bounds both dimensions; single-key sort leaves one at full width") {
     val rep = graft.ops.Layout.zorderReport(spark, "/root/testdata/sf0.01").cache()
     def avgSpan(layout: String, c: String): Double =
