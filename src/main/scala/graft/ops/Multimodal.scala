@@ -191,13 +191,29 @@ object Multimodal {
     * X_ok = |decoded channel mean − analytic channel mean| ≤ tolerance.
     * Dims must survive exactly; means within the DC-preservation
     * tolerance — `tol` levels for R/G, `tolChroma` for B, which rides
-    * almost entirely on the 4:2:0-subsampled, harder-quantized Cb plane
-    * (measured on the fixture: max mean errors ≈ 2.4 / 1.5 / 9.1). The
-    * spec separately proves the codec is genuinely lossy (pixel-level
-    * error nonzero) so this is not vacuously the PNG leg.
+    * almost entirely on the 4:2:0-subsampled, harder-quantized Cb plane.
+    * Tolerances are MEASURED via [[jpegErrors]] (`tools/JpegErr`) across
+    * BOTH driver SFs — max mean errors r/g/b: 2.4 / 1.5 / 9.1 at sf0.01,
+    * 4.6 / 2.7 / 10.3 at sf0.1 (the larger corpus reaches
+    * higher-frequency pattern ids, which quantize worse) — and sit above
+    * the worst observed with margin. The spec separately proves the
+    * codec is genuinely lossy (pixel-level error nonzero) so this is
+    * not vacuously the PNG leg.
     */
   def jpegCheck(spark: SparkSession, dir: String,
-                tol: Double = 4.0, tolChroma: Double = 12.0): DataFrame = {
+                tol: Double = 6.0, tolChroma: Double = 12.0): DataFrame =
+    jpegErrors(spark, dir)
+      .select(col("media_id"), col("width"), col("height"),
+        (col("r_err") <= tol).as("r_ok"),
+        (col("g_err") <= tol).as("g_ok"),
+        (col("b_err") <= tolChroma).as("b_ok"))
+
+  /** The raw per-channel |decoded mean − analytic mean| errors behind
+    * [[jpegCheck]] — exposed so the tolerance is MEASURED (the spec and
+    * the builder's calibration read these; the registered check reads
+    * the flags).
+    */
+  private[graft] def jpegErrors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     jpegTable(spark, dir).as[(Long, Array[Byte])].mapPartitions { batch =>
       batch.map { case (id, payload) =>
@@ -219,11 +235,11 @@ object Multimodal {
         }
         val n = (w * h).toDouble
         (id, w, h,
-          math.abs(rs / n - trs / n) <= tol,
-          math.abs(gs / n - tgs / n) <= tol,
-          math.abs(bs / n - tbs / n) <= tolChroma)
+          math.abs(rs / n - trs / n),
+          math.abs(gs / n - tgs / n),
+          math.abs(bs / n - tbs / n))
       }
-    }.toDF("media_id", "width", "height", "r_ok", "g_ok", "b_ok")
+    }.toDF("media_id", "width", "height", "r_err", "g_err", "b_err")
   }
 
   /** Oracle for [[jpegCheck]]: analytic dims + all-TRUE tolerance flags —
