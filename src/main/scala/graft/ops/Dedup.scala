@@ -204,6 +204,46 @@ object Dedup {
           .cast("decimal(10,6)").as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT scoring over the LSH candidate pairs —
+    * `containment(A⊆B) = |A∩B| / |A|` — the measure resemblance misses:
+    * a short document quoted wholesale inside a long one scores low
+    * Jaccard (the union is large) but containment ≈ 1, which is exactly
+    * the boilerplate-wrapping / quotation case a curation pipeline must
+    * catch (Broder's distinction, SEQUENCES'97; public technique). Both
+    * directions are reported with the exact set sizes; pairs are kept
+    * when EITHER direction crosses `threshold`.
+    *
+    * Honest recall caveat: candidates still come from resemblance-LSH
+    * bands, which under-surface extreme-containment/low-resemblance
+    * pairs (small A inside huge B agrees on few minhashes). A dedicated
+    * containment index would bucket on A's shingles alone; on this
+    * fixture's prefix-copy structure the band index does surface the
+    * contained pairs, and the verification itself is exact.
+    */
+  def containment(spark: SparkSession, dir: String,
+                  threshold: Double = 0.5): DataFrame = {
+    val pairs = candidates(spark, dir)
+    val docIds = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shCand = shingles(spark, dir).join(broadcast(docIds), Seq("doc_id"))
+    val cnt = shCand.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shCand.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(shCand.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val ni = coalesce(col("i"), lit(0L))
+    pairs.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        ni.as("n_inter"),
+        (ni.cast("double") / col("na").cast("double"))
+          .cast("decimal(10,6)").as("a_in_b"),
+        (ni.cast("double") / col("nb").cast("double"))
+          .cast("decimal(10,6)").as("b_in_a"))
+      .filter(greatest(col("a_in_b"), col("b_in_a")) >= threshold)
+  }
+
   /** Incoming-batch incremental near-dedup — the production ingestion
     * path: a new batch is checked against the EXISTING corpus's LSH band
     * index without producing any corpus↔corpus pair. The incoming slice
@@ -634,4 +674,28 @@ object Dedup {
        |JOIN sh_counts cb ON cb.doc_id = p.doc_b
        |WHERE CAST(CAST(COALESCE(i.i, 0) AS DOUBLE)
        |           / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) AS DECIMAL(10,6)) >= $threshold""".stripMargin
+
+  def containmentSql(threshold: Double = 0.5): String =
+    s"""WITH $candidatesCte, sh_counts AS (
+       |  SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY 1
+       |), pair_inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM cand_pairs p
+       |  JOIN doc_shingles a ON a.doc_id = p.doc_a
+       |  JOIN doc_shingles b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(ca.n AS BIGINT) AS na, CAST(cb.n AS BIGINT) AS nb,
+       |         CAST(COALESCE(i.i, 0) AS BIGINT) AS n_inter,
+       |         CAST(CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(ca.n AS DOUBLE) AS DECIMAL(10,6)) AS a_in_b,
+       |         CAST(CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(cb.n AS DOUBLE) AS DECIMAL(10,6)) AS b_in_a
+       |  FROM cand_pairs p
+       |  LEFT JOIN pair_inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+       |  JOIN sh_counts ca ON ca.doc_id = p.doc_a
+       |  JOIN sh_counts cb ON cb.doc_id = p.doc_b
+       |)
+       |SELECT doc_a, doc_b, na, nb, n_inter,
+       |       CAST(a_in_b AS DOUBLE) AS a_in_b, CAST(b_in_a AS DOUBLE) AS b_in_a
+       |FROM scored WHERE GREATEST(a_in_b, b_in_a) >= $threshold""".stripMargin
 }

@@ -86,6 +86,9 @@ object OpsQueries {
     "dedup_lsh_bands" -> ((s, dir) => Dedup.bands(s, dir)),
     "dedup_candidates" -> ((s, dir) => Dedup.candidates(s, dir)),
     "dedup_neardups" -> ((s, dir) => Dedup.nearDups(s, dir)),
+    // asymmetric containment |A∩B|/|A| over the candidate pairs — the
+    // quoted-inside/boilerplate-wrapping case resemblance misses
+    "dedup_containment" -> ((s, dir) => Dedup.containment(s, dir)),
     // incoming batch vs corpus band index: no corpus-corpus pairs
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalNearDups(s, dir)),
     // train/val/test leakage audit over near-dup pairs
@@ -327,6 +330,7 @@ object OpsQueries {
     "dedup_lsh_bands" -> Dedup.bandsSql,
     "dedup_candidates" -> Dedup.candidatesSql,
     "dedup_neardups" -> Dedup.nearDupsOutSql(0.5),
+    "dedup_containment" -> Dedup.containmentSql(),
     "dedup_incremental" -> Dedup.incrementalSql(0.5),
     "split_leakage" -> Dedup.splitLeakageSql(0.5),
     "dedup_multisignal" -> Dedup.multiSignalSql(0.5),

@@ -821,6 +821,29 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq((1L, 11L, 1L, 7L), (2L, 9L, 1L, 7L), (3L, 13L, 2L, 10L)))
   }
 
+  test("containment: bounds, asymmetry caught on a planted quoted-inside pair") {
+    import spark.implicits._
+    val got = graft.ops.Dedup.containment(spark, "/root/testdata/sf0.01").cache()
+    assert(got.count() > 0)
+    // containment dominates jaccard and is a valid fraction
+    assert(got.filter(col("a_in_b") > 1.0 || col("b_in_a") > 1.0 ||
+      col("n_inter") > least(col("na"), col("nb"))).count() === 0)
+    // planted: doc 2 wraps doc 1's full text in heavy boilerplate —
+    // low resemblance, containment(1 in 2) == 1
+    val core = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val wrap = (1 to 40).map(i => s"b$i").mkString(" ")
+    val planted = Seq((1L, core), (2L, s"$wrap $core $wrap")).toDF("doc_id", "text")
+    val sh = graft.ops.Dedup.shinglesFrom(planted)
+    val pair = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val j = graft.ops.Dedup.verifiedJaccardFrom(sh, pair).head()
+      .getAs[java.math.BigDecimal]("jaccard").doubleValue
+    assert(j < 0.2, s"planted pair should have low resemblance, got $j")
+    val na = sh.filter(col("doc_id") === 1L).count().toDouble
+    val inter = sh.filter(col("doc_id") === 1L)
+      .join(sh.filter(col("doc_id") === 2L).select("shingle"), "shingle").count()
+    assert(inter.toDouble / na === 1.0, "doc 1 should be fully contained in doc 2")
+  }
+
   test("substring spans equal a brute-force reference on random corpora") {
     import spark.implicits._
     val n = graft.ops.SubstringDedup.n
