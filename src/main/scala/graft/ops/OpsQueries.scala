@@ -15,6 +15,9 @@ object OpsQueries {
     "text_stats" -> ((s, dir) => TextMetrics.stats(s, dir)),
     "text_lang_id" -> ((s, dir) => TextMetrics.langId(s, dir)),
     "text_quality" -> ((s, dir) => TextMetrics.quality(s, dir)),
+    // source-fair quality filtering: within-source percentile from a
+    // grid-bounded histogram CDF (never a per-doc rank window)
+    "quality_calibrated" -> ((s, dir) => QualityModel.calibrated(s, dir)),
     // model-based quality filter: fixed-weight logistic over the features
     "quality_model" -> ((s, dir) => QualityModel.score(s, dir)),
     // bigram stupid-backoff LM perplexity, trained on the train split
@@ -309,6 +312,7 @@ object OpsQueries {
     "text_stats" -> TextMetrics.statsSql,
     "text_lang_id" -> TextMetrics.langIdSql,
     "text_quality" -> TextMetrics.qualitySql,
+    "quality_calibrated" -> QualityModel.calibratedSql(),
     "quality_model" -> QualityModel.scoreSql,
     "lm_score" -> LangModel.scoreSql(),
     "dedup_segments" -> SegmentDedup.reportSql(),

@@ -57,6 +57,65 @@ object QualityModel {
   /** DuckDB oracle: the same features assembled from the same CTEs as the
     * quality/repetition oracles, pushed through the identical linear form.
     */
+  /** Per-source quality calibration — source-fair filtering: a GLOBAL
+    * quality threshold guts whole low-scoring sources (different
+    * registers score differently under fixed heuristics), so production
+    * recipes threshold each document against its OWN source's
+    * distribution. Each doc gets its within-source percentile (fraction
+    * of the source scoring strictly below it) and `keep` = percentile ≥
+    * `dropFrac` — the bottom `dropFrac` of EVERY source drops, no source
+    * is wiped out.
+    *
+    * Scale shape: the percentile is NOT a per-doc rank window (a
+    * mega-source would sort all its docs in one partition). The score
+    * lands on a 10⁻⁶ grid; the CDF is computed on the (source, grid)
+    * HISTOGRAM — one map-side-combined count, then windows over ≤ 10⁶
+    * grid rows per source — and joined back. Grid-bounded, never
+    * doc-bounded.
+    */
+  def calibrated(spark: SparkSession, dir: String,
+                 dropFrac: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = TextMetrics.quality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("qg", round(col("quality_score") * 1e6).cast("long"))
+    val bySrc = Window.partitionBy("source").orderBy("qg")
+    val cdf = docs.groupBy("source", "qg").agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum("c")
+        .over(bySrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src", sum("c").over(Window.partitionBy("source")))
+      .select("source", "qg", "below", "n_src")
+    docs.join(cdf, Seq("source", "qg"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        (col("below").cast("double") / col("n_src").cast("double"))
+          .as("src_percentile"),
+        (col("below").cast("double") / col("n_src").cast("double") >= dropFrac)
+          .as("keep"))
+  }
+
+  def calibratedSql(dropFrac: Double = 0.2): String =
+    s"""WITH q AS (
+       |  ${TextMetrics.qualitySql.replace("\n", "\n  ")}
+       |), d AS (
+       |  SELECT q.doc_id, doc.source, q.quality_score,
+       |         CAST(round(q.quality_score * 1000000.0) AS BIGINT) AS qg
+       |  FROM q JOIN documents doc USING (doc_id)
+       |), hist AS (
+       |  SELECT source, qg, COUNT(*) AS c FROM d GROUP BY 1, 2
+       |), cdf AS (
+       |  SELECT source, qg,
+       |         COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY qg
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+       |         SUM(c) OVER (PARTITION BY source) AS n_src
+       |  FROM hist
+       |)
+       |SELECT d.doc_id, d.source, d.quality_score,
+       |       CAST(cdf.below AS DOUBLE) / CAST(cdf.n_src AS DOUBLE) AS src_percentile,
+       |       CAST(cdf.below AS DOUBLE) / CAST(cdf.n_src AS DOUBLE) >= $dropFrac AS keep
+       |FROM d JOIN cdf ON cdf.source = d.source AND cdf.qg = d.qg""".stripMargin
+
   def scoreSql: String = {
     val (b, wLen, wUniq, wStop, wTop, wDup) = weights
     s"""WITH q AS (

@@ -821,6 +821,29 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq((1L, 11L, 1L, 7L), (2L, 9L, 1L, 7L), (3L, 13L, 2L, 10L)))
   }
 
+  test("quality calibration: every source keeps ~top 80%, percentiles valid") {
+    val cal = graft.ops.QualityModel.calibrated(spark, "/root/testdata/sf0.01")
+      .cache()
+    assert(cal.filter(col("src_percentile") < 0 || col("src_percentile") >= 1)
+      .count() === 0)
+    // source-fairness: EVERY source keeps some docs and drops some —
+    // the property a global threshold cannot guarantee
+    val per = cal.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("kept")).cache()
+    assert(per.filter(col("kept") === 0).count() === 0)
+    assert(per.filter(col("kept") === col("n")).count() === 0)
+    // keep rate per source ~ 1 - dropFrac (ties can move it slightly)
+    assert(per.filter(col("kept").cast("double") / col("n") < 0.7 ||
+      col("kept").cast("double") / col("n") > 0.9).count() === 0)
+    // percentile is monotone in the score within a source
+    val bad = cal.as("a").join(cal.as("b"),
+      col("a.source") === col("b.source") &&
+        col("a.quality_score") < col("b.quality_score") &&
+        col("a.src_percentile") > col("b.src_percentile"))
+    assert(bad.count() === 0)
+  }
+
   test("containment: bounds, asymmetry caught on a planted quoted-inside pair") {
     import spark.implicits._
     val got = graft.ops.Dedup.containment(spark, "/root/testdata/sf0.01").cache()
