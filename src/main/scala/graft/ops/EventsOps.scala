@@ -540,4 +540,136 @@ object EventsOps {
       |SELECT '1_signup' AS step, count(*) AS n_users FROM s1
       |UNION ALL SELECT '2_click', count(*) FROM s2
       |UNION ALL SELECT '3_purchase', count(*) FROM s3""".stripMargin
+
+  /** Calendar gap-fill + forward-fill — the time-series regularization
+    * every downstream model/report needs before resampling: per
+    * event_type, a dense HOURLY spine from the type's first to last
+    * active hour (the grain at which this corpus actually has holes —
+    * ~5% of hours are silent per type), missing hours zero-filled and
+    * the hourly average value carried forward across the gap.
+    *
+    * The forward fill is the portable two-step formulation (no
+    * IGNORE NULLS dependency): a running COUNT of non-null observations
+    * assigns each gap row to the group of its most recent observation,
+    * then MAX within (type, group) recovers that observation's value —
+    * identical window semantics in both engines.
+    *
+    * Scale: the spine is |types| × |hours| (generated from a types-sized
+    * bounds aggregate, never a per-row explode of raw events); the only
+    * raw-event shuffle is the hourly aggregate; both windows partition by
+    * event_type over the hour-grain frame. Averages divide a DECIMAL sum
+    * so the doubles are bit-identical across engines.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("event_hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .withColumn("avg_v", col("sv").cast("double") / col("n"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("event_hour").as("h0"), max("event_hour").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("event_hour"))
+    val wRun = Window.partitionBy("event_type").orderBy("event_hour")
+    val filled = spine
+      .join(hourly.drop("sv"), Seq("event_type", "event_hour"), "left")
+      .select(col("event_type"), col("event_hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.as("is_gap"),
+        col("avg_v"),
+        count(col("avg_v")).over(wRun).as("obs_grp"))
+    filled
+      .withColumn("value_ffill",
+        max(col("avg_v")).over(
+          Window.partitionBy("event_type", "obs_grp")))
+      .select("event_type", "event_hour", "n_events", "is_gap", "value_ffill")
+  }
+
+  val gapFillSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS event_hour, event_type, COUNT(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT event_type,
+      |         unnest(generate_series(min(event_hour), max(event_hour),
+      |                                INTERVAL 1 HOUR)) AS event_hour
+      |  FROM hourly GROUP BY event_type
+      |), filled AS (
+      |  SELECT s.event_type, s.event_hour,
+      |         COALESCE(h.n, 0) AS n_events, h.n IS NULL AS is_gap, h.avg_v,
+      |         COUNT(h.avg_v) OVER (PARTITION BY s.event_type
+      |                              ORDER BY s.event_hour) AS obs_grp
+      |  FROM spine s LEFT JOIN hourly h USING (event_type, event_hour)
+      |)
+      |SELECT event_type, event_hour, n_events, is_gap,
+      |       MAX(avg_v) OVER (PARTITION BY event_type, obs_grp) AS value_ffill
+      |FROM filled""".stripMargin
+
+  /** Interval-union coverage per user: each event opens a fixed
+    * `holdSeconds` activity interval; overlapping intervals merge into
+    * islands (the classic sweep: a row starts a new island when its
+    * start exceeds the running max end of all earlier intervals), and
+    * the covered time is the sum of island extents — double-counting-free
+    * engagement time, the thing a naive SUM(duration) gets wrong.
+    *
+    * All arithmetic is in integer epoch MICROseconds (`unix_micros` /
+    * `epoch_us`) so sub-second timestamps cannot round apart between
+    * engines. Scale: one shuffle on user_id; both windows and the island
+    * aggregate are per-user; output is user-grain.
+    */
+  def coverage(spark: SparkSession, dir: String,
+               holdSeconds: Int = 300): DataFrame = {
+    val hold = holdSeconds * 1000000L
+    val iv = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"), col("event_id"))
+      .withColumn("e", col("s") + lit(hold))
+    val ord = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val prevMax = max(col("e")).over(
+      ord.rowsBetween(Window.unboundedPreceding, -1))
+    val isles = iv
+      .withColumn("new_island",
+        when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n"), min("s").as("st"), max("e").as("en"))
+    isles.groupBy("user_id")
+      .agg(sum("n").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("en") - col("st")).as("covered_us"))
+  }
+
+  def coverageSql(holdSeconds: Int = 300): String = {
+    val hold = holdSeconds * 1000000L
+    s"""WITH iv AS (
+       |  SELECT user_id, epoch_us(ts) AS s, event_id,
+       |         epoch_us(ts) + $hold AS e
+       |  FROM events
+       |), marked AS (
+       |  SELECT user_id, s, event_id, e,
+       |         CASE WHEN s > COALESCE(MAX(e) OVER (
+       |                PARTITION BY user_id ORDER BY s, event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                -9223372036854775808) THEN 1 ELSE 0 END AS new_island
+       |  FROM iv
+       |), isl AS (
+       |  SELECT user_id, s, e,
+       |         SUM(new_island) OVER (PARTITION BY user_id
+       |                               ORDER BY s, event_id
+       |                               ROWS BETWEEN UNBOUNDED PRECEDING
+       |                               AND CURRENT ROW) AS island
+       |  FROM marked
+       |), grouped AS (
+       |  SELECT user_id, island, COUNT(*) AS n, MIN(s) AS st, MAX(e) AS en
+       |  FROM isl GROUP BY 1, 2
+       |)
+       |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+       |       COUNT(*) AS n_islands,
+       |       CAST(SUM(en - st) AS BIGINT) AS covered_us
+       |FROM grouped GROUP BY 1""".stripMargin
+  }
 }

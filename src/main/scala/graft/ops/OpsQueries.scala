@@ -173,6 +173,14 @@ object OpsQueries {
     "events_ma" -> ((s, dir) => EventsOps.movingAvg(s, dir)),
     // DAU / trailing-28-day MAU engagement ratio (explode, not range join)
     "events_stickiness" -> ((s, dir) => EventsOps.stickiness(s, dir)),
+    // dense daily spine + zero-fill + portable forward-fill per type
+    "events_gapfill" -> ((s, dir) => EventsOps.gapFill(s, dir)),
+    // interval-union engagement time per user (island sweep, no range join)
+    "events_coverage" -> ((s, dir) => EventsOps.coverage(s, dir)),
+    // k-anonymity equivalence-class histogram at two generalization levels
+    "kanon_audit" -> ((s, dir) => Privacy.kAnonymity(s, dir)),
+    // two-tier record linkage vs a planted dirty delivery (precision known)
+    "entity_resolution" -> ((s, dir) => EntityResolution.customers(s, dir)),
     // identical semantics through the skew-safe two-phase salted plan
     "events_top_users_salted" -> ((s, dir) => Salting.topUsersSalted(s, dir)),
     // KMV distinct sketch: per-day + merged whole-range estimates
@@ -399,6 +407,10 @@ object OpsQueries {
     "events_anomaly" -> EventsOps.dailyAnomaliesSql,
     "events_ma" -> EventsOps.movingAvgSql(),
     "events_stickiness" -> EventsOps.stickinessSql(),
+    "events_gapfill" -> EventsOps.gapFillSql,
+    "events_coverage" -> EventsOps.coverageSql(),
+    "kanon_audit" -> Privacy.kAnonymitySql(),
+    "entity_resolution" -> EntityResolution.customersSql(),
     // the salted plan must produce byte-identical results to the plain one
     "events_top_users_salted" -> EventsOps.topUsersSql(),
     "events_kmv" -> Sketch.kmvDistinctUsersSql(),

@@ -37,6 +37,61 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("gap-fill: dense spine, observed hours intact, gaps carry last value") {
+    val g = EventsOps.gapFill(spark, sf0001).cache()
+    // dense spine: per type, row count == span between bounds (hours)
+    val spans = g.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        ((unix_micros(max("event_hour")) - unix_micros(min("event_hour")))
+          / lit(3600000000L) + 1).as("span"))
+    assert(spans.filter(col("n") =!= col("span")).count() === 0)
+    // real gaps exist at this grain, and every gap is zero-count
+    assert(g.filter(col("is_gap")).count() > 0)
+    assert(g.filter(col("is_gap") && col("n_events") =!= 0).count() === 0)
+    // forward fill: recompute per type in plain Scala
+    val rows = g.select(col("event_type"), col("event_hour").cast("long"),
+        col("is_gap"), col("value_ffill"))
+      .as[(String, Long, Boolean, Option[Double])].collect()
+    rows.groupBy(_._1).foreach { case (_, tr) =>
+      var last: Option[Double] = None
+      tr.sortBy(_._2).foreach { case (_, _, gap, v) =>
+        if (!gap) last = v
+        assert(v === last) // gap rows must equal the last observation
+      }
+    }
+  }
+
+  test("coverage: island union equals a brute-force interval sweep") {
+    val hold = 300000000L
+    val got = EventsOps.coverage(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    assert(got.keySet === byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val iv = rows.map(_._2).sorted.map(s => (s, s + hold))
+      // brute-force union sweep
+      var islands = 0L
+      var covered = 0L
+      var curS = 0L
+      var curE = Long.MinValue
+      iv.foreach { case (s, e) =>
+        if (s > curE) {
+          if (curE != Long.MinValue) covered += curE - curS
+          islands += 1; curS = s; curE = e
+        } else curE = math.max(curE, e)
+      }
+      covered += curE - curS
+      val (nIv, nIsl, cov) = got(u)
+      assert(nIv === iv.length.toLong)
+      assert(nIsl === islands)
+      assert(cov === covered)
+    }
+  }
+
   test("streaming hourly rollup matches the batch daily totals") {
     // file-source streams watch a directory; stage the table as one
     // arriving file (micro-batch ingestion)

@@ -1186,4 +1186,40 @@ class OpsSpec extends SparkSpec {
       .select("user_id", "cnt").as[(Long, Long)].collect().toSet
     assert(reparted === got)
   }
+
+  test("k-anonymity: class histograms conserve rows, generalization reduces risk") {
+    val a = graft.ops.Privacy.kAnonymity(spark, sf0001, k = 5).cache()
+    val nCust = Tables.customer(spark, sf0001).count()
+    // every customer lands in exactly one class at each level
+    Seq(0, 1).foreach { lvl =>
+      assert(a.filter(col("level") === lvl).agg(sum("n_rows"))
+        .head().getLong(0) === nCust)
+    }
+    // coarsening the QI set can only merge classes: rows at risk shrink
+    def atRisk(lvl: Int): Long = {
+      val r = a.filter(col("level") === lvl && col("at_risk")).agg(sum("n_rows")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    assert(atRisk(1) <= atRisk(0))
+    // the fixture's fine QI set actually has singleton classes (the
+    // audit has something to find) and the coarse one clears k=5
+    assert(atRisk(0) > 0)
+  }
+
+  test("entity resolution: tier-1 exact-key precision 1.0, tier 2 rescues the rest") {
+    val r = graft.ops.EntityResolution.customers(spark, sf0001)
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1)
+    val Array(t1, t2) = r
+    val nCust = Tables.customer(spark, sf0001).count()
+    // tier 1: every clean-digit record (custkey % 7 != 0) matches, correctly
+    assert(t1._2 === nCust)
+    assert(t1._3 === Tables.customer(spark, sf0001)
+      .filter(col("c_custkey") % 7 =!= 0).count())
+    assert(t1._4 === t1._3, "tier-1 match must be exact-precision")
+    // tier 2: the digit-corrupted residual is fully rescued, correctly
+    assert(t2._2 === nCust - t1._3)
+    assert(t2._3 === t2._2 && t2._4 === t2._3)
+    // suffix edits guarantee a strictly positive distance on tier 2
+    assert(t2._5 >= 2.0)
+  }
 }

@@ -44,6 +44,7 @@ class PlanLintSpec extends SparkSpec {
     "events_skew_report", // ONE-ROW totals × ONE-ROW top-10 aggregate
     "sample_temperature", // ONE-ROW token/normalizer totals × source grain
     "ann_label_purity", // composes the ann_topk brute-force truth
+    "entity_resolution", // ONE-ROW totals × ONE-ROW tier aggregates
     "dash_summary", "dash_by_type", "dash_trend",
     "dash_recent10", "dash_critical5")
 
