@@ -296,6 +296,10 @@ object OpsQueries {
     "text_bm25" -> ((s, dir) => TextPrep.bm25(s, dir)),
     // hybrid retrieval: BM25 ∪ derived-vector cosine fused by RRF
     "retrieval_rrf" -> ((s, dir) => Retrieval.hybridRrf(s, dir)),
+    // batch known-item eval: fixed query panel, MRR/nDCG@10 vs planted truth
+    "retrieval_eval" -> ((s, dir) => Retrieval.knownItemEval(s, dir)),
+    // main-content extraction from planted HTML boilerplate (round-trip)
+    "text_extract" -> ((s, dir) => Extract.htmlRoundtrip(s, dir)),
     // per-source cap via the native TopKPerKey operator (crawl balancing)
     "source_quota" -> ((s, dir) => Sampling.sourceQuota(s, dir)),
     // token-budget curriculum: best-first fill of per-source budgets
@@ -452,6 +456,8 @@ object OpsQueries {
     "emb_quantize" -> TextPrep.quantizeSql,
     "text_bm25" -> TextPrep.bm25Sql(),
     "retrieval_rrf" -> Retrieval.hybridRrfSql(),
+    "retrieval_eval" -> Retrieval.knownItemEvalSql(),
+    "text_extract" -> Extract.htmlRoundtripSql,
     "source_quota" -> Sampling.sourceQuotaSql(),
     "sample_stratified" -> Sampling.stratifiedDocsSql(),
     "sample_split" -> Sampling.splitSql(),

@@ -1187,6 +1187,39 @@ class OpsSpec extends SparkSpec {
     assert(reparted === got)
   }
 
+  test("html extraction round-trips hostile payloads (tags, entities, newlines)") {
+    val nasty = Seq(
+      "plain text",
+      "a < b && b > c",
+      "has a <p>fake paragraph</p> inside",
+      "entity soup &amp; &lt;pre-escaped&gt;",
+      "line one\nline two\n\ttabbed",
+      "</p></div><footer>injection attempt</footer>")
+    val df = nasty.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "srcX") }
+      .toDF("doc_id", "text", "source")
+    val out = df.select(col("text"),
+      graft.ops.Extract.extracted(
+        graft.ops.Extract.wrapped(col("text"), col("source"), col("doc_id")))
+        .as("got"))
+    assert(out.filter(col("got") =!= col("text")).count() === 0)
+  }
+
+  test("retrieval eval: panel size fixed, metric orderings hold") {
+    val r = graft.ops.Retrieval.knownItemEval(spark, sf0001)
+      .as[(Long, Long, Long, Double, Double)].head()
+    val (nq, h1, h10, mrr, ndcg) = r
+    val expected = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 19 === 3 && col("doc_id") < 500).count()
+    assert(nq === expected && nq > 0)
+    assert(h1 <= h10 && h10 <= nq)
+    // per-query 1/rank <= 1/log2(rank+1) for rank >= 1, so MRR <= nDCG;
+    // both bounded by the hit fraction
+    assert(mrr <= ndcg + 1e-12)
+    assert(ndcg <= h10.toDouble / nq + 1e-12)
+    assert(mrr >= h1.toDouble / nq - 1e-12, "each @1 hit contributes 1/n to MRR")
+  }
+
   test("k-anonymity: class histograms conserve rows, generalization reduces risk") {
     val a = graft.ops.Privacy.kAnonymity(spark, sf0001, k = 5).cache()
     val nCust = Tables.customer(spark, sf0001).count()
