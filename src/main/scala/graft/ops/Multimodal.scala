@@ -186,6 +186,177 @@ object Multimodal {
   def jpegTable(spark: SparkSession, dir: String): DataFrame =
     imageTableWith(spark, dir, Jpeg.encode)
 
+  // ---------- perceptual near-dup: planted twins + aHash banding ----------
+
+  /** media_id offset marking a planted near-dup twin of `id − offset`. */
+  val TwinOffset = 1000000L
+
+  /** Deterministic channel deltas applied to pixel (0,0) of a twin —
+    * exactly one aHash SAMPLE cell moves, so the twin's hash lands
+    * within a few bits of its base (the perturbed bit itself plus any
+    * borderline bits the mean shift tips).
+    */
+  object Twin {
+    val dr = 101; val dg = 59; val db = 37
+    def encode(id: Long): Array[Byte] = {
+      val bytes = Bmp.encode(id)
+      val w = Pattern.width(id); val h = Pattern.height(id)
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val off = 54 + rowSize * (h - 1) // pixel (0,0): last bottom-up row
+      bytes(off) = ((Pattern.b(0, 0, id) + db) % 256).toByte
+      bytes(off + 1) = ((Pattern.g(0, 0, id) + dg) % 256).toByte
+      bytes(off + 2) = ((Pattern.r(0, 0, id) + dr) % 256).toByte
+      bytes
+    }
+  }
+
+  /** The image corpus with planted near-dups: every 8th document's image
+    * appears twice — the original, and a twin (media_id + [[TwinOffset]])
+    * whose bytes differ in exactly one pixel.
+    */
+  def nearDupImageTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val base = ids.mapPartitions(_.map(id => (id, Bmp.encode(id))))
+      .toDF("media_id", "payload")
+    val twins = ids.filter(_ % 8 == 0)
+      .mapPartitions(_.map(id => (id + TwinOffset, Twin.encode(id))))
+      .toDF("media_id", "payload")
+    base.unionByName(twins)
+  }
+
+  /** Perceptual near-dup image pairs over the twin-planted corpus: aHash
+    * every payload (REAL decode), band the 64-bit hash into `nBands`
+    * 16-bit bands, candidate pairs share a band (the SimHash/MinHash LSH
+    * shape — by pigeonhole every pair within Hamming ≤ nBands−1 MUST
+    * collide on some band, so planted twins are guaranteed candidates
+    * when ≤ 3 bits moved), then verify candidates with the exact Hamming
+    * distance and keep those ≤ `maxDist`.
+    *
+    * The registered output is the PER-IMAGE neighbor summary
+    * (`n_neighbors`, `min_hamming`, `twin_found`), not the raw pair
+    * list: these synthetic gradient rasters are legitimately near-dup
+    * across ids sharing a geometry (the id term shifts all samples
+    * almost uniformly, which the mean-relative aHash bit ignores), so
+    * the true near-dup graph is DENSE within dimension classes and a
+    * pair-grain result would scale with that graph's edges; the image
+    * grain stays linear in the corpus no matter how clustered the dups.
+    *
+    * Scale: banding multiplies the hash table by nBands; the candidate
+    * join is an equi-join on (band_idx, band) whose groups are
+    * birthday-bounded (16-bit bands: expected collisions n²/2¹⁷ per
+    * band, dup-graph-sized output); the exact verify runs only on
+    * candidates. No all-pairs stage — the same discipline as the text
+    * dedup chain. Hamming is computed from four 16-bit chunks via
+    * `conv(…,2,10)` + XOR + `bit_count`, all codegen'd builtins.
+    */
+  def ahashNearDups(spark: SparkSession, dir: String,
+                    maxDist: Int = 8, nBands: Int = 4): DataFrame = {
+    val hashes = graft.Memo(spark, "mm_ahash_neardup_hashes", dir, "mm_ahash_pairs") {
+      aHashOf(spark, nearDupImageTable(spark, dir)).select("media_id", "ahash")
+    }
+    val bandW = 64 / nBands
+    val bandArr = array((0 until nBands).map(i =>
+      substring(col("ahash"), 1 + i * bandW, bandW)): _*)
+    val bands = hashes.select(col("media_id"),
+      posexplode(bandArr).as(Seq("band_idx", "band")))
+    val cand = bands.as("a").join(bands.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band") === col("b.band") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+      .distinct()
+    val withHashes = cand
+      .join(hashes.select(col("media_id").as("media_a"), col("ahash").as("ha")), "media_a")
+      .join(hashes.select(col("media_id").as("media_b"), col("ahash").as("hb")), "media_b")
+    val hamming = (0 until 4).map { i =>
+      bit_count(
+        conv(substring(col("ha"), 1 + i * 16, 16), 2, 10).cast("long")
+          .bitwiseXOR(conv(substring(col("hb"), 1 + i * 16, 16), 2, 10).cast("long")))
+    }.reduce(_ + _)
+    val pairs = withHashes
+      .select(col("media_a"), col("media_b"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+    val sym = pairs
+      .select(col("media_a").as("media_id"), col("media_b").as("nbr"), col("hamming"))
+      .unionByName(pairs
+        .select(col("media_b").as("media_id"), col("media_a").as("nbr"), col("hamming")))
+    sym.groupBy("media_id").agg(
+      count(lit(1)).as("n_neighbors"),
+      min("hamming").as("min_hamming"),
+      (max(when(abs(col("nbr") - col("media_id")) === TwinOffset, 1)
+        .otherwise(0)) === 1).as("twin_found"))
+  }
+
+  /** Oracle: both variants' hashes recomputed ANALYTICALLY from the
+    * planted pattern (twin deltas applied at sample k = 0), then the
+    * same banding, candidate join, and BIT-xor popcount verify.
+    */
+  def ahashNearDupsSql(maxDist: Int = 8, nBands: Int = 4): String = {
+    val bandW = 64 / nBands
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id, doc_id AS bid, 0 AS tw FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $TwinOffset, doc_id, 1 FROM documents WHERE doc_id % 8 = 0
+       |), dims AS (
+       |  SELECT media_id, bid, tw,
+       |         CAST(8 + bid % 13 AS INT) AS width,
+       |         CAST(8 + bid % 11 AS INT) AS height
+       |  FROM media
+       |), samp AS (
+       |  SELECT d.media_id, d.bid, d.tw,
+       |         CAST(j.j * 8 + i.i AS INT) AS k,
+       |         (d.width * i.i) // 8 AS sx,
+       |         (d.height * j.j) // 8 AS sy
+       |  FROM dims d, range(0, 8) i(i), range(0, 8) j(j)
+       |), g AS (
+       |  SELECT media_id, k,
+       |         CASE WHEN tw = 1 AND k = 0
+       |           THEN ((sx * 7 + sy * 11 + bid * 13) % 256 + ${Twin.dr}) % 256
+       |              + ((sx * 5 + sy * 3 + bid * 17) % 256 + ${Twin.dg}) % 256
+       |              + ((sx + sy + bid) % 256 + ${Twin.db}) % 256
+       |           ELSE (sx * 7 + sy * 11 + bid * 13) % 256
+       |              + (sx * 5 + sy * 3 + bid * 17) % 256
+       |              + (sx + sy + bid) % 256
+       |         END AS gray
+       |  FROM samp
+       |), t AS (
+       |  SELECT media_id, k, gray,
+       |         SUM(gray) OVER (PARTITION BY media_id) AS tot
+       |  FROM g
+       |), hashes AS (
+       |  SELECT media_id,
+       |         string_agg(CASE WHEN gray * 64 > tot THEN '1' ELSE '0' END, ''
+       |                    ORDER BY k) AS ahash
+       |  FROM t GROUP BY 1
+       |), bands AS (
+       |  SELECT media_id, CAST(b.b AS INT) AS band_idx,
+       |         substr(ahash, 1 + CAST(b.b AS INT) * $bandW, $bandW) AS band
+       |  FROM hashes, range(0, $nBands) b(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band = b.band
+       |   AND a.media_id < b.media_id
+       |), pairs AS (
+       |  SELECT media_a, media_b,
+       |         CAST(bit_count(xor(CAST(ha.ahash AS BIT), CAST(hb.ahash AS BIT)))
+       |              AS INT) AS hamming
+       |  FROM cand
+       |  JOIN hashes ha ON ha.media_id = cand.media_a
+       |  JOIN hashes hb ON hb.media_id = cand.media_b
+       |  WHERE bit_count(xor(CAST(ha.ahash AS BIT), CAST(hb.ahash AS BIT))) <= $maxDist
+       |), sym AS (
+       |  SELECT media_a AS media_id, media_b AS nbr, hamming FROM pairs
+       |  UNION ALL
+       |  SELECT media_b, media_a, hamming FROM pairs
+       |)
+       |SELECT media_id, COUNT(*) AS n_neighbors, MIN(hamming) AS min_hamming,
+       |       MAX(CASE WHEN abs(nbr - media_id) = $TwinOffset THEN 1 ELSE 0 END) = 1
+       |         AS twin_found
+       |FROM sym GROUP BY 1""".stripMargin
+  }
+
   /** Decode the JPEG payloads and bound the decoded means against the
     * planted truth: (media_id, width, height, r_ok, g_ok, b_ok) with
     * X_ok = |decoded channel mean − analytic channel mean| ≤ tolerance.

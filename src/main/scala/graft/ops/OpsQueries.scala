@@ -14,6 +14,8 @@ object OpsQueries {
     // text analysis
     "text_stats" -> ((s, dir) => TextMetrics.stats(s, dir)),
     "text_lang_id" -> ((s, dir) => TextMetrics.langId(s, dir)),
+    // langId evaluated against the labeled corpus: confusion matrix + recall
+    "lang_confusion" -> ((s, dir) => TextMetrics.langConfusion(s, dir)),
     "text_quality" -> ((s, dir) => TextMetrics.quality(s, dir)),
     // source-fair quality filtering: within-source percentile from a
     // grid-bounded histogram CDF (never a per-doc rank window)
@@ -248,6 +250,8 @@ object OpsQueries {
     "mm_resize" -> ((s, dir) => Multimodal.resizeCheck(s, dir)),
     // perceptual aHash fingerprint over the decoded raster
     "mm_ahash" -> ((s, dir) => Multimodal.imageAHash(s, dir)),
+    // perceptual near-dup pairs over twin-planted images (band LSH + verify)
+    "mm_ahash_neardups" -> ((s, dir) => Multimodal.ahashNearDups(s, dir)),
     // COMPRESSED-codec leg: the same planted raster as a real
     // deflate-compressed PNG, decoded by ImageIO's PNG reader — the
     // lossless round trip makes the analytic BMP oracles carry over
@@ -323,6 +327,7 @@ object OpsQueries {
   def oracles: Map[String, String] = Map(
     "text_stats" -> TextMetrics.statsSql,
     "text_lang_id" -> TextMetrics.langIdSql,
+    "lang_confusion" -> TextMetrics.langConfusionSql,
     "text_quality" -> TextMetrics.qualitySql,
     "quality_calibrated" -> QualityModel.calibratedSql(),
     "quality_model" -> QualityModel.scoreSql,
@@ -482,6 +487,7 @@ object OpsQueries {
     "mm_frames" -> Multimodal.framesCheckSql,
     "mm_resize" -> Multimodal.resizeCheckSql,
     "mm_ahash" -> Multimodal.aHashSql,
+    "mm_ahash_neardups" -> Multimodal.ahashNearDupsSql(),
     // lossless codec ⇒ the analytic planted-truth oracles are identical
     "mm_png_features" -> Multimodal.featuresCheckSql,
     "mm_png_ahash" -> Multimodal.aHashSql,

@@ -169,6 +169,44 @@ object TextMetrics {
       |       / NULLIF(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 0) AS avg_word_len
       |FROM documents""".stripMargin
 
+  /** Classifier-evaluation confusion matrix for [[langId]] against the
+    * corpus's labeled `lang` column: one scan re-deriving the argmax
+    * prediction (no join back to the prediction table), rolled up to
+    * (actual, predicted) cells with the within-class share — per-class
+    * recall read directly off the diagonal. Scale: one scan + a
+    * cells-sized aggregate; the share window partitions over ≤
+    * |langs|² rows.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang"), predictedLangOf(col("text")).as("predicted_lang"))
+      .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n"))
+    cells.withColumn("class_share",
+      col("n").cast("double") / sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+  }
+
+  val langConfusionSql: String = {
+    val hits = langMarkers.map { case (l, re) =>
+      s"CAST(len(regexp_extract_all(lower(text), '$re')) AS INT) AS hits_$l"
+    }.mkString(",\n  ")
+    val best = "GREATEST(hits_de, hits_en, hits_es, hits_fr)"
+    val pred = langMarkers.map { case (l, _) =>
+      s"WHEN $best > 0 AND hits_$l = $best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH h AS (
+       |  SELECT lang, $hits
+       |  FROM documents
+       |), p AS (
+       |  SELECT lang, CASE $pred ELSE 'und' END AS predicted_lang FROM h
+       |), c AS (
+       |  SELECT lang, predicted_lang, COUNT(*) AS n FROM p GROUP BY 1, 2
+       |)
+       |SELECT lang, predicted_lang, n,
+       |       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang) AS class_share
+       |FROM c""".stripMargin
+  }
+
   val langIdSql: String = {
     val hits = langMarkers.map { case (l, re) =>
       s"CAST(len(regexp_extract_all(lower(text), '$re')) AS INT) AS hits_$l"

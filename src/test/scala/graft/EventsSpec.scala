@@ -425,6 +425,38 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("perceptual near-dup: every planted twin is found, output stays image-grain") {
+    val nd = Multimodal.ahashNearDups(spark, sf0001).cache()
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id")).as[Long].collect()
+    val twins = docs.filter(_ % 8 == 0)
+    // every planted twin id reports its base as a neighbor (and vice versa):
+    // the single-pixel perturbation moves ≤ 3 hash bits on this corpus, so
+    // the pigeonhole banding guarantee applies
+    val found = nd.filter(col("twin_found"))
+      .select("media_id").as[Long].collect().toSet
+    twins.foreach { id =>
+      assert(found.contains(id), s"base $id lost its planted twin")
+      assert(found.contains(id + Multimodal.TwinOffset), s"twin of $id not matched back")
+    }
+    // image-grain output: never more rows than images
+    assert(nd.count() <= docs.length + twins.length)
+    // hamming verify actually binds: no neighbor above the default cap
+    assert(nd.filter(col("min_hamming") > 8).count() === 0)
+  }
+
+  test("language confusion matrix conserves the corpus and exposes recall") {
+    val c = graft.ops.TextMetrics.langConfusion(spark, sf0001).cache()
+    assert(c.agg(sum("n")).head().getLong(0) ===
+      Tables.documents(spark, sf0001).count())
+    // class shares sum to 1 within each actual language
+    val shares = c.groupBy("lang").agg(sum("class_share").as("s"))
+      .select("s").as[Double].collect()
+    shares.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+    // the predicted label set is drawn from the marker langs + 'und'
+    val preds = c.select("predicted_lang").distinct().as[String].collect().toSet
+    assert(preds.subsetOf(Set("de", "en", "es", "fr", "und")))
+  }
+
   test("video stats sample every other frame of the demuxed stream") {
     val v = Multimodal.videoStats(spark, sf0001).cache()
     // stride-2 sampling: only even frame indices, always including 0
