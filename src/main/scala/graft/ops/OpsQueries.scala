@@ -236,6 +236,11 @@ object OpsQueries {
     // versioned-state sink; the oracle is the BATCH sketch SQL verbatim
     "stream_hll" -> ((s, dir) =>
       graft.streaming.EventStream.hllStreamCheck(s, dir)),
+    // streaming quantile sketch: per-batch anchor summaries appended
+    // through the versioned-state sink; oracle replays the sketch at the
+    // finer (type, day, delivery) grain the stream actually folded
+    "stream_quantiles" -> ((s, dir) =>
+      graft.streaming.EventStream.quantStreamCheck(s, dir)),
     // streaming CDC: latest-wins fold with in-state tombstones; oracle
     // is the BATCH cdc_apply SQL verbatim
     "stream_cdc" -> ((s, dir) =>
@@ -443,6 +448,7 @@ object OpsQueries {
     "stream_upsert" -> graft.streaming.EventStream.upsertCheckSql,
     // identical to events_hll's oracle: the streamed fold must be invisible
     "stream_hll" -> Sketch.hllDistinctUsersSql(),
+    "stream_quantiles" -> graft.streaming.EventStream.streamQuantilesSql(),
     // identical to cdc_apply's oracle: the streamed fold must be invisible
     "stream_cdc" -> EventsOps.cdcApplySql,
     "text_chunks" -> TextPrep.chunksSql(),

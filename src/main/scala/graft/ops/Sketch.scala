@@ -183,30 +183,52 @@ object Sketch {
     */
   def quantileSketch(spark: SparkSession, dir: String,
                      k: Int = 16): DataFrame = {
-    val pcts = Seq(50, 95, 99)
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("event_date"),
         col("value"), col("event_id"))
+    quantMergeConfirm(
+      quantAnchors(ev, k, Seq("event_type", "event_date")),
+      ev, Seq("event_type", "event_date"))
+  }
 
-    val byDay = Window.partitionBy("event_type", "event_date")
+  /** The mergeable summary of `ev` at the `grp` grain (first col must be
+    * `event_type`): ≤ k+1 weighted order-statistic anchors per group,
+    * `(grp…, value, r, w)`. The group's n and step are recoverable from
+    * its anchors alone (n = Σw; step = max w — every anchor weighs step
+    * except a lighter last remainder), so the anchor rows ARE the whole
+    * state a fold needs to persist.
+    */
+  private[graft] def quantAnchors(ev: DataFrame, k: Int,
+                                  grp: Seq[String]): DataFrame = {
+    val byG = Window.partitionBy(grp.map(col): _*)
       .orderBy(col("value"), col("event_id"))
-    val counts = ev.groupBy("event_type", "event_date")
+    val counts = ev.groupBy(grp.map(col): _*)
       .agg(count(lit(1)).as("n_d"))
       .withColumn("step", expr(s"(n_d + ${k - 1}) DIV $k"))
-    val ranked = ev.withColumn("r", row_number().over(byDay))
-      .join(counts, Seq("event_type", "event_date"))
-    // the per-(type, day) mergeable state: ≤ k+1 weighted anchors
-    val anchors = ranked
+    val ranked = ev.withColumn("r", row_number().over(byG))
+      .join(counts, grp)
+    ranked
       .filter(col("r") % col("step") === 0 || col("r") === col("n_d"))
       .withColumn("w", when(col("r") % col("step") === 0, col("step"))
         .otherwise(col("n_d") % col("step")))
-      .select("event_type", "event_date", "value", "r", "w")
+      .select(grp.map(col) ++ Seq(col("value"), col("r"), col("w")): _*)
+  }
 
+  /** Weighted-union merge of anchor summaries per type + exact one-scan
+    * confirm against `ev`. `grp` is the summary grain the anchors carry;
+    * the merge ordering ties on `(value, grp.tail…, r)` — total by
+    * construction, so both engines rank identically.
+    */
+  private[graft] def quantMergeConfirm(anchors: DataFrame, ev: DataFrame,
+                                       grp: Seq[String],
+                                       pcts: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
     // merge: weighted cumulative rank over the anchor union per type
     val mergeW = Window.partitionBy("event_type")
-      .orderBy(col("value"), col("event_date"), col("r"))
+      .orderBy(col("value") +: (grp.tail.map(col) :+ col("r")): _*)
     val cum = anchors.withColumn("cumw", sum("w").over(mergeW))
-    val totals = counts.groupBy("event_type")
+    val totals = anchors.groupBy(grp.map(col): _*)
+      .agg(sum("w").as("n_d"), max("w").as("step"))
+      .groupBy("event_type")
       .agg(sum("n_d").as("n"), sum("step").as("err_bound"))
     val targets = totals.select(col("event_type"), col("n"), col("err_bound"),
       explode(array(pcts.map(lit): _*)).as("pct"))
@@ -235,15 +257,27 @@ object Sketch {
   /** Oracle: the identical sketch replayed in SQL (same day summaries,
     * same weighted merge, same confirm counts).
     */
-  def quantileSketchSql(k: Int = 16): String =
-    s"""WITH ranked AS (
-       |  SELECT event_type, CAST(ts AS DATE) AS event_date, value, event_id,
-       |         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+  def quantileSketchSql(k: Int = 16): String = quantSketchSqlOf(k, grain = "")
+
+  /** The same replay at the `(event_type, event_date [, delivery])`
+    * summary grain: `grain` is an extra comma-led key expression list
+    * (e.g. ", delivery") whose columns the `delivered` relation must
+    * provide; empty for the plain per-day sketch. Shared by the batch
+    * oracle and the streaming fold's oracle — the streaming variant's
+    * only semantic difference IS the finer summary grain, so the two
+    * oracles must stay textually one.
+    */
+  private[graft] def quantSketchSqlOf(k: Int, grain: String,
+                                      source: String = "events",
+                                      prelude: String = ""): String =
+    s"""WITH $prelude ranked AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS event_date, value, event_id$grain,
+       |         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)$grain
        |                            ORDER BY value, event_id) AS r,
-       |         COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS n_d
-       |  FROM events
+       |         COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)$grain) AS n_d
+       |  FROM $source
        |), anchors AS (
-       |  SELECT event_type, event_date, value, r,
+       |  SELECT event_type, event_date, value, r$grain,
        |         CASE WHEN r % ((n_d + ${k - 1}) // $k) = 0
        |              THEN (n_d + ${k - 1}) // $k
        |              ELSE n_d % ((n_d + ${k - 1}) // $k) END AS w
@@ -252,12 +286,12 @@ object Sketch {
        |), cum AS (
        |  SELECT event_type, value, event_date, r, w,
        |         SUM(w) OVER (PARTITION BY event_type
-       |                      ORDER BY value, event_date, r) AS cumw
+       |                      ORDER BY value, event_date$grain, r) AS cumw
        |  FROM anchors
        |), totals AS (
        |  SELECT event_type, CAST(SUM(n_d) AS BIGINT) AS n,
        |         CAST(SUM(step) AS BIGINT) AS err_bound
-       |  FROM (SELECT DISTINCT event_type, event_date, n_d,
+       |  FROM (SELECT DISTINCT event_type, event_date$grain, n_d,
        |               (n_d + ${k - 1}) // $k AS step
        |        FROM ranked)
        |  GROUP BY 1

@@ -946,4 +946,101 @@ object EventStream extends Serializable {
         .select(to_date(col("ts")).as("event_date"), col("user_id")))
       graft.ops.Sketch.hllEstimates(reg, dh)
     }
+
+  /** Per-batch quantile-summary fold: the batch's ≤ k+1 weighted anchors
+    * per (type, day, delivery) group are APPENDED to the anchor state —
+    * union IS the merge for this summary family (each group's n and step
+    * are recoverable from its own anchors), so unlike the HLL max-merge
+    * no cross-batch recombination happens at fold time; the weighted
+    * union is deferred to the final estimate. The `delivery` tag (the
+    * batchId) keeps the merge ordering total and the state grain
+    * explicit; the batchId guard in [[VersionedState.fold]] makes a
+    * replayed append impossible, which the check asserts.
+    */
+  private[graft] def quantBatch(spark: SparkSession,
+                                base: org.apache.hadoop.fs.Path,
+                                batch: DataFrame, batchId: Long): Unit =
+    VersionedState.fold(spark, base, batchId) { prev =>
+      val delta = graft.ops.Sketch.quantAnchors(
+        batch.select(col("event_type"),
+          to_date(timestamp_micros(col("ts"))).as("event_date"),
+          col("value"), col("event_id"))
+          .withColumn("delivery", lit(batchId)),
+        16, Seq("event_type", "event_date", "delivery"))
+      prev.fold(delta)(_.unionByName(delta))
+    }
+
+  /** The three-file input streamed one file per trigger through the
+    * quantile-anchor fold; after replaying the final batch (state must
+    * hold still), the folded anchors are weighted-union merged into
+    * p50/p95/p99 estimates with the Σ-step rank-error bound and the
+    * exact one-scan confirm — the streaming companion of
+    * [[graft.ops.Sketch.quantileSketch]]. The summary grain is one
+    * level finer than the batch sketch ((type, day, DELIVERY) vs
+    * (type, day)) because a day split across deliveries contributes one
+    * summary per delivery — the err_bound grows by exactly those extra
+    * groups' steps and the oracle replays the same grain, so arrival
+    * order and batch boundaries remain fully deterministic in the
+    * result. State is ≤ groups×(k+1) anchor rows regardless of row
+    * volume — the whole point of folding a mergeable sketch instead of
+    * the raw stream.
+    */
+  def quantStreamCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_quantiles", dir, "stream_quantiles") {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = incrementalInput(spark, dir)
+      val tmpBase = java.nio.file.Files
+        .createTempDirectory("graft_stream_quant").toFile
+      tmpBase.deleteOnExit()
+      val state = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "state")
+      val ck = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "ck")
+      val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(state)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          quantBatch(spark, state, batch, batchId)
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val lastId = VersionedState.committed(spark, state)
+      val versions = fs.listStatus(state).count(_.getPath.getName.startsWith("v"))
+      val lastFile = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+        .sortBy(_.getModificationTime).last.getPath
+      quantBatch(spark, state,
+        spark.read.schema(schema).parquet(lastFile.toString), lastId)
+      require(VersionedState.committed(spark, state) == lastId &&
+        fs.listStatus(state).count(_.getPath.getName.startsWith("v")) == versions,
+        "replayed batch mutated the anchor state")
+      val anchors = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(state, s"v$lastId").toString)
+      graft.ops.Sketch.quantMergeConfirm(anchors,
+        graft.Tables.events(spark, dir).select(col("event_type"), col("value")),
+        Seq("event_type", "event_date", "delivery"))
+    }
+
+  /** Oracle: the batch sketch replay at the (type, day, delivery) grain,
+    * with delivery re-derived from the SAME split arithmetic that built
+    * the three input files (late / last-hour-fill / main — batchIds 2/1/0
+    * in modification-time order).
+    */
+  def streamQuantilesSql(k: Int = 16): String =
+    graft.ops.Sketch.quantSketchSqlOf(k, grain = ", delivery",
+      source = "delivered",
+      prelude =
+        """delivered AS (
+          |  SELECT event_type, ts, value, event_id,
+          |         CASE WHEN event_type = 'click' AND event_id % 2 = 0
+          |                   AND epoch_us(CAST(ts AS TIMESTAMP)) < m.mx - 43200000000
+          |              THEN CAST(2 AS BIGINT)
+          |              WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= m.mx - 3600000000
+          |              THEN CAST(1 AS BIGINT)
+          |              ELSE CAST(0 AS BIGINT) END AS delivery
+          |  FROM events,
+          |       (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS mx FROM events) m
+          |),""".stripMargin)
 }
