@@ -143,6 +143,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("winnow_fingerprint"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
       (args: Seq[Expression]) => WinnowFingerprint(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }

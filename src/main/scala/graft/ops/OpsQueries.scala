@@ -13,6 +13,9 @@ object OpsQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // text analysis
     "text_stats" -> ((s, dir) => TextMetrics.stats(s, dir)),
+    // unicode NFC canonicalization (codegen'd custom Expression) over a
+    // planted decomposed/precomposed fixture; DuckDB replays natively
+    "text_normalize" -> ((s, dir) => Normalize.report(s, dir)),
     "text_lang_id" -> ((s, dir) => TextMetrics.langId(s, dir)),
     // langId evaluated against the labeled corpus: confusion matrix + recall
     "lang_confusion" -> ((s, dir) => TextMetrics.langConfusion(s, dir)),
@@ -331,6 +334,7 @@ object OpsQueries {
 
   def oracles: Map[String, String] = Map(
     "text_stats" -> TextMetrics.statsSql,
+    "text_normalize" -> Normalize.reportSql,
     "text_lang_id" -> TextMetrics.langIdSql,
     "lang_confusion" -> TextMetrics.langConfusionSql,
     "text_quality" -> TextMetrics.qualitySql,

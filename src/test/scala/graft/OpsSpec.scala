@@ -1255,4 +1255,31 @@ class OpsSpec extends SparkSpec {
     // suffix edits guarantee a strictly positive distance on tier 2
     assert(t2._5 >= 2.0)
   }
+
+  test("nfc normalize: composes decomposed marks, identity elsewhere, codegen'd") {
+    import graft.functions.NfcFunctions
+    NfcFunctions.register(spark)
+    val df = Seq(("cafe\u0301", "caf\u00e9", "plain ascii", null: String))
+      .toDF("a", "b", "c", "d")
+    val r = df.select(
+      NfcFunctions.nfcNormalize(spark, col("a")).as("a"),
+      NfcFunctions.nfcNormalize(spark, col("b")).as("b"),
+      NfcFunctions.nfcNormalize(spark, col("c")).as("c"),
+      NfcFunctions.nfcNormalize(spark, col("d")).as("d"))
+      .as[(String, String, String, Option[String])].head()
+    assert(r._1 === "caf\u00e9", "NFC must compose e+U+0301 into U+00E9")
+    assert(r._2 === "caf\u00e9", "precomposed input is already NFC")
+    assert(r._3 === "plain ascii", "ASCII fast path is the identity")
+    assert(r._4.isEmpty, "null-safe")
+
+    val rep = graft.ops.Normalize.report(spark, sf0001).cache()
+    // every planted decomposed doc composes: changed, exactly 2 chars shorter
+    val dec = rep.filter(col("doc_id") % 3 === 0)
+    assert(dec.count() > 0)
+    assert(dec.filter(!col("changed") || col("n_norm") =!= col("n_raw") - 2)
+      .count() === 0)
+    // precomposed and plain-ascii docs are untouched
+    assert(rep.filter(col("doc_id") % 3 =!= 0)
+      .filter(col("changed") || col("n_norm") =!= col("n_raw")).count() === 0)
+  }
 }
