@@ -287,6 +287,9 @@ object OpsQueries {
     // global concat-and-chunk packing via two-tier distributed prefix sum
     "text_pack" -> ((s, dir) => Pack.pack(s, dir)),
     "text_pack_assign" -> ((s, dir) => Pack.assignments(s, dir)),
+    // NO-SPLIT shelf packing (SFT variant): whole docs into fixed-
+    // capacity bins via closed-form rank arithmetic, waste reported
+    "pack_bins" -> ((s, dir) => Pack.bins(s, dir)),
     // BPE merge-candidate scan: top-k adjacent token pairs
     "bpe_pairs" -> ((s, dir) => TextPrep.bpePairs(s, dir)),
     // PMI collocations: top-k adjacent pairs by pointwise mutual
@@ -460,6 +463,7 @@ object OpsQueries {
     "text_tfidf" -> TextPrep.tfIdfSql(),
     "text_shards" -> TextPrep.shardsSql(),
     "text_pack" -> Pack.packSql,
+    "pack_bins" -> Pack.binsSql,
     "text_pack_assign" -> Pack.assignmentsSql,
     "bpe_pairs" -> TextPrep.bpePairsSql(),
     "text_pmi" -> TextPrep.pmiSql(),

@@ -182,4 +182,76 @@ object Pack {
        |              - GREATEST(tok_start, seq_id * $seqLen)) AS BIGINT) AS seq_tokens,
        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM spans GROUP BY seq_id""".stripMargin
+
+  /** NO-SPLIT sequence packing — the SFT/instruction-tuning variant of
+    * [[pack]]: a document must land whole in one training sequence
+    * (attention must not bleed across unrelated documents), so instead of
+    * concat-and-chunk the packer assigns whole docs to fixed-capacity
+    * bins and pays the padding.
+    *
+    * The algorithm is shelf packing (the classic Harmonic family —
+    * public technique, e.g. Lee & Lee, JACM'85): docs are classed by
+    * next-power-of-two length bucket, and a bucket whose cap is `c`
+    * packs `k_fit = seqLen div c` docs per bin — guaranteed to fit, no
+    * per-bin running sum needed, so bin assignment is a closed-form
+    * `(rank − 1) div k_fit` over a rank window. Sequential first-fit
+    * would pack slightly tighter but is an inherently serial fold; the
+    * shelf rule is what actually distributes, and its waste is REPORTED,
+    * not hidden.
+    *
+    * Distribution is honest two-level: the rank window partitions by
+    * (bucket, shard) with shard = `doc_id div bucketSize` — bounded
+    * partitions that parallelize like [[assignmentsFrom]]'s tier 2; each
+    * shard fills its own bins (at most one partial bin per (bucket,
+    * shard) group — exactly the trade a real distributed packer makes,
+    * and the tail bins' waste shows up in the output). Docs longer than
+    * [[seqLen]] cannot pack; they become dedicated oversize bins
+    * (truncation is downstream's decision) with waste 0.
+    */
+  def bins(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), docTokens.as("toks"))
+      .filter(col("toks") > 0)
+      .withColumn("bucket_len",
+        when(col("toks") <= 1, 1L)
+          .otherwise(expr("CAST(shiftleft(CAST(1 AS BIGINT), length(bin(toks - 1))) AS BIGINT)")))
+      .withColumn("shard", expr(s"doc_id div $bucketSize"))
+      .withColumn("k_fit", expr(s"greatest(CAST(1 AS BIGINT), $seqLen div bucket_len)"))
+    val rank = row_number().over(
+      Window.partitionBy("bucket_len", "shard")
+        .orderBy(col("toks").desc, col("doc_id")))
+    docs.withColumn("r", rank)
+      .withColumn("bin_id", expr("(r - 1) div k_fit"))
+      .groupBy("bucket_len", "shard", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("bin_tokens"))
+      .withColumn("oversize", col("bucket_len") > seqLen)
+      .withColumn("waste",
+        when(col("oversize"), 0L).otherwise(lit(seqLen.toLong) - col("bin_tokens")))
+  }
+
+  val binsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS toks
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, toks,
+       |         CASE WHEN toks <= 1 THEN 1
+       |              ELSE (CAST(1 AS BIGINT) << length(bin(toks - 1))) END AS bucket_len,
+       |         doc_id // $bucketSize AS shard
+       |  FROM toks WHERE toks > 0
+       |), ranked AS (
+       |  SELECT *, GREATEST(1, $seqLen // bucket_len) AS k_fit,
+       |         row_number() OVER (PARTITION BY bucket_len, shard
+       |                            ORDER BY toks DESC, doc_id) AS r
+       |  FROM b
+       |)
+       |SELECT bucket_len, shard, (r - 1) // k_fit AS bin_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+       |       bucket_len > $seqLen AS oversize,
+       |       CAST(CASE WHEN bucket_len > $seqLen THEN 0
+       |            ELSE $seqLen - SUM(toks) END AS BIGINT) AS waste
+       |FROM ranked GROUP BY 1, 2, 3
+       |""".stripMargin
 }

@@ -63,4 +63,31 @@ class PackSpec extends SparkSpec {
     assert(phys.contains("hashpartitioning(bucket"),
       "tier-2 window must be hash-partitioned by bucket")
   }
+
+  test("no-split bins: capacity respected, token conservation, waste accounted") {
+    val docs = Tables.documents(spark, sf0001)
+    val bins = Pack.bins(spark, sf0001).cache()
+    val rows = bins.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bucketLen, nDocs, binTokens, oversize, waste) =
+        (r.getAs[Long]("bucket_len"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("bin_tokens"), r.getAs[Boolean]("oversize"),
+          r.getAs[Long]("waste"))
+      if (!oversize) {
+        // a non-oversize bin fits its budget: k_fit docs of ≤ bucket_len
+        assert(binTokens + waste === Pack.seqLen.toLong,
+          s"bin tokens $binTokens + waste $waste != ${Pack.seqLen}")
+        assert(binTokens <= Pack.seqLen.toLong)
+        assert(nDocs <= math.max(1L, Pack.seqLen.toLong / bucketLen))
+      } else {
+        assert(nDocs === 1L && waste === 0L, "oversize bins are dedicated")
+      }
+    }
+    // every token of every non-empty doc lands in exactly one bin
+    val totalBin = rows.map(_.getAs[Long]("bin_tokens")).sum
+    val totalDoc = Pack.assignments(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("doc_tokens")).head().getLong(0)
+    assert(totalBin === totalDoc, "no-split packing must conserve tokens")
+  }
 }
