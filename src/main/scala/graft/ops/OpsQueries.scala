@@ -208,6 +208,9 @@ object OpsQueries {
     "io_formats" -> ((s, dir) => graft.io.Formats.roundtrip(s, dir)),
     // small-file compaction: fragment → rebalance-rewrite → invariants
     "compact_roundtrip" -> ((s, dir) => graft.io.Compact.roundtrip(s, dir)),
+    // two materialized table versions diffed from the reloaded files:
+    // per-source added/removed/changed/unchanged via key-join row digests
+    "snapshot_diff" -> ((s, dir) => SnapshotDiff.report(s, dir)),
     // Structured Streaming rollup run to completion == the batch rollup
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.hourlyCheck(s, dir)),
     // streaming dedup of a doubled stream == plain batch counts
@@ -442,6 +445,7 @@ object OpsQueries {
     "events_interval_join" -> RangeJoin.sessionErrorLoadSql(),
     "io_formats" -> graft.io.Formats.roundtripSql,
     "compact_roundtrip" -> graft.io.Compact.roundtripSql,
+    "snapshot_diff" -> SnapshotDiff.reportSql,
     "stream_hourly" -> graft.streaming.EventStream.hourlyCheckSql,
     "stream_dedup" -> graft.streaming.EventStream.dedupCheckSql,
     "stream_sessions" -> graft.streaming.EventStream.sessionsCheckSql(),
