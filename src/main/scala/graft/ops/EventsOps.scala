@@ -420,6 +420,59 @@ object EventsOps {
       |          * (CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))), 0)) > 2.0 AS is_anomaly
       |FROM daily d JOIN stats s USING (event_type)""".stripMargin
 
+  /** Seasonality-aware anomaly detection — [[dailyAnomalies]] with the
+    * weekly cycle removed: the baseline is per (event_type, DAY-OF-WEEK)
+    * (a quiet Sunday is not an anomaly just because weekdays are busy;
+    * the global-z version flags exactly that). Same integer-sum
+    * mean/variance machinery, grouped one level finer; the day-of-week
+    * is computed portably as `(days-since-epoch + 4) mod 7` (epoch day
+    * was a Thursday) — exact integer arithmetic, immune to the engines'
+    * differing dayofweek() conventions. Cost is identical to the global
+    * version: one (type, day) rollup shuffle, a (type, dow)-grain
+    * aggregate of ≤ types×7 rows, one broadcast-size join back.
+    */
+  def seasonalAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("(datediff(event_date, DATE'1970-01-01') + 4) % 7"))
+    val stats = daily.groupBy("event_type", "dow").agg(
+      count(lit(1)).as("days"),
+      sum("n").as("s1"),
+      sum(col("n") * col("n")).as("s2"))
+    val mean = col("s1").cast("double") / col("days").cast("double")
+    val variance = col("s2").cast("double") / col("days").cast("double") - mean * mean
+    val std = sqrt(variance)
+    val z = (col("n").cast("double") - mean) /
+      when(std === 0.0, lit(null)).otherwise(std)
+    daily.join(stats, Seq("event_type", "dow"))
+      .select(col("event_type"), col("event_date"), col("dow"), col("n"),
+        mean.as("dow_mean"), z.as("zscore"), (abs(z) > 2.0).as("is_anomaly"))
+  }
+
+  val seasonalAnomaliesSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS event_date,
+      |         ((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7 AS dow,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2, 3
+      |), stats AS (
+      |  SELECT event_type, dow, count(*) AS days,
+      |         CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n*n) AS BIGINT) AS s2
+      |  FROM daily GROUP BY 1, 2
+      |)
+      |SELECT d.event_type, d.event_date, CAST(d.dow AS INT) AS dow, d.n,
+      |  CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE) AS dow_mean,
+      |  (CAST(d.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))
+      |    / NULLIF(sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.days AS DOUBLE)
+      |        - (CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))
+      |          * (CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))), 0) AS zscore,
+      |  abs((CAST(d.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))
+      |    / NULLIF(sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.days AS DOUBLE)
+      |        - (CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))
+      |          * (CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))), 0)) > 2.0 AS is_anomaly
+      |FROM daily d JOIN stats s USING (event_type, dow)""".stripMargin
+
   /** 7-day trailing moving average of daily event counts per type — the
     * standard smoothing pass over the daily rollup. One extra window over
     * the (type, day) aggregate (≤ types×days rows), partitioned by type:

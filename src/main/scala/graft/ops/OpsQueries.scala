@@ -173,6 +173,9 @@ object OpsQueries {
     "events_funnel" -> ((s, dir) => EventsOps.funnel(s, dir)),
     "events_retention" -> ((s, dir) => EventsOps.retention(s, dir)),
     "events_anomaly" -> ((s, dir) => EventsOps.dailyAnomalies(s, dir)),
+    // same detector with the weekly cycle removed: per-(type, day-of-
+    // week) baseline, portable epoch-day dow arithmetic
+    "events_anomaly_dow" -> ((s, dir) => EventsOps.seasonalAnomalies(s, dir)),
     // 7-day trailing moving average over the daily rollup (window, no
     // extra shuffle of raw events)
     "events_ma" -> ((s, dir) => EventsOps.movingAvg(s, dir)),
@@ -429,6 +432,7 @@ object OpsQueries {
     "events_funnel" -> EventsOps.funnelSql,
     "events_retention" -> EventsOps.retentionSql,
     "events_anomaly" -> EventsOps.dailyAnomaliesSql,
+    "events_anomaly_dow" -> EventsOps.seasonalAnomaliesSql,
     "events_ma" -> EventsOps.movingAvgSql(),
     "events_stickiness" -> EventsOps.stickinessSql(),
     "events_gapfill" -> EventsOps.gapFillSql,
