@@ -91,4 +91,78 @@ object Drift {
        |       CAST(CAST(p2 AS DECIMAL(18,6)) AS DOUBLE) AS share_p2,
        |       CAST(CAST((p2 - p1) * ln(p2 / p1) AS DECIMAL(18,6)) AS DOUBLE) AS psi_contrib
        |FROM sh""".stripMargin
+
+  /** Embedding-centroid drift — the vector-space twin of [[psi]] and the
+    * shingle drift: per source, the cosine between the SUMMED raw
+    * feature vectors of the two corpus halves (`doc_id mod 2`, the
+    * house halving rule). A topic/template shift in what a source
+    * publishes moves its mean direction even when surface token stats
+    * hold still — this is the check an embedding-based curation stack
+    * runs between crawl snapshots before trusting its ANN calibration.
+    *
+    * Determinism: the summed vectors are sums of the featurizer's ±1
+    * signed gram counts — exact integers in doubles, so the aggregation
+    * is order-free and the one division+sqrt at the edge is
+    * bit-identical in both engines (the [[Featurize]] property, used
+    * here WITHOUT unit-normalizing per doc first, precisely because
+    * per-doc division would reintroduce order-dependent float sums).
+    *
+    * Scale: vectors stay unexploded until the per-(source, half, pos)
+    * aggregate, which map-side combines to sources × 2 × dim rows;
+    * everything after is metadata-size. One shuffle.
+    */
+  def embDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Featurize.dim
+    val j = Featurize.vectors(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .select(col("source"), pmod(col("vec_id"), lit(2)).as("half"), col("v"))
+    val sums = j.select(col("source"), col("half"), posexplode(col("v")))
+      .groupBy("source", "half", "pos").agg(sum("col").as("f"))
+    val paired = sums.groupBy("source", "pos").agg(
+      sum(when(col("half") === 0, col("f")).otherwise(0.0)).as("f0"),
+      sum(when(col("half") === 1, col("f")).otherwise(0.0)).as("f1"))
+    val geom = paired.groupBy("source").agg(
+      sum(col("f0") * col("f1")).as("dp"),
+      sum(col("f0") * col("f0")).as("n0"),
+      sum(col("f1") * col("f1")).as("n1"))
+    val counts = j.groupBy("source").agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_docs_h0"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_docs_h1"))
+    geom.join(counts, "source").select(
+      col("source"), col("n_docs_h0"), col("n_docs_h1"),
+      (col("dp") / when(col("n0") * col("n1") === 0.0, lit(null))
+        .otherwise(sqrt(col("n0") * col("n1")))).as("centroid_cosine"))
+  }
+
+  def embDriftSql: String = {
+    val dim = Featurize.dim
+    s"""WITH ${Featurize.embCteAs("femb")},
+       |j AS (
+       |  SELECT f.vec_id, d.source, f.vec_id % 2 AS half, f.v
+       |  FROM femb f JOIN documents d ON d.doc_id = f.vec_id
+       |), sums AS (
+       |  SELECT source, half, i.i AS pos,
+       |         SUM(v[CAST(i.i AS INT) + 1]) AS f
+       |  FROM j CROSS JOIN range(0, $dim) i(i)
+       |  GROUP BY 1, 2, 3
+       |), paired AS (
+       |  SELECT source, pos,
+       |         SUM(CASE WHEN half = 0 THEN f ELSE 0 END) AS f0,
+       |         SUM(CASE WHEN half = 1 THEN f ELSE 0 END) AS f1
+       |  FROM sums GROUP BY 1, 2
+       |), geom AS (
+       |  SELECT source, SUM(f0 * f1) AS dp,
+       |         SUM(f0 * f0) AS n0, SUM(f1 * f1) AS n1
+       |  FROM paired GROUP BY 1
+       |), counts AS (
+       |  SELECT source,
+       |         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_h0,
+       |         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_h1
+       |  FROM j GROUP BY 1
+       |)
+       |SELECT g.source, c.n_docs_h0, c.n_docs_h1,
+       |       g.dp / NULLIF(sqrt(g.n0 * g.n1), 0) AS centroid_cosine
+       |FROM geom g JOIN counts c USING (source)""".stripMargin
+  }
 }

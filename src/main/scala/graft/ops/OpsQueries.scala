@@ -72,6 +72,9 @@ object OpsQueries {
     "batch_padding" -> ((s, dir) => Pack.paddingStats(s, dir)),
     // PSI distribution drift between event-time halves, per value bin
     "events_psi" -> ((s, dir) => Drift.psi(s, dir)),
+    // vector-space drift: per-source centroid cosine between corpus
+    // halves over ENGINE-derived vectors (exact integer sums)
+    "emb_drift" -> ((s, dir) => Drift.embDrift(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextMetrics.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => TextMetrics.repetition(s, dir)),
     "text_redact" -> ((s, dir) => Redact.scrub(s, dir)),
@@ -355,6 +358,7 @@ object OpsQueries {
     "bpe_encode" -> TextPrep.bpeEncodeSql(),
     "fuzzy_parts" -> FuzzyJoin.partsSql(),
     "events_psi" -> Drift.psiSql(),
+    "emb_drift" -> Drift.embDriftSql,
     "text_fingerprint" -> TextMetrics.fingerprintSql,
     "text_repetition" -> TextMetrics.repetitionSql,
     "text_redact" -> Redact.scrubSql,
