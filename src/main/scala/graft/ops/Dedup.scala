@@ -449,6 +449,73 @@ object Dedup {
     * (source, shingle)-keyed aggregate — O(corpus shingles), map-side
     * combined, never pairwise.
     */
+  /** MinHash estimator calibration — the "measured, not asserted" QA for
+    * the signature-size choice: per LSH candidate pair, the signature
+    * estimate (matching components / [[numHashes]]) next to the EXACT
+    * shingle Jaccard and the absolute error. The estimator is a
+    * binomial mean over [[numHashes]] independent permutation
+    * indicators, so its std-error is √(j(1−j)/numHashes) (≈ 0.125 at
+    * j = 0.5 with 16 hashes) — the report is how an operator decides
+    * whether to pay for a wider signature before trusting band
+    * thresholds at corpus scale. `est_jaccard` = m/16 is EXACT in
+    * doubles (power-of-two divisor), so the whole row is
+    * engine-deterministic.
+    *
+    * Cost: the candidate-pair frame (graph-sized, never corpus-sized)
+    * joined twice against the memoized signature, plus the same exact
+    * verify the near-dup path already pays. No new corpus-scale work.
+    */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhash(spark, dir)
+    val pairs = candidates(spark, dir)
+    def side(tag: String) = mh.toDF(
+      mh.columns.map(c => if (c == "doc_id") s"doc_$tag" else s"${c}_$tag"): _*)
+    val matches = (0 until numHashes)
+      .map(h => when(col(s"mh_${h}_a") === col(s"mh_${h}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs.join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), matches.as("n_match"))
+    val exact = verifiedJaccardFrom(shingles(spark, dir), pairs)
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match").cast("double") / numHashes).as("est_jaccard"),
+        col("jaccard").cast("double").as("jaccard"),
+        abs(col("n_match").cast("double") / numHashes -
+          col("jaccard").cast("double")).as("abs_err"))
+  }
+
+  def minhashCalibrationSql: String =
+    s"""WITH $candidatesCte, sig_match AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS INT) AS n_match
+       |  FROM cand_pairs p
+       |  JOIN doc_sig a ON a.doc_id = p.doc_a
+       |  JOIN doc_sig b ON b.doc_id = p.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2
+       |), sh_counts AS (
+       |  SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY 1
+       |), pair_inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM cand_pairs p
+       |  JOIN doc_shingles a ON a.doc_id = p.doc_a
+       |  JOIN doc_shingles b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+       |  GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |              / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) AS DECIMAL(10,6)) AS jaccard
+       |  FROM cand_pairs p
+       |  LEFT JOIN pair_inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+       |  JOIN sh_counts ca ON ca.doc_id = p.doc_a
+       |  JOIN sh_counts cb ON cb.doc_id = p.doc_b
+       |)
+       |SELECT s.doc_a, s.doc_b, s.n_match,
+       |       CAST(s.n_match AS DOUBLE) / $numHashes AS est_jaccard,
+       |       CAST(ex.jaccard AS DOUBLE) AS jaccard,
+       |       ABS(CAST(s.n_match AS DOUBLE) / $numHashes
+       |           - CAST(ex.jaccard AS DOUBLE)) AS abs_err
+       |FROM sig_match s JOIN ex ON s.doc_a = ex.doc_a AND s.doc_b = ex.doc_b""".stripMargin
+
   def shingleDrift(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val perHalf = shingles(spark, dir)

@@ -278,6 +278,31 @@ object EventsOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
 
+  /** CUBE subtotals — [[dailyRollup]]'s full-lattice sibling: ROLLUP
+    * omits the per-type-across-all-days margin a dashboard's column
+    * totals need; CUBE emits all four grouping sets in the same single
+    * shuffle (Catalyst expands the sets before the aggregate, so each
+    * input row fans out map-side — no second pass over events). The
+    * per-grouping-set `gid` disambiguates a genuine NULL group key from
+    * a subtotal marker, reported as the two explicit grouping flags'
+    * packed value exactly like both engines compute it.
+    */
+  def dailyCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"), col("event_type"), col("value"))
+      .cube(col("event_date"), col("event_type"))
+      .agg((grouping(col("event_date")) * 2 + grouping(col("event_type")))
+          .as("gid"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+
+  val dailyCubeSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, event_type,
+      |       CAST(GROUPING(CAST(ts AS DATE)) * 2 + GROUPING(event_type) AS INT) AS gid,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY CUBE (1, 2)""".stripMargin
+
   // ---------- DuckDB oracles ----------
   // (events ts is TIMESTAMP(NANOS) in parquet; DuckDB truncates to micros
   //  exactly like Tables.events — see Tables.scala.)

@@ -37,6 +37,8 @@ object OpsQueries {
     "fuzzy_parts" -> ((s, dir) => FuzzyJoin.parts(s, dir)),
     // per-source data card: volumes, quality, dup rate, dominant language
     "corpus_profile" -> ((s, dir) => Profile.corpusProfile(s, dir)),
+    // per-source language-mix card: entropy + dominant share
+    "source_lang_entropy" -> ((s, dir) => Profile.langEntropy(s, dir)),
     // the same card maintained via mergeable partial state (MV pattern)
     "corpus_profile_incremental" -> ((s, dir) => Profile.corpusProfileIncremental(s, dir)),
     // cross-source near-dup matrix (syndication detection)
@@ -96,6 +98,8 @@ object OpsQueries {
     "dedup_shingle_stats" -> ((s, dir) => Dedup.shingleStats(s, dir)),
     "dedup_lsh_bands" -> ((s, dir) => Dedup.bands(s, dir)),
     "dedup_candidates" -> ((s, dir) => Dedup.candidates(s, dir)),
+    // signature-estimate vs exact-Jaccard calibration per candidate pair
+    "dedup_minhash_calibration" -> ((s, dir) => Dedup.minhashCalibration(s, dir)),
     "dedup_neardups" -> ((s, dir) => Dedup.nearDups(s, dir)),
     // asymmetric containment |A∩B|/|A| over the candidate pairs — the
     // quoted-inside/boilerplate-wrapping case resemblance misses
@@ -173,6 +177,8 @@ object OpsQueries {
     "events_props" -> ((s, dir) => EventsOps.propsStats(s, dir)),
     "events_quantiles" -> ((s, dir) => EventsOps.valueQuantiles(s, dir)),
     "events_rollup" -> ((s, dir) => EventsOps.dailyRollup(s, dir)),
+    // full grouping lattice with subtotal-vs-NULL disambiguation
+    "events_cube" -> ((s, dir) => EventsOps.dailyCube(s, dir)),
     "events_funnel" -> ((s, dir) => EventsOps.funnel(s, dir)),
     "events_retention" -> ((s, dir) => EventsOps.retention(s, dir)),
     "events_anomaly" -> ((s, dir) => EventsOps.dailyAnomalies(s, dir)),
@@ -372,6 +378,7 @@ object OpsQueries {
     "dedup_shingle_stats" -> Dedup.shingleStatsSql,
     "dedup_lsh_bands" -> Dedup.bandsSql,
     "dedup_candidates" -> Dedup.candidatesSql,
+    "dedup_minhash_calibration" -> Dedup.minhashCalibrationSql,
     "dedup_neardups" -> Dedup.nearDupsOutSql(0.5),
     "dedup_containment" -> Dedup.containmentSql(),
     "dedup_incremental" -> Dedup.incrementalSql(0.5),
@@ -379,6 +386,7 @@ object OpsQueries {
     "dedup_multisignal" -> Dedup.multiSignalSql(0.5),
     "dedup_canonical" -> Dedup.canonicalSql(0.5),
     "corpus_profile" -> Profile.corpusProfileSql,
+    "source_lang_entropy" -> Profile.langEntropySql,
     // incremental maintenance must be invisible in the result: the
     // oracle is the full recompute
     "corpus_profile_incremental" -> Profile.corpusProfileSql,
@@ -433,6 +441,7 @@ object OpsQueries {
     "events_props" -> EventsOps.propsStatsSql,
     "events_quantiles" -> EventsOps.valueQuantilesSql,
     "events_rollup" -> EventsOps.dailyRollupSql,
+    "events_cube" -> EventsOps.dailyCubeSql,
     "events_funnel" -> EventsOps.funnelSql,
     "events_retention" -> EventsOps.retentionSql,
     "events_anomaly" -> EventsOps.dailyAnomaliesSql,

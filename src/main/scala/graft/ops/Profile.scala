@@ -168,4 +168,57 @@ object Profile {
        |       CAST(a.qsum AS DOUBLE) / a.n_docs AS avg_quality,
        |       a.dup_docs, t.top_lang
        |FROM agg a JOIN tl t USING (source)""".stripMargin
+
+  /** Per-source language-mix card: label-language Shannon entropy (nats)
+    * + dominant-language share — the multilinguality balance metric a
+    * mixture designer reads before setting per-language budgets (a
+    * source at entropy ≈ 0 is monolingual; ln(n_langs) is the uniform
+    * ceiling). Each entropy term −p·ln p is computed from exact integer
+    * counts and rounded to the 6-dp decimal grid BEFORE the sum, so the
+    * cross-language summation is decimal-exact and order-free (the
+    * [[graft.ops.Drift.psi]] grid policy); the single `ln` follows the
+    * bm25 precedent. One (source, lang) count aggregate — map-side
+    * combined, output sources × langs then sources rows.
+    */
+  def langEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("source").agg(sum("c").as("n_docs"),
+      count(lit(1)).as("n_langs"))
+    val p = col("c").cast("double") / col("n_docs").cast("double")
+    val term = (-p * log(p)).cast("decimal(18,6)")
+    val byShare = Window.partitionBy("source")
+      .orderBy(col("c").desc, col("lang"))
+    counts.join(tot, "source")
+      .withColumn("rn", row_number().over(byShare))
+      .groupBy("source", "n_docs", "n_langs")
+      .agg(sum(term).cast("decimal(18,6)").as("entropy"),
+        max(when(col("rn") === 1, col("lang"))).as("dominant_lang"),
+        max(when(col("rn") === 1, p.cast("decimal(18,6)"))).as("dominant_share"))
+      .select("source", "n_docs", "n_langs", "dominant_lang",
+        "dominant_share", "entropy")
+  }
+
+  val langEntropySql: String =
+    """WITH c AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+      |), t AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |         CAST(COUNT(*) AS BIGINT) AS n_langs
+      |  FROM c GROUP BY 1
+      |), r AS (
+      |  SELECT c.source, c.lang, c.c, t.n_docs, t.n_langs,
+      |         CAST(c.c AS DOUBLE) / t.n_docs AS p,
+      |         ROW_NUMBER() OVER (PARTITION BY c.source
+      |                            ORDER BY c.c DESC, c.lang) AS rn
+      |  FROM c JOIN t USING (source)
+      |)
+      |SELECT source, n_docs, n_langs,
+      |       MAX(CASE WHEN rn = 1 THEN lang END) AS dominant_lang,
+      |       CAST(MAX(CASE WHEN rn = 1 THEN CAST(p AS DECIMAL(18,6)) END) AS DOUBLE)
+      |         AS dominant_share,
+      |       CAST(CAST(SUM(CAST(-p * ln(p) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+      |         AS entropy
+      |FROM r GROUP BY 1, 2, 3""".stripMargin
 }
