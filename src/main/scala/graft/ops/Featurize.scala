@@ -45,38 +45,20 @@ object Featurize {
     */
   val dim: Int = Similarity.dim
 
-  private def toks(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
-
-  /** Unigrams ++ adjacent bigrams, in text order. */
-  private def grams(text: Column): Column = {
-    val ts = toks(text)
-    val n = greatest(size(ts) - 1, lit(0))
-    concat(ts, zip_with(slice(ts, lit(1), n), slice(ts, lit(2), n),
-      (a, b) => concat(a, lit("_"), b)))
-  }
-
-  /** Raw (un-normalized) hashed feature vector: bucket = first two md5
-    * hex chars mod [[dim]], sign = third hex char in 0-7 → +1 else −1.
-    */
-  private def rawVec(text: Column): Column = {
-    val hashed = transform(grams(text), g =>
-      struct(
-        pmod(conv(substring(md5(g), 1, 2), 16, 10).cast("int"), lit(dim)).as("b"),
-        when(substring(md5(g), 3, 1)
-          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1.0))
-          .otherwise(lit(-1.0)).as("s")))
-    transform(sequence(lit(0), lit(dim - 1)), b =>
-      aggregate(hashed, lit(0.0), (acc, h) =>
-        acc + when(h.getField("b") === b, h.getField("s")).otherwise(lit(0.0))))
-  }
-
   /** Append `v` (raw hashed features) and `norm` columns derived from
     * `textCol` — the library entry point for featurizing any text frame
     * (rows whose text yields no grams get norm 0; callers decide).
+    *
+    * The kernel is the native codegen'd
+    * [[graft.functions.FeatureHashVector]] expression — one md5 per
+    * gram into a [[dim]]-slot accumulator. (Its column-op predecessor
+    * re-hashed every gram once per bucket inside interpreted lambdas:
+    * O(dim·grams) digests, ~194 s to featurize the sf0.1 corpus vs
+    * well under a second now, bit-identical output.)
     */
   def vectorize(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("v", rawVec(col(textCol)))
+    df.withColumn("v", graft.functions.FeatureHashFunctions
+        .featureHash(df.sparkSession, col(textCol), dim))
       .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
 
   /** The derived vector corpus: (vec_id = doc_id, v, label = lang,
