@@ -227,6 +227,79 @@ object EventsOps {
         min("k").as("min_k"), max("k").as("max_k"),
         sum(col("k").cast("long")).as("sum_k"))
 
+  /** Schema-on-read profiler for the semi-structured `props` column —
+    * what a pipeline runs BEFORE writing extraction code like
+    * [[propsStats]]: which keys exist, how often, and what type their
+    * values look like. The synthetic props are homogeneous (`{"k": n}`),
+    * so the query plants the heterogeneity a real event stream has —
+    * an extra string key on `event_id % 3 == 0`, an extra boolean on
+    * `% 5 == 0`, and a truncated (invalid) payload on `% 7 == 0` — the
+    * same planted-evidence policy as the NFC and PII legs.
+    *
+    * Per key: occurrence count and regex type votes
+    * (integer / boolean / other-string) over the extracted raw values;
+    * one `_invalid` row counts unparseable payloads (tolerated, not
+    * thrown — `json_object_keys` nulls them, matching DuckDB's
+    * `json_valid` guard). One scan, keys-grain aggregate (map-side
+    * combined); the non-literal JSON path re-parse is bounded by keys
+    * per row, not corpus size.
+    */
+  def propsKeys(spark: SparkSession, dir: String): DataFrame = {
+    val messy = Tables.events(spark, dir).select(col("event_id"),
+      when(col("event_id") % 7 === 0,
+        expr("substring(props, 1, length(props) - 2)"))
+        .when(col("event_id") % 3 === 0,
+          expr("""concat(substring(props, 1, length(props) - 1), ', "tag": "', event_type, '"}')"""))
+        .when(col("event_id") % 5 === 0,
+          expr("""concat(substring(props, 1, length(props) - 1), ', "flag": true}')"""))
+        .otherwise(col("props")).as("props"))
+    val perKey = messy
+      .select(col("props"), explode(expr("json_object_keys(props)")).as("key"))
+      .withColumn("v", expr("get_json_object(props, concat('$.', key))"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").rlike("^-?[0-9]+$"), 1L).otherwise(0L)).as("n_int"),
+        sum(when(col("v").isin("true", "false"), 1L).otherwise(0L)).as("n_bool"),
+        sum(when(col("v").rlike("^-?[0-9]+$") || col("v").isin("true", "false"),
+          0L).otherwise(1L)).as("n_str"))
+    val invalid = messy
+      .filter(expr("json_object_keys(props) IS NULL"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("_invalid").as("key"), col("n_rows"),
+        lit(0L).as("n_int"), lit(0L).as("n_bool"), lit(0L).as("n_str"))
+    perKey.unionByName(invalid)
+  }
+
+  val propsKeysSql: String =
+    """WITH messy AS (
+      |  SELECT event_id,
+      |         CASE WHEN event_id % 7 = 0 THEN substring(props, 1, length(props) - 2)
+      |              WHEN event_id % 3 = 0 THEN substring(props, 1, length(props) - 1)
+      |                   || ', "tag": "' || event_type || '"}'
+      |              WHEN event_id % 5 = 0 THEN substring(props, 1, length(props) - 1)
+      |                   || ', "flag": true}'
+      |              ELSE props END AS props
+      |  FROM events
+      |), k AS (
+      |  SELECT props, unnest(json_keys(props)) AS key
+      |  FROM messy WHERE json_valid(props)
+      |), v AS (
+      |  SELECT key, json_extract_string(props, '$.' || key) AS val FROM k
+      |), agg AS (
+      |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(SUM(CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+      |         CAST(SUM(CASE WHEN val IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+      |         CAST(SUM(CASE WHEN regexp_matches(val, '^-?[0-9]+$')
+      |                         OR val IN ('true', 'false') THEN 0 ELSE 1 END) AS BIGINT) AS n_str
+      |  FROM v GROUP BY 1
+      |)
+      |SELECT * FROM agg
+      |UNION ALL
+      |SELECT '_invalid' AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(0 AS BIGINT) AS n_int, CAST(0 AS BIGINT) AS n_bool,
+      |       CAST(0 AS BIGINT) AS n_str
+      |FROM messy WHERE NOT json_valid(props)""".stripMargin
+
   // TRY_CAST + json_valid guard: malformed JSON or a non-numeric k is
   // NULL on the Spark side (get_json_object + cast), so the oracle must
   // null them too instead of erroring out mid-aggregate

@@ -175,6 +175,9 @@ object OpsQueries {
     "events_top_users" -> ((s, dir) => EventsOps.topUsers(s, dir)),
     "events_pivot" -> ((s, dir) => EventsOps.dailyPivot(s, dir)),
     "events_props" -> ((s, dir) => EventsOps.propsStats(s, dir)),
+    // schema-on-read profiler: key inventory + regex type votes over a
+    // planted-heterogeneity props column, invalid payloads tolerated
+    "events_props_keys" -> ((s, dir) => EventsOps.propsKeys(s, dir)),
     "events_quantiles" -> ((s, dir) => EventsOps.valueQuantiles(s, dir)),
     "events_rollup" -> ((s, dir) => EventsOps.dailyRollup(s, dir)),
     // full grouping lattice with subtotal-vs-NULL disambiguation
@@ -223,6 +226,9 @@ object OpsQueries {
     // two materialized table versions diffed from the reloaded files:
     // per-source added/removed/changed/unchanged via key-join row digests
     "snapshot_diff" -> ((s, dir) => SnapshotDiff.report(s, dir)),
+    // files written under two schema versions, read back merged: NULL
+    // fill for pre-evolution files, union schema, no column loss
+    "schema_evolution" -> ((s, dir) => graft.io.SchemaEvolution.report(s, dir)),
     // Structured Streaming rollup run to completion == the batch rollup
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.hourlyCheck(s, dir)),
     // streaming dedup of a doubled stream == plain batch counts
@@ -439,6 +445,7 @@ object OpsQueries {
     "events_top_users" -> EventsOps.topUsersSql(),
     "events_pivot" -> EventsOps.dailyPivotSql,
     "events_props" -> EventsOps.propsStatsSql,
+    "events_props_keys" -> EventsOps.propsKeysSql,
     "events_quantiles" -> EventsOps.valueQuantilesSql,
     "events_rollup" -> EventsOps.dailyRollupSql,
     "events_cube" -> EventsOps.dailyCubeSql,
@@ -463,6 +470,7 @@ object OpsQueries {
     "io_formats" -> graft.io.Formats.roundtripSql,
     "compact_roundtrip" -> graft.io.Compact.roundtripSql,
     "snapshot_diff" -> SnapshotDiff.reportSql,
+    "schema_evolution" -> graft.io.SchemaEvolution.reportSql,
     "stream_hourly" -> graft.streaming.EventStream.hourlyCheckSql,
     "stream_dedup" -> graft.streaming.EventStream.dedupCheckSql,
     "stream_sessions" -> graft.streaming.EventStream.sessionsCheckSql(),
