@@ -518,6 +518,110 @@ object EventsOps {
       |          * (CAST(s.s1 AS DOUBLE) / CAST(s.days AS DOUBLE))), 0)) > 2.0 AS is_anomaly
       |FROM daily d JOIN stats s USING (event_type)""".stripMargin
 
+  /** Last-touch purchase attribution — for every purchase, credit the
+    * user's most recent non-purchase event within the preceding hour
+    * ('direct' when none): the marketing-analytics join every event
+    * warehouse runs. The "most recent preceding touch" is a windowed
+    * running MAX over a zero-padded `ts:event_id:type` string — string
+    * order equals (ts, event_id) numeric order by construction, which
+    * sidesteps engine-specific struct-comparison semantics while keeping
+    * the window a plain running max (one user-partitioned window, no
+    * self-join of events to events). Output is the attributed-type
+    * rollup.
+    */
+  def attribution(spark: SparkSession, dir: String,
+                  windowMinutes: Int = 60): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touchStr = concat_ws(":",
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"),
+      col("event_type"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("last_touch",
+        max(when(col("event_type") =!= "purchase", touchStr)).over(byUser))
+    ev.filter(col("event_type") === "purchase")
+      .withColumn("touch_us",
+        expr("try_cast(split(last_touch, ':')[0] AS BIGINT)"))
+      .withColumn("attributed",
+        when(col("last_touch").isNotNull &&
+          col("touch_us") >= unix_micros(col("ts")) - windowMinutes * 60000000L,
+          expr("split(last_touch, ':')[2]")).otherwise(lit("direct")))
+      .groupBy(col("attributed").as("attributed_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
+  def attributionSql(windowMinutes: Int = 60): String =
+    s"""WITH touched AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |         MAX(CASE WHEN event_type <> 'purchase'
+       |             THEN lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+       |                  || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')
+       |                  || ':' || event_type END)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+       |  FROM events
+       |)
+       |SELECT CASE WHEN last_touch IS NOT NULL
+       |              AND CAST(string_split(last_touch, ':')[1] AS BIGINT)
+       |                  >= epoch_us(CAST(ts AS TIMESTAMP)) - ${windowMinutes * 60000000L}
+       |            THEN string_split(last_touch, ':')[3]
+       |            ELSE 'direct' END AS attributed_type,
+       |       CAST(COUNT(*) AS BIGINT) AS n_purchases
+       |FROM touched WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+
+  /** Per-type linear trend + one-day-ahead forecast — OLS over
+    * (epoch-day, daily count) computed entirely from integer sums
+    * (n·Σxy − Σx·Σy over n·Σx² − (Σx)², the closed normal-equation
+    * form), so the slope and forecast are single deterministic double
+    * expressions over exact integers — no iterative fit, no float
+    * accumulation. This is the capacity-planning readout on top of the
+    * same daily rollup every other monitor here shares; one extra
+    * metadata-size aggregate.
+    */
+  def dailyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("event_date"), lit("1970-01-01").cast("date")).cast("long"))
+    val s = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      max("x").as("max_x"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val intercept = (col("sy").cast("double") - slope * col("sx").cast("double")) /
+      col("n").cast("double")
+    s.select(col("event_type"), col("n").as("days"),
+      slope.as("slope_per_day"),
+      (intercept + slope * (col("max_x") + 1).cast("double")).as("forecast_next"))
+  }
+
+  val dailyTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+      |         CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+      |), s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |         CAST(MAX(x) AS BIGINT) AS max_x
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT event_type, n AS days,
+      |       CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_day,
+      |       (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+      |          / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n
+      |         + CAST(n * sxy - sx * sy AS DOUBLE)
+      |           / CAST(n * sxx - sx * sx AS DOUBLE) * (max_x + 1) AS forecast_next
+      |FROM s""".stripMargin
+
   /** Seasonality-aware anomaly detection — [[dailyAnomalies]] with the
     * weekly cycle removed: the baseline is per (event_type, DAY-OF-WEEK)
     * (a quiet Sunday is not an anomaly just because weekdays are busy;

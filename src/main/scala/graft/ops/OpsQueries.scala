@@ -188,6 +188,10 @@ object OpsQueries {
     // same detector with the weekly cycle removed: per-(type, day-of-
     // week) baseline, portable epoch-day dow arithmetic
     "events_anomaly_dow" -> ((s, dir) => EventsOps.seasonalAnomalies(s, dir)),
+    // last-touch purchase attribution within a 1h window
+    "events_attribution" -> ((s, dir) => EventsOps.attribution(s, dir)),
+    // per-type OLS trend + one-day-ahead forecast from integer sums
+    "events_trend" -> ((s, dir) => EventsOps.dailyTrend(s, dir)),
     // 7-day trailing moving average over the daily rollup (window, no
     // extra shuffle of raw events)
     "events_ma" -> ((s, dir) => EventsOps.movingAvg(s, dir)),
@@ -265,6 +269,10 @@ object OpsQueries {
     // finer (type, day, delivery) grain the stream actually folded
     "stream_quantiles" -> ((s, dir) =>
       graft.streaming.EventStream.quantStreamCheck(s, dir)),
+    // streaming anomaly monitor: z-scores computed from the folded
+    // per-day count state only; oracle is the BATCH detector verbatim
+    "stream_anomaly" -> ((s, dir) =>
+      graft.streaming.EventStream.anomalyStreamCheck(s, dir)),
     // streaming CDC: latest-wins fold with in-state tombstones; oracle
     // is the BATCH cdc_apply SQL verbatim
     "stream_cdc" -> ((s, dir) =>
@@ -453,6 +461,8 @@ object OpsQueries {
     "events_retention" -> EventsOps.retentionSql,
     "events_anomaly" -> EventsOps.dailyAnomaliesSql,
     "events_anomaly_dow" -> EventsOps.seasonalAnomaliesSql,
+    "events_attribution" -> EventsOps.attributionSql(),
+    "events_trend" -> EventsOps.dailyTrendSql,
     "events_ma" -> EventsOps.movingAvgSql(),
     "events_stickiness" -> EventsOps.stickinessSql(),
     "events_gapfill" -> EventsOps.gapFillSql,
@@ -485,6 +495,8 @@ object OpsQueries {
     // identical to events_hll's oracle: the streamed fold must be invisible
     "stream_hll" -> Sketch.hllDistinctUsersSql(),
     "stream_quantiles" -> graft.streaming.EventStream.streamQuantilesSql(),
+    // identical to events_anomaly's oracle: the streamed fold must be invisible
+    "stream_anomaly" -> EventsOps.dailyAnomaliesSql,
     // identical to cdc_apply's oracle: the streamed fold must be invisible
     "stream_cdc" -> EventsOps.cdcApplySql,
     "text_chunks" -> TextPrep.chunksSql(),

@@ -1023,6 +1023,82 @@ object EventStream extends Serializable {
         Seq("event_type", "event_date", "delivery"))
     }
 
+  /** Per-batch daily-count fold for the streaming anomaly detector:
+    * state is the (event_type, event_date) count table — counts
+    * sum-merge exactly (unlike distinct counts, cf.
+    * [[graft.ops.EventsOps.dailyIncremental]]'s grain argument), so the
+    * folded state equals the batch rollup REGARDLESS of how rows were
+    * split across deliveries, and the anomaly statistics computed from
+    * it are the batch detector's verbatim.
+    */
+  private[graft] def anomBatch(spark: SparkSession,
+                               base: org.apache.hadoop.fs.Path,
+                               batch: DataFrame, batchId: Long): Unit =
+    VersionedState.fold(spark, base, batchId) { prev =>
+      val delta = batch
+        .groupBy(col("event_type"),
+          to_date(timestamp_micros(col("ts"))).as("event_date"))
+        .agg(count(lit(1)).as("n"))
+      prev.fold(delta)(p => p.unionByName(delta)
+        .groupBy("event_type", "event_date").agg(sum("n").as("n")))
+    }
+
+  /** Streaming anomaly detection: the three-file input folds into the
+    * per-day count state, and the z-score detector runs over the FOLDED
+    * STATE ONLY — no history rescan, which is how a production monitor
+    * watches a stream (state is types×days rows however large the
+    * stream). Batch boundaries must be invisible: the oracle is the
+    * batch [[graft.ops.EventsOps.dailyAnomalies]] SQL verbatim, and the
+    * replayed-final-batch assertion proves the fold is idempotent.
+    */
+  def anomalyStreamCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_anomaly", dir, "stream_anomaly") {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = incrementalInput(spark, dir)
+      val tmpBase = java.nio.file.Files
+        .createTempDirectory("graft_stream_anom").toFile
+      tmpBase.deleteOnExit()
+      val state = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "state")
+      val ck = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "ck")
+      val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(state)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          anomBatch(spark, state, batch, batchId)
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val lastId = VersionedState.committed(spark, state)
+      val versions = fs.listStatus(state).count(_.getPath.getName.startsWith("v"))
+      val lastFile = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+        .sortBy(_.getModificationTime).last.getPath
+      anomBatch(spark, state,
+        spark.read.schema(schema).parquet(lastFile.toString), lastId)
+      require(VersionedState.committed(spark, state) == lastId &&
+        fs.listStatus(state).count(_.getPath.getName.startsWith("v")) == versions,
+        "replayed batch mutated the count state")
+      val daily = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(state, s"v$lastId").toString)
+      // the batch detector's statistics, computed from state alone
+      val stats = daily.groupBy("event_type").agg(
+        count(lit(1)).as("days"),
+        sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      val mean = col("s1").cast("double") / col("days").cast("double")
+      val variance = col("s2").cast("double") / col("days").cast("double") - mean * mean
+      val std = sqrt(variance)
+      val z = (col("n").cast("double") - mean) /
+        when(std === 0.0, lit(null)).otherwise(std)
+      daily.join(stats, "event_type")
+        .select(col("event_type"), col("event_date"), col("n"),
+          z.as("zscore"), (abs(z) > 2.0).as("is_anomaly"))
+    }
+
   /** Oracle: the batch sketch replay at the (type, day, delivery) grain,
     * with delivery re-derived from the SAME split arithmetic that built
     * the three input files (late / last-hour-fill / main — batchIds 2/1/0
