@@ -908,44 +908,52 @@ object EventStream extends Serializable {
     */
   def hllStreamCheck(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "stream_hll", dir, "stream_hll") {
-      import org.apache.spark.sql.streaming.Trigger
-      val in = incrementalInput(spark, dir)
-      val tmpBase = java.nio.file.Files
-        .createTempDirectory("graft_stream_hll").toFile
-      tmpBase.deleteOnExit()
-      val state = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "state")
-      val ck = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "ck")
-      val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.mkdirs(state)
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(in)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          hllBatch(spark, state, batch, batchId)
-        }
-        .option("checkpointLocation", ck.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      def committed(): Long = {
-        val s = fs.open(new org.apache.hadoop.fs.Path(state, "_committed"))
-        try s.readLong() finally s.close()
-      }
-      val lastId = committed()
-      val versions = fs.listStatus(state).count(_.getPath.getName.startsWith("v"))
-      val lastFile = fs.listStatus(new org.apache.hadoop.fs.Path(in))
-        .sortBy(_.getModificationTime).last.getPath
-      hllBatch(spark, state, spark.read.schema(schema).parquet(lastFile.toString), lastId)
-      require(committed() == lastId &&
-        fs.listStatus(state).count(_.getPath.getName.startsWith("v")) == versions,
-        "replayed batch mutated the register state")
-      val reg = spark.read.parquet(
-        new org.apache.hadoop.fs.Path(state, s"v$lastId").toString)
+      val reg = foldedState(spark, dir, "hll")(hllBatch(spark, _, _, _))
       val dh = graft.ops.Sketch.dayHashes(graft.Tables.events(spark, dir)
         .select(to_date(col("ts")).as("event_date"), col("user_id")))
       graft.ops.Sketch.hllEstimates(reg, dh)
     }
+
+  /** Shared harness of the [[VersionedState]]-fold stream checks (HLL /
+    * quantile-anchor / daily-count): streams the three-file input one
+    * file per trigger through `foldBatch`, then REPLAYS the final batch
+    * and asserts the state held still (the batchId guard makes every
+    * fold idempotent under foreachBatch's at-least-once contract — each
+    * check proves it, not just claims it). Returns the final folded
+    * state.
+    */
+  private def foldedState(spark: SparkSession, dir: String, tag: String)
+      (foldBatch: (org.apache.hadoop.fs.Path, DataFrame, Long) => Unit): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = incrementalInput(spark, dir)
+    val tmpBase = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_$tag").toFile
+    tmpBase.deleteOnExit()
+    val state = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "state")
+    val ck = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "ck")
+    val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(state)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(state, batch, batchId)
+      }
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val lastId = VersionedState.committed(spark, state)
+    val versions = fs.listStatus(state).count(_.getPath.getName.startsWith("v"))
+    val lastFile = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+      .sortBy(_.getModificationTime).last.getPath
+    foldBatch(state, spark.read.schema(schema).parquet(lastFile.toString), lastId)
+    require(VersionedState.committed(spark, state) == lastId &&
+      fs.listStatus(state).count(_.getPath.getName.startsWith("v")) == versions,
+      "replayed batch mutated the folded state")
+    spark.read.parquet(new org.apache.hadoop.fs.Path(state, s"v$lastId").toString)
+  }
 
   /** Per-batch quantile-summary fold: the batch's ≤ k+1 weighted anchors
     * per (type, day, delivery) group are APPENDED to the anchor state —
@@ -987,37 +995,7 @@ object EventStream extends Serializable {
     */
   def quantStreamCheck(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "stream_quantiles", dir, "stream_quantiles") {
-      import org.apache.spark.sql.streaming.Trigger
-      val in = incrementalInput(spark, dir)
-      val tmpBase = java.nio.file.Files
-        .createTempDirectory("graft_stream_quant").toFile
-      tmpBase.deleteOnExit()
-      val state = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "state")
-      val ck = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "ck")
-      val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.mkdirs(state)
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(in)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          quantBatch(spark, state, batch, batchId)
-        }
-        .option("checkpointLocation", ck.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val lastId = VersionedState.committed(spark, state)
-      val versions = fs.listStatus(state).count(_.getPath.getName.startsWith("v"))
-      val lastFile = fs.listStatus(new org.apache.hadoop.fs.Path(in))
-        .sortBy(_.getModificationTime).last.getPath
-      quantBatch(spark, state,
-        spark.read.schema(schema).parquet(lastFile.toString), lastId)
-      require(VersionedState.committed(spark, state) == lastId &&
-        fs.listStatus(state).count(_.getPath.getName.startsWith("v")) == versions,
-        "replayed batch mutated the anchor state")
-      val anchors = spark.read.parquet(
-        new org.apache.hadoop.fs.Path(state, s"v$lastId").toString)
+      val anchors = foldedState(spark, dir, "quant")(quantBatch(spark, _, _, _))
       graft.ops.Sketch.quantMergeConfirm(anchors,
         graft.Tables.events(spark, dir).select(col("event_type"), col("value")),
         Seq("event_type", "event_date", "delivery"))
@@ -1053,37 +1031,7 @@ object EventStream extends Serializable {
     */
   def anomalyStreamCheck(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "stream_anomaly", dir, "stream_anomaly") {
-      import org.apache.spark.sql.streaming.Trigger
-      val in = incrementalInput(spark, dir)
-      val tmpBase = java.nio.file.Files
-        .createTempDirectory("graft_stream_anom").toFile
-      tmpBase.deleteOnExit()
-      val state = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "state")
-      val ck = new org.apache.hadoop.fs.Path(tmpBase.getAbsolutePath, "ck")
-      val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.mkdirs(state)
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(in)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          anomBatch(spark, state, batch, batchId)
-        }
-        .option("checkpointLocation", ck.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val lastId = VersionedState.committed(spark, state)
-      val versions = fs.listStatus(state).count(_.getPath.getName.startsWith("v"))
-      val lastFile = fs.listStatus(new org.apache.hadoop.fs.Path(in))
-        .sortBy(_.getModificationTime).last.getPath
-      anomBatch(spark, state,
-        spark.read.schema(schema).parquet(lastFile.toString), lastId)
-      require(VersionedState.committed(spark, state) == lastId &&
-        fs.listStatus(state).count(_.getPath.getName.startsWith("v")) == versions,
-        "replayed batch mutated the count state")
-      val daily = spark.read.parquet(
-        new org.apache.hadoop.fs.Path(state, s"v$lastId").toString)
+      val daily = foldedState(spark, dir, "anom")(anomBatch(spark, _, _, _))
       // the batch detector's statistics, computed from state alone
       val stats = daily.groupBy("event_type").agg(
         count(lit(1)).as("days"),
