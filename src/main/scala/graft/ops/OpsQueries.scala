@@ -273,6 +273,10 @@ object OpsQueries {
     // per-day count state only; oracle is the BATCH detector verbatim
     "stream_anomaly" -> ((s, dir) =>
       graft.streaming.EventStream.anomalyStreamCheck(s, dir)),
+    // stream-stream LEFT OUTER join: watermark-gated null emission,
+    // boundary arithmetic replayed by the oracle
+    "stream_join_outer" -> ((s, dir) =>
+      graft.streaming.EventStream.joinOuterCheck(s, dir)),
     // streaming CDC: latest-wins fold with in-state tombstones; oracle
     // is the BATCH cdc_apply SQL verbatim
     "stream_cdc" -> ((s, dir) =>
@@ -497,6 +501,7 @@ object OpsQueries {
     "stream_quantiles" -> graft.streaming.EventStream.streamQuantilesSql(),
     // identical to events_anomaly's oracle: the streamed fold must be invisible
     "stream_anomaly" -> EventsOps.dailyAnomaliesSql,
+    "stream_join_outer" -> graft.streaming.EventStream.joinOuterCheckSql,
     // identical to cdc_apply's oracle: the streamed fold must be invisible
     "stream_cdc" -> EventsOps.cdcApplySql,
     "text_chunks" -> TextPrep.chunksSql(),

@@ -258,6 +258,74 @@ object EventStream extends Serializable {
       |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Stream–stream LEFT OUTER join — the semantics [[joinCheck]]'s inner
+    * join cannot show: a click with NO purchase inside its 1 h window
+    * must still come out (conversion analysis needs the non-converters),
+    * and in a stream that null-extended row can only be emitted once the
+    * watermark PROVES no matching purchase can still arrive. Run to
+    * completion, the emitted set is therefore exactly:
+    *   matched clicks  ∪  unmatched clicks with click_ts + 1 h < final
+    * watermark (min of the two sides' own max event times, − 10 min —
+    * a watermark node only sees its side's filtered rows); unmatched
+    * clicks in the last
+    * 70 minutes of the stream stay in state, correctly unemitted — the
+    * oracle replays that boundary arithmetic, so the watermark-gated
+    * null emission is hash-verified, not asserted. (The no-data
+    * micro-batch after the last file is what flushes the evictable
+    * unmatched rows — the engine's documented outer-join contract.)
+    */
+  def joinOuterCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_join_outer", dir, "stream_join_outer") {
+      def side(tpe: String, prefix: String): DataFrame =
+        eventsStream(spark, dir, Some("events.parquet"))
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(s"${prefix}_id"),
+            col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "10 minutes")
+      val tbl = "stream_join_outer_" + java.lang.Integer.toHexString(dir.hashCode)
+      val q = side("click", "click").join(side("purchase", "purchase"),
+          col("purchase_user") === col("click_user") &&
+            col("click_ts") < col("purchase_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "leftOuter")
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(tbl)
+        .groupBy(col("click_id"), col("click_user").as("user_id"),
+          col("click_ts"))
+        .agg(count(col("purchase_id")).as("n_purchases"))
+    }
+
+  val joinOuterCheckSql: String =
+    """WITH mx AS (
+      |  -- the join's eviction watermark is the MIN of the two sides'
+      |  -- watermarks, each computed from its own filtered stream's max
+      |  -- event time (a watermark node only sees rows that pass its
+      |  -- side's filter)
+      |  SELECT LEAST(
+      |    (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) FROM events
+      |      WHERE event_type = 'click'),
+      |    (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) FROM events
+      |      WHERE event_type = 'purchase')) AS mxus
+      |), c AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |       COUNT(p.event_id) AS n_purchases
+      |FROM c
+      |LEFT JOIN p ON p.user_id = c.user_id
+      |  AND c.ts < p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |CROSS JOIN mx
+      |GROUP BY 1, 2, 3, mx.mxus
+      |HAVING COUNT(p.event_id) > 0
+      |    OR epoch_us(CAST(c.ts AS TIMESTAMP)) + 3600000000
+      |       < mx.mxus - 600000000""".stripMargin
+
   def dedupStream(spark: SparkSession, dir: String): DataFrame =
     eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
