@@ -58,6 +58,10 @@ object OpsQueries {
     "stream_neardups" -> ((s, dir) => graft.streaming.DocStream.nearDupsCheck(s, dir)),
     // keep-with-probability-quality soft filter + calibration report
     "sample_quality_weighted" -> ((s, dir) => Sampling.qualityWeighted(s, dir)),
+    // preference pairs: quality argmax vs argmin per (source, lang)
+    "pref_pairs" -> ((s, dir) => Preference.pairs(s, dir)),
+    // synthetic-annotator agreement card + Fleiss' kappa
+    "rater_agreement" -> ((s, dir) => Preference.raterAgreement(s, dir)),
     // one-row key-skew diagnostic for the events aggregation key
     "events_skew_report" -> ((s, dir) => Salting.skewReport(s, dir)),
     // per-source PII span counts and affected-document counts
@@ -190,6 +194,10 @@ object OpsQueries {
     "events_anomaly_dow" -> ((s, dir) => EventsOps.seasonalAnomalies(s, dir)),
     // last-touch purchase attribution within a 1h window
     "events_attribution" -> ((s, dir) => EventsOps.attribution(s, dir)),
+    // hash-bucket A/B readout: per-arm conversion + pooled z-statistic
+    "events_abtest" -> ((s, dir) => Experiment.abTest(s, dir)),
+    // one-sided CUSUM over per-type daily counts (integer recursion)
+    "events_cusum" -> ((s, dir) => Experiment.cusum(s, dir)),
     // per-type OLS trend + one-day-ahead forecast from integer sums
     "events_trend" -> ((s, dir) => EventsOps.dailyTrend(s, dir)),
     // 7-day trailing moving average over the daily rollup (window, no
@@ -417,6 +425,8 @@ object OpsQueries {
     "stream_dedup_docs" -> graft.streaming.DocStream.dedupCheckSql,
     "stream_neardups" -> graft.streaming.DocStream.nearDupsCheckSql,
     "sample_quality_weighted" -> Sampling.qualityWeightedSql(),
+    "pref_pairs" -> Preference.pairsSql,
+    "rater_agreement" -> Preference.raterAgreementSql(),
     "events_skew_report" -> Salting.skewReportSql,
     "pii_stats" -> Redact.piiStatsSql,
     "dedup_keep_best" -> Dedup.keepBestSql(0.5),
@@ -466,6 +476,8 @@ object OpsQueries {
     "events_anomaly" -> EventsOps.dailyAnomaliesSql,
     "events_anomaly_dow" -> EventsOps.seasonalAnomaliesSql,
     "events_attribution" -> EventsOps.attributionSql(),
+    "events_abtest" -> Experiment.abTestSql(),
+    "events_cusum" -> Experiment.cusumSql(),
     "events_trend" -> EventsOps.dailyTrendSql,
     "events_ma" -> EventsOps.movingAvgSql(),
     "events_stickiness" -> EventsOps.stickinessSql(),
