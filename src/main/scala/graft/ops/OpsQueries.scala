@@ -29,6 +29,8 @@ object OpsQueries {
     "lm_score" -> ((s, dir) => LangModel.score(s, dir)),
     // CCNet-style segment-level corpus dedup (keep first occurrence)
     "dedup_segments" -> ((s, dir) => SegmentDedup.report(s, dir)),
+    // content-defined chunking: hash-boundary chunks + corpus dup card
+    "text_cdc_chunks" -> ((s, dir) => CdcChunk.report(s, dir)),
     // Misra-Gries heavy hitters + exact confirm pass
     "heavy_hitters" -> ((s, dir) => Sketch.heavyHitters(s, dir)),
     // apply the top-k ranked BPE merges to every document
@@ -386,6 +388,7 @@ object OpsQueries {
     "quality_model" -> QualityModel.scoreSql,
     "lm_score" -> LangModel.scoreSql(),
     "dedup_segments" -> SegmentDedup.reportSql(),
+    "text_cdc_chunks" -> CdcChunk.reportSql,
     "heavy_hitters" -> Sketch.heavyHittersSql(),
     "bpe_encode" -> TextPrep.bpeEncodeSql(),
     "fuzzy_parts" -> FuzzyJoin.partsSql(),
