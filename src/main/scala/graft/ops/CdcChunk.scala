@@ -20,9 +20,10 @@ import graft.Tables
   * identical positions; chunk assembly is pure array slicing — no
   * order-dependent accumulation anywhere.
   *
-  * Scale shape: chunking is SHUFFLE-FREE — boundaries and chunk texts
-  * are derived per document with array higher-order functions inside
-  * one codegen stage (never a corpus-wide word explode + window). The
+  * Scale shape: chunking is SHUFFLE-FREE — boundaries come from the
+  * codegen'd [[graft.functions.CdcCutPositions]] kernel (one md5 per
+  * word position in a tight loop) and chunk texts from array ops in
+  * the same stage (never a corpus-wide word explode + window). The
   * only row-level shuffles are chunk-grain: one fingerprint count
   * (map-side combined) and the count join back, both hash-partitioned
   * on the fingerprint.
@@ -36,10 +37,6 @@ object CdcChunk {
     * length = divisor words).
     */
   val divisor = 16
-
-  private def hashMod(s: Column): Column =
-    pmod(conv(substring(md5(concat(lit("cdc:"), s)), 1, 8), 16, 10).cast("long"),
-      lit(divisor))
 
   /** Per-document chunk table: (doc_id, source, chunk_idx, chunk_text,
     * fingerprint, n_words), derived entirely with array ops.
@@ -56,13 +53,12 @@ object CdcChunk {
       col("doc_id"), col("source"),
       split(TextMetrics.normalized(col("text")), " ").as("ws"))
     // 1-based positions whose trailing-window hash closes a chunk; the
-    // final position always closes the tail chunk
+    // final position always closes the tail chunk. Native kernel: the
+    // HOF formulation paid interpreted slice+md5 trees per position
+    // (60 s at sf0.1 — see CdcCutPositions), this runs in codegen.
     val withCuts = docs.select(col("doc_id"), col("source"), col("ws"),
-      filter(sequence(lit(1), size(col("ws"))), p =>
-        (p === size(col("ws"))) ||
-          hashMod(concat_ws(" ",
-            slice(col("ws"), greatest(lit(1), p - (w - 1)), least(p, lit(w))))) === 0
-      ).as("cuts"))
+      graft.functions.CdcCutFunctions
+        .cdcCuts(documents.sparkSession, col("ws"), w, divisor).as("cuts"))
     // chunk i spans (previous cut + 1) .. cut_i
     val withTexts = withCuts.select(col("doc_id"), col("source"),
       zip_with(col("cuts"),
