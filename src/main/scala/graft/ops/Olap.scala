@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Classic OLAP workload shapes over the star tables — the TPC-H Q1 /
+  * Q3 / Q5 patterns (pricing summary, shipping-priority revenue top-k,
+  * local-supplier volume) plus grouped correlation statistics. These
+  * prove the engine handles the standard decision-support join/agg
+  * shapes a reference user would bring along, with the plans one would
+  * want at 100 TB: dimension sides broadcast, fact tables shuffled at
+  * most once, every money aggregate on an exact DECIMAL grid so both
+  * engines sum order-independently.
+  */
+object Olap {
+
+  /** TPC-H Q1 shape: pricing summary report. One map-side-combined
+    * aggregate over the pruned lineitem scan; every sum accumulates in
+    * DECIMAL (exact, order-free), averages derived from sums at the
+    * edge.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    val tax = col("l_tax").cast("decimal(18,2)")
+    l.groupBy("l_returnflag", "l_linestatus").agg(
+      sum(qty).as("sum_qty"),
+      sum(price).as("sum_base_price"),
+      sum((price * (lit(1).cast("decimal(18,2)") - disc)).cast("decimal(28,4)"))
+        .as("sum_disc_price"),
+      sum(((price * (lit(1).cast("decimal(18,2)") - disc)).cast("decimal(28,4)") *
+        (lit(1).cast("decimal(18,2)") + tax)).cast("decimal(28,6)"))
+        .as("sum_charge"),
+      count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty").cast("decimal(28,2)").as("sum_qty"),
+        col("sum_base_price").cast("decimal(28,2)").as("sum_base_price"),
+        col("sum_disc_price").cast("decimal(28,4)").as("sum_disc_price"),
+        col("sum_charge").cast("decimal(28,6)").as("sum_charge"),
+        (col("sum_qty").cast("double") / col("count_order").cast("double"))
+          .cast("decimal(18,6)").as("avg_qty"),
+        col("count_order"))
+  }
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        AS DECIMAL(28,4))
+      |      * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
+    * segment. Customer (filtered, dimension-sized) broadcasts into
+    * orders; the lineitem join shuffles on the order key once; revenue
+    * sums in DECIMAL; the top-10 is a total order (revenue desc, then
+    * order key) so ties cannot flap.
+    */
+  def q3Revenue(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)").as("rev"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum("rev").cast("decimal(28,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3RevenueSql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |         AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2
+      |ORDER BY SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |  AS DECIMAL(28,4))) DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: revenue by nation where customer and supplier are
+    * in the same nation, one region, one order-date year. All four
+    * dimension tables broadcast; the orders⋈lineitem fact join is the
+    * single at-scale shuffle; the same-nation predicate rides the
+    * supplier broadcast join as an equi-key.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_suppkey"),
+      (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(28,4)").as("rev"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("rev").cast("decimal(28,4)").as("revenue"))
+  }
+
+  val q5LocalSupplierSql: String =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |         AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  /** Grouped Pearson correlation + stddevs: quantity vs extended price
+    * per return flag, assembled from exact DECIMAL moment sums (the
+    * only way corr is reproducible across engines and partitionings —
+    * float moment accumulation is order-dependent, decimal is not).
+    * One map-side-combined aggregate; moments leave the scan as 6
+    * decimals per group.
+    */
+  def corrQtyPrice(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val m = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast("decimal(28,4)")).as("sxx"),
+        sum((y * y).cast("decimal(28,4)")).as("syy"),
+        sum((x * y).cast("decimal(28,4)")).as("sxy"))
+    val nd = col("n").cast("double")
+    val covN = col("sxy").cast("double") / nd -
+      (col("sx").cast("double") / nd) * (col("sy").cast("double") / nd)
+    val vxN = col("sxx").cast("double") / nd -
+      (col("sx").cast("double") / nd) * (col("sx").cast("double") / nd)
+    val vyN = col("syy").cast("double") / nd -
+      (col("sy").cast("double") / nd) * (col("sy").cast("double") / nd)
+    m.select(col("l_returnflag"), col("n"),
+      sqrt(vxN).cast("decimal(18,6)").as("std_qty"),
+      sqrt(vyN).cast("decimal(18,6)").as("std_price"),
+      (covN / sqrt(vxN * vyN)).cast("decimal(18,6)").as("corr_qty_price"))
+  }
+
+  val corrQtyPriceSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+      |           * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sxx,
+      |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS syy,
+      |         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+      |           * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sxy
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT l_returnflag, n,
+      |  CAST(CAST(sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    AS DECIMAL(18,6)) AS DOUBLE) AS std_qty,
+      |  CAST(CAST(sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    AS DECIMAL(18,6)) AS DOUBLE) AS std_price,
+      |  CAST(CAST(
+      |    (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+      |    AS DECIMAL(18,6)) AS DOUBLE) AS corr_qty_price
+      |FROM m""".stripMargin
+}

