@@ -11,6 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object OpsQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ANALYZE-style per-column profile (nulls/distinct/min/max, one scan)
+    "events_column_profile" -> ((s, dir) => TableProfile.events(s, dir)),
     // classic OLAP shapes over the star tables (TPC-H Q1/Q3/Q5 patterns)
     "olap_pricing" -> ((s, dir) => Olap.q1Pricing(s, dir)),
     "olap_revenue_topk" -> ((s, dir) => Olap.q3Revenue(s, dir)),
@@ -385,6 +387,7 @@ object OpsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_column_profile" -> TableProfile.eventsSql,
     "olap_pricing" -> Olap.q1PricingSql,
     "olap_revenue_topk" -> Olap.q3RevenueSql,
     "olap_local_supplier" -> Olap.q5LocalSupplierSql,
