@@ -63,6 +63,10 @@ object OpsQueries {
     "stream_profile" -> ((s, dir) => graft.streaming.DocStream.profileCheck(s, dir)),
     // cross-batch exact dedup against externalized fingerprint state
     "stream_dedup_docs" -> ((s, dir) => graft.streaming.DocStream.dedupCheck(s, dir)),
+    // sliding 1h/15min windows (4 windows per event, complete mode)
+    "stream_sliding" -> ((s, dir) => graft.streaming.EventStream.slidingCheck(s, dir)),
+    // built-in session_window aggregate (append mode, watermark-gated)
+    "stream_session_window" -> ((s, dir) => graft.streaming.EventStream.sessionWindowCheck(s, dir)),
     // streaming NEAR-dedup: per-batch LSH-index probe + exact verify
     // against streamed state; earlier delivery's survivor kept
     "stream_neardups" -> ((s, dir) => graft.streaming.DocStream.nearDupsCheck(s, dir)),
@@ -388,6 +392,8 @@ object OpsQueries {
 
   def oracles: Map[String, String] = Map(
     "events_column_profile" -> TableProfile.eventsSql,
+    "stream_sliding" -> graft.streaming.EventStream.slidingCheckSql,
+    "stream_session_window" -> graft.streaming.EventStream.sessionWindowCheckSql(),
     "olap_pricing" -> Olap.q1PricingSql,
     "olap_revenue_topk" -> Olap.q3RevenueSql,
     "olap_local_supplier" -> Olap.q5LocalSupplierSql,

@@ -43,6 +43,23 @@ object EventStream extends Serializable {
     * TIMESTAMP(MICROS) as TIMESTAMP_NTZ — [[graft.Tables.normalizeEventTs]]
     * then maps either to the same micros TIMESTAMP column.
     */
+  /** A named table under `dir` is a single FILE in the driver fixtures
+    * but a part-file DIRECTORY when written by Spark (`tools/Replicate`
+    * scale fixtures). `pathGlobFilter` only matches leaf files, so for
+    * the directory layout stream from the subdirectory itself (and drop
+    * the glob); for the file layout keep the glob over `dir`.
+    */
+  private def resolveSource(spark: SparkSession, dir: String,
+                            glob: Option[String]): (String, Option[String]) =
+    glob match {
+      case Some(name) =>
+        val p = new org.apache.hadoop.fs.Path(dir, name)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p) && fs.getFileStatus(p).isDirectory) (p.toString, None)
+        else (dir, glob)
+      case None => (dir, None)
+    }
+
   private def sourceSchema(spark: SparkSession, dir: String,
                            glob: Option[String]): StructType =
     srcSchemas.getOrElseUpdate(glob.fold(dir)(g => s"$dir#$g"), {
@@ -58,10 +75,11 @@ object EventStream extends Serializable {
                            glob: Option[String] = None,
                            options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(sourceSchema(spark, dir, glob))
-    glob.foreach(g => reader.option("pathGlobFilter", g))
+    val (srcDir, srcGlob) = resolveSource(spark, dir, glob)
+    val reader = spark.readStream.schema(sourceSchema(spark, srcDir, srcGlob))
+    srcGlob.foreach(g => reader.option("pathGlobFilter", g))
     options.foreach { case (k, v) => reader.option(k, v) }
-    graft.Tables.normalizeEventTs(reader.parquet(dir))
+    graft.Tables.normalizeEventTs(reader.parquet(srcDir))
   }
 
   /** Hourly per-type rollup over a streaming read of a parquet directory
@@ -475,6 +493,126 @@ object EventStream extends Serializable {
        |), wm
        |WHERE session_seq < max_seq
        |   OR wm_ms > epoch_us(CAST(session_end AS TIMESTAMP)) // 1000 + $gapMs""".stripMargin
+  }
+
+  /** Sliding-window rollup — 1 h windows advancing every 15 min, so each
+    * event contributes to exactly window/slide = 4 overlapping windows.
+    * This is the hopping-window surface the tumbling [[hourlyCounts]]
+    * doesn't exercise: state holds 4× the open windows (still
+    * time-bounded by the watermark), and the per-event fan-out happens
+    * map-side in the window expression, never as a join.
+    */
+  def slidingCounts(spark: SparkSession, dir: String,
+                    glob: Option[String] = None): DataFrame =
+    eventsStream(spark, dir, glob)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Run-to-completion equivalence for the sliding window (complete mode:
+    * one micro-batch, nothing behind the watermark). The oracle expands
+    * each event into its 4 windows on the 15-min epoch grid — the same
+    * arithmetic Spark's window expression performs.
+    */
+  def slidingCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_sliding", dir, "stream_sliding") {
+      val tbl = "stream_sliding_" + java.lang.Integer.toHexString(dir.hashCode)
+      val q = slidingCounts(spark, dir, glob = Some("events.parquet"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(tbl)
+    }
+
+  val slidingCheckSql: String =
+    """WITH k AS (SELECT unnest(generate_series(0, 3)) AS k),
+      |w AS (
+      |  SELECT make_timestamp(
+      |           (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000
+      |           - k.k * 900000000) AS window_start,
+      |         event_type, value
+      |  FROM events, k
+      |)
+      |SELECT window_start,
+      |       window_start + INTERVAL 1 HOUR AS window_end,
+      |       event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY 1, 2, 3""".stripMargin
+
+  /** Gap sessionization via the BUILT-IN `session_window` aggregate —
+    * the declarative twin of the custom [[sessionize]]
+    * `flatMapGroupsWithState` path (same 30-min gap-merge semantics:
+    * events merge while consecutive gaps are strictly under the gap;
+    * the session end is last event + gap). State is managed by the
+    * session-window state store with watermark eviction — no
+    * user-written state code.
+    */
+  def sessionWindowCounts(spark: SparkSession, dir: String,
+                          glob: Option[String] = None,
+                          gapMinutes: Int = 30): DataFrame =
+    eventsStream(spark, dir, glob)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Run-to-completion proof for [[sessionWindowCounts]] (append mode —
+    * complete is unsupported for session windows). Emission is
+    * watermark-gated: only sessions whose end the end-of-input watermark
+    * has passed are in the memory table; the oracle replays the same
+    * lag-based merge (break iff gap ≥ 30 min, Spark's strict-overlap
+    * rule) plus the `session_end ≤ wm` emission cut in ms arithmetic.
+    */
+  def sessionWindowCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "stream_session_window", dir, "stream_session_window") {
+      val tbl = "stream_swin_" + java.lang.Integer.toHexString(dir.hashCode)
+      val q = sessionWindowCounts(spark, dir, glob = Some("events.parquet"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(tbl)
+    }
+
+  def sessionWindowCheckSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000
+    s"""WITH lagged AS (
+       |  SELECT user_id, ts, value, event_id,
+       |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events
+       |), flagged AS (
+       |  SELECT user_id, ts, value, event_id,
+       |         CASE WHEN prev_ts IS NULL
+       |                OR epoch_us(CAST(ts AS TIMESTAMP))
+       |                   - epoch_us(CAST(prev_ts AS TIMESTAMP)) >= $gapUs
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM lagged
+       |), sess AS (
+       |  SELECT user_id, ts, value,
+       |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged
+       |), agg AS (
+       |  SELECT user_id, MIN(ts) AS session_start,
+       |         MAX(ts) + INTERVAL $gapMinutes MINUTE AS session_end,
+       |         COUNT(*) AS n_events,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+       |  FROM sess GROUP BY user_id, sid
+       |), wm AS (
+       |  SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000 - 600000 AS wm_ms
+       |  FROM events
+       |)
+       |SELECT user_id, session_start, session_end, n_events, session_value
+       |FROM agg, wm
+       |WHERE epoch_us(CAST(session_end AS TIMESTAMP)) // 1000 <= wm_ms""".stripMargin
   }
 
   // ------------------------------------------------------------------
