@@ -155,6 +155,102 @@ object Olap {
       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q4 shape: order-priority checking via an EXISTS — a LEFT SEMI
+    * join from orders to late-shipped lineitems (equi on the order key
+    * with the lateness inequality as residual), then a priority rollup.
+    * The semi join never duplicates orders however many lineitems match
+    * and carries no lineitem payload through the shuffle.
+    */
+  def q4PrioritySemi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+      col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4PrioritySemiSql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q13 shape: customer order-count distribution via a LEFT OUTER
+    * join (zero-order customers must survive with count 0) and a
+    * histogram over the per-customer counts. Orders filtered to
+    * non-urgent inside the join. Two aggregates: customer grain, then
+    * the count-of-counts — the second input is customer-cardinality.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13CustDistSql: String =
+    """WITH per_cust AS (
+      |  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1
+      |)
+      |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM per_cust GROUP BY 1""".stripMargin
+
+  /** TPC-H Q22 shape: well-funded customers gone quiet — a one-row
+    * scalar average broadcast as the balance threshold, then a LEFT
+    * ANTI join against the final year's orders (the fixture gives every
+    * customer SOME order, so the recency cutoff is what makes the
+    * anti-join discriminate), rolled up by market segment with DECIMAL
+    * balance sums.
+    */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+    val avgBal = c.filter(col("bal") > 0)
+      .agg((sum(col("bal")).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_bal"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
+      .select("o_custkey")
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("bal").cast("double") > col("avg_bal"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal")).cast("decimal(28,2)").as("total_bal"))
+  }
+
+  val q22IdleCustomersSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer
+      |), t AS (
+      |  SELECT CAST(SUM(bal) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+      |  FROM c WHERE bal > 0
+      |)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+      |       CAST(SUM(bal) AS DOUBLE) AS total_bal
+      |FROM c, t
+      |WHERE CAST(bal AS DOUBLE) > t.avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
+      |GROUP BY 1""".stripMargin
+
   /** Grouped Pearson correlation + stddevs: quantity vs extended price
     * per return flag, assembled from exact DECIMAL moment sums (the
     * only way corr is reproducible across engines and partitionings —

