@@ -251,6 +251,97 @@ object Olap {
       |      AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
       |GROUP BY 1""".stripMargin
 
+  /** Spend-decile report: NTILE(10) over per-user total spend, then
+    * per-decile volume/revenue shares — the global-ranking surface the
+    * per-key top-k operators don't exercise. A bare
+    * `Window.orderBy(...)` NTILE collapses to ONE partition (fatal at
+    * billions of users), so the global rank is built with the two-tier
+    * pattern ([[Pack]]'s prefix sum): range-repartition on the sort key,
+    * per-partition `row_number`, partition-count offsets (a ≤
+    * #partitions-row frame) broadcast back, then NTILE's exact tile
+    * arithmetic (`n/k` base, first `n mod k` tiles one larger) applied
+    * as integer expressions. Ties broken by user_id → a total order,
+    * and the tile rule matches both engines' NTILE definition exactly.
+    */
+  def userDeciles(spark: SparkSession, dir: String, tiles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("spend"))
+    val withPid = spend
+      .repartitionByRange(col("spend").desc, col("user_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = withPid.withColumn("lrn",
+      row_number().over(Window.partitionBy("pid")
+        .orderBy(col("spend").desc, col("user_id"))))
+    // tier 2: partition row counts → exclusive prefix offsets (the frame
+    // is ≤ shuffle-partition-count rows — bounded by config, not data)
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum("cnt").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val totals = offsets.agg(sum("cnt").as("n_total"))
+    val ranked = local
+      .join(broadcast(offsets.select("pid", "offset")), "pid")
+      .crossJoin(broadcast(totals))
+      .withColumn("rank", col("lrn") + col("offset"))
+      // integer DIV throughout — `/` on longs is double division in Spark
+      .withColumn("base", expr(s"n_total DIV $tiles"))
+      .withColumn("rem", col("n_total") % tiles)
+      .withColumn("cut", col("rem") * (col("base") + 1))
+    val decile = when(col("rank") <= col("cut"),
+      expr("(rank - 1) DIV (base + 1) + 1"))
+      .otherwise(expr("rem + (rank - 1 - cut) DIV base + 1"))
+    ranked.withColumn("decile", decile.cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        sum("n_events").as("n_events"),
+        sum(col("spend")).cast("decimal(28,2)").as("decile_spend"))
+  }
+
+  val userDecilesSql: String =
+    """WITH spend AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+      |  FROM events GROUP BY 1
+      |), ranked AS (
+      |  SELECT *, NTILE(10) OVER (ORDER BY spend DESC, user_id) AS decile
+      |  FROM spend
+      |)
+      |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |       CAST(SUM(spend) AS DOUBLE) AS decile_spend
+      |FROM ranked GROUP BY 1""".stripMargin
+
+  /** Set-operator coverage: INTERSECT (users who both purchased and
+    * refunded... the fixture has clicks/purchases — use purchase ∩
+    * signup) and EXCEPT (purchasers who never clicked). Spark plans
+    * both as aggregates/semi-anti joins on the distinct key — the
+    * relational set ops the reference's UNION leg doesn't cover.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def users(t: String) = ev.filter(col("event_type") === t)
+      .select("user_id").distinct()
+    val both = users("purchase").intersect(users("signup"))
+      .agg(count(lit(1)).as("n")).select(lit("purchase_and_signup").as("set_op"), col("n"))
+    val only = users("purchase").except(users("click"))
+      .agg(count(lit(1)).as("n")).select(lit("purchase_minus_click").as("set_op"), col("n"))
+    both.unionAll(only)
+  }
+
+  val setOpsSql: String =
+    """SELECT 'purchase_and_signup' AS set_op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+      |UNION ALL
+      |SELECT 'purchase_minus_click' AS set_op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click')""".stripMargin
+
   /** Grouped Pearson correlation + stddevs: quantity vs extended price
     * per return flag, assembled from exact DECIMAL moment sums (the
     * only way corr is reproducible across engines and partitionings —

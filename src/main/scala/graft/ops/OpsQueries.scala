@@ -21,6 +21,10 @@ object OpsQueries {
     "olap_corr" -> ((s, dir) => Olap.corrQtyPrice(s, dir)),
     // join-shape completeness: semi (Q4), outer histogram (Q13), anti (Q22)
     "olap_priority_semi" -> ((s, dir) => Olap.q4PrioritySemi(s, dir)),
+    // global NTILE without a single-partition sort (two-tier ranking)
+    "events_user_deciles" -> ((s, dir) => Olap.userDeciles(s, dir)),
+    // INTERSECT / EXCEPT relational set operators
+    "events_set_ops" -> ((s, dir) => Olap.setOps(s, dir)),
     "olap_cust_dist" -> ((s, dir) => Olap.q13CustDist(s, dir)),
     "olap_idle_customers" -> ((s, dir) => Olap.q22IdleCustomers(s, dir)),
     // text analysis
@@ -403,6 +407,8 @@ object OpsQueries {
     "olap_local_supplier" -> Olap.q5LocalSupplierSql,
     "olap_corr" -> Olap.corrQtyPriceSql,
     "olap_priority_semi" -> Olap.q4PrioritySemiSql,
+    "events_user_deciles" -> Olap.userDecilesSql,
+    "events_set_ops" -> Olap.setOpsSql,
     "olap_cust_dist" -> Olap.q13CustDistSql,
     "olap_idle_customers" -> Olap.q22IdleCustomersSql,
     "text_stats" -> TextMetrics.statsSql,

@@ -61,6 +61,32 @@ class OlapSpec extends SparkSpec {
     dist.unpersist()
   }
 
+  test("two-tier NTILE: balanced tiles, total order by spend") {
+    val d = Olap.userDeciles(spark, sf0001).cache()
+    val users = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(d.agg(sum("n_users")).head().getLong(0) === users)
+    val sizes = d.select("n_users").collect().map(_.getLong(0))
+    assert(sizes.max - sizes.min <= 1, s"NTILE tiles unbalanced: ${sizes.toSeq}")
+    // deciles are ordered by spend: per-user average spend must not grow
+    val avg = d.select(col("decile"),
+      (col("decile_spend").cast("double") / col("n_users")).as("a"))
+      .orderBy("decile").collect().map(_.getDouble(1))
+    assert(avg.zip(avg.tail).forall { case (hi, lo) => hi >= lo - 1e-9 },
+      s"decile averages not monotone: ${avg.toSeq}")
+    d.unpersist()
+  }
+
+  test("set ops: intersection bounded by either side, difference consistent") {
+    val r = Olap.setOps(spark, sf0001).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val ev = Tables.events(spark, sf0001)
+    def users(t: String) = ev.filter(col("event_type") === t)
+      .select("user_id").distinct().count()
+    assert(r("purchase_and_signup") <= math.min(users("purchase"), users("signup")))
+    assert(r("purchase_minus_click") <= users("purchase"))
+    assert(r("purchase_minus_click") >= users("purchase") - users("click"))
+  }
+
   test("corr: coefficients in [-1,1]; stddevs positive; n sums to table size") {
     val r = Olap.corrQtyPrice(spark, sf0001).cache()
     assert(r.filter(abs(col("corr_qty_price")) > 1.0).count() === 0)
