@@ -25,6 +25,9 @@ object OpsQueries {
     "events_user_deciles" -> ((s, dir) => Olap.userDeciles(s, dir)),
     // INTERSECT / EXCEPT relational set operators
     "events_set_ops" -> ((s, dir) => Olap.setOps(s, dir)),
+    // theta-sketch set algebra: union/intersection distinct estimates
+    // from KMV sketches alone, exact-confirmed
+    "events_kmv_setops" -> ((s, dir) => Sketch.kmvSetOps(s, dir)),
     "olap_cust_dist" -> ((s, dir) => Olap.q13CustDist(s, dir)),
     "olap_idle_customers" -> ((s, dir) => Olap.q22IdleCustomers(s, dir)),
     // text analysis
@@ -409,6 +412,7 @@ object OpsQueries {
     "olap_priority_semi" -> Olap.q4PrioritySemiSql,
     "events_user_deciles" -> Olap.userDecilesSql,
     "events_set_ops" -> Olap.setOpsSql,
+    "events_kmv_setops" -> Sketch.kmvSetOpsSql(),
     "olap_cust_dist" -> Olap.q13CustDistSql,
     "olap_idle_customers" -> Olap.q22IdleCustomersSql,
     "text_stats" -> TextMetrics.statsSql,

@@ -80,6 +80,158 @@ object Sketch {
           .as("rel_err"))
   }
 
+  /** Theta-sketch set algebra over KMV sketches (Dasgupta et al., the
+    * DataSketches theta framework — public technique): distinct-count
+    * estimates for two user sets AND their union/intersection computed
+    * from k-min-value sketches alone, never from the raw sets. This is
+    * the capability that lets a pipeline answer "how many users did both
+    * X and Y" from per-segment sketch state without a re-scan.
+    *
+    * Estimators (identical arithmetic in the oracle):
+    *  - per set and union: the house KMV rule — exact when the sketch
+    *    holds the whole set, else `(k−1)·2^60 / h_k`;
+    *  - intersection: θ = min over inputs of (h_k or 2^60 when the set
+    *    fits), candidates = retained hashes of BOTH sketches below θ,
+    *    estimate = |C|·2^60/θ — which degrades gracefully to the EXACT
+    *    intersection when both sets fit their sketches.
+    *
+    * Scale shape: one distinct per input set (map-side combined), set-
+    * partitioned rank windows over user-grain rows, then everything is
+    * ≤ k rows per sketch; the union merge ranks ≤ 2k hashes and the
+    * intersection joins two ≤ k-row sets. Exact confirms (the `n_exact`
+    * column) share the distinct frames.
+    */
+  def kmvSetOps(spark: SparkSession, dir: String, k: Int = 64,
+                typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    val two60 = math.pow(2, 60)
+    val ev = Tables.events(spark, dir)
+    // sets are ACTIVE USER-DAYS per activity type (the DAU-style grain):
+    // every fixture user does every activity eventually, so user-grain
+    // sets would coincide — user-days give the partial overlap that
+    // makes the intersection estimator mean something
+    def hashes(t: String) = ev.filter(col("event_type") === t)
+      .select(h60(concat(col("user_id").cast("string"), lit(":"),
+        to_date(col("ts")).cast("string"))).as("h")).distinct()
+    val a = hashes(typeA).cache()
+    val b = hashes(typeB).cache()
+
+    // k smallest hashes, globally ranked, WITHOUT a global sort: each
+    // partition surrenders its local k-min (the global k smallest are a
+    // subset of the union of local k-mins), then only the ≤ partitions·k
+    // survivors are ranked in one place — the same two-level merge the
+    // per-day KMV above uses across days.
+    def kmin(df: DataFrame): DataFrame = df
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(Window.partitionBy("pid").orderBy("h")))
+      .filter(col("lrk") <= k).select("h")
+      .withColumn("rk", row_number().over(Window.orderBy("h")))
+      .filter(col("rk") <= k)
+    val sa = kmin(a).cache()
+    val sb = kmin(b).cache()
+
+    val estOf = when(col("n_exact") < k, col("n_exact").cast("double"))
+      .otherwise(lit((k - 1).toDouble * two60) / col("hk").cast("double"))
+    def row(name: String, full: DataFrame, sk: DataFrame): DataFrame =
+      full.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(
+          sk.agg(max(when(col("rk") === k, col("h"))).as("hk"))))
+        .select(lit(name).as("set_op"), col("n_exact"), estOf.as("estimate"))
+
+    // union sketch = k smallest of the two sketches' union (every global
+    // minimum lives in its own set's k-min)
+    val su = kmin(sa.select("h").unionByName(sb.select("h")).distinct())
+    // θ = min over inputs (2^60 stands in when a set fits its sketch)
+    def theta(full: DataFrame, sk: DataFrame, out: String): DataFrame =
+      full.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(
+          sk.agg(max(when(col("rk") === k, col("h"))).as("hk"))))
+        .select(when(col("n_exact") < k, lit(two60))
+          .otherwise(col("hk").cast("double")).as(out))
+    val inter = sa.select("h").join(sb.select("h"), "h")
+      .crossJoin(broadcast(theta(a, sa, "ta")))
+      .crossJoin(broadcast(theta(b, sb, "tb")))
+      .filter(col("h").cast("double") < least(col("ta"), col("tb")))
+      .agg(count(lit(1)).as("n_cand"),
+        min(least(col("ta"), col("tb"))).as("theta"))
+    val interExact = a.join(b, "h").agg(count(lit(1)).as("n_exact"))
+    val interRow = interExact.crossJoin(broadcast(inter))
+      .select(lit("intersection").as("set_op"), col("n_exact"),
+        (coalesce(col("n_cand"), lit(0L)).cast("double") * two60 /
+          coalesce(col("theta"), lit(two60))).as("estimate"))
+
+    row(typeA, a, sa).unionByName(row(typeB, b, sb))
+      .unionByName(row("union", a.unionByName(b).distinct(), su))
+      .unionByName(interRow)
+      .select(col("set_op"), col("n_exact"),
+        col("estimate").cast("decimal(18,2)").as("estimate"),
+        ((col("estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).cast("decimal(18,6)").as("rel_err"))
+  }
+
+  def kmvSetOpsSql(k: Int = 64, typeA: String = "purchase",
+                   typeB: String = "click"): String = {
+    val two60 = "1152921504606846976.0"
+    s"""WITH a AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(
+       |    CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)
+       |  ), 1, 15) AS BIGINT) AS h
+       |  FROM events WHERE event_type = '$typeA'
+       |), b AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(
+       |    CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)
+       |  ), 1, 15) AS BIGINT) AS h
+       |  FROM events WHERE event_type = '$typeB'
+       |), u AS (SELECT h FROM a UNION SELECT h FROM b),
+       |sa AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM a),
+       |sb AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM b),
+       |su AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM u),
+       |sta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |               MAX(CASE WHEN rk = $k THEN h END) AS hk FROM sa),
+       |stb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |               MAX(CASE WHEN rk = $k THEN h END) AS hk FROM sb),
+       |stu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |               MAX(CASE WHEN rk = $k THEN h END) AS hk FROM su),
+       |theta AS (
+       |  SELECT CASE WHEN sta.n_exact < $k THEN $two60
+       |              ELSE CAST(sta.hk AS DOUBLE) END AS ta,
+       |         CASE WHEN stb.n_exact < $k THEN $two60
+       |              ELSE CAST(stb.hk AS DOUBLE) END AS tb
+       |  FROM sta, stb
+       |), inter AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |         MIN(LEAST(theta.ta, theta.tb)) AS th
+       |  FROM sa JOIN sb USING (h), theta
+       |  WHERE sa.rk <= $k AND sb.rk <= $k
+       |    AND CAST(h AS DOUBLE) < LEAST(theta.ta, theta.tb)
+       |), inter_exact AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM a JOIN b USING (h)
+       |), raw AS (
+       |  SELECT '$typeA' AS set_op, n_exact,
+       |         CASE WHEN n_exact < $k THEN CAST(n_exact AS DOUBLE)
+       |              ELSE ${(k - 1).toDouble} * $two60 / CAST(hk AS DOUBLE) END AS estimate
+       |  FROM sta
+       |  UNION ALL
+       |  SELECT '$typeB', n_exact,
+       |         CASE WHEN n_exact < $k THEN CAST(n_exact AS DOUBLE)
+       |              ELSE ${(k - 1).toDouble} * $two60 / CAST(hk AS DOUBLE) END
+       |  FROM stb
+       |  UNION ALL
+       |  SELECT 'union', n_exact,
+       |         CASE WHEN n_exact < $k THEN CAST(n_exact AS DOUBLE)
+       |              ELSE ${(k - 1).toDouble} * $two60 / CAST(hk AS DOUBLE) END
+       |  FROM stu
+       |  UNION ALL
+       |  SELECT 'intersection', inter_exact.n_exact,
+       |         COALESCE(inter.n_cand, 0) * $two60 / COALESCE(inter.th, $two60)
+       |  FROM inter_exact, inter
+       |)
+       |SELECT set_op, n_exact,
+       |       CAST(CAST(estimate AS DECIMAL(18,2)) AS DOUBLE) AS estimate,
+       |       CAST(CAST((estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+       |         AS DECIMAL(18,6)) AS DOUBLE) AS rel_err
+       |FROM raw""".stripMargin
+  }
+
   /** Misra–Gries heavy hitters (Misra & Gries 1982; the "frequent"
     * algorithm) with an exact confirm pass — find every key whose global
     * frequency exceeds n/(k+1) WITHOUT a full-key-space shuffle.

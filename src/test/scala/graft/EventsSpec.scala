@@ -213,6 +213,21 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("theta set algebra: sketch-only union/intersection track the exact sets") {
+    val rows = graft.ops.Sketch.kmvSetOps(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue(), r.getDecimal(3).doubleValue())).toMap
+    // exact columns obey set algebra: |A∪B| = |A| + |B| − |A∩B|
+    assert(rows("union")._1 ===
+      rows("purchase")._1 + rows("click")._1 - rows("intersection")._1)
+    // the fixture's user-day sets overlap partially — all four nonempty,
+    // intersection strictly smaller than either input
+    assert(rows("intersection")._1 > 0)
+    assert(rows("intersection")._1 < math.min(rows("purchase")._1, rows("click")._1))
+    // every estimate lands within a loose multiple of the k=64 KMV RSE
+    rows.values.foreach { case (_, _, rel) => assert(math.abs(rel) < 0.5) }
+  }
+
   test("HLL sketch: within bound, merge-consistent, raw regime at high cardinality") {
     import org.apache.spark.sql.functions._
     val rows = graft.ops.Sketch.hllDistinctUsers(spark, "/root/testdata/sf0.01")

@@ -35,6 +35,7 @@ class PlanLintSpec extends SparkSpec {
     "ivfpq_topk", // IVF probe stage broadcasts the √-law centroid table
     "dim_customer_incremental", // upsertDim crossJoins a ONE-ROW max-id
     "events_kmv", // ONE-ROW global count × ONE-ROW merged-sketch k-th min
+    "events_kmv_setops", // ONE-ROW exact counts × ONE-ROW sketch θ/k-th-min aggregates
     "events_cms", // ONE-ROW event total × the point-estimate rows
     "text_pmi", // ONE-ROW unigram/bigram totals × the frequent-pair set
     "zorder_layout", // ONE-ROW exact min/max bounds × the key stream
