@@ -28,6 +28,9 @@ object OpsQueries {
     // theta-sketch set algebra: union/intersection distinct estimates
     // from KMV sketches alone, exact-confirmed
     "events_kmv_setops" -> ((s, dir) => Sketch.kmvSetOps(s, dir)),
+    // transparent materialized-view serving: the optimizer rule rewrites
+    // the plain daily-count aggregate to scan the pre-built rollup
+    "events_daily_mv" -> ((s, dir) => graft.plans.MvRewrite.check(s, dir)),
     "olap_cust_dist" -> ((s, dir) => Olap.q13CustDist(s, dir)),
     "olap_idle_customers" -> ((s, dir) => Olap.q22IdleCustomers(s, dir)),
     // text analysis
@@ -413,6 +416,7 @@ object OpsQueries {
     "events_user_deciles" -> Olap.userDecilesSql,
     "events_set_ops" -> Olap.setOpsSql,
     "events_kmv_setops" -> Sketch.kmvSetOpsSql(),
+    "events_daily_mv" -> graft.plans.MvRewrite.checkSql,
     "olap_cust_dist" -> Olap.q13CustDistSql,
     "olap_idle_customers" -> Olap.q22IdleCustomersSql,
     "text_stats" -> TextMetrics.statsSql,
