@@ -39,10 +39,14 @@ object CdcChunk {
   val divisor = 16
 
   /** Per-document chunk table: (doc_id, source, chunk_idx, chunk_text,
-    * fingerprint, n_words), derived entirely with array ops.
+    * fingerprint, n_words), derived entirely with array ops. Memoized:
+    * [[report]] consumes it on both sides of the frequency join, and
+    * the memo's lineage cut means the decode-and-chunk pass runs once.
     */
   def chunks(spark: SparkSession, dir: String): DataFrame =
-    chunksOf(Tables.documents(spark, dir))
+    graft.Memo(spark, "cdc_chunks", dir, "text_cdc_chunks") {
+      chunksOf(Tables.documents(spark, dir))
+    }
 
   /** [[chunks]] over any frame with (doc_id, source, text) — the spec
     * uses this to prove boundary realignment on a crafted edit.

@@ -109,11 +109,13 @@ object Sketch {
     // every fixture user does every activity eventually, so user-grain
     // sets would coincide — user-days give the partial overlap that
     // makes the intersection estimator mean something
-    def hashes(t: String) = ev.filter(col("event_type") === t)
-      .select(h60(concat(col("user_id").cast("string"), lit(":"),
-        to_date(col("ts")).cast("string"))).as("h")).distinct()
-    val a = hashes(typeA).cache()
-    val b = hashes(typeB).cache()
+    def hashes(t: String) = graft.Memo(spark, s"kmv_setops_$t", dir, "events_kmv_setops") {
+      ev.filter(col("event_type") === t)
+        .select(h60(concat(col("user_id").cast("string"), lit(":"),
+          to_date(col("ts")).cast("string"))).as("h")).distinct()
+    }
+    val a = hashes(typeA)
+    val b = hashes(typeB)
 
     // k smallest hashes, globally ranked, WITHOUT a global sort: each
     // partition surrenders its local k-min (the global k smallest are a
@@ -126,8 +128,8 @@ object Sketch {
       .filter(col("lrk") <= k).select("h")
       .withColumn("rk", row_number().over(Window.orderBy("h")))
       .filter(col("rk") <= k)
-    val sa = kmin(a).cache()
-    val sb = kmin(b).cache()
+    val sa = graft.Memo(spark, s"kmv_setops_sk_$typeA", dir, "events_kmv_setops")(kmin(a))
+    val sb = graft.Memo(spark, s"kmv_setops_sk_$typeB", dir, "events_kmv_setops")(kmin(b))
 
     val estOf = when(col("n_exact") < k, col("n_exact").cast("double"))
       .otherwise(lit((k - 1).toDouble * two60) / col("hk").cast("double"))
