@@ -567,19 +567,29 @@ object EventStream extends Serializable {
   /** Run-to-completion proof for [[sessionWindowCounts]] (append mode —
     * complete is unsupported for session windows). Emission is
     * watermark-gated: only sessions whose end the end-of-input watermark
-    * has passed are in the memory table; the oracle replays the same
-    * lag-based merge (break iff gap ≥ 30 min, Spark's strict-overlap
-    * rule) plus the `session_end ≤ wm` emission cut in ms arithmetic.
+    * has passed are in the sink; the oracle replays the same lag-based
+    * merge (break iff gap ≥ 30 min, Spark's strict-overlap rule) plus
+    * the `session_end ≤ wm` emission cut in ms arithmetic.
+    *
+    * Sink is PARQUET, not memory: emitted sessions are user-session-
+    * cardinality, and a memory sink serializes them all to the driver
+    * (measured: >1 GiB of task results at the 100× fixture — a harness
+    * bottleneck the production sink shape simply doesn't have).
     */
   def sessionWindowCheck(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "stream_session_window", dir, "stream_session_window") {
-      val tbl = "stream_swin_" + java.lang.Integer.toHexString(dir.hashCode)
+      val base = s"/tmp/graft_stream/swin_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val q = sessionWindowCounts(spark, dir, glob = Some("events.parquet"))
-        .writeStream.format("memory").queryName(tbl)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
         .outputMode("append").start()
       q.processAllAvailable()
       q.stop()
-      spark.table(tbl)
+      spark.read.parquet(s"$base/out")
     }
 
   def sessionWindowCheckSql(gapMinutes: Int = 30): String = {
