@@ -200,4 +200,41 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     plain.count()
     assert(shuffles(plain.queryExecution.executedPlan) > 0)
   }
+
+  test("dynamic partition pruning fires on the date-partitioned layout") {
+    // the WindowReload layout: fact partitioned by event date. A join
+    // against a FILTERED dim on the partition column must plan a
+    // dynamicpruning subquery on the fact scan — at 100 TB this is what
+    // turns "scan three years" into "scan the dim's surviving dates"
+    // without the query author naming a date range.
+    val base = "/tmp/graft_dpp/events_by_date"
+    Tables.events(spark, sf0001)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(base)
+    val dim = Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("event_date")).distinct()
+      .orderBy("event_date").limit(3)
+      .withColumn("flag", lit(1))
+    dim.write.mode("overwrite").parquet("/tmp/graft_dpp/dim")
+    val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    // local[] + tiny dim: allow DPP from the broadcast regardless of reuse
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try {
+      val fact = spark.read.parquet(base)
+      val d = spark.read.parquet("/tmp/graft_dpp/dim").filter(col("flag") === 1)
+      val joined = fact.join(d, Seq("event_date")).groupBy("event_type").count()
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("dynamicpruning"),
+        s"no dynamic partition pruning in plan:\n$planStr")
+      // and the pruned result equals the statically-filtered recompute
+      val dates = d.select("event_date").collect().map(_.getDate(0).toString)
+      val direct = Tables.events(spark, sf0001)
+        .filter(to_date(col("ts")).cast("string").isin(dates: _*))
+        .groupBy("event_type").count()
+      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev)
+  }
 }
