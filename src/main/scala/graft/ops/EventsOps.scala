@@ -863,6 +863,96 @@ object EventsOps {
       |       MAX(avg_v) OVER (PARTITION BY event_type, obs_grp) AS value_ffill
       |FROM filled""".stripMargin
 
+  /** Linear interpolation over the gap-filled hourly series — the
+    * resampling rule for a metric that moves BETWEEN observations
+    * (forward-fill, [[gapFill]], is right for step-wise state; linear is
+    * right for continuous signals). For each gap hour, the value is the
+    * time-weighted blend of the previous and next observed averages;
+    * leading/trailing gaps degrade to bfill/ffill.
+    *
+    * Determinism: the observed averages are decimal-sum-derived doubles
+    * (the [[gapFill]] property), hour arithmetic is integer epoch
+    * micros, and the blend is one fixed expression — bit-identical in
+    * both engines; the output lands on the 6-dp decimal grid. Scale
+    * shape: same as gapFill — one hourly aggregate, a per-type spine,
+    * and four IGNORE-NULLS windows over calendar-bounded series.
+    */
+  def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("event_hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .withColumn("avg_v", col("sv").cast("double") / col("n"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("event_hour").as("h0"), max("event_hour").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("event_hour"))
+    val ord = Window.partitionBy("event_type").orderBy("event_hour")
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us = unix_micros(col("event_hour"))
+    val obsHour = when(col("avg_v").isNotNull, us)
+    val filled = spine
+      .join(hourly.drop("sv"), Seq("event_type", "event_hour"), "left")
+      .select(col("event_type"), col("event_hour"), us.as("h_us"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.as("is_gap"), col("avg_v"),
+        last(col("avg_v"), ignoreNulls = true).over(back).as("pv"),
+        last(obsHour, ignoreNulls = true).over(back).as("ph"),
+        first(col("avg_v"), ignoreNulls = true).over(fwd).as("nv"),
+        first(obsHour, ignoreNulls = true).over(fwd).as("nh"))
+    val frac = (col("h_us") - col("ph")).cast("double") /
+      (col("nh") - col("ph")).cast("double")
+    val interp = when(col("pv").isNull, col("nv"))
+      .when(col("nv").isNull, col("pv"))
+      .when(col("nh") === col("ph"), col("pv"))
+      .otherwise(col("pv") + (col("nv") - col("pv")) * frac)
+    filled.select(col("event_type"), col("event_hour"),
+      col("n_events"), col("is_gap"),
+      interp.cast("decimal(18,6)").as("value_interp"))
+  }
+
+  val interpolateSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS event_hour, event_type, COUNT(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT event_type,
+      |         unnest(generate_series(min(event_hour), max(event_hour),
+      |                                INTERVAL 1 HOUR)) AS event_hour
+      |  FROM hourly GROUP BY event_type
+      |), filled AS (
+      |  SELECT s.event_type, s.event_hour,
+      |         epoch_us(s.event_hour) AS h_us,
+      |         COALESCE(h.n, 0) AS n_events, h.n IS NULL AS is_gap,
+      |         last_value(h.avg_v IGNORE NULLS) OVER (
+      |           PARTITION BY s.event_type ORDER BY s.event_hour
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |         last_value(CASE WHEN h.avg_v IS NOT NULL
+      |                         THEN epoch_us(s.event_hour) END IGNORE NULLS) OVER (
+      |           PARTITION BY s.event_type ORDER BY s.event_hour
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+      |         first_value(h.avg_v IGNORE NULLS) OVER (
+      |           PARTITION BY s.event_type ORDER BY s.event_hour
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |         first_value(CASE WHEN h.avg_v IS NOT NULL
+      |                          THEN epoch_us(s.event_hour) END IGNORE NULLS) OVER (
+      |           PARTITION BY s.event_type ORDER BY s.event_hour
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      |  FROM spine s LEFT JOIN hourly h USING (event_type, event_hour)
+      |)
+      |SELECT event_type, event_hour, n_events, is_gap,
+      |  CAST(CAST(CASE
+      |    WHEN pv IS NULL THEN nv
+      |    WHEN nv IS NULL THEN pv
+      |    WHEN nh = ph THEN pv
+      |    ELSE pv + (nv - pv) * (CAST(h_us - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+      |  END AS DECIMAL(18,6)) AS DOUBLE) AS value_interp
+      |FROM filled""".stripMargin
+
   /** Interval-union coverage per user: each event opens a fixed
     * `holdSeconds` activity interval; overlapping intervals merge into
     * islands (the classic sweep: a row starts a new island when its

@@ -235,6 +235,8 @@ object OpsQueries {
     "events_stickiness" -> ((s, dir) => EventsOps.stickiness(s, dir)),
     // dense daily spine + zero-fill + portable forward-fill per type
     "events_gapfill" -> ((s, dir) => EventsOps.gapFill(s, dir)),
+    // linear interpolation over the gap-filled series (bfill/ffill edges)
+    "events_interpolate" -> ((s, dir) => EventsOps.interpolate(s, dir)),
     // interval-union engagement time per user (island sweep, no range join)
     "events_coverage" -> ((s, dir) => EventsOps.coverage(s, dir)),
     // k-anonymity equivalence-class histogram at two generalization levels
@@ -525,6 +527,7 @@ object OpsQueries {
     "events_ma" -> EventsOps.movingAvgSql(),
     "events_stickiness" -> EventsOps.stickinessSql(),
     "events_gapfill" -> EventsOps.gapFillSql,
+    "events_interpolate" -> EventsOps.interpolateSql,
     "events_coverage" -> EventsOps.coverageSql(),
     "kanon_audit" -> Privacy.kAnonymitySql(),
     "entity_resolution" -> EntityResolution.customersSql(),

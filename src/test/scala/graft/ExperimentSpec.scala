@@ -61,6 +61,31 @@ class ExperimentSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("interpolation: observed hours keep their value; gaps blend monotonically") {
+    val r = graft.ops.EventsOps.interpolate(spark, sf0001).cache()
+    // non-gap rows reproduce the hourly average exactly (blend frac = 0)
+    val hourly = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("event_hour"), col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).cast("decimal(18,6)").as("expect"))
+    val bad = r.filter(!col("is_gap")).join(hourly, Seq("event_type", "event_hour"))
+      .filter(abs(col("value_interp") - col("expect")) > 0.000001)
+    assert(bad.count() === 0)
+    // every gap value lies within [min, max] of its neighbors' values —
+    // the defining property separating interpolation from extrapolation
+    val vals = r.orderBy("event_type", "event_hour").collect()
+      .groupBy(_.getString(0)).values
+    vals.foreach { rows =>
+      val obs = rows.filter(!_.getBoolean(3)).map(_.getDecimal(4).doubleValue())
+      val (lo, hi) = (obs.min, obs.max)
+      rows.filter(_.getBoolean(3)).foreach { g =>
+        val v = g.getDecimal(4).doubleValue()
+        assert(v >= lo - 1e-6 && v <= hi + 1e-6, s"gap value $v outside [$lo, $hi]")
+      }
+    }
+    r.unpersist()
+  }
+
   test("pref_pairs: distinct docs from the right group, margin = q spread") {
     val p = Preference.pairs(spark, sf0001).cache()
     assert(p.count() > 0)
