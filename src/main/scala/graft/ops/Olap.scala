@@ -264,41 +264,96 @@ object Olap {
     * and the tile rule matches both engines' NTILE definition exactly.
     */
   def userDeciles(spark: SparkSession, dir: String, tiles: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spend = Tables.events(spark, dir)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("spend"))
-    val withPid = spend
-      .repartitionByRange(col("spend").desc, col("user_id"))
-      .withColumn("pid", spark_partition_id())
-    val local = withPid.withColumn("lrn",
-      row_number().over(Window.partitionBy("pid")
-        .orderBy(col("spend").desc, col("user_id"))))
-    // tier 2: partition row counts → exclusive prefix offsets (the frame
-    // is ≤ shuffle-partition-count rows — bounded by config, not data)
-    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .withColumn("offset", coalesce(
-        sum("cnt").over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val totals = offsets.agg(sum("cnt").as("n_total"))
-    val ranked = local
-      .join(broadcast(offsets.select("pid", "offset")), "pid")
-      .crossJoin(broadcast(totals))
-      .withColumn("rank", col("lrn") + col("offset"))
-      // integer DIV throughout — `/` on longs is double division in Spark
-      .withColumn("base", expr(s"n_total DIV $tiles"))
-      .withColumn("rem", col("n_total") % tiles)
-      .withColumn("cut", col("rem") * (col("base") + 1))
-    val decile = when(col("rank") <= col("cut"),
-      expr("(rank - 1) DIV (base + 1) + 1"))
-      .otherwise(expr("rem + (rank - 1 - cut) DIV base + 1"))
-    ranked.withColumn("decile", decile.cast("int"))
+    globalNtile(spend, Seq(col("spend").desc, col("user_id")), tiles, "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"),
         sum("n_events").as("n_events"),
         sum(col("spend")).cast("decimal(28,2)").as("decile_spend"))
   }
+
+  /** Distributed NTILE over an arbitrary total order — the two-tier
+    * ranking shared by [[userDeciles]] and [[rfm]]: range repartition on
+    * the sort key, per-partition `row_number`, partition-count prefix
+    * offsets broadcast back, then NTILE's exact tile arithmetic as
+    * integer expressions. The order must be total (add a key tiebreak)
+    * or tile assignment is undefined.
+    */
+  private def globalNtile(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+                          tiles: Int, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = df
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn",
+        row_number().over(Window.partitionBy("__pid").orderBy(order: _*)))
+    // tier 2: partition row counts → exclusive prefix offsets (the frame
+    // is ≤ shuffle-partition-count rows — bounded by config, not data)
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(
+        sum("__cnt").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val totals = offsets.agg(sum("__cnt").as("__n_total"))
+    val ranked = local
+      .join(broadcast(offsets.select("__pid", "__offset")), "__pid")
+      .crossJoin(broadcast(totals))
+      .withColumn("__rank", col("__lrn") + col("__offset"))
+      // integer DIV throughout — `/` on longs is double division in Spark
+      .withColumn("__base", expr(s"__n_total DIV $tiles"))
+      .withColumn("__rem", col("__n_total") % tiles)
+      .withColumn("__cut", col("__rem") * (col("__base") + 1))
+    val tile = when(col("__rank") <= col("__cut"),
+      expr("(__rank - 1) DIV (__base + 1) + 1"))
+      .otherwise(expr("__rem + (__rank - 1 - __cut) DIV __base + 1"))
+    ranked.withColumn(out, tile.cast("int"))
+      .drop("__pid", "__lrn", "__offset", "__cnt", "__n_total",
+        "__rank", "__base", "__rem", "__cut")
+  }
+
+  /** RFM customer segmentation — the classic CRM cube: per customer,
+    * Recency (latest order date), Frequency (order count), Monetary
+    * (DECIMAL order-value sum), each quartiled independently (1 = best,
+    * ties broken by customer key), then the 4×4×4 segment rollup with
+    * customer counts and value totals. Three [[globalNtile]] passes
+    * over CUSTOMER-grain rows — the rankings never touch the order
+    * table again after the one grain-reducing aggregate.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("monetary"))
+    val q = Seq(
+      (Seq(col("recency").desc, col("custkey")), "r_q"),
+      (Seq(col("frequency").desc, col("custkey")), "f_q"),
+      (Seq(col("monetary").desc, col("custkey")), "m_q"))
+      .foldLeft(cust) { case (df, (ord, name)) => globalNtile(df, ord, 4, name) }
+    q.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).cast("decimal(28,2)").as("segment_value"))
+  }
+
+  val rfmSql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey AS custkey, MAX(o_orderdate) AS recency,
+      |         CAST(COUNT(*) AS BIGINT) AS frequency,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
+      |  FROM orders GROUP BY 1
+      |), q AS (
+      |  SELECT custkey, monetary,
+      |         NTILE(4) OVER (ORDER BY recency DESC, custkey) AS r_q,
+      |         NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f_q,
+      |         NTILE(4) OVER (ORDER BY monetary DESC, custkey) AS m_q
+      |  FROM cust
+      |)
+      |SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |       CAST(SUM(monetary) AS DOUBLE) AS segment_value
+      |FROM q GROUP BY 1, 2, 3""".stripMargin
 
   val userDecilesSql: String =
     """WITH spend AS (

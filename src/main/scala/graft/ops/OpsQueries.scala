@@ -23,6 +23,8 @@ object OpsQueries {
     "olap_priority_semi" -> ((s, dir) => Olap.q4PrioritySemi(s, dir)),
     // global NTILE without a single-partition sort (two-tier ranking)
     "events_user_deciles" -> ((s, dir) => Olap.userDeciles(s, dir)),
+    // RFM segmentation: three quartile rankings over customer grain
+    "orders_rfm" -> ((s, dir) => Olap.rfm(s, dir)),
     // INTERSECT / EXCEPT relational set operators
     "events_set_ops" -> ((s, dir) => Olap.setOps(s, dir)),
     // theta-sketch set algebra: union/intersection distinct estimates
@@ -416,6 +418,7 @@ object OpsQueries {
     "olap_corr" -> Olap.corrQtyPriceSql,
     "olap_priority_semi" -> Olap.q4PrioritySemiSql,
     "events_user_deciles" -> Olap.userDecilesSql,
+    "orders_rfm" -> Olap.rfmSql,
     "events_set_ops" -> Olap.setOpsSql,
     "events_kmv_setops" -> Sketch.kmvSetOpsSql(),
     "events_daily_mv" -> graft.plans.MvRewrite.checkSql,

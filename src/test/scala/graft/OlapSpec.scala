@@ -76,6 +76,26 @@ class OlapSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("rfm: quartiles balanced on every axis, cube covers all customers") {
+    val r = Olap.rfm(spark, sf0001).cache()
+    val customers = Tables.orders(spark, sf0001)
+      .select("o_custkey").distinct().count()
+    assert(r.agg(sum("n_customers")).head().getLong(0) === customers)
+    // each axis independently partitions customers into near-equal quarters
+    Seq("r_q", "f_q", "m_q").foreach { axis =>
+      val sizes = r.groupBy(axis).agg(sum("n_customers").as("n"))
+        .collect().map(_.getLong(1))
+      assert(sizes.length === 4 && sizes.max - sizes.min <= 1,
+        s"$axis unbalanced: ${sizes.toSeq}")
+    }
+    // better monetary quartiles hold more value per customer
+    val byM = r.groupBy("m_q")
+      .agg((sum(col("segment_value")).cast("double") / sum("n_customers")).as("a"))
+      .orderBy("m_q").collect().map(_.getDouble(1))
+    assert(byM.zip(byM.tail).forall { case (hi, lo) => hi >= lo }, byM.toSeq.toString)
+    r.unpersist()
+  }
+
   test("set ops: intersection bounded by either side, difference consistent") {
     val r = Olap.setOps(spark, sf0001).collect()
       .map(x => x.getString(0) -> x.getLong(1)).toMap

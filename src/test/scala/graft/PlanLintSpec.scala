@@ -47,6 +47,7 @@ class PlanLintSpec extends SparkSpec {
     "rater_agreement", // ONE-ROW kappa statistics × the 3-row rater card
     "olap_idle_customers", // ONE-ROW scalar average balance threshold
     "events_user_deciles", // ONE-ROW user-count total for NTILE arithmetic
+    "orders_rfm", // same ONE-ROW totals, three quartile passes
     "sample_temperature", // ONE-ROW token/normalizer totals × source grain
     "ann_label_purity", // composes the ann_topk brute-force truth
     "entity_resolution", // ONE-ROW totals × ONE-ROW tier aggregates
