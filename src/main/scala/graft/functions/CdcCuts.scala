@@ -38,6 +38,9 @@ case class CdcCutPositions(child: Expression, window: Int, divisor: Int)
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
+      // containsNull accepted: CdcCutUtil treats a null element as the
+      // empty string (split() output — the only production feed — never
+      // contains nulls, but SQL callers can hand-build arrays)
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"cdc_cuts requires array<string>, got ${other.sql}")
@@ -67,7 +70,10 @@ object CdcCutUtil {
     val words = new Array[String](n)
     var i = 0
     while (i < n) {
-      words(i) = ws.getUTF8String(i).toString
+      // null elements hash as the empty string (checkInputDataTypes
+      // admits containsNull=true, so the kernel must tolerate it)
+      val u = if (ws.isNullAt(i)) null else ws.getUTF8String(i)
+      words(i) = if (u == null) "" else u.toString
       i += 1
     }
     val md = md5.get()
@@ -101,19 +107,33 @@ object CdcCutFunctions {
   private val info = new ExpressionInfo(
     classOf[CdcCutPositions].getName, "cdc_cuts")
 
-  def builder(window: Int, divisor: Int)(args: Seq[Expression]): Expression =
-    args match {
-      case Seq(c) => CdcCutPositions(c, window, divisor)
-      case other => throw new IllegalArgumentException(
-        s"cdc_cuts expects 1 argument, got ${other.size}")
-    }
+  /** `cdc_cuts(words, window, divisor)` — window/divisor are LITERAL
+    * arguments of the call site, not state baked into the registered
+    * builder: two call sites with different parameters in one session
+    * each get their own expression instance, and the session-global
+    * registration is parameter-independent (re-registering is a no-op
+    * in effect, never a silent last-writer-wins race).
+    */
+  def builder(args: Seq[Expression]): Expression = args match {
+    case Seq(c, w, d) => CdcCutPositions(c, litInt(w, "window"), litInt(d, "divisor"))
+    case other => throw new IllegalArgumentException(
+      s"cdc_cuts expects 3 arguments (words, window, divisor), got ${other.size}")
+  }
 
-  def register(spark: SparkSession, window: Int, divisor: Int): Unit =
+  private def litInt(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"cdc_cuts $name must be an integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cdc_cuts"), info, builder(window, divisor) _)
+      FunctionIdentifier("cdc_cuts"), info, builder _)
 
   def cdcCuts(spark: SparkSession, c: Column, window: Int, divisor: Int): Column = {
-    register(spark, window, divisor)
-    org.apache.spark.sql.functions.call_function("cdc_cuts", c)
+    register(spark)
+    org.apache.spark.sql.functions.call_function("cdc_cuts", c,
+      org.apache.spark.sql.functions.lit(window),
+      org.apache.spark.sql.functions.lit(divisor))
   }
 }

@@ -41,7 +41,11 @@ case class MvRewriteRule(eventsPath: String, mvPlan: LogicalPlan,
   private def isEventsRelation(p: LogicalPlan): Boolean = p match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.exists(_.toString.contains(eventsPath))
+        // scheme-insensitive EQUALITY of the normalized path (never
+        // substring containment: 'events.parquet_old' or a nested copy
+        // must not be silently served from this MV)
+        fs.location.rootPaths.exists(rp =>
+          rp.toUri.getPath == MvRewrite.normalizePath(eventsPath))
       case _ => false
     }
     case _ => false
@@ -164,6 +168,20 @@ case class MvRewriteRule(eventsPath: String, mvPlan: LogicalPlan,
 
 object MvRewrite {
 
+  /** Normalized (scheme-less) form of a path for relation matching. */
+  private[plans] def normalizePath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Detach any live rewrite rule for `dir`'s events source. */
+  def deregister(spark: SparkSession, dir: String): Unit = {
+    val eventsPath = s"$dir/events.parquet"
+    val es = spark.experimental
+    es.extraOptimizations = es.extraOptimizations.filterNot {
+      case MvRewriteRule(p, _, _) => p == eventsPath
+      case _ => false
+    }
+  }
+
   /** Build/refresh the daily-count MV for `dir` under `mvDir`, then
     * idempotently attach the rewrite rule for that source.
     */
@@ -172,16 +190,11 @@ object MvRewrite {
     import org.apache.spark.sql.functions._
     val eventsPath = s"$dir/events.parquet"
     val es = spark.experimental
-    def deregister(): Unit =
-      es.extraOptimizations = es.extraOptimizations.filterNot {
-        case MvRewriteRule(p, _, _) => p == eventsPath
-        case _ => false
-      }
     // CRITICAL ordering: drop any live rule for this source BEFORE the
     // rebuild — the MV-build query is itself MV-eligible, and a live
     // rule would rewrite it to READ the very directory the overwrite is
     // deleting (self-clobber: empty MV, failed scans)
-    deregister()
+    deregister(spark, dir)
     graft.Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -199,10 +212,18 @@ object MvRewrite {
     * construction).
     */
   def check(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     val mvDir = s"/tmp/graft_mv/daily_${Integer.toHexString(dir.hashCode)}"
     materializeAndRegister(spark, dir, mvDir)
-    dailyCounts(spark, dir)
+    // Execute the MV-served plan NOW (the rewrite fires inside this
+    // action — the checkpointed rows come from the MV scan), then
+    // DETACH the rule: leaving it live would silently serve every later
+    // daily-count-shaped query in the session from the MV, skewing
+    // per-query bench attribution and turning into a staleness bug if
+    // events were ever rewritten in-session. The plan-shape proof lives
+    // in MvRewriteSpec, which inspects the plan before executing.
+    val served = dailyCounts(spark, dir).localCheckpoint(eager = true)
+    deregister(spark, dir)
+    served
   }
 
   /** The canonical MV-eligible query shape (shared with the spec). */

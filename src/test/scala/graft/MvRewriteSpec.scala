@@ -32,6 +32,38 @@ class MvRewriteSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("MV rewrite: path match is exact, not substring containment") {
+    val mvDir = s"/tmp/graft_mv_spec/daily_${Integer.toHexString(sf0001.hashCode)}"
+    MvRewrite.materializeAndRegister(spark, sf0001, mvDir)
+    // a nested copy whose path CONTAINS '<dir>/events.parquet' as a
+    // substring must keep scanning its own files, not be served from
+    // the MV (the pre-fix containment match would rewrite it)
+    val sibling = s"$sf0001/events.parquet"
+    val nested = s"/tmp/graft_mv_spec/nest$sf0001/events.parquet"
+    spark.read.parquet(sibling).limit(100).write.mode("overwrite").parquet(nested)
+    val q = Tables.events(spark, nested.stripSuffix("/events.parquet"))
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains(mvDir) && plan.contains("nest"),
+      s"nested-copy aggregate must scan its own files, not the MV:\n$plan")
+    MvRewrite.deregister(spark, sf0001)
+  }
+
+  test("MV rewrite: check() executes through the MV then detaches the rule") {
+    MvRewrite.deregister(spark, sf0001) // normalize earlier tests' leftovers
+    val before = spark.experimental.extraOptimizations.length
+    val served = MvRewrite.check(spark, sf0001)
+    assert(spark.experimental.extraOptimizations.length == before,
+      "check() must deregister its rule after executing")
+    // and a later identically-shaped query is NOT MV-served
+    val later = MvRewrite.dailyCounts(spark, sf0001)
+    val plan = later.queryExecution.executedPlan.toString
+    assert(plan.contains("events.parquet"),
+      s"post-check aggregate must scan events again:\n$plan")
+    assert(served.count() == later.count())
+  }
+
   test("MV rewrite: filtered aggregates are never rewritten") {
     val mvDir = s"/tmp/graft_mv_spec/daily_${Integer.toHexString(sf0001.hashCode)}"
     MvRewrite.materializeAndRegister(spark, sf0001, mvDir)
