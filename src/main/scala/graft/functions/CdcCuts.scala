@@ -126,7 +126,8 @@ object CdcCutFunctions {
       s"cdc_cuts $name must be an integer literal, got $other")
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = if (!spark.sessionState
+      .functionRegistry.functionExists(FunctionIdentifier("cdc_cuts")))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cdc_cuts"), info, builder _)
 

@@ -945,12 +945,19 @@ object EventsOps {
       |  FROM spine s LEFT JOIN hourly h USING (event_type, event_hour)
       |)
       |SELECT event_type, event_hour, n_events, is_gap,
-      |  CAST(CAST(CASE
+      |  -- VARCHAR-mediated decimal cast: Spark's double→decimal rounds
+      |  -- the SHORTEST decimal representation HALF_UP (BigDecimal via
+      |  -- Double.toString), while DuckDB's direct cast rounds the exact
+      |  -- binary value — they disagree precisely on true decimal ties
+      |  -- (e.g. 17.9728125 at scale 6, which cent-grid averages blended
+      |  -- by dyadic hour fractions do produce). Casting through VARCHAR
+      |  -- makes DuckDB round the same shortest string the same way.
+      |  CAST(CAST(CAST(CAST(CASE
       |    WHEN pv IS NULL THEN nv
       |    WHEN nv IS NULL THEN pv
       |    WHEN nh = ph THEN pv
       |    ELSE pv + (nv - pv) * (CAST(h_us - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
-      |  END AS DECIMAL(18,6)) AS DOUBLE) AS value_interp
+      |  END AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS value_interp
       |FROM filled""".stripMargin
 
   /** Interval-union coverage per user: each event opens a fixed

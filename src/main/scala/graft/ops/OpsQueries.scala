@@ -252,6 +252,11 @@ object OpsQueries {
     // HyperLogLog distinct sketch: constant-size mergeable registers,
     // per-day states max-merged into the whole-range estimate
     "events_hll" -> ((s, dir) => Sketch.hllDistinctUsers(s, dir)),
+    // the same sketches through native TypedImperativeAggregate UDAFs
+    // (hll_sketch/hll_union, kmv_sketch/kmv_union): single-buffer
+    // passes, map-side partial merge, unchanged oracles
+    "events_hll_udaf" -> ((s, dir) => Sketch.hllDistinctUsersUdaf(s, dir)),
+    "events_kmv_udaf" -> ((s, dir) => Sketch.kmvDistinctUsersUdaf(s, dir)),
     // mergeable quantile sketch: per-day weighted anchors merged into
     // whole-range estimates with a provable rank-error bound + confirm
     "events_quantiles_sketch" -> ((s, dir) => Sketch.quantileSketch(s, dir)),
@@ -538,6 +543,10 @@ object OpsQueries {
     "events_top_users_salted" -> EventsOps.topUsersSql(),
     "events_kmv" -> Sketch.kmvDistinctUsersSql(),
     "events_hll" -> Sketch.hllDistinctUsersSql(),
+    // the UDAF paths are bit-identical to the SQL-composed sketches, so
+    // their oracles are the same replays verbatim
+    "events_hll_udaf" -> Sketch.hllDistinctUsersSql(),
+    "events_kmv_udaf" -> Sketch.kmvDistinctUsersSql(),
     "events_quantiles_sketch" -> Sketch.quantileSketchSql(),
     "events_cms" -> Sketch.cmsUserCountsSql(),
     "events_asof" -> AsofJoin.purchaseAttributionSql,

@@ -543,7 +543,6 @@ object Sketch {
   private[graft] def hllEstimates(dayReg: DataFrame, dh: DataFrame,
                                   b: Int = 8): DataFrame = {
     val m = 1 << b
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     // merge = element-wise max of the day registers (never rescans dh)
     val scopeReg = dayReg
       .select(col("event_date").cast("string").as("scope"), col("reg"), col("mj"))
@@ -559,10 +558,24 @@ object Sketch {
       // exact and order-free (≤ m·2^53 = 2^61 < 2^63)
       sum(pow(lit(2.0), lit(53) - col("mj")).cast("long")).as("s"),
       sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v"))
-    val ex = dh.groupBy(col("event_date").cast("string").as("scope"))
+    hllFromState(st, hllExactByScope(dh), b)
+  }
+
+  /** Exact per-day + whole-range distinct counts keyed by scope — the
+    * ground-truth side every HLL report joins.
+    */
+  private def hllExactByScope(dh: DataFrame): DataFrame =
+    dh.groupBy(col("event_date").cast("string").as("scope"))
       .agg(count(lit(1)).as("n_exact"))
       .unionByName(dh.select("h").distinct().agg(count(lit(1)).as("n_exact"))
         .select(lit("all").as("scope"), col("n_exact")))
+
+  /** The dual-regime estimator over `(scope, s, v)` state joined to the
+    * exact counts — shared by the SQL-composed and UDAF register builds.
+    */
+  private def hllFromState(st: DataFrame, ex: DataFrame, b: Int): DataFrame = {
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val raw = lit(alpha) * m * m * lit(9007199254740992.0) / col("s").cast("double")
     val isLinear = raw <= lit(2.5 * m) && col("v") > 0
     val estD = when(isLinear,
@@ -575,6 +588,67 @@ object Sketch {
         ((estD - col("n_exact")) / col("n_exact")).as("rel_err"),
         (abs((estD - col("n_exact")) / col("n_exact")) <=
           lit(3.0 * 1.04 / math.sqrt(m))).as("within_bound"))
+  }
+
+  /** [[hllDistinctUsers]] through the native aggregate path: one
+    * `hll_sketch` pass builds each day's registers WITHOUT the distinct
+    * pre-pass (the register max absorbs duplicates), and the 'all' row
+    * is `hll_union` over the day states — the whole register build is a
+    * single-buffer `TypedImperativeAggregate` with map-side partial
+    * merge, so at 100 TB each task ships 2^b bytes per day instead of
+    * its distinct keys. Result is bit-identical to the SQL-composed
+    * build (same h60 hash, same ρ, same estimator), so the oracle is
+    * [[hllDistinctUsersSql]] verbatim; the exact `n_exact` ground truth
+    * beside the estimates still needs its own distinct pass (it is
+    * reported truth, not sketch state).
+    */
+  def hllDistinctUsersUdaf(spark: SparkSession, dir: String, b: Int = 8): DataFrame = {
+    graft.functions.SketchAggFunctions.register(spark)
+    val m = 1 << b
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"), col("user_id"))
+    val day = ev.groupBy("event_date")
+      .agg(call_function("hll_sketch", col("user_id").cast("string"), lit(b))
+        .as("regs"))
+    val scoped = day
+      .select(col("event_date").cast("string").as("scope"), col("regs"))
+      .unionByName(day
+        .agg(call_function("hll_union", col("regs"), lit(b)).as("regs"))
+        .select(lit("all").as("scope"), col("regs")))
+    // (s, v) from the complete register array — exact long arithmetic
+    val st = scoped.select(col("scope"),
+      expr("aggregate(regs, 0L, (acc, mj) -> acc + shiftleft(1L, 53 - mj))")
+        .as("s"),
+      size(filter(col("regs"), mj => mj === 0)).cast("long").as("v"))
+    hllFromState(st, hllExactByScope(dayHashes(ev)), b)
+  }
+
+  /** [[kmvDistinctUsers]] through the native aggregate path: per-day
+    * k-min states from one `kmv_sketch` pass (bounded distinct-min
+    * buffer — no distinct pre-pass, no rank window), merged into the
+    * whole-range sketch by `kmv_union` over the day arrays. Estimator
+    * arithmetic identical to the SQL-composed build, so the oracle is
+    * [[kmvDistinctUsersSql]] verbatim.
+    */
+  def kmvDistinctUsersUdaf(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    graft.functions.SketchAggFunctions.register(spark)
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"), col("user_id"))
+    val day = ev.groupBy("event_date")
+      .agg(call_function("kmv_sketch", col("user_id").cast("string"), lit(k))
+        .as("mins"))
+    val scoped = day
+      .select(col("event_date").cast("string").as("scope"), col("mins"))
+      .unionByName(day
+        .agg(call_function("kmv_union", col("mins"), lit(k)).as("mins"))
+        .select(lit("all").as("scope"), col("mins")))
+    val est = when(col("n_exact") < k, col("n_exact").cast("double"))
+      .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) /
+        element_at(col("mins"), k).cast("double"))
+    scoped.join(hllExactByScope(dayHashes(ev)), "scope")
+      .select(col("scope"), col("n_exact"), est.as("kmv_estimate"),
+        ((est - col("n_exact").cast("double")) / col("n_exact").cast("double"))
+          .as("rel_err"))
   }
 
   /** Oracle: the identical register arithmetic replayed in SQL. */
