@@ -13,6 +13,9 @@ object OpsQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ANALYZE-style per-column profile (nulls/distinct/min/max, one scan)
     "events_column_profile" -> ((s, dir) => TableProfile.events(s, dir)),
+    // the scale tier: hll_sketch UDAF per column replaces the exact
+    // multi-distinct Expand — one scan, constant per-task state
+    "events_column_profile_approx" -> ((s, dir) => TableProfile.eventsApprox(s, dir)),
     // classic OLAP shapes over the star tables (TPC-H Q1/Q3/Q5 patterns)
     "olap_pricing" -> ((s, dir) => Olap.q1Pricing(s, dir)),
     "olap_revenue_topk" -> ((s, dir) => Olap.q3Revenue(s, dir)),
@@ -415,6 +418,7 @@ object OpsQueries {
 
   def oracles: Map[String, String] = Map(
     "events_column_profile" -> TableProfile.eventsSql,
+    "events_column_profile_approx" -> TableProfile.eventsApproxSql(),
     "stream_sliding" -> graft.streaming.EventStream.slidingCheckSql,
     "stream_session_window" -> graft.streaming.EventStream.sessionWindowCheckSql(),
     "olap_pricing" -> Olap.q1PricingSql,

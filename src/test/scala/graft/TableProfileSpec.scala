@@ -32,4 +32,33 @@ class TableProfileSpec extends SparkSpec {
     assert(rows("event_type").getString(6) <= rows("event_type").getString(7))
     ev.unpersist(); p.unpersist()
   }
+
+  test("approx profile: no Expand in the plan, estimates inside the HLL band") {
+    val approx = TableProfile.eventsApprox(spark, sf0001)
+    // the exact tier pays a 6-way Expand for the multi-distinct; the
+    // sketch tier must not — that IS the scale claim
+    val exactPlan = TableProfile.events(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val approxPlan = approx.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact tier baseline should Expand")
+    assert(!approxPlan.contains("Expand"),
+      s"approx tier must not Expand:\n$approxPlan")
+    // estimates track the exact distincts within HLL's 3σ band (b = 8);
+    // `value` is micro-quantized before hashing, so compare against the
+    // quantized distinct count
+    val exact = Tables.events(spark, sf0001).agg(
+      countDistinct(col("event_id")).as("event_id"),
+      countDistinct(col("user_id")).as("user_id"),
+      countDistinct(col("event_type")).as("event_type"),
+      countDistinct(round(col("value") * lit(1e6)).cast("long")).as("value"))
+      .head()
+    val est = approx.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val bound = 3.0 * 1.04 / math.sqrt(256)
+    Seq("event_id", "user_id", "event_type", "value").zipWithIndex.foreach {
+      case (name, i) =>
+        val ex = exact.getLong(i).toDouble
+        assert(math.abs(est(name) - ex) / ex <= bound,
+          s"$name: est ${est(name)} vs exact $ex exceeds $bound")
+    }
+  }
 }
