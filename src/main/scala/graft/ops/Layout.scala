@@ -51,10 +51,11 @@ object Layout {
         shiftright(d, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
 
-  /** Per-(layout, file) footprint report: row count and the min/max span
-    * of both predicate columns inside each file (spans in RAW key units).
+  /** (u, d, un, dn, zfile, ufile) — normalized cells + both layouts'
+    * file assignments, the shared input of the footprint report and the
+    * measured-skipping write.
     */
-  def zorderReport(spark: SparkSession, dir: String, files: Int = 16): DataFrame = {
+  private def taggedCells(spark: SparkSession, dir: String, files: Int): DataFrame = {
     // integer `div`, not float division: exact at any epoch magnitude
     val day = expr("unix_micros(ts) div 86400000000")
     val ev = Tables.events(spark, dir)
@@ -68,26 +69,97 @@ object Layout {
         expr(s"(d - dmin) * $grid div (dmax - dmin + 1)").as("dn"))
     val z = zval(col("un"), col("dn"))
     val zmax = 1L << (2 * bits)
-    val tagged = withB.select(col("u"), col("d"),
+    withB.select(col("u"), col("d"), col("un"), col("dn"),
       (z * files / zmax).cast("int").as("zfile"),
       (col("un") * files / grid).cast("int").as("ufile"))
+  }
+
+  /** Per-(layout, file) footprint report: row count and the min/max span
+    * of both predicate columns inside each file (spans in RAW key units).
+    */
+  def zorderReport(spark: SparkSession, dir: String, files: Int = 16): DataFrame =
     // one scan for both layouts: tag-explode each row into its two
     // (layout, file) memberships, then a single grouped aggregate
-    tagged.select(col("u"), col("d"), explode(array(
+    taggedCells(spark, dir, files)
+      .select(col("u"), col("d"), explode(array(
         struct(lit("user_sort").as("layout"), col("ufile").as("file_id")),
         struct(lit("zorder").as("layout"), col("zfile").as("file_id")))).as("lf"))
       .groupBy(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         (max("u") - min("u")).as("user_span"),
         (max("d") - min("d")).as("day_span"))
+
+  /** The 2-D box predicate of the skipping proof: the middle quarter of
+    * each normalized dimension (u-quarter × d-quarter — selective on
+    * BOTH keys, so single-key layouts must fall back on one dimension).
+    */
+  val boxLo = 64L
+  val boxHi = 127L
+
+  /** MEASURED data skipping — the third scan-elimination lever beside
+    * bucketing and DPP (ScaleTechniquesSpec), proven on real files
+    * rather than reported from footprints: both layouts are WRITTEN
+    * (one parquet file per z-range/user-range bucket, file id as a
+    * partition column), per-file min/max stats are collected at write
+    * time (the Delta/Iceberg add-file-stats pattern — skipping decisions
+    * come from a stats manifest, not from opening footers), and the 2-D
+    * box predicate is answered by reading ONLY files whose stats
+    * intersect the box. Per layout: total files, files scanned, rows
+    * read from the surviving files, and the box rows they yield — the
+    * z-ordered layout scans strictly fewer files AND rows for the same
+    * (provably identical) answer, which is the OPTIMIZE ZORDER claim as
+    * a measurement. At 100 TB files-scanned IS the query cost; the spec
+    * additionally pins the physical file count to the manifest prune
+    * via the scan's numFiles metric.
+    */
+  def zorderSkipping(spark: SparkSession, dir: String, files: Int = 16): DataFrame = {
+    val base = s"/tmp/graft_zorder/${Integer.toHexString(dir.hashCode)}"
+    val tagged = taggedCells(spark, dir, files)
+    val layouts = Seq("zorder" -> "zfile", "user_sort" -> "ufile")
+    layouts.foreach { case (name, fcol) =>
+      tagged.select(col("un"), col("dn"), col(fcol).as("file_id"))
+        .repartition(col("file_id")) // one task per bucket → one file per dir
+        .write.mode("overwrite").partitionBy("file_id")
+        .parquet(s"$base/$name")
+    }
+    val rows = layouts.map { case (name, _) =>
+      val layout = spark.read.parquet(s"$base/$name")
+      // write-time stats manifest: per-file min/max of both keys
+      val manifest = layout.groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("un").as("unmin"), max("un").as("unmax"),
+          min("dn").as("dnmin"), max("dn").as("dnmax"))
+        .collect()
+      val surviving = manifest.filter { r =>
+        r.getLong(3) >= boxLo && r.getLong(2) <= boxHi &&
+          r.getLong(5) >= boxLo && r.getLong(4) <= boxHi
+      }.map(_.getInt(0))
+      // the pruned read: file_id is a partition column, so the isin
+      // prunes at the listing — only surviving files are opened
+      val pruned = layout.filter(col("file_id")
+        .isin(surviving.map(Integer.valueOf).toSeq: _*))
+      val scanned = pruned.count()
+      val out = pruned
+        .filter(col("un").between(boxLo, boxHi) &&
+          col("dn").between(boxLo, boxHi))
+        .count()
+      (name, manifest.length.toLong, surviving.length.toLong, scanned, out)
+    }
+    import spark.implicits._
+    rows.toDF("layout", "n_files", "n_files_scanned",
+      "n_rows_scanned", "n_rows_out")
   }
 
-  def zorderReportSql(files: Int = 16): String = {
+  /** The shared `ev → bounds → normalize → tag` CTE prefix (`tagged`
+    * carries un/dn plus both layouts' file ids) — the SQL twin of
+    * [[taggedCells]].
+    */
+  private def taggedCteSql(files: Int): String = {
     val grid = 1L << bits
     val zterms = (0 until bits)
       .map(i => s"((un // ${1L << i}) % 2) * ${1L << (2 * i)} + ((dn // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
       .mkString(" + ")
-    s"""WITH ev AS (
+    s"""ev AS (
        |  SELECT user_id AS u,
        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
        |  FROM events
@@ -100,11 +172,15 @@ object Layout {
        |         (d - dmin) * $grid // (dmax - dmin + 1) AS dn
        |  FROM ev, b
        |), tagged AS (
-       |  SELECT u, d,
+       |  SELECT u, d, un, dn,
        |         CAST(($zterms) * $files // ${1L << (2 * bits)} AS INT) AS zfile,
        |         CAST(un * $files // $grid AS INT) AS ufile
        |  FROM nrm
-       |)
+       |)""".stripMargin
+  }
+
+  def zorderReportSql(files: Int = 16): String =
+    s"""WITH ${taggedCteSql(files)}
        |SELECT 'user_sort' AS layout, ufile AS file_id,
        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
        |       CAST(MAX(u) - MIN(u) AS BIGINT) AS user_span,
@@ -116,5 +192,35 @@ object Layout {
        |       CAST(MAX(u) - MIN(u) AS BIGINT) AS user_span,
        |       CAST(MAX(d) - MIN(d) AS BIGINT) AS day_span
        |FROM tagged GROUP BY 2""".stripMargin
-  }
+
+  /** Oracle: replay the bucket assignment, the write-time stats, and
+    * the manifest-prune decision — the engine's measured counts must
+    * equal this pure arithmetic or the write/prune path lost rows.
+    */
+  def zorderSkippingSql(files: Int = 16): String =
+    s"""WITH ${taggedCteSql(files)}, stats AS (
+       |  SELECT layout, file_id, COUNT(*) AS n_rows,
+       |         MIN(un) AS unmin, MAX(un) AS unmax,
+       |         MIN(dn) AS dnmin, MAX(dn) AS dnmax
+       |  FROM (
+       |    SELECT un, dn, 'zorder' AS layout, zfile AS file_id FROM tagged
+       |    UNION ALL
+       |    SELECT un, dn, 'user_sort', ufile FROM tagged
+       |  ) GROUP BY 1, 2
+       |), pruned AS (
+       |  SELECT layout,
+       |         CAST(COUNT(*) AS BIGINT) AS n_files,
+       |         CAST(SUM(CASE WHEN unmax >= $boxLo AND unmin <= $boxHi
+       |                        AND dnmax >= $boxLo AND dnmin <= $boxHi
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+       |         CAST(SUM(CASE WHEN unmax >= $boxLo AND unmin <= $boxHi
+       |                        AND dnmax >= $boxLo AND dnmin <= $boxHi
+       |                       THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned
+       |  FROM stats GROUP BY 1
+       |), outrows AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_out FROM tagged
+       |  WHERE un BETWEEN $boxLo AND $boxHi AND dn BETWEEN $boxLo AND $boxHi
+       |)
+       |SELECT layout, n_files, n_files_scanned, n_rows_scanned, n_rows_out
+       |FROM pruned, outrows""".stripMargin
 }

@@ -382,6 +382,9 @@ object OpsQueries {
     // z-order vs single-key layout: per-file (user × day) footprints —
     // the multi-column data-skipping comparison an OPTIMIZE would publish
     "zorder_layout" -> ((s, dir) => Layout.zorderReport(s, dir)),
+    // MEASURED skipping: both layouts written (one file per bucket,
+    // write-time stats manifest), 2-D box answered from pruned files
+    "zorder_skipping" -> ((s, dir) => Layout.zorderSkipping(s, dir)),
     // maximal duplicated substring spans (positional anchors + interval
     // merge — the suffix-array dedup signal, reformulated to shard)
     "dedup_substring" -> ((s, dir) => SubstringDedup.report(s, dir)),
@@ -589,6 +592,7 @@ object OpsQueries {
     "text_pmi" -> TextPrep.pmiSql(),
     "bpe_fertility" -> TextPrep.fertilitySql(),
     "zorder_layout" -> Layout.zorderReportSql(),
+    "zorder_skipping" -> Layout.zorderSkippingSql(),
     "dedup_substring" -> SubstringDedup.reportSql,
     "curriculum_select" -> Curriculum.selectSql,
     "contamination_bloom" -> Contamination.flaggedSql,

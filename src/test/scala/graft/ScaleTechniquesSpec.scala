@@ -163,6 +163,42 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(zDaySpan < 15, s"z day span $zDaySpan")
   }
 
+  test("z-order skipping is measured, strict, and matches the physical scan") {
+    import graft.ops.Layout
+    val rep = Layout.zorderSkipping(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (zo, us) = (rep("zorder"), rep("user_sort"))
+    // identical answers from both pruned reads…
+    assert(zo.getLong(4) === us.getLong(4))
+    // …but the z-ordered layout touches strictly fewer files AND rows
+    assert(zo.getLong(2) < us.getLong(2),
+      s"zorder scanned ${zo.getLong(2)} files vs user_sort ${us.getLong(2)}")
+    assert(zo.getLong(3) < us.getLong(3))
+    // the manifest prune IS the physical scan: the pruned read's
+    // FileSourceScan reports exactly n_files_scanned files
+    val base = s"/tmp/graft_zorder/${Integer.toHexString(sf0001.hashCode)}"
+    val layout = spark.read.parquet(s"$base/zorder")
+    val manifest = layout.groupBy("file_id")
+      .agg(min("un").as("unmin"), max("un").as("unmax"),
+        min("dn").as("dnmin"), max("dn").as("dnmax"))
+      .collect()
+    val surviving = manifest.filter { r =>
+      r.getLong(2) >= Layout.boxLo && r.getLong(1) <= Layout.boxHi &&
+        r.getLong(4) >= Layout.boxLo && r.getLong(3) <= Layout.boxHi
+    }.map(_.getInt(0))
+    val pruned = layout.filter(col("file_id")
+      .isin(surviving.map(Integer.valueOf).toSeq: _*))
+    val qe = pruned.queryExecution
+    qe.executedPlan.execute().count() // run THIS plan so metrics populate
+    val scans = collectWithSubqueries(qe.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val numFiles = scans.map(_.metrics("numFiles").value).sum
+    assert(numFiles === surviving.length.toLong,
+      s"physical scan read $numFiles files, manifest prune said ${surviving.length}")
+  }
+
   test("bucketed tables join without a shuffle (the Bronze bucketing claim)") {
     // force sort-merge joins: at this SF everything fits the broadcast
     // threshold and BOTH joins would be shuffle-free, proving nothing
@@ -199,6 +235,54 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
     plain.count()
     assert(shuffles(plain.queryExecution.executedPlan) > 0)
+  }
+
+  test("AQE skew join splits the hot partition (the engine-side complement of salting)") {
+    // Manual salting (events_top_users_salted) is the aggregation-side
+    // skew tool and Salting.skewReport decides when it's warranted; for
+    // JOINS Spark's own AQE skew handling is the production lever — a
+    // skewed post-shuffle partition is split into advisory-sized slices
+    // with the other side duplicated per slice. Prove it fires and that
+    // results are unchanged.
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // the hot partition is a few MB at spec scale: lower the skew
+      // detection floor and the advisory slice so the 100 TB behavior
+      // reproduces in-miniature
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "128KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of left rows share one key — the classic hot-key join input
+      val left = spark.range(0, 300000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 1000)
+        .select(col("id").as("k"), (col("id") * 7).as("w"))
+      val joined = left.join(right, "k")
+      // run THIS QueryExecution's adaptive plan (a .count() would spawn
+      // its own and leave the inspected plan un-finalized)
+      val qe = joined.queryExecution
+      val n = qe.executedPlan.execute().count()
+      val smjs = collectWithSubqueries(qe.executedPlan) {
+        case smj: SortMergeJoinExec => smj
+      }
+      assert(smjs.nonEmpty, "expected a sort-merge join")
+      assert(smjs.exists(_.isSkewJoin),
+        s"AQE did not mark the join skew-handled:\n${joined.queryExecution.executedPlan}")
+      // result parity with skew handling off
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val plainN = left.join(right, "k").count()
+      assert(n === plainN)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("dynamic partition pruning fires on the date-partitioned layout") {
