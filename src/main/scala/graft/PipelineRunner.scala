@@ -26,6 +26,23 @@ import graft.pipeline.{Bronze, Pipeline, Silver, Star}
   */
 object PipelineRunner {
 
+  /** F13 audit clock: a fixed instant injected via the session conf
+    * `spark.graft.run_ts` ('yyyy-MM-dd HH:mm:ss') makes the audit
+    * columns (`processed_at`, `created_dt`) deterministic and therefore
+    * oracle-checkable (the `star_publish` query); unset, they keep the
+    * reference's CURRENT_TIMESTAMP / CURRENT_DATE semantics
+    * (`01_init_all.sql:19,37`, `t_dim_tables.sql:5`).
+    */
+  def runTs(spark: SparkSession): org.apache.spark.sql.Column =
+    spark.conf.getOption("spark.graft.run_ts")
+      .map(s => lit(java.sql.Timestamp.valueOf(s)))
+      .getOrElse(current_timestamp())
+
+  def runDate(spark: SparkSession): org.apache.spark.sql.Column =
+    spark.conf.getOption("spark.graft.run_ts")
+      .map(s => lit(java.sql.Date.valueOf(s.substring(0, 10))))
+      .getOrElse(current_date())
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val wh = args(1)
@@ -47,7 +64,7 @@ object PipelineRunner {
           start: LocalDate, end: LocalDate): Unit = {
     // 1. silver: cleanse + idempotent window reload (fn_etl_data_load)
     val cleansed = Silver.cleanse(Bronze(spark, sfDir), Some(start), Some(end))
-      .withColumn("processed_at", current_timestamp())
+      .withColumn("processed_at", runTs(spark))
     WindowReload.reload(spark, s"$wh/silver", cleansed, start, end)
     // drop the audit column and the reload's partition key (eff_part) —
     // both are storage-side, not part of the silver contract
@@ -55,23 +72,27 @@ object PipelineRunner {
       .drop("processed_at", "eff_part")
     println(s"[runner] silver rows processed: ${silver.count()}")
 
-    // 2. gold: dims then fact (fn_dm_data_load; dims-before-fact ordering
-    //    replaces the reference's single PG transaction). Dims are
+    // 2. gold: dims + fact published as ONE ATOMIC VERSION (the
+    //    reference runs `fn_dm_data_load` inside a single PG transaction,
+    //    `fill_dm_table.py:18-23`; AtomicPublish restores that
+    //    all-or-nothing contract on parquet — a crash between dataset
+    //    writes leaves readers on the previous version). Dims are
     //    GROW-ONLY across runs (M2, `ON CONFLICT (nk) DO NOTHING` +
     //    SERIAL): existing surrogate ids are preserved, only new natural
     //    keys get fresh ids — a rebuild would renumber ids and silently
     //    re-key every previously-written fact row.
+    val starBase = s"$wh/star"
+    val havePrev = graft.io.AtomicPublish.exists(spark, starBase)
     val dims = Seq(
       ("dim_customer", "customer_id", "customer_name", "user_name"),
       ("dim_product", "product_id", "product_category", "product_category"),
       ("dim_region", "region_id", "region_name", "region"),
       ("dim_status", "status_id", "status_name", "customer_status"))
-    dims.foreach { case (name, idCol, nkCol, srcCol) =>
+    val dimFrames = dims.map { case (name, idCol, nkCol, srcCol) =>
       val incoming = silver.select(col(srcCol).as(nkCol))
-      val path = s"$wh/$name"
       val merged =
-        if (graft.io.FsUtil.exists(spark, path)) {
-          val existing = spark.read.parquet(path)
+        if (havePrev) {
+          val existing = graft.io.AtomicPublish.read(spark, starBase, name)
           val upserted = Star.upsertDim(
             existing.select(idCol, nkCol), incoming, idCol, nkCol)
           // keep each existing row's original created_dt (the reference's
@@ -79,31 +100,35 @@ object PipelineRunner {
           // only genuinely new keys get today's date
           upserted
             .join(existing.select(col(nkCol), col("created_dt")), Seq(nkCol), "left")
-            .withColumn("created_dt", coalesce(col("created_dt"), current_date()))
-            .localCheckpoint(true)
+            .withColumn("created_dt", coalesce(col("created_dt"), runDate(spark)))
         } else Star.dim(silver.select(col(srcCol)), srcCol, idCol, nkCol)
-          .withColumn("created_dt", current_date())
-      // id history is not rebuildable from source → crash-safe swap, not
-      // a delete-then-write overwrite
-      graft.io.FsUtil.safeReplace(spark, merged, path)
+          .withColumn("created_dt", runDate(spark))
+      // checkpoint: the frame must be FROZEN before the publish — it is
+      // read again by the fact build, and (in the upsert branch) its
+      // lineage points at the previous version dir, which the publish
+      // prunes after the swap
+      name -> merged.localCheckpoint(true)
     }
-    Star.factWithDims(silver,
-      dims.map { case (name, idCol, nkCol, _) =>
-        spark.read.parquet(s"$wh/$name").select(idCol, nkCol)
+    val factFrame = Star.factWithDims(silver,
+      dims.zip(dimFrames).map { case ((_, idCol, nkCol, _), (_, dim)) =>
+        dim.select(idCol, nkCol)
       })
-      .withColumn("created_dt", current_date())
-      .write.mode("overwrite").parquet(s"$wh/fact")
-    val fact = spark.read.parquet(s"$wh/fact")
+      .withColumn("created_dt", runDate(spark))
+    graft.io.AtomicPublish.publish(spark, starBase,
+      dimFrames :+ ("fact" -> factFrame))
+    val fact = graft.io.AtomicPublish.read(spark, starBase, "fact")
 
     // 3. DQ checks appended to the results dataset (fn_dq_checks_load)
     val results = DqSuite.run(spark, silver, fact.drop("created_dt"))
     WindowReload.reloadResults(spark, s"$wh/dq_check_results", results, end)
 
-    // 4. final report (final_report.py:22-43): per-table row counts
-    val tables = Seq("silver") ++ dims.map(_._1) ++ Seq("fact", "dq_check_results")
-
-    tables.foreach { t =>
+    // 4. final report (final_report.py:22-43): per-table row counts —
+    //    star members resolved through the committed manifest
+    Seq("silver", "dq_check_results").foreach { t =>
       println(s"[runner] $t: ${spark.read.parquet(s"$wh/$t").count()} rows")
+    }
+    (dims.map(_._1) :+ "fact").foreach { t =>
+      println(s"[runner] $t: ${graft.io.AtomicPublish.read(spark, starBase, t).count()} rows")
     }
     val summary = results.filter(col("check_type") === "summary")
       .select("error_message").head().getString(0)

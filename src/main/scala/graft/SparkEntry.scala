@@ -69,7 +69,10 @@ object SparkEntry {
     "export_reconcile" -> ((s, dir) => graft.io.ReloadChecks.exportReconcile(s, dir)),
     // compliance delete: rewrite-purge a user set, audit FROM the
     // reloaded files (per-user deleted counts + purged flag)
-    "purge_users" -> ((s, dir) => graft.io.ReloadChecks.purgeUsers(s, dir))
+    "purge_users" -> ((s, dir) => graft.io.ReloadChecks.purgeUsers(s, dir)),
+    // atomic star publish (one manifest swap for dims + fact) under a
+    // fixed audit clock; fact read back through the committed manifest
+    "star_publish" -> ((s, dir) => graft.io.ReloadChecks.starPublish(s, dir))
   )
 
   // `* REPLACE`: DuckDB's project-all-but-recast — the salary/purchase
@@ -103,6 +106,10 @@ object SparkEntry {
         |        CAST(count(*) AS BIGINT) AS loaded_rows,
         |        TRUE AS reconciled
         | FROM fact""".stripMargin),
-    "purge_users" -> graft.io.ReloadChecks.purgeUsersSql
+    "purge_users" -> graft.io.ReloadChecks.purgeUsersSql,
+    // the published fact must equal the read-side fact oracle with the
+    // pinned clock's created_dt (F13 flips from partial to oracle-able)
+    "star_publish" -> (Pipeline.starPrefix +
+      s" SELECT $moneyToDouble, DATE '2024-01-15' AS created_dt FROM fact")
   )
 }

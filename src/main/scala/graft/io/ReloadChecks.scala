@@ -55,6 +55,29 @@ object ReloadChecks {
         .select((results.columns :+ "run_date").map(col).toIndexedSeq: _*)
     }
 
+  /** Atomic star publish under a FIXED audit clock (F13 + SURVEY §7.5):
+    * the full runner pipeline writes dims + fact as one
+    * [[AtomicPublish]] version into a temp warehouse — twice, proving
+    * the publish (and the grow-only dim upsert through the manifest) is
+    * idempotent — and the fact is read back THROUGH the committed
+    * manifest. With `spark.graft.run_ts` pinned, `created_dt` is a
+    * constant the oracle states literally, closing the last
+    * non-oracle-able audit column; the crash-window all-or-nothing
+    * property is AtomicPublishSpec's half.
+    */
+  def starPublish(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "star_publish", dir, "star_publish") {
+      val wh = tmpDir("graft_star_publish")
+      spark.conf.set("spark.graft.run_ts", "2024-01-15 12:00:00")
+      try {
+        graft.PipelineRunner.run(spark, dir, wh,
+          Pipeline.defaultStart, Pipeline.defaultEnd)
+        graft.PipelineRunner.run(spark, dir, wh,
+          Pipeline.defaultStart, Pipeline.defaultEnd)
+      } finally spark.conf.unset("spark.graft.run_ts")
+      AtomicPublish.read(spark, s"$wh/star", "fact")
+    }
+
   /** S7/S8: fact → staging parquet (S5 overwrite) → window reload into the
     * target mart → row-count reconciliation (`migrate_to_mysql.py:84-88`).
     * Oracle = fact counts (the staged and loaded sides must both equal the

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.io.AtomicPublish
+
+/** The multi-dataset commit protocol: a crash between dataset writes
+  * must leave readers on the previous complete version (the PG-
+  * transaction semantics of the reference's star build, SURVEY §7.5).
+  */
+class AtomicPublishSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("crash between dataset writes leaves readers on the old version") {
+    val base = Files.createTempDirectory("atomic_pub").toString + "/star"
+    val v0 = AtomicPublish.publish(spark, base, Seq(
+      "dim" -> Seq((1L, "a"), (2L, "b")).toDF("id", "nk"),
+      "fact" -> Seq((10L, 1L), (11L, 2L)).toDF("fact_id", "dim_id")))
+    assert(v0 === 0L)
+    assert(AtomicPublish.committed(spark, base) === 0L)
+
+    // simulate a crash mid-publish: v1 gets ONE of the two datasets and
+    // no _PUBLISHED marker — exactly the window a sequential overwrite
+    // write leaves open
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "nk")
+      .write.mode("overwrite").parquet(s"$base/v1/dim")
+    assert(AtomicPublish.committed(spark, base) === 0L,
+      "a partial version must not be visible")
+    assert(AtomicPublish.read(spark, base, "dim").count() === 2L,
+      "readers must still see the old dim")
+    assert(AtomicPublish.read(spark, base, "fact").count() === 2L)
+
+    // the retry overwrites the partial dir and commits atomically
+    val v1 = AtomicPublish.publish(spark, base, Seq(
+      "dim" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "nk"),
+      "fact" -> Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("fact_id", "dim_id")))
+    assert(v1 === 1L)
+    assert(AtomicPublish.read(spark, base, "dim").count() === 3L)
+    assert(AtomicPublish.read(spark, base, "fact").count() === 3L)
+    // superseded v0 pruned, storage stays O(1) versions
+    assert(!new java.io.File(s"$base/v0").exists())
+  }
+
+  test("pointer loss recovers from the newest _PUBLISHED version") {
+    val base = Files.createTempDirectory("atomic_pub2").toString + "/star"
+    AtomicPublish.publish(spark, base, Seq("d" -> Seq(1).toDF("x")))
+    AtomicPublish.publish(spark, base, Seq("d" -> Seq(1, 2).toDF("x")))
+    assert(AtomicPublish.committed(spark, base) === 1L)
+    new java.io.File(s"$base/_committed").delete()
+    assert(AtomicPublish.committed(spark, base) === 1L,
+      "must recover the newest sealed version, not restart")
+    assert(AtomicPublish.read(spark, base, "d").count() === 2L)
+  }
+
+  test("runner publishes the star atomically with a deterministic audit clock") {
+    val wh = Files.createTempDirectory("runner_pub").toString
+    spark.conf.set("spark.graft.run_ts", "2024-01-15 12:00:00")
+    try PipelineRunner.run(spark, sf0001, wh,
+      Pipeline.defaultStart, Pipeline.defaultEnd)
+    finally spark.conf.unset("spark.graft.run_ts")
+    // every star member resolves through one committed manifest
+    val names = Seq("dim_customer", "dim_product", "dim_region",
+      "dim_status", "fact")
+    assert(AtomicPublish.committed(spark, s"$wh/star") === 0L)
+    names.foreach { n =>
+      assert(AtomicPublish.read(spark, s"$wh/star", n).count() > 0)
+    }
+    // F13: the fixed clock makes BOTH audit columns deterministic —
+    // created_dt on the published fact, processed_at on stored silver
+    val cd = AtomicPublish.read(spark, s"$wh/star", "fact")
+      .select("created_dt").distinct().collect()
+    assert(cd.map(_.getDate(0).toString).toSeq === Seq("2024-01-15"))
+    val pa = spark.read.parquet(s"$wh/silver")
+      .select("processed_at").distinct().collect()
+    assert(pa.map(_.getTimestamp(0).toString).toSeq === Seq("2024-01-15 12:00:00.0"))
+  }
+
+  private val Pipeline = graft.pipeline.Pipeline
+}

@@ -13,14 +13,14 @@ class RunnerSpec extends SparkSpec {
     // first half-year window
     PipelineRunner.run(spark, sf0001, wh,
       LocalDate.parse("2023-01-01"), LocalDate.parse("2023-06-30"))
-    val before = spark.read.parquet(s"$wh/dim_customer")
+    val before = graft.io.AtomicPublish.read(spark, s"$wh/star", "dim_customer")
       .select("customer_name", "customer_id").as[(String, Long)].collect().toMap
     assert(before.nonEmpty)
 
     // widen to the full year: previously-assigned ids must not move
     PipelineRunner.run(spark, sf0001, wh,
       LocalDate.parse("2023-01-01"), LocalDate.parse("2023-12-31"))
-    val after = spark.read.parquet(s"$wh/dim_customer")
+    val after = graft.io.AtomicPublish.read(spark, s"$wh/star", "dim_customer")
       .select("customer_name", "customer_id").as[(String, Long)].collect().toMap
     before.foreach { case (nk, id) =>
       assert(after(nk) === id, s"surrogate id for '$nk' was renumbered")
@@ -30,7 +30,7 @@ class RunnerSpec extends SparkSpec {
     newKeys.foreach { nk => assert(after(nk) > before.values.max) }
 
     // fact foreign keys resolve against the grown dim
-    val fact = spark.read.parquet(s"$wh/fact")
+    val fact = graft.io.AtomicPublish.read(spark, s"$wh/star", "fact")
     val dimIds = after.values.toSet
     val badFk = fact.filter(col("customer_id").isNotNull)
       .select("customer_id").as[Long].collect().filterNot(dimIds)
