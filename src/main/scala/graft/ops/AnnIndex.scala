@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.AtomicPublish
+
+/** Persisted, servable ANN index — the round that turns the retrieval
+  * stack from "rebuilt every session" into a search SYSTEM: the IVF
+  * centroids, inverted lists, residual-PQ codebooks, codes, and the raw
+  * vector store are written ONCE as a versioned parquet artifact set
+  * (committed with [[AtomicPublish]]'s atomic-marker protocol, so a
+  * crashed rebuild can never expose half an index), and every later
+  * session answers queries by LOADING the artifacts — no document scan,
+  * no featurize pass, no k-means, no codebook training.
+  *
+  * The serve path reuses [[Pq.ivfPqFrom]] — the exact ADC chain of
+  * `ivfpq_topk_derived` parameterized by index frames — so the served
+  * result is hash-identical to the in-session build and both check
+  * against the same DuckDB oracle (which recomputes everything from
+  * `documents`, proving the persisted artifacts are the true index of
+  * THIS corpus, not a stale one). AnnIndexSpec asserts the serve plan's
+  * file scans touch only the index directory.
+  *
+  * At 100 TB this is the difference between a demo and a vector store:
+  * the index build is a scheduled pipeline (hours, amortized), serving
+  * is probes against √-law centroid tables + code lists; incremental
+  * maintenance between rebuilds is [[Ivf.appendReport]]'s frozen-
+  * centroid assignment, and a rebuild publishes the next version behind
+  * the same atomic pointer readers are already resolving.
+  */
+object AnnIndex {
+
+  /** Serving parameters — pinned to the `ivfpq_topk_derived` contract
+    * so serve is oracle-checked against the same SQL.
+    */
+  val k = 10
+  val shortlist = 100
+  val queryMod = 200
+
+  private val artifacts =
+    Seq("vectors", "centroids", "assignments", "codebooks", "codes")
+
+  def baseFor(dir: String): String =
+    s"/tmp/graft_annindex/${Integer.toHexString(dir.hashCode)}"
+
+  /** Build the full index for `dir`'s derived-text corpus and commit it
+    * as the next version; returns the committed version id. Every
+    * artifact is computed by the SAME builders the in-session queries
+    * use, so content equals the memoized index bit-for-bit.
+    */
+  def build(spark: SparkSession, dir: String): Long = {
+    val c = Featurize.corpus
+    val n = AnnParams.corpusSizeOf(spark, dir, c)
+    import spark.implicits._
+    AtomicPublish.publish(spark, baseFor(dir), Seq(
+      "vectors" -> c.normalizedOf(spark, dir),
+      "centroids" -> Ivf.centroids(spark, dir, c),
+      "assignments" -> Ivf.assignments(spark, dir, c),
+      "codebooks" -> Pq.residualCodebooks(spark, dir, c),
+      "codes" -> Pq.residualCodes(spark, dir, c),
+      // the knob the serve path needs WITHOUT re-counting the corpus
+      "meta" -> Seq((n, AnnParams.nProbe(n))).toDF("n", "n_probe")))
+  }
+
+  private def ensureBuilt(spark: SparkSession, dir: String): Unit =
+    if (!AtomicPublish.exists(spark, baseFor(dir))) { build(spark, dir); () }
+
+  /** Registered `ann_index_build`: (re)build + per-artifact row counts
+    * read back FROM the committed version — the oracle recomputes each
+    * count from `documents` and the knob formulas, so a build that
+    * dropped or duplicated index rows diverges.
+    */
+  def buildReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.Memo(spark, "ann_index_build", dir, "ann_index_build") {
+      build(spark, dir)
+      val base = baseFor(dir)
+      import spark.implicits._
+      artifacts.map { a =>
+        a -> AtomicPublish.read(spark, base, a).count()
+      }.toDF("artifact", "n_rows")
+    }
+  }
+
+  /** Registered `ann_index_serve`: top-k answered ENTIRELY from the
+    * persisted artifacts (builds first only if no version exists —
+    * normally the committed index is simply loaded). Hash-equal to
+    * `ivfpq_topk_derived`.
+    */
+  def serve(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "ann_index_serve", dir, "ann_index_serve") {
+      ensureBuilt(spark, dir)
+      servePlan(spark, dir)
+    }
+
+  /** The serve DataFrame with NO build fallback and NO memo — the spec
+    * uses this to assert the plan's scans touch only the index.
+    */
+  private[graft] def servePlan(spark: SparkSession, dir: String): DataFrame = {
+    val base = baseFor(dir)
+    val nProbe = AtomicPublish.read(spark, base, "meta")
+      .head().getInt(1)
+    Pq.ivfPqFrom(
+      AtomicPublish.read(spark, base, "vectors"),
+      AtomicPublish.read(spark, base, "centroids"),
+      AtomicPublish.read(spark, base, "assignments"),
+      AtomicPublish.read(spark, base, "codebooks"),
+      AtomicPublish.read(spark, base, "codes"),
+      nProbe, k, shortlist, queryMod)
+  }
+
+  // ---------- DuckDB oracles ----------
+
+  /** Artifact counts recomputed through the SAME oracle CTE chain the
+    * search oracles replay (a Lloyd round can retire a centroid or a
+    * codeword whose list comes up empty, so the counts are properties
+    * of the trained index, not closed-form knob arithmetic).
+    */
+  def buildReportSql: String =
+    s"""WITH ${Featurize.corpus.embCte}, ${Ivf.centroidsCteFor("documents")},
+       |${Pq.residualCodesCte},
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM emb)
+       |SELECT 'vectors' AS artifact, nv AS n_rows FROM n
+       |UNION ALL SELECT 'centroids',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf_centroids)
+       |UNION ALL SELECT 'assignments',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf_assign)
+       |UNION ALL SELECT 'codebooks',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pqr_cb)
+       |UNION ALL SELECT 'codes',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pqr_codes)""".stripMargin
+
+  /** Serve must equal the full from-source recompute — the
+    * `ivfpq_topk_derived` oracle verbatim.
+    */
+  def serveSql: String =
+    Pq.ivfPqSqlFor(k, shortlist, queryMod, Featurize.corpus.embCte, "documents")
+}

@@ -188,6 +188,11 @@ object OpsQueries {
     // vectors — same code path as ivfpq_topk, different VecCorpus
     "ivfpq_topk_derived" -> ((s, dir) =>
       Pq.ivfPqTopK(s, dir, queryMod = 200, corpus = Featurize.corpus)),
+    // persisted index: build writes the IVF/PQ artifacts as one atomic
+    // version; serve answers ENTIRELY from the loaded artifacts and
+    // must hash-equal the from-source recompute
+    "ann_index_build" -> ((s, dir) => AnnIndex.buildReport(s, dir)),
+    "ann_index_serve" -> ((s, dir) => AnnIndex.serve(s, dir)),
     "ivf_assign" -> ((s, dir) => Ivf.assignments(s, dir)),
     "ivf_list_stats" -> ((s, dir) => Ivf.listStats(s, dir)),
     "ivf_topk" -> ((s, dir) => Ivf.topK(s, dir)),
@@ -513,6 +518,8 @@ object OpsQueries {
       Ivf.topKSqlFor(10, 200, Featurize.corpus.embCte, "documents"),
     "ivfpq_topk_derived" ->
       Pq.ivfPqSqlFor(10, 100, 200, Featurize.corpus.embCte, "documents"),
+    "ann_index_build" -> AnnIndex.buildReportSql,
+    "ann_index_serve" -> AnnIndex.serveSql,
     "ann_topk_filtered" -> Similarity.filteredTopKSql(),
     "ivf_topk_filtered" -> Ivf.filteredTopKSql(),
     "ivf_append" -> Ivf.appendReportSql,

@@ -271,68 +271,113 @@ object Pq {
     graft.Memo(spark,
       corpus.memoName(s"ivfpq_topk_${k}_${shortlist}_$queryMod"), dir,
       corpus.memoName("ivfpq_topk")) {
-      val nProbe = AnnParams.nProbe(AnnParams.corpusSizeOf(spark, dir, corpus))
-      val cent = Ivf.centroids(spark, dir, corpus)
-      val probes = Ivf.probesOf(spark, dir, cent, nProbe, queryMod, corpus)
-      val cands = probes.select("query_id", "centroid_id")
-        .join(Ivf.assignments(spark, dir, corpus), "centroid_id")
-        .filter(col("vec_id") =!= col("query_id"))
-        .select("query_id", "vec_id", "centroid_id")
-
-      val cb = residualCodebooks(spark, dir, corpus)
-      // residual LUT: raw query subvector · residual codeword
-      val lut = subvectors(spark, dir, corpus)
-        .filter(AnnParams.queryPred(queryMod))
-        .withColumnRenamed("vec_id", "query_id")
-        .join(broadcast(cb), Seq("sub"))
-        .select(col("query_id"), col("sub"), col("code"),
-          dot(col("sv"), col("cw")).cast("decimal(18,9)").as("pd"))
-      // q·centroid + query norm, per probed (query, list) pair
-      val qc = probes.join(broadcast(cent), "centroid_id")
-        .select(col("query_id"), col("centroid_id"),
-          dot(col("qv"), col("cv")).cast("decimal(18,9)").as("qc"),
-          col("qn"))
-      // centroid-subvector · codeword and codeword self-dot, per
-      // (list, sub, code) — the reconstruction-norm building blocks
-      val csubs = (0 until numSub).map(s =>
-        struct(lit(s).as("sub"), slice(col("cv"), s * subDim + 1, subDim).as("csv")))
-      val ccw = cent
-        .select(col("centroid_id"), explode(array(csubs: _*)).as("e"))
-        .select(col("centroid_id"), col("e.sub").as("sub"), col("e.csv").as("csv"))
-        .join(broadcast(cb), Seq("sub"))
-        .select(col("centroid_id"), col("sub"), col("code"),
-          dot(col("csv"), col("cw")).cast("decimal(18,9)").as("cc"),
-          dot(col("cw"), col("cw")).cast("decimal(18,9)").as("w2"))
-      val cself = cent.select(col("centroid_id"),
-        dot(col("cv"), col("cv")).cast("decimal(18,9)").as("c2"))
-      // ‖v̂‖ = sqrt(c·c + 2·Σ c_sub·cw + Σ cw·cw) — exact DECIMAL sums
-      val rn = residualCodes(spark, dir, corpus)
-        .join(Ivf.assignments(spark, dir, corpus), "vec_id")
-        .join(broadcast(ccw), Seq("centroid_id", "sub", "code"))
-        .groupBy("vec_id", "centroid_id")
-        .agg(sum(col("cc")).as("scc"), sum(col("w2")).as("sw2"))
-        .join(broadcast(cself), "centroid_id")
-        .select(col("vec_id"),
-          sqrt((col("c2") + lit(2) * col("scc") + col("sw2")).cast("double"))
-            .as("rnorm"))
-
-      val ad = residualCodes(spark, dir, corpus).join(cands, "vec_id")
-        .join(broadcast(lut), Seq("query_id", "sub", "code"))
-        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("centroid_id"))
-        .agg(sum(col("pd")).as("ad"))
-      val sim = ((col("qc") + col("ad")).cast("double") /
-        (col("qn") * col("rnorm"))).cast("decimal(10,6)")
-      val short = ad.join(qc, Seq("query_id", "centroid_id"))
-        .join(rn, col("neighbor_id") === rn("vec_id"))
-        .select(col("query_id"), col("neighbor_id"), sim.as("adc_sim"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("adc_sim").desc, col("neighbor_id"))))
-        .filter(col("rk") <= shortlist)
-        .select("query_id", "neighbor_id")
-      rerankOf(spark, dir, short, k, queryMod, corpus)
+      ivfPqFrom(
+        corpus.normalizedOf(spark, dir),
+        Ivf.centroids(spark, dir, corpus),
+        Ivf.assignments(spark, dir, corpus),
+        residualCodebooks(spark, dir, corpus),
+        residualCodes(spark, dir, corpus),
+        AnnParams.nProbe(AnnParams.corpusSizeOf(spark, dir, corpus)),
+        k, shortlist, queryMod)
     }
+
+  /** The IVF-PQ search chain over EXPLICIT index frames — the serving
+    * core shared by [[ivfPqTopK]] (frames from the memoized in-session
+    * build) and [[AnnIndex.serve]] (frames loaded from the persisted
+    * index, no corpus recompute). Arithmetic is identical either way,
+    * so both paths hash-match the same oracle.
+    */
+  private[ops] def ivfPqFrom(vectors: DataFrame, cent: DataFrame,
+                             assign: DataFrame, cb: DataFrame,
+                             rcodes: DataFrame, nProbe: Int,
+                             k: Int, shortlist: Int, queryMod: Int): DataFrame = {
+    val q = vectors.filter(AnnParams.queryPred(queryMod))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val qcos = (dot(col("qv"), col("cv")) / (col("qn") * col("cnorm")))
+      .cast("decimal(10,6)")
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
+        qcos.as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("centroid_id"))))
+      .filter(col("rk") <= nProbe)
+      .select("query_id", "qv", "qn", "centroid_id")
+    val cands = probes.select("query_id", "centroid_id")
+      .join(assign, "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "centroid_id")
+
+    // residual LUT: raw query subvector · residual codeword
+    val qsubs = (0 until numSub).map(s =>
+      struct(lit(s).as("sub"), slice(col("qv"), s * subDim + 1, subDim).as("sv")))
+    val lut = q.select(col("query_id"), explode(array(qsubs: _*)).as("e"))
+      .select(col("query_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(col("sv"), col("cw")).cast("decimal(18,9)").as("pd"))
+    // q·centroid + query norm, per probed (query, list) pair
+    val qc = probes.join(broadcast(cent), "centroid_id")
+      .select(col("query_id"), col("centroid_id"),
+        dot(col("qv"), col("cv")).cast("decimal(18,9)").as("qc"),
+        col("qn"))
+    // centroid-subvector · codeword and codeword self-dot, per
+    // (list, sub, code) — the reconstruction-norm building blocks
+    val csubs = (0 until numSub).map(s =>
+      struct(lit(s).as("sub"), slice(col("cv"), s * subDim + 1, subDim).as("csv")))
+    val ccw = cent
+      .select(col("centroid_id"), explode(array(csubs: _*)).as("e"))
+      .select(col("centroid_id"), col("e.sub").as("sub"), col("e.csv").as("csv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("centroid_id"), col("sub"), col("code"),
+        dot(col("csv"), col("cw")).cast("decimal(18,9)").as("cc"),
+        dot(col("cw"), col("cw")).cast("decimal(18,9)").as("w2"))
+    val cself = cent.select(col("centroid_id"),
+      dot(col("cv"), col("cv")).cast("decimal(18,9)").as("c2"))
+    // ‖v̂‖ = sqrt(c·c + 2·Σ c_sub·cw + Σ cw·cw) — exact DECIMAL sums
+    val rn = rcodes
+      .join(assign, "vec_id")
+      .join(broadcast(ccw), Seq("centroid_id", "sub", "code"))
+      .groupBy("vec_id", "centroid_id")
+      .agg(sum(col("cc")).as("scc"), sum(col("w2")).as("sw2"))
+      .join(broadcast(cself), "centroid_id")
+      .select(col("vec_id"),
+        sqrt((col("c2") + lit(2) * col("scc") + col("sw2")).cast("double"))
+          .as("rnorm"))
+
+    val ad = rcodes.join(cands, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("centroid_id"))
+      .agg(sum(col("pd")).as("ad"))
+    val sim = ((col("qc") + col("ad")).cast("double") /
+      (col("qn") * col("rnorm"))).cast("decimal(10,6)")
+    val short = ad.join(qc, Seq("query_id", "centroid_id"))
+      .join(rn, col("neighbor_id") === rn("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.as("adc_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_sim").desc, col("neighbor_id"))))
+      .filter(col("rk") <= shortlist)
+      .select("query_id", "neighbor_id")
+
+    // exact-cosine rerank of the shortlist from the stored raw vectors
+    val e2 = vectors
+    val q2 = vectors.filter(AnnParams.queryPred(queryMod))
+      .select(col("vec_id").as("query_id"), col("v").as("q2v"),
+        col("norm").as("q2n"))
+    val cos = (dot(col("q2v"), col("v")) / (col("q2n") * col("norm")))
+      .cast("decimal(10,6)")
+    short.join(q2, "query_id")
+      .join(e2, col("neighbor_id") === e2("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine_sim").cast("double").as("cosine_sim"), col("rank"))
+  }
 
   // ---------- DuckDB oracles ----------
 
