@@ -1,0 +1,482 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second tranche of decision-support shapes over the star tables — the
+  * TPC-H Q7/Q8/Q9/Q10/Q11/Q15/Q17/Q18/Q19 patterns plus GROUPING SETS
+  * and the Q2-style correlated-min lookup, adapted to the fixture's
+  * columns (no partsupp/shipmode in the fixture, so cost/route legs use
+  * `p_retailprice` and ship-year instead). Together with [[Olap]] this
+  * covers the full catalog of classic OLAP query skeletons: multi-dim
+  * fact joins, share-of-total ratios, scalar-subquery thresholds,
+  * correlated averages, HAVING-gated semi joins, disjunctive DNF
+  * predicates, and multi-level grouping.
+  *
+  * Every shape keeps the 100 TB plan discipline of [[Olap]]: dimension
+  * sides broadcast, the fact table shuffles at most once per grain
+  * change, money aggregates accumulate on an exact DECIMAL grid
+  * (order-free, so both engines sum identically), and every LIMIT rides
+  * a total order. Scalar thresholds (Q11/Q15/Q17) become one-row or
+  * dimension-sized broadcast joins — never a driver collect.
+  */
+object OlapTpch {
+
+  /** `l_extendedprice * (1 - l_discount)` on the exact DECIMAL grid. */
+  private def rev: Column =
+    (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(28,4)")
+
+  private val revSql: String =
+    """CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |  AS DECIMAL(28,4))""".stripMargin
+
+  /** TPC-H Q7 shape: bilateral shipping volume between two nations by
+    * ship year. Supplier→nation and customer→nation are both broadcast
+    * (the nation filter prunes them to 1/25 before the fact join); the
+    * orders⋈lineitem equi join is the single at-scale shuffle; the
+    * nation-pair disjunction rides the broadcast joins as a residual.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    // the pair disjunction constrains BOTH sides to {NATION_1, NATION_2};
+    // push that superset onto each broadcast input explicitly (don't rely
+    // on the optimizer factoring it out of the OR) so the fact join drops
+    // 23/25 of its probes at the broadcast hash lookup
+    val n = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select("n_nationkey", "n_name")
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("ship_year"), rev.as("volume"))
+    // prune BOTH shuffle inputs before the one fact⋈fact join: orders
+    // via the customer broadcast, lineitem via the supplier broadcast
+    val oPruned = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(oPruned, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy("supp_nation", "cust_nation", "ship_year")
+      .agg(sum("volume").cast("decimal(28,4)").as("revenue"))
+  }
+
+  val q7VolumeShippingSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS INT) AS ship_year,
+      |       CAST(SUM($revSql) AS DOUBLE) AS revenue
+      |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND o_custkey = c_custkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8 shape: market share of one supplying nation within one
+    * customer region, per order year, for one part type. The share is a
+    * conditional-sum ratio over the same grouped pass (no second scan);
+    * numerator and denominator both exact DECIMAL, divided in double at
+    * the edge.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("order_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), rev.as("volume"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("order_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", col("volume"))
+          .otherwise(lit(0).cast("decimal(28,4)"))).cast("decimal(28,4)").as("nation_volume"),
+        sum("volume").cast("decimal(28,4)").as("total_volume"))
+      .select(col("order_year"), col("nation_volume"), col("total_volume"),
+        (col("nation_volume").cast("double") / col("total_volume").cast("double"))
+          .cast("decimal(18,6)").as("mkt_share"))
+  }
+
+  val q8MarketShareSql: String =
+    s"""WITH vol AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+      |         CAST(SUM(CASE WHEN n2.n_name = 'NATION_5' THEN $revSql
+      |                       ELSE CAST(0 AS DECIMAL(28,4)) END)
+      |           AS DECIMAL(38,4)) AS nation_volume,
+      |         CAST(SUM($revSql) AS DECIMAL(38,4)) AS total_volume
+      |  FROM lineitem, orders, customer, part, supplier,
+      |       nation n1, region, nation n2
+      |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND s_nationkey = n2.n_nationkey
+      |    AND r_name = 'ASIA' AND p_type = 'ECONOMY'
+      |  GROUP BY 1
+      |)
+      |SELECT order_year, CAST(nation_volume AS DOUBLE) AS nation_volume,
+      |       CAST(total_volume AS DOUBLE) AS total_volume,
+      |       CAST(CAST(CAST(nation_volume AS DOUBLE) / CAST(total_volume AS DOUBLE)
+      |         AS DECIMAL(18,6)) AS DOUBLE) AS mkt_share
+      |FROM vol""".stripMargin
+
+  /** TPC-H Q9 shape: profit by supplying nation and ship year. The
+    * fixture has no partsupp, so supply cost is proxied by
+    * `p_retailprice * l_quantity` — the join/aggregation skeleton
+    * (part + supplier broadcast into the fact, two-key grouping) is the
+    * point. Profit is an exact DECIMAL difference, so the sum is
+    * order-free.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_retailprice").cast("decimal(18,2)").as("cost"))
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("ship_year"),
+        rev.as("gross"), col("l_quantity").cast("decimal(18,2)").as("qty"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .select(col("nation"), col("ship_year"),
+        (col("gross") - (col("cost") * col("qty")).cast("decimal(28,4)"))
+          .cast("decimal(28,4)").as("amount"))
+      .groupBy("nation", "ship_year")
+      .agg(sum("amount").cast("decimal(28,4)").as("sum_profit"))
+  }
+
+  val q9ProductProfitSql: String =
+    s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS ship_year,
+      |       CAST(SUM(CAST($revSql
+      |           - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+      |               * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))
+      |         AS DECIMAL(28,4))) AS DOUBLE) AS sum_profit
+      |FROM lineitem, part, supplier, nation
+      |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey AND p_type = 'STANDARD'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    * six-month order window. Customer (with its nation name) broadcasts
+    * into the orders⋈lineitem join; the top-20 is a total order
+    * (revenue desc, custkey) so ties cannot flap.
+    */
+  def q10ReturnedTop(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("n_name"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), rev.as("r"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_mktsegment", "n_name")
+      .agg(sum("r").cast("decimal(28,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedTopSql: String =
+    s"""SELECT c_custkey, c_name, c_mktsegment, n_name,
+      |       CAST(SUM($revSql) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY SUM($revSql) DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q11 shape: parts whose revenue value exceeds a fraction of
+    * the global total — a scalar-subquery threshold realized as a
+    * one-row broadcast against the per-part aggregate (the per-part
+    * frame is aggregated ONCE and reused for both sides). Exact
+    * DECIMAL values; the threshold comparison happens in DECIMAL too
+    * (both engines compute `total * 0.0007` on the same grid).
+    */
+  def q11PartValue(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), rev.as("r"))
+      .groupBy("l_partkey")
+      .agg(sum("r").cast("decimal(28,4)").as("value"))
+    val thr = perPart
+      .agg((sum("value").cast("decimal(38,4)") * lit(0.0007).cast("decimal(8,4)"))
+        .cast("decimal(38,8)").as("threshold"))
+    perPart.crossJoin(broadcast(thr))
+      .filter(col("value").cast("decimal(38,8)") > col("threshold"))
+      .select(col("l_partkey"), col("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  val q11PartValueSql: String =
+    s"""WITH per_part AS (
+      |  SELECT l_partkey, CAST(SUM($revSql) AS DECIMAL(28,4)) AS value
+      |  FROM lineitem GROUP BY 1
+      |), thr AS (
+      |  SELECT CAST(CAST(SUM(value) AS DECIMAL(38,4))
+      |    * CAST(0.0007 AS DECIMAL(8,4)) AS DECIMAL(38,8)) AS threshold
+      |  FROM per_part
+      |)
+      |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+      |FROM per_part, thr
+      |WHERE CAST(value AS DECIMAL(38,8)) > threshold
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q15 shape: the top supplier(s) by revenue over one ship
+    * quarter. The per-supplier revenue frame is computed once; its
+    * scalar max broadcasts back as an equality filter (exact DECIMAL,
+    * so the `= max` join cannot miss on rounding); supplier name
+    * arrives by broadcast.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+      .select(col("l_suppkey"), rev.as("r"))
+      .groupBy("l_suppkey")
+      .agg(sum("r").cast("decimal(28,4)").as("total_rev"))
+    val mx = r.agg(max("total_rev").as("max_rev"))
+    r.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    s"""WITH r AS (
+      |  SELECT l_suppkey, CAST(SUM($revSql) AS DECIMAL(28,4)) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+      |  GROUP BY 1
+      |)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      |FROM supplier, r
+      |WHERE s_suppkey = l_suppkey
+      |  AND total_rev = (SELECT MAX(total_rev) FROM r)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17 shape: revenue from small-quantity lineitems of one
+    * brand, where "small" is a correlated per-part average — realized
+    * as a brand-pruned per-part aggregate broadcast back against the
+    * same pruned fact slice (two passes over ~1/25 of lineitem, zero
+    * passes over the rest; the brand filter is pushed to both scans).
+    * The 0.2·avg threshold derives from exact DECIMAL sums so both
+    * engines cut at the same boundary.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")
+      .select("p_partkey")
+    val l = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    val avgQ = l.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_qty"))
+    l.join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        sum("price").cast("decimal(28,2)").as("sum_price"))
+      .select(col("n_small"), col("sum_price"),
+        (col("sum_price").cast("double") / lit(7.0)).cast("decimal(18,4)")
+          .as("avg_yearly"))
+  }
+
+  val q17SmallQtySql: String =
+    """WITH l AS (
+      |  SELECT l_partkey, l_quantity,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      |  FROM lineitem, part
+      |  WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+      |), a AS (
+      |  SELECT l_partkey,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |           / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      |  FROM l GROUP BY 1
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+      |       CAST(SUM(l.price) AS DOUBLE) AS sum_price,
+      |       CAST(CAST(CAST(SUM(l.price) AS DOUBLE) / 7.0 AS DECIMAL(18,4))
+      |         AS DOUBLE) AS avg_yearly
+      |FROM l, a
+      |WHERE l.l_partkey = a.l_partkey AND l.l_quantity < 0.2 * a.avg_qty""".stripMargin
+
+  /** TPC-H Q18 shape: large-volume orders — per-order quantity rollup
+    * HAVING > 300, realized as an aggregate-then-join (the qualifying
+    * order set is tiny, so it broadcasts INTO orders rather than
+    * shuffling orders again); customer broadcast for the name; top-20
+    * on a total order.
+    */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,2)")
+        .as("total_qty"))
+      .filter(col("total_qty") > lit(300).cast("decimal(28,2)"))
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    o.join(broadcast(big), col("o_orderkey") === col("b_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18BigOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2))
+      |           AS total_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+      |)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+      |       CAST(total_qty AS DOUBLE) AS total_qty
+      |FROM customer, orders, big
+      |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q19 shape: disjunctive DNF predicate over a part⋈lineitem
+    * join — three (brand, size-range, quantity-range) alternatives
+    * OR-ed together. Part broadcasts; the brand/size legs are evaluated
+    * on the broadcast side and the quantity legs on the fact side, with
+    * the whole DNF a single codegen'd residual — one scan, no union of
+    * three subqueries.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    def leg(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), rev.as("r"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(leg("Brand#1", 1, 15, 1, 11) || leg("Brand#2", 10, 30, 10, 20) ||
+        leg("Brand#3", 20, 50, 20, 30))
+      .agg(count(lit(1)).as("n_items"),
+        sum("r").cast("decimal(28,4)").as("revenue"))
+  }
+
+  val q19DisjunctiveSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+      |       CAST(SUM($revSql) AS DOUBLE) AS revenue
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND (
+      |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+      |       AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  /** GROUPING SETS — the multi-level aggregation surface ROLLUP/CUBE
+    * (see [[EventsOps]]) don't pin down: an explicit set list
+    * ((flag, status), (flag), ()) with per-column GROUPING indicators.
+    * One Expand+aggregate pass in Spark, identical set semantics in
+    * the oracle.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+    l.groupingSets(
+      Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(col("l_returnflag")), Seq.empty[Column]),
+      col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n_items"),
+        sum("qty").cast("decimal(28,2)").as("sum_qty"))
+  }
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |       CAST(COUNT(*) AS BIGINT) AS n_items,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
+  /** TPC-H Q2 shape: the correlated-min lookup — for each part in a
+    * size slice, the minimum-balance supplier among those that
+    * actually shipped it. The correlated `= (SELECT MIN ...)` becomes a
+    * single `min(struct(bal, suppkey, name))` per part (struct min is
+    * lexicographic, so the suppkey tiebreak is inside the aggregate —
+    * no window, no second join back). Candidate (part, supp) pairs come
+    * from a distinct over the brand-pruned fact slice.
+    */
+  def q2MinBalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size") === 15)
+      .select("p_partkey")
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal").cast("decimal(18,2)").as("bal"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select("p_partkey", "l_suppkey").distinct()
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_partkey")
+      .agg(min(struct(col("bal"), col("s_suppkey"), col("s_name"))).as("m"))
+      .select(col("p_partkey"), col("m.s_suppkey").as("s_suppkey"),
+        col("m.s_name").as("s_name"), col("m.bal").as("s_acctbal"))
+      .orderBy("p_partkey")
+  }
+
+  val q2MinBalSupplierSql: String =
+    """WITH cand AS (
+      |  SELECT DISTINCT p_partkey, l_suppkey
+      |  FROM lineitem, part
+      |  WHERE p_partkey = l_partkey AND p_size = 15
+      |), scored AS (
+      |  SELECT p_partkey, s_suppkey, s_name,
+      |         CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal,
+      |         ROW_NUMBER() OVER (PARTITION BY p_partkey
+      |           ORDER BY CAST(s_acctbal AS DECIMAL(18,2)), s_suppkey) AS rn
+      |  FROM cand, supplier
+      |  WHERE s_suppkey = l_suppkey
+      |)
+      |SELECT p_partkey, s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      |FROM scored WHERE rn = 1
+      |ORDER BY p_partkey""".stripMargin
+}

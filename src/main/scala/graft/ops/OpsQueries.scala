@@ -38,6 +38,22 @@ object OpsQueries {
     "events_daily_mv" -> ((s, dir) => graft.plans.MvRewrite.check(s, dir)),
     "olap_cust_dist" -> ((s, dir) => Olap.q13CustDist(s, dir)),
     "olap_idle_customers" -> ((s, dir) => Olap.q22IdleCustomers(s, dir)),
+    // second tranche of TPC-H shapes: bilateral volume (Q7), market
+    // share (Q8), profit rollup (Q9), returned-revenue top-k (Q10),
+    // scalar-threshold value list (Q11), scalar-max supplier (Q15),
+    // correlated-avg small-qty (Q17), HAVING-gated big orders (Q18),
+    // disjunctive DNF (Q19), GROUPING SETS, correlated-min (Q2)
+    "olap_volume_shipping" -> ((s, dir) => OlapTpch.q7VolumeShipping(s, dir)),
+    "olap_market_share" -> ((s, dir) => OlapTpch.q8MarketShare(s, dir)),
+    "olap_product_profit" -> ((s, dir) => OlapTpch.q9ProductProfit(s, dir)),
+    "olap_returned_top" -> ((s, dir) => OlapTpch.q10ReturnedTop(s, dir)),
+    "olap_part_value" -> ((s, dir) => OlapTpch.q11PartValue(s, dir)),
+    "olap_top_supplier" -> ((s, dir) => OlapTpch.q15TopSupplier(s, dir)),
+    "olap_small_qty" -> ((s, dir) => OlapTpch.q17SmallQty(s, dir)),
+    "olap_big_orders" -> ((s, dir) => OlapTpch.q18BigOrders(s, dir)),
+    "olap_disjunctive" -> ((s, dir) => OlapTpch.q19Disjunctive(s, dir)),
+    "olap_grouping_sets" -> ((s, dir) => OlapTpch.groupingSets(s, dir)),
+    "olap_min_bal_supplier" -> ((s, dir) => OlapTpch.q2MinBalSupplier(s, dir)),
     // text analysis
     "text_stats" -> ((s, dir) => TextMetrics.stats(s, dir)),
     // unicode NFC canonicalization (codegen'd custom Expression) over a
@@ -265,6 +281,9 @@ object OpsQueries {
     // passes, map-side partial merge, unchanged oracles
     "events_hll_udaf" -> ((s, dir) => Sketch.hllDistinctUsersUdaf(s, dir)),
     "events_kmv_udaf" -> ((s, dir) => Sketch.kmvDistinctUsersUdaf(s, dir)),
+    // cross-session incremental sketch maintenance: persisted per-day
+    // HLL state + one-day fold, oracle = the full-rebuild SQL verbatim
+    "events_hll_incremental" -> ((s, dir) => SketchState.incrementalReport(s, dir)),
     // mergeable quantile sketch: per-day weighted anchors merged into
     // whole-range estimates with a provable rank-error bound + confirm
     "events_quantiles_sketch" -> ((s, dir) => Sketch.quantileSketch(s, dir)),
@@ -441,6 +460,17 @@ object OpsQueries {
     "events_daily_mv" -> graft.plans.MvRewrite.checkSql,
     "olap_cust_dist" -> Olap.q13CustDistSql,
     "olap_idle_customers" -> Olap.q22IdleCustomersSql,
+    "olap_volume_shipping" -> OlapTpch.q7VolumeShippingSql,
+    "olap_market_share" -> OlapTpch.q8MarketShareSql,
+    "olap_product_profit" -> OlapTpch.q9ProductProfitSql,
+    "olap_returned_top" -> OlapTpch.q10ReturnedTopSql,
+    "olap_part_value" -> OlapTpch.q11PartValueSql,
+    "olap_top_supplier" -> OlapTpch.q15TopSupplierSql,
+    "olap_small_qty" -> OlapTpch.q17SmallQtySql,
+    "olap_big_orders" -> OlapTpch.q18BigOrdersSql,
+    "olap_disjunctive" -> OlapTpch.q19DisjunctiveSql,
+    "olap_grouping_sets" -> OlapTpch.groupingSetsSql,
+    "olap_min_bal_supplier" -> OlapTpch.q2MinBalSupplierSql,
     "text_stats" -> TextMetrics.statsSql,
     "text_normalize" -> Normalize.reportSql,
     "text_lang_id" -> TextMetrics.langIdSql,
@@ -561,6 +591,7 @@ object OpsQueries {
     // their oracles are the same replays verbatim
     "events_hll_udaf" -> Sketch.hllDistinctUsersSql(),
     "events_kmv_udaf" -> Sketch.kmvDistinctUsersSql(),
+    "events_hll_incremental" -> Sketch.hllDistinctUsersSql(),
     "events_quantiles_sketch" -> Sketch.quantileSketchSql(),
     "events_cms" -> Sketch.cmsUserCountsSql(),
     "events_asof" -> AsofJoin.purchaseAttributionSql,

@@ -564,7 +564,7 @@ object Sketch {
   /** Exact per-day + whole-range distinct counts keyed by scope — the
     * ground-truth side every HLL report joins.
     */
-  private def hllExactByScope(dh: DataFrame): DataFrame =
+  private[graft] def hllExactByScope(dh: DataFrame): DataFrame =
     dh.groupBy(col("event_date").cast("string").as("scope"))
       .agg(count(lit(1)).as("n_exact"))
       .unionByName(dh.select("h").distinct().agg(count(lit(1)).as("n_exact"))
@@ -573,7 +573,7 @@ object Sketch {
   /** The dual-regime estimator over `(scope, s, v)` state joined to the
     * exact counts — shared by the SQL-composed and UDAF register builds.
     */
-  private def hllFromState(st: DataFrame, ex: DataFrame, b: Int): DataFrame = {
+  private[graft] def hllFromState(st: DataFrame, ex: DataFrame, b: Int): DataFrame = {
     val m = 1 << b
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val raw = lit(alpha) * m * m * lit(9007199254740992.0) / col("s").cast("double")

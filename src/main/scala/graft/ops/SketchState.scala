@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.io.AtomicPublish
+
+/** Cross-session incremental sketch maintenance — the production shape
+  * of the distinct-count monitor: per-day HLL register states live as a
+  * PERSISTED versioned artifact (the [[graft.io.AtomicPublish]] pointer
+  * protocol, same as the ANN index), and each new day folds in by
+  * (1) sketching ONLY that day's slice of the fact table — a
+  * partition-prunable timestamp-range scan, never a history rescan —
+  * and (2) publishing `old state ∪ new day state` as the next version.
+  * Estimates are then served from state alone: per-day scopes read the
+  * register rows, the whole-range scope is an `hll_union` fold over the
+  * day arrays (register max — associative, idempotent, so replayed or
+  * re-folded days cannot corrupt it).
+  *
+  * At 100 TB this is the difference between a dashboard that rescans
+  * its entire history every run and one that reads `days × 2^b` bytes
+  * of state plus ONE day of new data. The registered query proves the
+  * fold exact: its oracle is the full-rebuild SQL
+  * ([[Sketch.hllDistinctUsersSql]] verbatim), so the incrementally
+  * maintained state must be bit-identical to a from-scratch rebuild
+  * (same md5-h60 hash, same registers, same dual-regime estimator).
+  * The exact `n_exact` truth column beside the estimates still costs a
+  * full distinct pass — reported ground truth for the oracle, not part
+  * of the maintained state (a production deployment drops it).
+  */
+object SketchState {
+
+  private val b = 8
+
+  def baseFor(dir: String): String =
+    s"/tmp/graft_sketchstate/${Integer.toHexString(dir.hashCode)}"
+
+  private def dayEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"), col("user_id"))
+
+  /** Per-day HLL register arrays for one (timestamp-bounded) slice via
+    * the native `hll_sketch` aggregate — single-buffer, map-side
+    * combined to 2^b bytes per day per task.
+    */
+  private def dayStates(ev: DataFrame): DataFrame = {
+    ev.groupBy("event_date")
+      .agg(call_function("hll_sketch", col("user_id").cast("string"), lit(b))
+        .as("regs"))
+  }
+
+  /** One maintenance cycle: ensure the history state exists (built ONCE,
+    * ever — later sessions load it), fold the newest day in by
+    * day-replacement (drop any state row for the cutoff day, append the
+    * freshly sketched one — so re-folding a day is idempotent by
+    * construction, matching the register-max algebra), publish the next
+    * version, and serve the estimate report FROM the committed state.
+    * The fold's fact-table read is a pushable `ts ≥ cutoff` range — the
+    * only event rows this cycle scans once history exists; history
+    * arrives as `days × 2^b` ints of parquet state.
+    */
+  private[graft] def foldOnce(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchAggFunctions.register(spark)
+    val base = baseFor(dir)
+    // one-row max aggregate — the scheduled-pipeline analog of "today"
+    val cutoff = Tables.events(spark, dir)
+      .agg(max(to_date(col("ts")))).head().getDate(0)
+    if (!AtomicPublish.exists(spark, base))
+      AtomicPublish.publish(spark, base, Seq("hll_days" ->
+        dayStates(dayEvents(spark, dir).filter(col("event_date") < lit(cutoff)))))
+    // the incremental leg: timestamp-range scan of the new day only
+    // (to_date(ts) = cutoff ⟺ ts ≥ cutoff at midnight UTC, and the
+    // fixture has no post-cutoff rows; the raw-ts form pushes to the
+    // parquet scan, the to_date form would not)
+    val newDay = dayStates(
+      Tables.events(spark, dir)
+        .filter(col("ts") >= lit(cutoff).cast("timestamp"))
+        .select(to_date(col("ts")).as("event_date"), col("user_id")))
+    val merged = AtomicPublish.read(spark, base, "hll_days")
+      .filter(col("event_date") < lit(cutoff))
+      .unionByName(newDay)
+    AtomicPublish.publish(spark, base, Seq("hll_days" -> merged))
+    // materialize the (days+1)-row report NOW: a later fold prunes the
+    // version this plan reads, so the frame must not stay lazy over it
+    serveFromState(spark, dir).localCheckpoint(eager = true)
+  }
+
+  /** Registered `events_hll_incremental` (memoized per session). */
+  def incrementalReport(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "events_hll_incremental", dir, "sketch_state") {
+      foldOnce(spark, dir)
+    }
+
+  /** The estimate report from the committed state alone. */
+  private def serveFromState(spark: SparkSession, dir: String): DataFrame = {
+      val state = AtomicPublish.read(spark, baseFor(dir), "hll_days")
+      val scoped = state
+        .select(col("event_date").cast("string").as("scope"), col("regs"))
+        .unionByName(state
+          .agg(call_function("hll_union", col("regs"), lit(b)).as("regs"))
+          .select(lit("all").as("scope"), col("regs")))
+      val st = scoped.select(col("scope"),
+        expr("aggregate(regs, 0L, (acc, mj) -> acc + shiftleft(1L, 53 - mj))")
+          .as("s"),
+        size(filter(col("regs"), mj => mj === 0)).cast("long").as("v"))
+      // exact ground truth beside the estimates (oracle parity column —
+      // full distinct pass by definition, not part of the state path)
+      Sketch.hllFromState(st,
+        Sketch.hllExactByScope(Sketch.dayHashes(dayEvents(spark, dir))), b)
+    }
+}

@@ -46,6 +46,8 @@ class PlanLintSpec extends SparkSpec {
     "events_abtest", // ONE-ROW pooled z-statistic × the 2-row arm table
     "rater_agreement", // ONE-ROW kappa statistics × the 3-row rater card
     "olap_idle_customers", // ONE-ROW scalar average balance threshold
+    "olap_part_value", // ONE-ROW global-total threshold (Q11 scalar subquery)
+    "olap_top_supplier", // ONE-ROW scalar max revenue (Q15)
     "events_user_deciles", // ONE-ROW user-count total for NTILE arithmetic
     "orders_rfm", // same ONE-ROW totals, three quartile passes
     "sample_temperature", // ONE-ROW token/normalizer totals × source grain
