@@ -463,6 +463,81 @@ object OlapTpch {
       .orderBy("p_partkey")
   }
 
+  /** Recursive-CTE hierarchy rollup (the BOM/org-chart shape): a
+    * deterministic part hierarchy — parent(k) = k DIV 2, the classic
+    * implicit binary-heap encoding — expanded to the full
+    * ancestor-closure by Spark's recursive CTE execution (iterative
+    * UNION ALL, one distributed join per level, ≤ log₂(maxkey) ≈ 11-15
+    * rounds), then a per-ancestor subtree rollup. The closure is
+    * O(n·depth) rows — n log n, not n² — and each round is a plain
+    * shuffle-free projection of the previous level. Top-20 subtrees on
+    * a total (value desc, key) order.
+    */
+  def partHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    spark.sql(
+      """WITH RECURSIVE chain(node, anc) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION ALL
+        |  SELECT node, anc DIV 2 FROM chain WHERE anc > 1
+        |)
+        |SELECT c.anc AS ancestor,
+        |       CAST(COUNT(*) AS BIGINT) AS subtree_parts,
+        |       CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2)))
+        |         AS DECIMAL(28,2)) AS subtree_value
+        |FROM chain c JOIN part p ON p.p_partkey = c.node
+        |GROUP BY 1
+        |ORDER BY subtree_value DESC, ancestor
+        |LIMIT 20""".stripMargin)
+  }
+
+  val partHierarchySql: String =
+    """WITH RECURSIVE chain(node, anc) AS (
+      |  SELECT p_partkey, p_partkey FROM part
+      |  UNION ALL
+      |  SELECT node, anc // 2 FROM chain WHERE anc > 1
+      |)
+      |SELECT c.anc AS ancestor,
+      |       CAST(COUNT(*) AS BIGINT) AS subtree_parts,
+      |       CAST(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2)))
+      |         AS DECIMAL(28,2)) AS DOUBLE) AS subtree_value
+      |FROM chain c JOIN part p ON p.p_partkey = c.node
+      |GROUP BY 1
+      |ORDER BY subtree_value DESC, ancestor
+      |LIMIT 20""".stripMargin
+
+  /** UNPIVOT — the wide→long reshape [[EventsOps]]' PIVOT leg inverts:
+    * per-returnflag measure sums unpivoted to (flag, measure, total)
+    * rows via the native `Dataset.unpivot` (an Expand, no shuffle
+    * beyond the aggregate). All measures on one DECIMAL grid so the
+    * value column is exact and single-typed.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,2)")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,2)")
+          .as("sum_price"),
+        sum(col("l_discount").cast("decimal(18,2)")).cast("decimal(28,2)")
+          .as("sum_disc"))
+    agg.unpivot(Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+      "measure", "total")
+  }
+
+  val unpivotMeasuresSql: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
+      |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_disc
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT l_returnflag, measure, CAST(total AS DOUBLE) AS total
+      |FROM agg UNPIVOT (total FOR measure IN (sum_qty, sum_price, sum_disc))""".stripMargin
+
   val q2MinBalSupplierSql: String =
     """WITH cand AS (
       |  SELECT DISTINCT p_partkey, l_suppkey

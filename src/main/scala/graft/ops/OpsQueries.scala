@@ -54,6 +54,9 @@ object OpsQueries {
     "olap_disjunctive" -> ((s, dir) => OlapTpch.q19Disjunctive(s, dir)),
     "olap_grouping_sets" -> ((s, dir) => OlapTpch.groupingSets(s, dir)),
     "olap_min_bal_supplier" -> ((s, dir) => OlapTpch.q2MinBalSupplier(s, dir)),
+    // recursive-CTE hierarchy closure + native UNPIVOT reshape
+    "part_hierarchy_rollup" -> ((s, dir) => OlapTpch.partHierarchy(s, dir)),
+    "lineitem_unpivot" -> ((s, dir) => OlapTpch.unpivotMeasures(s, dir)),
     // text analysis
     "text_stats" -> ((s, dir) => TextMetrics.stats(s, dir)),
     // unicode NFC canonicalization (codegen'd custom Expression) over a
@@ -471,6 +474,8 @@ object OpsQueries {
     "olap_disjunctive" -> OlapTpch.q19DisjunctiveSql,
     "olap_grouping_sets" -> OlapTpch.groupingSetsSql,
     "olap_min_bal_supplier" -> OlapTpch.q2MinBalSupplierSql,
+    "part_hierarchy_rollup" -> OlapTpch.partHierarchySql,
+    "lineitem_unpivot" -> OlapTpch.unpivotMeasuresSql,
     "text_stats" -> TextMetrics.statsSql,
     "text_normalize" -> Normalize.reportSql,
     "text_lang_id" -> TextMetrics.langIdSql,

@@ -122,6 +122,34 @@ class OlapTpchSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("hierarchy rollup: root subtree covers every part exactly once") {
+    val r = graft.ops.OlapTpch.partHierarchy(spark, sf0001).cache()
+    // partkeys start at 0 and parent(k)=k DIV 2, so the forest has two
+    // roots: 0 (a fixed point) and 1 (everything else halves down to it)
+    val nParts = Tables.part(spark, sf0001)
+      .filter(col("p_partkey") >= 1).count()
+    val root = r.filter(col("ancestor") === 1)
+    assert(root.count() === 1)
+    assert(root.head().getAs[Long]("subtree_parts") === nParts)
+    // top-20 is in total (value desc, ancestor) order
+    val got = r.collect().map(x => (x.getDecimal(2).doubleValue(), x.getLong(0)))
+    assert(got.sameElements(got.sortBy(p => (-p._1, p._2))))
+    r.unpersist()
+  }
+
+  test("unpivot: 3 measures x flags, totals equal the wide aggregate") {
+    val long = graft.ops.OlapTpch.unpivotMeasures(spark, sf0001).cache()
+    val flags = Tables.lineitem(spark, sf0001)
+      .select("l_returnflag").distinct().count()
+    assert(long.count() === flags * 3)
+    val qtyTotal = long.filter(col("measure") === "sum_qty")
+      .agg(sum(col("total").cast("double"))).head().getDouble(0)
+    val direct = Tables.lineitem(spark, sf0001)
+      .agg(sum("l_quantity")).head().getDouble(0)
+    assert(math.abs(qtyTotal - direct) < 1e-6)
+    long.unpersist()
+  }
+
   test("q2: one row per part, the min-(bal, suppkey) shipper, via struct min") {
     val r = OlapTpch.q2MinBalSupplier(spark, sf0001).cache()
     assert(r.count() > 0)

@@ -285,6 +285,43 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("runtime bloom-filter pruning fires on a selective shuffle join") {
+    // The third scan-elimination lever beside DPP and z-order skipping:
+    // when a SHUFFLE join's build side is small and selectively
+    // filtered, Spark injects a bloom filter of the build keys into the
+    // probe-side scan, dropping non-joining rows BEFORE the shuffle. At
+    // 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling the ~4% that can match a filtered dimension.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // local fixture scans are KBs; drop the probe-side size floor so
+      // the 100 TB behavior reproduces in-miniature
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val l = Tables.lineitem(spark, sf0001).select("l_partkey", "l_quantity")
+      val p = Tables.part(spark, sf0001)
+        .filter(col("p_brand") === "Brand#1").select("p_partkey")
+      val joined = l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter in plan:\n$planStr")
+      val got = joined.head()
+      // result parity with the runtime filter off
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val want = l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("q")).head()
+      assert(got.getLong(0) === want.getLong(0))
+      assert(math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-6)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning fires on the date-partitioned layout") {
     // the WindowReload layout: fact partitioned by event date. A join
     // against a FILTERED dim on the partition column must plan a
