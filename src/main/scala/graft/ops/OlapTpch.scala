@@ -463,6 +463,56 @@ object OlapTpch {
       .orderBy("p_partkey")
   }
 
+  /** TPC-H Q21 shape: "sole-blame" suppliers — returned lineitems on
+    * multi-supplier orders where NO other supplier on the order had a
+    * return. The nested EXISTS / NOT EXISTS pair becomes a LEFT SEMI
+    * (some other supplier shipped on the order) followed by a LEFT ANTI
+    * (no other supplier's lineitem was returned), both equi-keyed on
+    * the order with the supplier inequality as residual — order-grain
+    * shuffles only, no correlated re-scan per row. Top-20 on a total
+    * (count desc, suppkey) order.
+    */
+  def q21ProblemSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val ret = l.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val ret2 = ret.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    ret
+      .join(others, col("l_orderkey") === col("o2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(ret2, col("l_orderkey") === col("o3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_orders"))
+      .orderBy(col("n_orders").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  val q21ProblemSuppliersSql: String =
+    """WITH ret AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem WHERE l_returnflag = 'R'
+      |), sole AS (
+      |  SELECT r.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM ret r
+      |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |          WHERE l2.l_orderkey = r.l_orderkey
+      |            AND l2.l_suppkey <> r.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM ret r2
+      |          WHERE r2.l_orderkey = r.l_orderkey
+      |            AND r2.l_suppkey <> r.l_suppkey)
+      |  GROUP BY 1
+      |)
+      |SELECT s_suppkey, s_name, n_orders
+      |FROM sole JOIN supplier ON s_suppkey = l_suppkey
+      |ORDER BY n_orders DESC, s_suppkey
+      |LIMIT 20""".stripMargin
+
   /** Recursive-CTE hierarchy rollup (the BOM/org-chart shape): a
     * deterministic part hierarchy — parent(k) = k DIV 2, the classic
     * implicit binary-heap encoding — expanded to the full

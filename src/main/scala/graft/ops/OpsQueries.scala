@@ -36,6 +36,9 @@ object OpsQueries {
     // transparent materialized-view serving: the optimizer rule rewrites
     // the plain daily-count aggregate to scan the pre-built rollup
     "events_daily_mv" -> ((s, dir) => graft.plans.MvRewrite.check(s, dir)),
+    // the persisted+incremental MV lifecycle: versioned artifact,
+    // one-day fold, served through the same rewrite rule
+    "events_daily_mv_incremental" -> ((s, dir) => graft.plans.MvRewrite.incrementalCheck(s, dir)),
     "olap_cust_dist" -> ((s, dir) => Olap.q13CustDist(s, dir)),
     "olap_idle_customers" -> ((s, dir) => Olap.q22IdleCustomers(s, dir)),
     // second tranche of TPC-H shapes: bilateral volume (Q7), market
@@ -54,6 +57,7 @@ object OpsQueries {
     "olap_disjunctive" -> ((s, dir) => OlapTpch.q19Disjunctive(s, dir)),
     "olap_grouping_sets" -> ((s, dir) => OlapTpch.groupingSets(s, dir)),
     "olap_min_bal_supplier" -> ((s, dir) => OlapTpch.q2MinBalSupplier(s, dir)),
+    "olap_problem_suppliers" -> ((s, dir) => OlapTpch.q21ProblemSuppliers(s, dir)),
     // recursive-CTE hierarchy closure + native UNPIVOT reshape
     "part_hierarchy_rollup" -> ((s, dir) => OlapTpch.partHierarchy(s, dir)),
     "lineitem_unpivot" -> ((s, dir) => OlapTpch.unpivotMeasures(s, dir)),
@@ -461,6 +465,7 @@ object OpsQueries {
     "events_set_ops" -> Olap.setOpsSql,
     "events_kmv_setops" -> Sketch.kmvSetOpsSql(),
     "events_daily_mv" -> graft.plans.MvRewrite.checkSql,
+    "events_daily_mv_incremental" -> graft.plans.MvRewrite.checkSql,
     "olap_cust_dist" -> Olap.q13CustDistSql,
     "olap_idle_customers" -> Olap.q22IdleCustomersSql,
     "olap_volume_shipping" -> OlapTpch.q7VolumeShippingSql,
@@ -474,6 +479,7 @@ object OpsQueries {
     "olap_disjunctive" -> OlapTpch.q19DisjunctiveSql,
     "olap_grouping_sets" -> OlapTpch.groupingSetsSql,
     "olap_min_bal_supplier" -> OlapTpch.q2MinBalSupplierSql,
+    "olap_problem_suppliers" -> OlapTpch.q21ProblemSuppliersSql,
     "part_hierarchy_rollup" -> OlapTpch.partHierarchySql,
     "lineitem_unpivot" -> OlapTpch.unpivotMeasuresSql,
     "text_stats" -> TextMetrics.statsSql,

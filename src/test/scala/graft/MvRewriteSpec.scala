@@ -64,6 +64,28 @@ class MvRewriteSpec extends SparkSpec {
     assert(served.count() == later.count())
   }
 
+  test("incremental MV: fold equals full recompute, versions advance, rule detached") {
+    MvRewrite.deregister(spark, sf0001)
+    val before = spark.experimental.extraOptimizations.length
+    val base = s"/tmp/graft_mv_state/${Integer.toHexString(sf0001.hashCode)}"
+    val served = MvRewrite.incrementalCheck(spark, sf0001)
+    assert(spark.experimental.extraOptimizations.length == before,
+      "incrementalCheck() must deregister its rule after executing")
+    val v0 = graft.io.AtomicPublish.committed(spark, base)
+    assert(v0 >= 0)
+    // served content equals the plain full recompute
+    val expect = MvRewrite.dailyCounts(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val got = served.collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    // the committed artifact holds exactly one row per (day, type)
+    val state = graft.io.AtomicPublish.read(spark, base, "daily")
+    assert(state.select("event_date", "event_type").distinct().count() ===
+      state.count())
+    assert(state.count() === expect.size)
+  }
+
   test("MV rewrite: filtered aggregates are never rewritten") {
     val mvDir = s"/tmp/graft_mv_spec/daily_${Integer.toHexString(sf0001.hashCode)}"
     MvRewrite.materializeAndRegister(spark, sf0001, mvDir)

@@ -122,6 +122,28 @@ class OlapTpchSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q21: sole-blame semantics verified against a first-principles recompute") {
+    val r = graft.ops.OlapTpch.q21ProblemSuppliers(spark, sf0001).cache()
+    assert(r.count() > 0)
+    // recompute via per-order aggregates: orders with >1 supplier but
+    // exactly 1 returning supplier blame that supplier
+    val perOrder = Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret"),
+        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("blame"))
+      .filter(col("n_supp") > 1 && col("n_ret") === 1)
+      .groupBy(col("blame").as("suppkey"))
+      .agg(count(lit(1)).as("n"))
+    val want = perOrder.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.collect().foreach { row =>
+      assert(want.get(row.getLong(0)).contains(row.getAs[Long]("n_orders")),
+        s"supplier ${row.getLong(0)} count mismatch")
+    }
+    r.unpersist()
+  }
+
   test("hierarchy rollup: root subtree covers every part exactly once") {
     val r = graft.ops.OlapTpch.partHierarchy(spark, sf0001).cache()
     // partkeys start at 0 and parent(k)=k DIV 2, so the forest has two
