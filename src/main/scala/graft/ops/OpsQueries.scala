@@ -58,6 +58,15 @@ object OpsQueries {
     "olap_grouping_sets" -> ((s, dir) => OlapTpch.groupingSets(s, dir)),
     "olap_min_bal_supplier" -> ((s, dir) => OlapTpch.q2MinBalSupplier(s, dir)),
     "olap_problem_suppliers" -> ((s, dir) => OlapTpch.q21ProblemSuppliers(s, dir)),
+    // third tranche — completes the 22-skeleton TPC-H catalog: forecast
+    // scalar (Q6), late-lines CASE split (Q12), promo share (Q14),
+    // descriptor supplier counts with NOT IN (Q16), nested-agg
+    // concentration threshold (Q20)
+    "olap_forecast" -> ((s, dir) => OlapTpch3.q6Forecast(s, dir)),
+    "olap_late_lines" -> ((s, dir) => OlapTpch3.q12LateLines(s, dir)),
+    "olap_promo_share" -> ((s, dir) => OlapTpch3.q14PromoShare(s, dir)),
+    "olap_supplier_cnt" -> ((s, dir) => OlapTpch3.q16SupplierCnt(s, dir)),
+    "olap_excess_share" -> ((s, dir) => OlapTpch3.q20ExcessShare(s, dir)),
     // recursive-CTE hierarchy closure + native UNPIVOT reshape
     "part_hierarchy_rollup" -> ((s, dir) => OlapTpch.partHierarchy(s, dir)),
     "lineitem_unpivot" -> ((s, dir) => OlapTpch.unpivotMeasures(s, dir)),
@@ -480,6 +489,11 @@ object OpsQueries {
     "olap_grouping_sets" -> OlapTpch.groupingSetsSql,
     "olap_min_bal_supplier" -> OlapTpch.q2MinBalSupplierSql,
     "olap_problem_suppliers" -> OlapTpch.q21ProblemSuppliersSql,
+    "olap_forecast" -> OlapTpch3.q6ForecastSql,
+    "olap_late_lines" -> OlapTpch3.q12LateLinesSql,
+    "olap_promo_share" -> OlapTpch3.q14PromoShareSql,
+    "olap_supplier_cnt" -> OlapTpch3.q16SupplierCntSql,
+    "olap_excess_share" -> OlapTpch3.q20ExcessShareSql,
     "part_hierarchy_rollup" -> OlapTpch.partHierarchySql,
     "lineitem_unpivot" -> OlapTpch.unpivotMeasuresSql,
     "text_stats" -> TextMetrics.statsSql,
