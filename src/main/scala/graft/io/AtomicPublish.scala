@@ -72,13 +72,39 @@ object AtomicPublish {
     spark.read.parquet(s"$base/v$v/$name")
   }
 
+  /** Time-travel read: dataset `name` AS OF `version`. Only versions a
+    * `retain` window kept are readable; a pruned or never-sealed
+    * version fails fast rather than returning a partial directory.
+    */
+  def readVersion(spark: SparkSession, base: String, name: String,
+                  version: Long): DataFrame = {
+    val b = new Path(base)
+    require(fsOf(spark, b).exists(new Path(b, s"v$version/_PUBLISHED")),
+      s"version $version under $base is not published (pruned or partial)")
+    spark.read.parquet(s"$base/v$version/$name")
+  }
+
+  /** All readable (sealed, unpruned) version ids under `base`, ascending. */
+  def versions(spark: SparkSession, base: String): Seq[Long] =
+    publishedVersions(spark, new Path(base)).sorted
+
   /** Write all `datasets` as the next version and commit them with one
     * pointer swap; returns the committed version id. Each frame is
     * fully materialized into `v<next>` BEFORE the marker and swap, so
     * the commit point is a single metadata operation.
     */
   def publish(spark: SparkSession, base: String,
-              datasets: Seq[(String, DataFrame)]): Long = {
+              datasets: Seq[(String, DataFrame)]): Long =
+    publish(spark, base, datasets, retain = 1)
+
+  /** As [[publish]], keeping the newest `retain` committed versions on
+    * disk (a lakehouse-style retention window): readers still resolve
+    * the pointer, but [[readVersion]] can time-travel to any retained
+    * version. `retain = 1` is the storage-O(1) default.
+    */
+  def publish(spark: SparkSession, base: String,
+              datasets: Seq[(String, DataFrame)], retain: Int): Long = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val b = new Path(base)
     val fs = fsOf(spark, b)
     val next = committed(spark, base) + 1
@@ -97,8 +123,9 @@ object AtomicPublish {
     val fc = FileContext.getFileContext(b.toUri,
       spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, new Path(b, "_committed"), Options.Rename.OVERWRITE)
-    // prune superseded versions (readers only ever resolve the pointer)
-    publishedVersions(spark, b).filter(_ < next)
+    // prune versions older than the retention window (readers only ever
+    // resolve the pointer; retained history serves time-travel reads)
+    publishedVersions(spark, b).filter(_ <= next - retain)
       .foreach(n => fs.delete(new Path(b, s"v$n"), true))
     next
   }

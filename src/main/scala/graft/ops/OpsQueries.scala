@@ -39,6 +39,9 @@ object OpsQueries {
     // the persisted+incremental MV lifecycle: versioned artifact,
     // one-day fold, served through the same rewrite rule
     "events_daily_mv_incremental" -> ((s, dir) => graft.plans.MvRewrite.incrementalCheck(s, dir)),
+    // lakehouse time travel: version-retention window + AS OF reads;
+    // the cross-version diff never touches the fact table
+    "mv_time_travel" -> ((s, dir) => TimeTravel.check(s, dir)),
     "olap_cust_dist" -> ((s, dir) => Olap.q13CustDist(s, dir)),
     "olap_idle_customers" -> ((s, dir) => Olap.q22IdleCustomers(s, dir)),
     // second tranche of TPC-H shapes: bilateral volume (Q7), market
@@ -475,6 +478,7 @@ object OpsQueries {
     "events_kmv_setops" -> Sketch.kmvSetOpsSql(),
     "events_daily_mv" -> graft.plans.MvRewrite.checkSql,
     "events_daily_mv_incremental" -> graft.plans.MvRewrite.checkSql,
+    "mv_time_travel" -> TimeTravel.checkSql,
     "olap_cust_dist" -> Olap.q13CustDistSql,
     "olap_idle_customers" -> Olap.q22IdleCustomersSql,
     "olap_volume_shipping" -> OlapTpch.q7VolumeShippingSql,

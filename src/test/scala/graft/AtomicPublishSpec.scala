@@ -53,6 +53,25 @@ class AtomicPublishSpec extends SparkSpec {
     assert(AtomicPublish.read(spark, base, "d").count() === 2L)
   }
 
+  test("retention window keeps history readable; pruning stays bounded") {
+    val base = Files.createTempDirectory("atomic_tt").toString + "/t"
+    AtomicPublish.publish(spark, base, Seq("d" -> Seq(1).toDF("x")), retain = 2)
+    AtomicPublish.publish(spark, base, Seq("d" -> Seq(1, 2).toDF("x")), retain = 2)
+    AtomicPublish.publish(spark, base,
+      Seq("d" -> Seq(1, 2, 3).toDF("x")), retain = 2)
+    // exactly the newest 2 versions remain; both are readable AS OF
+    assert(AtomicPublish.versions(spark, base) === Seq(1L, 2L))
+    assert(AtomicPublish.committed(spark, base) === 2L)
+    assert(AtomicPublish.readVersion(spark, base, "d", 1L).count() === 2L)
+    assert(AtomicPublish.readVersion(spark, base, "d", 2L).count() === 3L)
+    assert(AtomicPublish.read(spark, base, "d").count() === 3L,
+      "the pointer read must resolve the newest version")
+    // a pruned version fails fast, never a partial-directory read
+    intercept[IllegalArgumentException] {
+      AtomicPublish.readVersion(spark, base, "d", 0L)
+    }
+  }
+
   test("runner publishes the star atomically with a deterministic audit clock") {
     val wh = Files.createTempDirectory("runner_pub").toString
     spark.conf.set("spark.graft.run_ts", "2024-01-15 12:00:00")

@@ -358,4 +358,34 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.conf.set(
       "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev)
   }
+
+  test("parquet aggregate pushdown answers COUNT/MIN/MAX from footer stats") {
+    // the fourth scan-elimination lever (beside DPP, z-order skipping,
+    // and bloom pruning): an unfiltered COUNT/MIN/MAX never reads data
+    // pages — the v2 parquet source answers it from row-group footer
+    // metadata. At 100 TB that is the difference between a sub-second
+    // table-stats probe and a full scan.
+    val base = "/tmp/graft_aggpd/events"
+    Tables.events(spark, sf0001).select("event_id", "user_id")
+      .write.mode("overwrite").parquet(base)
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val prevPd = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = spark.read.parquet(base)
+        .agg(count(lit(1)).as("n"), min("user_id").as("lo"),
+          max("user_id").as("hi"))
+      val planStr = agg.queryExecution.executedPlan.toString
+      assert(planStr.contains("PushedAggregation: [COUNT(*), MIN(user_id), MAX(user_id)]"),
+        s"aggregate not pushed to the parquet footer:\n$planStr")
+      // and the metadata answer equals the data-page recompute
+      val viaScan = Tables.events(spark, sf0001)
+        .agg(count(lit(1)), min("user_id"), max("user_id")).head()
+      assert(agg.head() === viaScan)
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", prevPd)
+    }
+  }
 }
