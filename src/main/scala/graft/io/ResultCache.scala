@@ -1,0 +1,68 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted query-result cache keyed by PLAN FINGERPRINT — the
+  * cross-session complement of the in-session [[graft.Memo]], and the
+  * engine feature warehouses call "result reuse": if the same logical
+  * query over the same data arrives again (tomorrow's dashboard
+  * refresh, a re-run notebook), serve the stored result instead of
+  * re-scanning the fact tables.
+  *
+  * The fingerprint hashes (a) the CANONICALIZED optimized logical plan
+  * — alias names and expression ids normalized away, so any
+  * syntactically different but plan-identical query hits the same entry
+  * — and (b) a snapshot of every input file's (path, length, mtime).
+  * Parquet overwrites produce new part-file names, so ANY rewrite of an
+  * input — compaction, a window reload, a new ingest — changes the
+  * snapshot and invalidates the entry structurally; a stale hit is
+  * impossible as long as results are deterministic (every registered
+  * query is). Entries commit by parquet write + `_SUCCESS`, so a crash
+  * mid-write leaves a miss, never a partial hit.
+  *
+  * At 100 TB the economics are the point: the cache stores RESULT-sized
+  * parquet (a rollup, a top-k, a profile — KBs to MBs) and the hit path
+  * reads only that, while the miss path is the query the user was going
+  * to run anyway. The plan-fingerprint check itself never touches data:
+  * one optimizer pass plus a file-listing of the inputs.
+  */
+object ResultCache {
+
+  /** SHA-256 over the canonicalized optimized plan + input snapshot. */
+  def fingerprint(df: DataFrame): String = {
+    val spark = df.sparkSession
+    val plan = df.queryExecution.optimizedPlan.canonicalized.toString()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val snapshot = df.inputFiles.sorted.map { f =>
+      val p = new Path(f)
+      val st = p.getFileSystem(hconf).getFileStatus(p)
+      s"$f|${st.getLen}|${st.getModificationTime}"
+    }.mkString("\n")
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(plan.getBytes(StandardCharsets.UTF_8))
+    md.update(0.toByte)
+    md.update(snapshot.getBytes(StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Serve `df` through the cache at `cacheDir`. Returns the served
+    * frame and whether it was a hit. On a miss the result is written
+    * (then read back, so hit and miss return plan-identical frames).
+    */
+  def serve(spark: SparkSession, cacheDir: String)
+           (df: DataFrame): (DataFrame, Boolean) = {
+    val fp = fingerprint(df)
+    val entry = s"$cacheDir/$fp"
+    val done = new Path(entry, "_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) (spark.read.parquet(entry), true)
+    else {
+      df.write.mode("overwrite").parquet(entry)
+      (spark.read.parquet(entry), false)
+    }
+  }
+}

@@ -42,6 +42,9 @@ object OpsQueries {
     // lakehouse time travel: version-retention window + AS OF reads;
     // the cross-version diff never touches the fact table
     "mv_time_travel" -> ((s, dir) => TimeTravel.check(s, dir)),
+    // plan-fingerprint result cache: second serve of an identical plan
+    // hits the stored result; source rewrites invalidate structurally
+    "result_cache_daily" -> ((s, dir) => TimeTravel.resultCacheCheck(s, dir)),
     "olap_cust_dist" -> ((s, dir) => Olap.q13CustDist(s, dir)),
     "olap_idle_customers" -> ((s, dir) => Olap.q22IdleCustomers(s, dir)),
     // second tranche of TPC-H shapes: bilateral volume (Q7), market
@@ -479,6 +482,7 @@ object OpsQueries {
     "events_daily_mv" -> graft.plans.MvRewrite.checkSql,
     "events_daily_mv_incremental" -> graft.plans.MvRewrite.checkSql,
     "mv_time_travel" -> TimeTravel.checkSql,
+    "result_cache_daily" -> TimeTravel.resultCacheSql,
     "olap_cust_dist" -> Olap.q13CustDistSql,
     "olap_idle_customers" -> Olap.q22IdleCustomersSql,
     "olap_volume_shipping" -> OlapTpch.q7VolumeShippingSql,

@@ -51,4 +51,24 @@ object TimeTravel {
       |FROM events
       |WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The result-cache lifecycle as a registered check: the daily rollup
+    * served twice through [[graft.io.ResultCache]] — the second serve
+    * MUST hit (enforced here; the spec additionally proves the hit path
+    * scans only the cache entry and that a source rewrite invalidates).
+    * Returned rows come from the cached parquet, so the oracle verifies
+    * the stored result, not just the live computation.
+    */
+  def resultCacheCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "result_cache_daily", dir, "tt_state") {
+      import graft.io.ResultCache
+      val cacheDir = s"/tmp/graft_result_cache/${Integer.toHexString(dir.hashCode)}"
+      def q = graft.plans.MvRewrite.dailyCounts(spark, dir)
+      ResultCache.serve(spark, cacheDir)(q)
+      val (served, hit) = ResultCache.serve(spark, cacheDir)(q)
+      require(hit, "second serve of an identical plan must hit the cache")
+      served
+    }
+
+  val resultCacheSql: String = graft.plans.MvRewrite.checkSql
 }
