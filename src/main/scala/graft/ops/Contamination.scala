@@ -127,23 +127,23 @@ object Contamination {
     * the corpus). Bloom filters have no false negatives, so the result
     * equals the exact computation row-for-row regardless of fpp — the
     * oracle is the plain exact SQL, nothing probabilistic leaks into the
-    * output. The membership probe is a Scala UDF over the broadcast
-    * Bloom: no builtin fits (Spark's `might_contain` is
-    * optimizer-internal), and the probe replaces a join, it doesn't sit
-    * on an otherwise-codegen'd path.
+    * output. The membership probe is the library's codegen'd
+    * [[graft.functions.BloomMightContain]] expression (Spark's own
+    * `might_contain` is optimizer-internal): the filter ships with the
+    * plan and deserializes once per executor, and the probe stays inside
+    * whole-stage codegen instead of black-boxing the filter stage behind
+    * a UDF.
     */
   def flaggedViaBloom(spark: SparkSession, dir: String, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.functions.udf
     val ng = ngrams(spark, dir)
     val evalNg = ng.filter(col("doc_id") % evalMod === 0)
       .select("ngram").distinct()
     // one eval-slice-scale count to size the filter; at 100 TB this is
     // still benchmark-suite-sized (MBs of text), not corpus-sized
     val bloom = evalNg.stat.bloomFilter("ngram", math.max(evalNg.count(), 1L), fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
     ng.filter(col("doc_id") % evalMod =!= 0)
-      .filter(mightContain(col("ngram")))
+      .filter(graft.functions.BloomMightContain
+        .bloomMightContain(spark, col("ngram"), bloom))
       .join(evalNg, Seq("ngram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))

@@ -727,8 +727,8 @@ class OpsSpec extends SparkSpec {
       .filter(col("doc_id") % Contamination.evalMod === 0)
       .select("ngram").distinct()
     val bloom = evalNgs.stat.bloomFilter("ngram", math.max(evalNgs.count(), 1L), 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val pass = ng.filter(udf((s: String) => bc.value.mightContainString(s)).apply(col("ngram"))).count()
+    val pass = ng.filter(graft.functions.BloomMightContain
+      .bloomMightContain(spark, col("ngram"), bloom)).count()
     val trueHits = ng.join(evalNgs, Seq("ngram")).count()
     assert(pass < total, "bloom prefilter passed everything")
     assert(pass >= trueHits, "bloom dropped a true hit (false negative!)")
