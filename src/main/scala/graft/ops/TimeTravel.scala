@@ -60,7 +60,7 @@ object TimeTravel {
     * the stored result, not just the live computation.
     */
   def resultCacheCheck(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo(spark, "result_cache_daily", dir, "tt_state") {
+    graft.Memo(spark, "result_cache_daily", dir, "rc_state") {
       import graft.io.ResultCache
       val cacheDir = s"/tmp/graft_result_cache/${Integer.toHexString(dir.hashCode)}"
       def q = graft.plans.MvRewrite.dailyCounts(spark, dir)
