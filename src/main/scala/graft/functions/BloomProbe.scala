@@ -64,7 +64,7 @@ object BloomMightContain {
   private val info = new ExpressionInfo(
     classOf[BloomMightContain].getName, "bloom_might_contain")
 
-  private def builder(args: Seq[Expression]): Expression = args match {
+  private[functions] def builder(args: Seq[Expression]): Expression = args match {
     case Seq(value, bloomLit: Literal) if bloomLit.dataType == BinaryType =>
       BloomMightContain(value, bloomLit.value.asInstanceOf[Array[Byte]])
     case other => throw new IllegalArgumentException(

@@ -95,21 +95,32 @@ object FeatureHashFunctions {
   private val info = new ExpressionInfo(
     classOf[FeatureHashVector].getName, "feature_hash")
 
-  def builder(dim: Int)(args: Seq[Expression]): Expression = args match {
-    case Seq(c) => FeatureHashVector(c, dim)
+  /** `feature_hash(text, dim)` — dim is a LITERAL argument of the call
+    * site, not state baked into the registered builder (the same
+    * parameter-independence contract as [[CdcCutFunctions]]: two call
+    * sites with different dims in one session never race on the
+    * session-global registration).
+    */
+  def builder(args: Seq[Expression]): Expression = args match {
+    case Seq(c, d) => FeatureHashVector(c, litInt(d))
     case other => throw new IllegalArgumentException(
-      s"feature_hash expects 1 argument, got ${other.size}")
+      s"feature_hash expects 2 arguments (text, dim), got ${other.size}")
   }
 
-  /** Registers `feature_hash` at the library's fixed dimensionality
-    * ([[graft.ops.Featurize.dim]] is baked in by the caller).
-    */
-  def register(spark: SparkSession, dim: Int): Unit =
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"feature_hash dim must be an integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = if (!spark.sessionState
+      .functionRegistry.functionExists(FunctionIdentifier("feature_hash")))
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("feature_hash"), info, builder(dim) _)
+      FunctionIdentifier("feature_hash"), info, builder _)
 
   def featureHash(spark: SparkSession, c: Column, dim: Int): Column = {
-    register(spark, dim)
-    org.apache.spark.sql.functions.call_function("feature_hash", c)
+    register(spark)
+    org.apache.spark.sql.functions.call_function("feature_hash", c,
+      org.apache.spark.sql.functions.lit(dim))
   }
 }

@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the one extension type the library's SQL-composition builds could not
   * express: a single-buffer aggregation pass with map-side partial merge,
   * reusable as one-call SQL primitives (`hll_sketch(x, b)` /
-  * `kmv_sketch(x, k)`) plus the state-merging unions (`hll_union` /
+  * `kmv_sketch(x, k)`) plus the state-merging unions (`hll_merge` /
   * `kmv_union`) that fold persisted per-group sketches without rescanning
   * — the DataSketches sketch/union API shape (Apache DataSketches —
   * public design; implementation here is original).
@@ -123,7 +123,7 @@ case class HllSketchAgg(child: Expression, b: Int,
     copy(child = newChild)
 }
 
-/** `hll_union(registers, b)` — element-wise max over register arrays:
+/** `hll_merge(registers, b)` — element-wise max over register arrays:
   * folds persisted per-group HLL states into a coarser grain without
   * touching the raw keys.
   */
@@ -141,7 +141,7 @@ case class HllUnionAgg(child: Expression, b: Int,
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       require(arr.numElements() == m,
-        s"hll_union expects 2^$b registers, got ${arr.numElements()}")
+        s"hll_merge expects 2^$b registers, got ${arr.numElements()}")
       var i = 0
       while (i < m) {
         val mj = arr.getInt(i)
@@ -171,12 +171,12 @@ case class HllUnionAgg(child: Expression, b: Int,
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"hll_union requires array<int> registers, got ${other.sql}")
+      s"hll_merge requires array<int> registers, got ${other.sql}")
   }
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def prettyName: String = "hll_union"
+  override def prettyName: String = "hll_merge"
   override def withNewMutableAggBufferOffset(n: Int): HllUnionAgg =
     copy(mutableAggBufferOffset = n)
   override def withNewInputAggBufferOffset(n: Int): HllUnionAgg =
@@ -337,32 +337,39 @@ object SketchAggFunctions {
       FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
       builder)
 
+  /** The four (name, expression class, builder) triples — shared by the
+    * per-session [[register]] and the [[GraftExtensions]] injection so
+    * the two entry points can never drift apart.
+    */
+  private[functions] val injectables: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("hll_sketch", classOf[HllSketchAgg], {
+      case Seq(c, b) => HllSketchAgg(c, litInt(b, "hll_sketch"))
+      case other => throw new IllegalArgumentException(
+        s"hll_sketch expects (x, b), got ${other.size} args")
+    }: Seq[Expression] => Expression),
+    ("hll_merge", classOf[HllUnionAgg], {
+      case Seq(c, b) => HllUnionAgg(c, litInt(b, "hll_merge"))
+      case other => throw new IllegalArgumentException(
+        s"hll_merge expects (registers, b), got ${other.size} args")
+    }: Seq[Expression] => Expression),
+    ("kmv_sketch", classOf[KmvSketchAgg], {
+      case Seq(c, k) => KmvSketchAgg(c, litInt(k, "kmv_sketch"))
+      case other => throw new IllegalArgumentException(
+        s"kmv_sketch expects (x, k), got ${other.size} args")
+    }: Seq[Expression] => Expression),
+    ("kmv_union", classOf[KmvUnionAgg], {
+      case Seq(c, k) => KmvUnionAgg(c, litInt(k, "kmv_union"))
+      case other => throw new IllegalArgumentException(
+        s"kmv_union expects (mins, k), got ${other.size} args")
+    }: Seq[Expression] => Expression))
+
   /** Idempotent, parameter-independent registration of all four sketch
     * aggregates (b/k are literal call-site arguments). Skips if already
     * present — the builders carry no state, so first-wins is safe.
     */
   def register(spark: SparkSession): Unit = if (!spark.sessionState
       .functionRegistry.functionExists(FunctionIdentifier("hll_sketch"))) {
-    reg(spark, "hll_sketch", classOf[HllSketchAgg], {
-      case Seq(c, b) => HllSketchAgg(c, litInt(b, "hll_sketch"))
-      case other => throw new IllegalArgumentException(
-        s"hll_sketch expects (x, b), got ${other.size} args")
-    })
-    reg(spark, "hll_union", classOf[HllUnionAgg], {
-      case Seq(c, b) => HllUnionAgg(c, litInt(b, "hll_union"))
-      case other => throw new IllegalArgumentException(
-        s"hll_union expects (registers, b), got ${other.size} args")
-    })
-    reg(spark, "kmv_sketch", classOf[KmvSketchAgg], {
-      case Seq(c, k) => KmvSketchAgg(c, litInt(k, "kmv_sketch"))
-      case other => throw new IllegalArgumentException(
-        s"kmv_sketch expects (x, k), got ${other.size} args")
-    })
-    reg(spark, "kmv_union", classOf[KmvUnionAgg], {
-      case Seq(c, k) => KmvUnionAgg(c, litInt(k, "kmv_union"))
-      case other => throw new IllegalArgumentException(
-        s"kmv_union expects (mins, k), got ${other.size} args")
-    })
+    injectables.foreach { case (name, clazz, b) => reg(spark, name, clazz, b) }
   }
 
   def hllSketch(spark: SparkSession, c: Column, b: Int): Column = {
@@ -373,7 +380,7 @@ object SketchAggFunctions {
 
   def hllUnion(spark: SparkSession, c: Column, b: Int): Column = {
     register(spark)
-    org.apache.spark.sql.functions.call_function("hll_union", c,
+    org.apache.spark.sql.functions.call_function("hll_merge", c,
       org.apache.spark.sql.functions.lit(b))
   }
 

@@ -137,16 +137,33 @@ object GraftFunctions {
   }
 }
 
+/** The one-line plug-in for the whole library
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`, or
+  * `builder.withExtensions(new GraftExtensions)`): EVERY custom
+  * function — scalar expressions and sketch aggregates — plus the
+  * top-k planner strategy and its optimizer rewrite, injected at
+  * session build so SQL-only users (thriftserver, notebooks) get the
+  * full surface without touching the Scala API. The per-object
+  * `register` entry points stay for programmatic use; both paths share
+  * the same builders, so they cannot drift.
+  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("winnow_fingerprint"),
-      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
-      (args: Seq[Expression]) => WinnowFingerprint(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("nfc_normalize"),
-      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (args: Seq[Expression]) => NfcNormalize(args.head)))
+    def fn(name: String, clazz: Class[_],
+           builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    fn("winnow_fingerprint", classOf[WinnowFingerprint],
+      args => WinnowFingerprint(args.head))
+    fn("nfc_normalize", classOf[NfcNormalize],
+      args => NfcNormalize(args.head))
+    fn("cdc_cuts", classOf[CdcCutPositions], CdcCutFunctions.builder)
+    fn("feature_hash", classOf[FeatureHashVector], FeatureHashFunctions.builder)
+    fn("bloom_might_contain", classOf[BloomMightContain],
+      BloomMightContain.builder)
+    SketchAggFunctions.injectables.foreach {
+      case (name, clazz, b) => fn(name, clazz, b)
+    }
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }

@@ -299,7 +299,7 @@ object OpsQueries {
     // per-day states max-merged into the whole-range estimate
     "events_hll" -> ((s, dir) => Sketch.hllDistinctUsers(s, dir)),
     // the same sketches through native TypedImperativeAggregate UDAFs
-    // (hll_sketch/hll_union, kmv_sketch/kmv_union): single-buffer
+    // (hll_sketch/hll_merge, kmv_sketch/kmv_union): single-buffer
     // passes, map-side partial merge, unchanged oracles
     "events_hll_udaf" -> ((s, dir) => Sketch.hllDistinctUsersUdaf(s, dir)),
     "events_kmv_udaf" -> ((s, dir) => Sketch.kmvDistinctUsersUdaf(s, dir)),

@@ -593,7 +593,7 @@ object Sketch {
   /** [[hllDistinctUsers]] through the native aggregate path: one
     * `hll_sketch` pass builds each day's registers WITHOUT the distinct
     * pre-pass (the register max absorbs duplicates), and the 'all' row
-    * is `hll_union` over the day states — the whole register build is a
+    * is `hll_merge` over the day states — the whole register build is a
     * single-buffer `TypedImperativeAggregate` with map-side partial
     * merge, so at 100 TB each task ships 2^b bytes per day instead of
     * its distinct keys. Result is bit-identical to the SQL-composed
@@ -613,7 +613,7 @@ object Sketch {
     val scoped = day
       .select(col("event_date").cast("string").as("scope"), col("regs"))
       .unionByName(day
-        .agg(call_function("hll_union", col("regs"), lit(b)).as("regs"))
+        .agg(call_function("hll_merge", col("regs"), lit(b)).as("regs"))
         .select(lit("all").as("scope"), col("regs")))
     // (s, v) from the complete register array — exact long arithmetic
     val st = scoped.select(col("scope"),

@@ -13,7 +13,7 @@ import graft.io.AtomicPublish
   * partition-prunable timestamp-range scan, never a history rescan —
   * and (2) publishing `old state ∪ new day state` as the next version.
   * Estimates are then served from state alone: per-day scopes read the
-  * register rows, the whole-range scope is an `hll_union` fold over the
+  * register rows, the whole-range scope is an `hll_merge` fold over the
   * day arrays (register max — associative, idempotent, so replayed or
   * re-folded days cannot corrupt it).
   *
@@ -97,7 +97,7 @@ object SketchState {
       val scoped = state
         .select(col("event_date").cast("string").as("scope"), col("regs"))
         .unionByName(state
-          .agg(call_function("hll_union", col("regs"), lit(b)).as("regs"))
+          .agg(call_function("hll_merge", col("regs"), lit(b)).as("regs"))
           .select(lit("all").as("scope"), col("regs")))
       val st = scoped.select(col("scope"),
         expr("aggregate(regs, 0L, (acc, mj) -> acc + shiftleft(1L, 53 - mj))")

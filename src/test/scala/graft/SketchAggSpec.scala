@@ -50,14 +50,14 @@ class SketchAggSpec extends SparkSpec {
     assert(udaf.exceptAll(expr).isEmpty && expr.exceptAll(udaf).isEmpty)
   }
 
-  test("hll_union over day states equals a direct whole-range sketch") {
+  test("hll_merge over day states equals a direct whole-range sketch") {
     regFns()
     val ev = Tables.events(spark, sf0001)
       .select(to_date(col("ts")).as("event_date"),
         col("user_id").cast("string").as("x"))
     val day = ev.groupBy("event_date")
       .agg(call_function("hll_sketch", col("x"), lit(8)).as("regs"))
-    val merged = day.agg(call_function("hll_union", col("regs"), lit(8)))
+    val merged = day.agg(call_function("hll_merge", col("regs"), lit(8)))
       .head().getSeq[Int](0)
     val direct = ev.agg(call_function("hll_sketch", col("x"), lit(8)))
       .head().getSeq[Int](0)
