@@ -45,6 +45,9 @@ object OpsQueries {
     // plan-fingerprint result cache: second serve of an identical plan
     // hits the stored result; source rewrites invalidate structurally
     "result_cache_daily" -> ((s, dir) => TimeTravel.resultCacheCheck(s, dir)),
+    // EXACT median by distributed selection (histogram bin search) —
+    // three bounded passes, never a total-order shuffle
+    "events_exact_median" -> ((s, dir) => ExactQuantile.exactMedian(s, dir)),
     "olap_cust_dist" -> ((s, dir) => Olap.q13CustDist(s, dir)),
     "olap_idle_customers" -> ((s, dir) => Olap.q22IdleCustomers(s, dir)),
     // second tranche of TPC-H shapes: bilateral volume (Q7), market
@@ -483,6 +486,7 @@ object OpsQueries {
     "events_daily_mv_incremental" -> graft.plans.MvRewrite.checkSql,
     "mv_time_travel" -> TimeTravel.checkSql,
     "result_cache_daily" -> TimeTravel.resultCacheSql,
+    "events_exact_median" -> ExactQuantile.exactMedianSql,
     "olap_cust_dist" -> Olap.q13CustDistSql,
     "olap_idle_customers" -> Olap.q22IdleCustomersSql,
     "olap_volume_shipping" -> OlapTpch.q7VolumeShippingSql,
