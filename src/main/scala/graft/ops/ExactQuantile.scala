@@ -83,4 +83,70 @@ object ExactQuantile {
       |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
       |  FROM events WHERE value IS NOT NULL) t
       |WHERE r = (n + 1) // 2 ORDER BY 1""".stripMargin
+
+  /** All requested percentiles in the SAME three passes: one histogram
+    * locates every target's bin, and pass 3 touches only the union of
+    * those bins (each event row joins at most `pcts.size` of them).
+    * Rank convention matches [[Sketch.quantileSketch]]'s targets —
+    * `⌈pct·n/100⌉` — so this is the exact tier of the same family: the
+    * sketch answers with bounded rank error from mergeable state, this
+    * answers exactly in one extra bounded pass.
+    */
+  def exactQuantiles(spark: SparkSession, dir: String,
+                     pcts: Seq[Int] = Seq(50, 95, 99),
+                     bins: Int = 1024): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_type", "value").filter(col("value").isNotNull)
+
+    val bounds = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+    val targets = bounds
+      .select(col("event_type"), col("n"), col("lo"), col("hi"),
+        explode(array(pcts.map(lit): _*)).as("pct"))
+      .withColumn("target", expr("(n * pct + 99) DIV 100"))
+
+    def binOf = when(col("hi") === col("lo"), lit(0)).otherwise(
+      least(floor((col("value") - col("lo")) /
+        ((col("hi") - col("lo")) / bins)).cast("int"), lit(bins - 1)))
+
+    val hist = ev.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"), binOf.as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.partitionBy("event_type").orderBy("bin")))
+    val targetBins = cum
+      .join(broadcast(targets.select("event_type", "pct", "target")),
+        "event_type")
+      .filter(col("cum") >= col("target"))
+      .groupBy("event_type", "pct", "target")
+      .agg(min(struct(col("bin"), (col("cum") - col("c")).as("before")))
+        .as("tb"))
+      .select(col("event_type"), col("pct"), col("target"),
+        col("tb.bin").as("target_bin"), col("tb.before").as("before"))
+
+    val inBins = ev.join(broadcast(bounds), "event_type")
+      .withColumn("bin", binOf)
+      .join(broadcast(targetBins), Seq("event_type"))
+      .filter(col("bin") === col("target_bin"))
+    inBins.groupBy("event_type", "pct", "target", "before", "value")
+      .agg(count(lit(1)).as("vc"))
+      .withColumn("vcum", col("before") + sum("vc")
+        .over(Window.partitionBy("event_type", "pct").orderBy("value")))
+      .filter(col("vcum") >= col("target"))
+      .groupBy("event_type", "pct")
+      .agg(min("value").as("q"))
+      .join(broadcast(bounds.select("event_type", "n")), "event_type")
+      .select("event_type", "pct", "n", "q")
+      .orderBy("event_type", "pct")
+  }
+
+  val exactQuantilesSql: String =
+    """SELECT event_type, pct, n, value AS q FROM (
+      |  SELECT event_type, value, p.pct,
+      |         row_number() OVER (PARTITION BY event_type, p.pct
+      |                            ORDER BY value) AS r,
+      |         CAST(count(*) OVER (PARTITION BY event_type, p.pct) AS BIGINT) AS n
+      |  FROM events CROSS JOIN (VALUES (50), (95), (99)) p(pct)
+      |  WHERE value IS NOT NULL) t
+      |WHERE r = (n * pct + 99) // 100 ORDER BY 1, 2""".stripMargin
 }

@@ -48,6 +48,7 @@ object OpsQueries {
     // EXACT median by distributed selection (histogram bin search) —
     // three bounded passes, never a total-order shuffle
     "events_exact_median" -> ((s, dir) => ExactQuantile.exactMedian(s, dir)),
+    "events_exact_quantiles" -> ((s, dir) => ExactQuantile.exactQuantiles(s, dir)),
     "olap_cust_dist" -> ((s, dir) => Olap.q13CustDist(s, dir)),
     "olap_idle_customers" -> ((s, dir) => Olap.q22IdleCustomers(s, dir)),
     // second tranche of TPC-H shapes: bilateral volume (Q7), market
@@ -487,6 +488,7 @@ object OpsQueries {
     "mv_time_travel" -> TimeTravel.checkSql,
     "result_cache_daily" -> TimeTravel.resultCacheSql,
     "events_exact_median" -> ExactQuantile.exactMedianSql,
+    "events_exact_quantiles" -> ExactQuantile.exactQuantilesSql,
     "olap_cust_dist" -> Olap.q13CustDistSql,
     "olap_idle_customers" -> Olap.q22IdleCustomersSql,
     "olap_volume_shipping" -> OlapTpch.q7VolumeShippingSql,

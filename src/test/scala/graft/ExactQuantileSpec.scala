@@ -21,6 +21,22 @@ class ExactQuantileSpec extends SparkSpec {
     }
   }
 
+  test("multi-quantile selection equals the sort-based recompute at every pct") {
+    val got = ExactQuantile.exactQuantiles(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val byType = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select("event_type", "value").as[(String, Double)]
+      .collect().groupBy(_._1)
+    for ((t, rows) <- byType; pct <- Seq(50, 95, 99)) {
+      val vs = rows.map(_._2).sorted
+      val want = vs(((vs.length.toLong * pct + 99) / 100).toInt - 1)
+      assert(got((t, pct)) === want, s"($t, p$pct) mismatch")
+    }
+    assert(got.size === byType.size * 3)
+  }
+
   test("pathological concentration never piles rows into one sorted partition") {
     // all-equal values: the histogram degenerates to one bin, but pass 3
     // groups by DISTINCT value — one row per group, and the answer is exact
