@@ -49,6 +49,9 @@ object OpsQueries {
     // three bounded passes, never a total-order shuffle
     "events_exact_median" -> ((s, dir) => ExactQuantile.exactMedian(s, dir)),
     "events_exact_quantiles" -> ((s, dir) => ExactQuantile.exactQuantiles(s, dir)),
+    // Efraimidis-Spirakis weighted sampling WITHOUT replacement: one
+    // pass, exponential keys, global top-k on the native heap operator
+    "sample_weighted_noreplace" -> ((s, dir) => Sampling.weightedSample(s, dir)),
     "olap_cust_dist" -> ((s, dir) => Olap.q13CustDist(s, dir)),
     "olap_idle_customers" -> ((s, dir) => Olap.q22IdleCustomers(s, dir)),
     // second tranche of TPC-H shapes: bilateral volume (Q7), market
@@ -489,6 +492,7 @@ object OpsQueries {
     "result_cache_daily" -> TimeTravel.resultCacheSql,
     "events_exact_median" -> ExactQuantile.exactMedianSql,
     "events_exact_quantiles" -> ExactQuantile.exactQuantilesSql,
+    "sample_weighted_noreplace" -> Sampling.weightedSampleSql(),
     "olap_cust_dist" -> Olap.q13CustDistSql,
     "olap_idle_customers" -> Olap.q22IdleCustomersSql,
     "olap_volume_shipping" -> OlapTpch.q7VolumeShippingSql,

@@ -289,6 +289,40 @@ object Sampling {
        |FROM h""".stripMargin
   }
 
+  /** Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    * exponential-key scheme (Inf. Proc. Letters 2006 — public
+    * algorithm): each doc draws key `u^(1/w)` and the sample is the
+    * global top-k keys — one pass, no rejection loop, no sequential
+    * state, which is what makes weighted no-replacement sampling
+    * distributable at all. Ranked on the order-equivalent `ln(u)/w`
+    * (avoids pow); u is the deterministic salted-hash uniform shared by
+    * the whole sampling family, so membership is reproducible and the
+    * oracle replays the identical arithmetic. Weight = ln(1+n_chars):
+    * longer docs are proportionally likelier, never certain. The top-k
+    * rides the native heap operator — no total-order shuffle.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 200,
+                     salt: String = "es1"): DataFrame = {
+    val w = log(lit(1.0) + col("n_chars").cast("double"))
+    val esKey = log(hashUniform(col("doc_id"), salt)) / w
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), esKey.as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  def weightedSampleSql(k: Int = 200, salt: String = "es1"): String = {
+    val u = hashUniformSql("doc_id", salt)
+    s"""SELECT doc_id, n_chars FROM (
+       |  SELECT doc_id, n_chars,
+       |         ln($u) / ln(1 + CAST(n_chars AS DOUBLE)) AS es_key
+       |  FROM documents
+       |  ORDER BY es_key DESC, doc_id LIMIT $k) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def qualityWeightedSql(salt: String = "qw1"): String = {
     val u = hashUniformSql("doc_id", salt)
     s"""WITH q AS (

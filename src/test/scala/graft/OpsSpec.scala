@@ -1282,4 +1282,22 @@ class OpsSpec extends SparkSpec {
     assert(rep.filter(col("doc_id") % 3 =!= 0)
       .filter(col("changed") || col("n_norm") =!= col("n_raw")).count() === 0)
   }
+
+  test("ES weighted sample: exact size, reproducible, weight-biased") {
+    import spark.implicits._
+    val s1 = Sampling.weightedSample(spark, sf0001)
+      .as[(Long, Long)].collect()
+    val s2 = Sampling.weightedSample(spark, sf0001)
+      .as[(Long, Long)].collect()
+    assert(s1.length === 200 && s1.toSeq === s2.toSeq, "must be deterministic")
+    assert(s1.map(_._1).distinct.length === 200, "without replacement")
+    // heavier (longer) docs must be overrepresented: the sample's mean
+    // weight exceeds the corpus mean (the fixture's n_chars varies a lot)
+    val corpusMean = Tables.documents(spark, sf0001)
+      .agg(avg(log(lit(1.0) + col("n_chars").cast("double"))))
+      .head().getDouble(0)
+    val sampleMean = s1.map(x => math.log(1.0 + x._2.toDouble)).sum / s1.length
+    assert(sampleMean > corpusMean,
+      s"sample mean weight $sampleMean not above corpus mean $corpusMean")
+  }
 }
