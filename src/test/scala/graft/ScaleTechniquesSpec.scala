@@ -359,6 +359,51 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev)
   }
 
+  test("CBO stats drive join reorder: smallest tables join first") {
+    // statistics-driven planning — the lever that matters when the
+    // syntactic join order is written by a human who doesn't know the
+    // table sizes. Three managed tables joined big-first; with CBO +
+    // ANALYZE the optimizer must re-order so the two small tables
+    // reduce the big side before it ships.
+    val db = "graft_cbo"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    import spark.implicits._
+    (0L until 200000L).map(i => (i, i % 100, i % 7)).toDF("id", "k1", "k2")
+      .write.mode("overwrite").saveAsTable(s"$db.big")
+    (0L until 100L).map(i => (i, s"d$i")).toDF("k1", "a")
+      .write.mode("overwrite").saveAsTable(s"$db.small1")
+    (0L until 7L).map(i => (i, s"e$i")).toDF("k2", "b")
+      .write.mode("overwrite").saveAsTable(s"$db.small2")
+    Seq("big", "small1", "small2").foreach(t =>
+      spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS"))
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevRo = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      // written worst-first: big x big-ish cross-key order
+      val q = spark.sql(
+        s"""SELECT count(*) FROM $db.big
+           |JOIN $db.small1 ON big.k1 = small1.k1
+           |JOIN $db.small2 ON big.k2 = small2.k2""".stripMargin)
+      // the optimized plan carries rowCount stats (CBO active)...
+      val stats = q.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined,
+        "ANALYZE stats did not reach the optimized plan")
+      // ...and both dimension joins plan as broadcasts of the SMALL side
+      // (size known from stats, not file size)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"),
+        s"stats should broadcast both small sides:\n$plan")
+      assert(q.head().getLong(0) === 200000L)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevRo)
+      spark.sql(s"DROP DATABASE $db CASCADE")
+    }
+  }
+
   test("parquet aggregate pushdown answers COUNT/MIN/MAX from footer stats") {
     // the fourth scan-elimination lever (beside DPP, z-order skipping,
     // and bloom pruning): an unfiltered COUNT/MIN/MAX never reads data
