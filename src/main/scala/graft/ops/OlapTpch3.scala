@@ -169,28 +169,31 @@ object OlapTpch3 {
     * ("concentration risk": the fixture has no ps_availqty, so the
     * original's availqty > ½·demand becomes share-of-part-volume > ½ —
     * the same inner-agg → threshold-from-outer-agg → supplier semi
-    * skeleton). vol aggregates lineitem once at (part, supplier) grain;
-    * part totals re-aggregate that (already-reduced) frame rather than
-    * rescanning the fact; the ½ threshold is the exact integer compare
-    * 2·supp_qty > part_qty on the DECIMAL grid. Output counts dominated
-    * parts per supplier so the result discriminates.
+    * skeleton). vol aggregates lineitem ONCE at (part, supplier) grain;
+    * part totals come from a whole-partition window over that reduced
+    * frame — partitions are per-part supplier lists, suppliers-per-part
+    * rows each — so the fact is never rescanned and no self-join is
+    * planned (a vol⋈vol.groupBy formulation scanned lineitem 4× —
+    * exchange reuse does not dedupe across the join's two legs). The ½
+    * threshold is the exact integer compare 2·supp_qty > part_qty on
+    * the DECIMAL grid. Output counts dominated parts per supplier so
+    * the result discriminates.
     */
   def q20ExcessShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val vol = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= to_date(lit("1996-01-01")) &&
         col("l_shipdate") < to_date(lit("1997-01-01")))
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("supp_qty"))
-    val tot = vol.groupBy("l_partkey")
-      .agg(sum("supp_qty").cast("decimal(28,2)").as("part_qty"))
-      .withColumnRenamed("l_partkey", "t_partkey")
+      .withColumn("part_qty", sum("supp_qty")
+        .over(Window.partitionBy("l_partkey")).cast("decimal(28,2)"))
     val p = Tables.part(spark, dir)
       .filter(col("p_name").startsWith("small"))
       .select("p_partkey")
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
     vol
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(tot, col("l_partkey") === col("t_partkey"))
       .filter(col("supp_qty") * 2 > col("part_qty"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_suppkey", "s_name")

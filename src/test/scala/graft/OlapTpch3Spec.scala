@@ -80,9 +80,17 @@ class OlapTpch3Spec extends SparkSpec {
       .filter(col("sq") * 2 > col("tq"))
       .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
-    val r = OlapTpch3.q20ExcessShare(spark, sf0001).collect()
+    val q = graft.ops.OlapTpch3.q20ExcessShare(spark, sf0001)
+    val r = q.collect()
     assert(r.nonEmpty)
     assert(r.map(row => row.getLong(0) -> row.getAs[Long]("n_dominated")).toMap
       === expected)
+    // one fact scan: the part-total window rides the (part, supplier)
+    // rollup, never a vol x vol self-join that would rescan lineitem
+    val finalPlan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem")) === 1,
+      s"q20 must scan lineitem exactly once:\n$finalPlan")
   }
 }
