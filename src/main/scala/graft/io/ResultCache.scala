@@ -52,17 +52,25 @@ object ResultCache {
   /** Serve `df` through the cache at `cacheDir`. Returns the served
     * frame and whether it was a hit. On a miss the result is written
     * (then read back, so hit and miss return plan-identical frames).
+    *
+    * Miss path commits via write-to-unique-temp + rename: concurrent
+    * sessions missing the same fingerprint each write their own temp
+    * dir and the first rename wins (the loser deletes its temp and
+    * reads the winner) — two writers can never interleave inside one
+    * entry directory.
     */
   def serve(spark: SparkSession, cacheDir: String)
            (df: DataFrame): (DataFrame, Boolean) = {
     val fp = fingerprint(df)
-    val entry = s"$cacheDir/$fp"
-    val done = new Path(entry, "_SUCCESS")
-    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(done)) (spark.read.parquet(entry), true)
+    val entry = new Path(s"$cacheDir/$fp")
+    val fs = entry.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(entry, "_SUCCESS")))
+      (spark.read.parquet(entry.toString), true)
     else {
-      df.write.mode("overwrite").parquet(entry)
-      (spark.read.parquet(entry), false)
+      val tmp = new Path(s"$cacheDir/.tmp_${fp}_${java.util.UUID.randomUUID()}")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, entry)) fs.delete(tmp, true) // lost the race
+      (spark.read.parquet(entry.toString), false)
     }
   }
 }
