@@ -284,6 +284,51 @@ object Ivf {
         col("n_after") * lit(nc.toLong) > lit(2L * nBaseTotal))
   }
 
+  /** [[appendReport]] composed with the persisted-index protocol —
+    * incremental maintenance ACROSS sessions: v0 commits the base index
+    * (centroids + assignments) via [[graft.io.AtomicPublish]]; the
+    * arriving batch then assigns against the PERSISTED centroids —
+    * loaded frozen from the committed artifact, never retrained — and
+    * v1 commits base ∪ new under a retention window of 2, so the
+    * growth report reads n_base from version v0 and the delta from the
+    * v1 artifact: every number comes from committed state, none from a
+    * rebuild. Output shape (and therefore the oracle) is exactly
+    * [[appendReport]]'s.
+    */
+  def appendCommit(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "ivf_append_persisted", dir, "ivf_append_persisted") {
+      import graft.io.AtomicPublish
+      val base = s"/tmp/graft_ivfinc/${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val v0 = AtomicPublish.publish(spark, base, Seq(
+        "centroids" -> centroids(spark, dir, baseCorpus),
+        "assignments" -> assignments(spark, dir, baseCorpus)), retain = 2)
+      // the maintenance session: only committed artifacts + the batch
+      val cent = AtomicPublish.read(spark, base, "centroids")
+      val batch = Similarity.normalized(spark, dir)
+        .filter(col("vec_id") % appendMod === appendRem)
+      val newAssign = hierarchicalAssign(batch, cent,
+        coarseN(spark, dir, baseCorpus))
+      AtomicPublish.publish(spark, base, Seq(
+        "centroids" -> cent,
+        "assignments" -> AtomicPublish
+          .readVersion(spark, base, "assignments", v0)
+          .unionByName(newAssign)), retain = 2)
+      val baseA = AtomicPublish.readVersion(spark, base, "assignments", v0)
+      val afterA = AtomicPublish.read(spark, base, "assignments")
+      val nBaseTotal = AnnParams.corpusSizeOf(spark, dir, baseCorpus)
+      val nc = AnnParams.nCentroids(nBaseTotal)
+      baseA.groupBy("centroid_id").agg(count(lit(1)).as("n_base"))
+        .join(afterA.groupBy("centroid_id").agg(count(lit(1)).as("na")),
+          Seq("centroid_id"))
+        .select(col("centroid_id"), col("n_base"),
+          (col("na") - col("n_base")).as("n_new"))
+        .withColumn("n_after", col("n_base") + col("n_new"))
+        .withColumn("needs_split",
+          col("n_after") * lit(nc.toLong) > lit(2L * nBaseTotal))
+    }
+
   def appendReportSql: String =
     s"""WITH ${baseCorpus.embCte}, ${centroidsCteFor(baseCorpus.countTable)}, newv AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

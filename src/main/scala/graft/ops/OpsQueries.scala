@@ -248,6 +248,10 @@ object OpsQueries {
     // incremental index maintenance: a held-out batch folded into the
     // frozen base index (no recluster), per-list growth + rebalance flag
     "ivf_append" -> ((s, dir) => Ivf.appendReport(s, dir)),
+    // the same maintenance composed with the persisted-index protocol:
+    // frozen centroids loaded from a committed version, growth read
+    // back across the v0->v1 retention window
+    "ivf_append_persisted" -> ((s, dir) => Ivf.appendCommit(s, dir)),
     // events / time series
     "events_daily" -> ((s, dir) => EventsOps.daily(s, dir)),
     // state+delta partial-agg merge == the one-pass rollup (MV maintenance)
@@ -596,6 +600,7 @@ object OpsQueries {
     "ann_topk_filtered" -> Similarity.filteredTopKSql(),
     "ivf_topk_filtered" -> Ivf.filteredTopKSql(),
     "ivf_append" -> Ivf.appendReportSql,
+    "ivf_append_persisted" -> Ivf.appendReportSql,
     "ivf_assign" -> Ivf.assignmentsSql,
     "ivf_list_stats" -> Ivf.listStatsSql,
     "ivf_topk" -> Ivf.topKSql(),

@@ -104,4 +104,33 @@ class IvfSpec extends SparkSpec {
     val frac = AnnParams.nProbe(n).toDouble / AnnParams.nCentroids(n)
     assert(frac >= 0.74 && frac <= 0.76)
   }
+
+  test("persisted append: frozen centroids, v0/v1 both readable, growth = batch") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.Ivf.appendCommit(spark, sf0001).cache()
+    // identical growth to the in-session append path
+    val want = graft.ops.Ivf.appendReport(spark, sf0001).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val got = r.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(got === want)
+    r.unpersist()
+    // both versions retained; centroids identical across them (frozen)
+    val base = s"/tmp/graft_ivfinc/${Integer.toHexString(sf0001.hashCode)}"
+    val vs = graft.io.AtomicPublish.versions(spark, base)
+    assert(vs === Seq(0L, 1L))
+    val c0 = graft.io.AtomicPublish
+      .readVersion(spark, base, "centroids", 0L).count()
+    val c1 = graft.io.AtomicPublish
+      .readVersion(spark, base, "centroids", 1L).count()
+    assert(c0 === c1 && c0 > 0)
+    // assignment growth across versions equals the arriving batch size
+    val a0 = graft.io.AtomicPublish
+      .readVersion(spark, base, "assignments", 0L).count()
+    val a1 = graft.io.AtomicPublish
+      .readVersion(spark, base, "assignments", 1L).count()
+    val batch = graft.ops.Similarity.normalized(spark, sf0001)
+      .filter(col("vec_id") % 10 === 7).count()
+    assert(a1 - a0 === batch)
+  }
 }
