@@ -465,25 +465,29 @@ object OlapTpch {
 
   /** TPC-H Q21 shape: "sole-blame" suppliers — returned lineitems on
     * multi-supplier orders where NO other supplier on the order had a
-    * return. The nested EXISTS / NOT EXISTS pair becomes a LEFT SEMI
-    * (some other supplier shipped on the order) followed by a LEFT ANTI
-    * (no other supplier's lineitem was returned), both equi-keyed on
-    * the order with the supplier inequality as residual — order-grain
-    * shuffles only, no correlated re-scan per row. Top-20 on a total
-    * (count desc, suppkey) order.
+    * return. The EXISTS (some other supplier shipped on the order)
+    * stays a LEFT SEMI equi join with the supplier inequality as
+    * residual; the NOT EXISTS (no other supplier's return) is a
+    * whole-partition count over the already-reduced returned-pairs
+    * frame — `n_ret_supp = 1` ⇔ no other returning supplier — applied
+    * BEFORE the semi join so it also prunes the probe side. (A second
+    * LEFT ANTI against the returned pairs was semantically identical
+    * but planned a third lineitem scan: exchange reuse does not dedupe
+    * join legs.) Order-grain shuffles only, no correlated re-scan per
+    * row; top-20 on a total (count desc, suppkey) order.
     */
   def q21ProblemSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_returnflag")
     val ret = l.filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_suppkey").distinct()
+      .withColumn("n_ret_supp", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")))
     val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-    val ret2 = ret.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
     ret
+      .filter(col("n_ret_supp") === 1)
       .join(others, col("l_orderkey") === col("o2") &&
         col("l_suppkey") =!= col("s2"), "left_semi")
-      .join(ret2, col("l_orderkey") === col("o3") &&
-        col("l_suppkey") =!= col("s3"), "left_anti")
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("n_orders"))
       .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
