@@ -404,6 +404,52 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("AQE coalesces over-provisioned shuffle partitions at runtime") {
+    // the spill-safety corollary: provision shuffle.partitions for the
+    // WORST stage and let AQE shrink the small ones — on a 1000-executor
+    // cluster this is what makes one global setting workable. 64 initial
+    // partitions over a tiny aggregate must coalesce to far fewer.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val df = Tables.events(spark, sf0001).groupBy("event_type").count()
+      val rows = df.collect()
+      assert(rows.length > 0)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+        s"AQE did not coalesce the 64 provisioned partitions:\n$plan")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    // the engine-native sibling of io/WindowReload's delete-then-insert:
+    // INSERT OVERWRITE in dynamic mode rewrites exactly the partitions
+    // the incoming frame touches; untouched partitions keep their
+    // files byte-for-byte (same names — never rewritten).
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dynover").toString + "/t"
+    Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("p", "x")
+      .write.partitionBy("p").parquet(base)
+    def files(p: String) = {
+      val d = new java.io.File(s"$base/p=$p")
+      d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    }
+    val (fa, fc) = (files("a"), files("c"))
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq(("b", 30), ("b", 31)).toDF("p", "x")
+        .write.mode("overwrite").partitionBy("p").parquet(base)
+      assert(files("a") === fa && files("c") === fc,
+        "untouched partitions must keep their original files")
+      val got = spark.read.parquet(base).as[(Int, String)].collect()
+        .map { case (x, p) => (p, x) }.toSet
+      assert(got === Set(("a", 1), ("a", 2), ("b", 30), ("b", 31), ("c", 4)))
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   test("parquet aggregate pushdown answers COUNT/MIN/MAX from footer stats") {
     // the fourth scan-elimination lever (beside DPP, z-order skipping,
     // and bloom pruning): an unfiltered COUNT/MIN/MAX never reads data
