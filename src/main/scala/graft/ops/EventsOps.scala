@@ -694,6 +694,61 @@ object EventsOps {
           count(lit(1)).over(w).cast("double")).as(s"ma$days"))
   }
 
+  /** Exponentially weighted moving average (alpha = 1/2) over the daily
+    * value rollup -- the decay-smoothing complement of [[movingAvg]]'s
+    * flat window, designed for EXACT cross-engine reproducibility. EWMA
+    * is a sequential recurrence, but with alpha = 1/2 and a hard 28-day
+    * memory every term is an INTEGER (daily cents, exact) times a POWER
+    * OF TWO (2^-k, exact in binary floating point -- multiplying by it
+    * only shifts the exponent), so each product is exact and the 28-term
+    * sum never rounds: cents fit ~2^24 bits and 28 aligned doublings
+    * keep every partial sum under 2^53. The two closing divisions
+    * (normalize, cents -> units) are single IEEE ops on exact operands
+    * -- bit-identical in both engines regardless of summation order.
+    * The trailing window materializes as a day-grain self-join
+    * (types x days x 28 rows -- rollup-sized, the raw events are never
+    * rescanned), which is also the honest 100 TB plan: smoothing lives
+    * at the aggregate grain, not the event grain.
+    */
+  def ewma(spark: SparkSession, dir: String, memory: Int = 28): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val hist = daily.select(col("event_type"),
+      col("event_date").as("hist_date"), col("cents"))
+    val k = datediff(col("event_date"), col("hist_date")) + 1
+    daily.select(col("event_type"), col("event_date"))
+      .join(hist, Seq("event_type"))
+      .filter(col("hist_date") <= col("event_date") &&
+        col("hist_date") > date_sub(col("event_date"), memory))
+      .select(col("event_type"), col("event_date"),
+        (col("cents").cast("double") * pow(lit(2.0), -k)).as("wy"),
+        pow(lit(2.0), -k).as("w"))
+      .groupBy("event_type", "event_date")
+      .agg(sum("wy").as("num"), sum("w").as("wsum"))
+      .select(col("event_type"), col("event_date"),
+        (col("num") / col("wsum") / lit(100.0)).as("ewma"))
+      .orderBy("event_type", "event_date")
+  }
+
+  def ewmaSql(memory: Int = 28): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS event_date, event_type,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT d.event_type, d.event_date,
+       |  SUM(CAST(h.cents AS DOUBLE)
+       |      * power(2.0, -(datediff('day', h.event_date, d.event_date) + 1)))
+       |  / SUM(power(2.0, -(datediff('day', h.event_date, d.event_date) + 1)))
+       |  / 100.0 AS ewma
+       |FROM daily d JOIN daily h ON h.event_type = d.event_type
+       |  AND h.event_date <= d.event_date
+       |  AND h.event_date > d.event_date - INTERVAL $memory DAY
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+
   def movingAvgSql(days: Int = 7): String =
     s"""WITH daily AS (
        |  SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n

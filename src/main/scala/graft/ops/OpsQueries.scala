@@ -49,6 +49,9 @@ object OpsQueries {
     // three bounded passes, never a total-order shuffle
     "events_exact_median" -> ((s, dir) => ExactQuantile.exactMedian(s, dir)),
     "events_exact_quantiles" -> ((s, dir) => ExactQuantile.exactQuantiles(s, dir)),
+    // EWMA smoothing with exact cross-engine arithmetic (alpha=1/2,
+    // 28-day memory: integer cents x powers of two never round)
+    "events_ewma" -> ((s, dir) => EventsOps.ewma(s, dir)),
     // Efraimidis-Spirakis weighted sampling WITHOUT replacement: one
     // pass, exponential keys, global top-k on the native heap operator
     "sample_weighted_noreplace" -> ((s, dir) => Sampling.weightedSample(s, dir)),
@@ -496,6 +499,7 @@ object OpsQueries {
     "result_cache_daily" -> TimeTravel.resultCacheSql,
     "events_exact_median" -> ExactQuantile.exactMedianSql,
     "events_exact_quantiles" -> ExactQuantile.exactQuantilesSql,
+    "events_ewma" -> EventsOps.ewmaSql(),
     "sample_weighted_noreplace" -> Sampling.weightedSampleSql(),
     "olap_cust_dist" -> Olap.q13CustDistSql,
     "olap_idle_customers" -> Olap.q22IdleCustomersSql,

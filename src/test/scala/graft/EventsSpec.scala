@@ -37,6 +37,40 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("EWMA equals a driver-side sequential recompute, exactly") {
+    val got = EventsOps.ewma(spark, sf0001)
+      .select(col("event_type"), col("event_date").cast("string"), col("ewma"))
+      .as[(String, String, Double)].collect()
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("c"))
+      .select(col("event_type"), col("d").cast("string"), col("c"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.map(r => r._2 -> r._3).sortBy(_._1)
+      }
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      val hist = daily(t)
+      rows.foreach { case (_, d, e) =>
+        val dDate = java.time.LocalDate.parse(d)
+        // the same arithmetic, sequentially: integer cents x 2^-k
+        val terms = hist.filter { case (hd, _) =>
+          val h = java.time.LocalDate.parse(hd)
+          !h.isAfter(dDate) &&
+            h.isAfter(dDate.minusDays(28))
+        }.map { case (hd, c) =>
+          val k = java.time.temporal.ChronoUnit.DAYS
+            .between(java.time.LocalDate.parse(hd), dDate) + 1
+          (c.toDouble * math.pow(2.0, -k.toDouble),
+            math.pow(2.0, -k.toDouble))
+        }
+        val want = terms.map(_._1).sum / terms.map(_._2).sum / 100.0
+        assert(e === want, s"EWMA mismatch at ($t, $d)")
+      }
+    }
+  }
+
   test("gap-fill: dense spine, observed hours intact, gaps carry last value") {
     val g = EventsOps.gapFill(spark, sf0001).cache()
     // dense spine: per type, row count == span between bounds (hours)
