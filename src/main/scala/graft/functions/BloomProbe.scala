@@ -65,7 +65,8 @@ object BloomMightContain {
     classOf[BloomMightContain].getName, "bloom_might_contain")
 
   private[functions] def builder(args: Seq[Expression]): Expression = args match {
-    case Seq(value, bloomLit: Literal) if bloomLit.dataType == BinaryType =>
+    case Seq(value, bloomLit: Literal)
+        if bloomLit.dataType == BinaryType && bloomLit.value != null =>
       BloomMightContain(value, bloomLit.value.asInstanceOf[Array[Byte]])
     case other => throw new IllegalArgumentException(
       "bloom_might_contain expects (value, <binary literal bloom>), got " +

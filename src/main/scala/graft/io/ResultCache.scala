@@ -32,7 +32,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ResultCache {
 
-  /** SHA-256 over the canonicalized optimized plan + input snapshot. */
+  /** SHA-256 over the canonicalized optimized plan + input snapshot.
+    * Caveat: a frame whose lineage was cut (a [[graft.Memo]]
+    * `LogicalRDD`, an in-memory relation) reports no input files, so
+    * its fingerprint keys on the plan alone — serve only scan-backed
+    * frames through the cache, as `result_cache_daily` does.
+    */
   def fingerprint(df: DataFrame): String = {
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan.canonicalized.toString()

@@ -285,42 +285,44 @@ object Ivf {
   }
 
   /** [[appendReport]] composed with the persisted-index protocol —
-    * incremental maintenance ACROSS sessions: v0 commits the base index
-    * (centroids + assignments) via [[graft.io.AtomicPublish]]; the
-    * arriving batch then assigns against the PERSISTED centroids —
-    * loaded frozen from the committed artifact, never retrained — and
-    * v1 commits base ∪ new under a retention window of 2, so the
-    * growth report reads n_base from version v0 and the delta from the
-    * v1 artifact: every number comes from committed state, none from a
-    * rebuild. Output shape (and therefore the oracle) is exactly
-    * [[appendReport]]'s.
+    * incremental maintenance ACROSS sessions: the first session commits
+    * the base index (centroids + assignments) via
+    * [[graft.io.AtomicPublish]]; every session after that loads the
+    * PERSISTED centroids — frozen, never retrained — assigns ONLY the
+    * arriving batch against them, and folds by SLICE REPLACEMENT
+    * (committed assignments minus the batch slice, union the fresh
+    * batch assignment — the same idempotent day-replacement idiom as
+    * the HLL state fold, so re-running a session can never double a
+    * row) under a retention window of 2. The growth report derives
+    * entirely from the newly COMMITTED artifact: n_base from its base
+    * slice, n_new from its batch slice. Output shape (and therefore
+    * the oracle) is exactly [[appendReport]]'s.
     */
   def appendCommit(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "ivf_append_persisted", dir, "ivf_append_persisted") {
       import graft.io.AtomicPublish
       val base = s"/tmp/graft_ivfinc/${Integer.toHexString(dir.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      val v0 = AtomicPublish.publish(spark, base, Seq(
-        "centroids" -> centroids(spark, dir, baseCorpus),
-        "assignments" -> assignments(spark, dir, baseCorpus)), retain = 2)
+      if (!AtomicPublish.exists(spark, base))
+        AtomicPublish.publish(spark, base, Seq(
+          "centroids" -> centroids(spark, dir, baseCorpus),
+          "assignments" -> assignments(spark, dir, baseCorpus)), retain = 2)
       // the maintenance session: only committed artifacts + the batch
       val cent = AtomicPublish.read(spark, base, "centroids")
       val batch = Similarity.normalized(spark, dir)
         .filter(col("vec_id") % appendMod === appendRem)
       val newAssign = hierarchicalAssign(batch, cent,
         coarseN(spark, dir, baseCorpus))
+      val folded = AtomicPublish.read(spark, base, "assignments")
+        .filter(col("vec_id") % appendMod =!= appendRem)
+        .unionByName(newAssign)
       AtomicPublish.publish(spark, base, Seq(
-        "centroids" -> cent,
-        "assignments" -> AtomicPublish
-          .readVersion(spark, base, "assignments", v0)
-          .unionByName(newAssign)), retain = 2)
-      val baseA = AtomicPublish.readVersion(spark, base, "assignments", v0)
-      val afterA = AtomicPublish.read(spark, base, "assignments")
+        "centroids" -> cent, "assignments" -> folded), retain = 2)
+      val committed = AtomicPublish.read(spark, base, "assignments")
       val nBaseTotal = AnnParams.corpusSizeOf(spark, dir, baseCorpus)
       val nc = AnnParams.nCentroids(nBaseTotal)
-      baseA.groupBy("centroid_id").agg(count(lit(1)).as("n_base"))
-        .join(afterA.groupBy("centroid_id").agg(count(lit(1)).as("na")),
+      committed.filter(col("vec_id") % appendMod =!= appendRem)
+        .groupBy("centroid_id").agg(count(lit(1)).as("n_base"))
+        .join(committed.groupBy("centroid_id").agg(count(lit(1)).as("na")),
           Seq("centroid_id"))
         .select(col("centroid_id"), col("n_base"),
           (col("na") - col("n_base")).as("n_new"))

@@ -105,8 +105,11 @@ class IvfSpec extends SparkSpec {
     assert(frac >= 0.74 && frac <= 0.76)
   }
 
-  test("persisted append: frozen centroids, v0/v1 both readable, growth = batch") {
+  test("persisted append: frozen centroids, idempotent cross-session fold") {
     import org.apache.spark.sql.functions._
+    val base = s"/tmp/graft_ivfinc/${Integer.toHexString(sf0001.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     val r = graft.ops.Ivf.appendCommit(spark, sf0001).cache()
     // identical growth to the in-session append path
     val want = graft.ops.Ivf.appendReport(spark, sf0001).collect()
@@ -116,9 +119,7 @@ class IvfSpec extends SparkSpec {
     assert(got === want)
     r.unpersist()
     // both versions retained; centroids identical across them (frozen)
-    val base = s"/tmp/graft_ivfinc/${Integer.toHexString(sf0001.hashCode)}"
-    val vs = graft.io.AtomicPublish.versions(spark, base)
-    assert(vs === Seq(0L, 1L))
+    assert(graft.io.AtomicPublish.versions(spark, base) === Seq(0L, 1L))
     val c0 = graft.io.AtomicPublish
       .readVersion(spark, base, "centroids", 0L).count()
     val c1 = graft.io.AtomicPublish
@@ -132,5 +133,14 @@ class IvfSpec extends SparkSpec {
     val batch = graft.ops.Similarity.normalized(spark, sf0001)
       .filter(col("vec_id") % 10 === 7).count()
     assert(a1 - a0 === batch)
+    // a SECOND session (memo dropped) re-folds idempotently: the version
+    // advances, the report and the committed row count do not change
+    graft.Memo.dropFamily("ivf_append_persisted")
+    val got2 = graft.ops.Ivf.appendCommit(spark, sf0001).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(got2 === want, "re-running a session must not double the batch")
+    assert(graft.io.AtomicPublish.versions(spark, base) === Seq(1L, 2L))
+    assert(graft.io.AtomicPublish.read(spark, base, "assignments").count()
+      === a1)
   }
 }
