@@ -16,6 +16,9 @@ object OpsQueries {
     // the scale tier: hll_sketch UDAF per column replaces the exact
     // multi-distinct Expand — one scan, constant per-task state
     "events_column_profile_approx" -> ((s, dir) => TableProfile.eventsApprox(s, dir)),
+    // metadata-only COUNT/MIN/MAX from parquet footer stats (v2 source
+    // aggregate pushdown, self-enforced in the plan)
+    "events_stats_fast" -> ((s, dir) => TableProfile.eventsStatsFast(s, dir)),
     // classic OLAP shapes over the star tables (TPC-H Q1/Q3/Q5 patterns)
     "olap_pricing" -> ((s, dir) => Olap.q1Pricing(s, dir)),
     "olap_revenue_topk" -> ((s, dir) => Olap.q3Revenue(s, dir)),
@@ -500,6 +503,7 @@ object OpsQueries {
     "events_exact_median" -> ExactQuantile.exactMedianSql,
     "events_exact_quantiles" -> ExactQuantile.exactQuantilesSql,
     "events_ewma" -> EventsOps.ewmaSql(),
+    "events_stats_fast" -> TableProfile.eventsStatsFastSql,
     "sample_weighted_noreplace" -> Sampling.weightedSampleSql(),
     "olap_cust_dist" -> Olap.q13CustDistSql,
     "olap_idle_customers" -> Olap.q22IdleCustomersSql,

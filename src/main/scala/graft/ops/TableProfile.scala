@@ -211,4 +211,39 @@ object TableProfile {
     s"""WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
        |${branches.mkString("\n UNION ALL \n")}""".stripMargin
   }
+
+  /** Metadata-only table stats — the fourth scan-elimination lever as a
+    * USABLE operator, not just a plan assertion: COUNT/MIN/MAX answered
+    * from parquet row-group footer statistics by the v2 source
+    * (`PushedAggregation`), never touching a data page. The query
+    * REQUIRES the pushdown in its own plan, so a Spark upgrade that
+    * silently regressed it to a full scan fails loudly instead of
+    * burning a 100 TB read. Reads the raw file (no cast/filter above
+    * the relation — any would block the pushdown by design).
+    */
+  def eventsStatsFast(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val prevPd = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = spark.read.parquet(s"$dir/events.parquet")
+        .agg(count(lit(1)).as("n_rows"), min("user_id").as("min_user"),
+          max("user_id").as("max_user"))
+      require(agg.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: [COUNT(*), MIN(user_id), MAX(user_id)]"),
+        "footer-stats aggregate was not pushed down — would full-scan at 100 TB")
+      // materialize under the pushdown confs before they are restored
+      agg.localCheckpoint(eager = true)
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", prevPd)
+    }
+  }
+
+  val eventsStatsFastSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       MIN(user_id) AS min_user, MAX(user_id) AS max_user
+      |FROM events""".stripMargin
 }
