@@ -24,10 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sf0.1 (ivfpq_topk 38 s, pq_recall 91 s measured in isolation; both
   * ≤ 8 s after the cut — the data volumes involved are only a few
   * million rows). The classic trade: a `LogicalRDD` exposes no stats
-  * and no pushdown, so every join against a memo frame that must
-  * broadcast carries an explicit `broadcast()` hint (they all did
-  * already), and filters that should reach parquet belong INSIDE the
-  * builder, not on top of the memo.
+  * and no pushdown, so joins against a memo frame that must broadcast
+  * carry an explicit hint via [[Bcast.ifBounded]] when the frame's row
+  * bound is scale-independent (AQE's runtime sizing covers the rest —
+  * it observes actual sizes, not stats), and filters that should reach
+  * parquet belong INSIDE the builder, not on top of the memo.
   *
   * Cluster caveat: `localCheckpoint` blocks are NOT fault-tolerant —
   * an executor loss loses its blocks for good (lineage is cut, so no

@@ -2,7 +2,7 @@ package graft.dq
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** The reference's DQ dashboard
   * (`/root/reference/data-pipeline/src/dq_dashboard.py:22-212`): five
@@ -76,7 +76,7 @@ object Dashboard {
   private def lookback(h: DataFrame, days: Int): DataFrame = {
     val th = h.agg(
       date_sub(max(col("execution_date")).cast("date"), days).cast("timestamp").as("th"))
-    h.crossJoin(broadcast(th)).filter(col("execution_date") >= col("th")).drop("th")
+    h.crossJoin(Bcast.ifBounded(th, Bcast.OneRow)).filter(col("execution_date") >= col("th")).drop("th")
   }
 
   private def lookbackSql(days: Int): String =
@@ -153,7 +153,7 @@ object Dashboard {
   def latestRun(spark: SparkSession, dir: String): DataFrame = {
     val h = history(spark, dir)
     val mx = h.agg(max(to_date(col("execution_date"))).as("mxd"))
-    h.crossJoin(broadcast(mx))
+    h.crossJoin(Bcast.ifBounded(mx, Bcast.OneRow))
       .filter(to_date(col("execution_date")) === col("mxd"))
       .drop("mxd")
       .orderBy("check_id")

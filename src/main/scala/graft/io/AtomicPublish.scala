@@ -1,17 +1,29 @@
 package graft.io
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Atomic MULTI-dataset publish — the [[graft.streaming.VersionedState]]
   * marker protocol extended from one state table to a SET of datasets
-  * exposed as one unit: all members of version `v<N>` are written first
-  * (each its own parquet dir), a `_PUBLISHED` marker naming the members
-  * seals the version, and only then is the `_committed` pointer swapped
-  * via an ATOMIC rename-with-overwrite. Readers always resolve through
-  * the pointer, so a crash ANYWHERE between the first dataset write and
-  * the swap leaves them on the previous complete version — no reader
-  * can ever observe new dims with the old fact.
+  * exposed as one unit, with OPTIMISTIC MULTI-WRITER concurrency. All
+  * members are written once into a writer-unique staging directory and
+  * sealed there with a `_PUBLISHED` marker naming the members (and the
+  * writer's token); the writer then CLAIMS a version id by renaming the
+  * stage to `v<N>` WITHOUT overwrite — first writer wins the id, the
+  * loser retries the rename at `N+1` (data is never rewritten, only the
+  * directory rename repeats). A claim is verified by reading back the
+  * writer token, which also defuses the local-filesystem rename corner
+  * where `rename(src, existingDir)` nests `src` inside the winner's
+  * directory instead of failing. Commit is a per-version marker file
+  * under `_commits/` — created empty, made visible by rename — so two
+  * concurrent publishers each end up with their own readable version
+  * and the committed pointer (max marker) moves monotonically: no
+  * last-writer-wins clobber is possible, the failure PostgreSQL
+  * transactions prevent for free in the reference and naive
+  * pointer-overwrite protocols reintroduce. Readers always resolve
+  * through [[committed]], so a crash ANYWHERE before the commit marker
+  * leaves them on the previous complete version — no reader can ever
+  * observe new dims with the old fact.
   *
   * This closes the reference's one transactional-semantics gap: the
   * star build writes 4 dims + fact inside a single PostgreSQL
@@ -47,15 +59,30 @@ object AtomicPublish {
     }.flatten
   }
 
-  /** Last committed version under `base`, −1 if none. */
+  /** Last committed version under `base`, −1 if none: the max across
+    * the per-version commit markers, the legacy single-pointer file
+    * (pre-multi-writer layouts remain readable), and — if neither
+    * exists — the largest sealed version (crash-recovery fallback).
+    */
   def committed(spark: SparkSession, base: String): Long = {
     val b = new Path(base)
     val fs = fsOf(spark, b)
-    val f = new Path(b, "_committed")
-    if (fs.exists(f)) {
-      val in = fs.open(f)
-      try in.readLong() finally in.close()
-    } else {
+    val commits = new Path(b, "_commits")
+    val marker =
+      if (!fs.exists(commits)) -1L
+      else fs.listStatus(commits).toSeq.map(_.getPath.getName).collect {
+        case VDir(n) => n.toLong
+      }.foldLeft(-1L)(math.max)
+    val legacy = {
+      val f = new Path(b, "_committed")
+      if (!fs.exists(f)) -1L
+      else {
+        val in = fs.open(f)
+        try in.readLong() finally in.close()
+      }
+    }
+    if (marker >= 0 || legacy >= 0) math.max(marker, legacy)
+    else {
       val vs = publishedVersions(spark, b)
       if (vs.isEmpty) -1L else vs.max
     }
@@ -107,26 +134,84 @@ object AtomicPublish {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val b = new Path(base)
     val fs = fsOf(spark, b)
-    val next = committed(spark, base) + 1
+    val token = java.util.UUID.randomUUID().toString
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+    // 1. Stage: write every member ONCE into a writer-unique hidden
+    //    directory and seal it there — the version is complete before
+    //    it can ever become visible under a `v<N>` name.
+    val stage = new Path(b, s".stage-$token")
     datasets.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$base/v$next/$name")
+      df.write.mode("overwrite").parquet(new Path(stage, name).toString)
     }
-    // seal: the version is complete (all members present) but not live
-    val marker = fs.create(new Path(b, s"v$next/_PUBLISHED"), true)
-    try marker.write(datasets.map(_._1).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val marker = fs.create(new Path(stage, "_PUBLISHED"), true)
+    try marker.write((token +: datasets.map(_._1)).mkString("\n").getBytes(utf8))
     finally marker.close()
-    // commit: atomic pointer swap (no window with the pointer absent)
-    val tmp = new Path(b, "_committed.tmp")
-    val out = fs.create(tmp, true)
-    try out.writeLong(next) finally out.close()
-    val fc = FileContext.getFileContext(b.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(b, "_committed"), Options.Rename.OVERWRITE)
-    // prune versions older than the retention window (readers only ever
-    // resolve the pointer; retained history serves time-travel reads)
-    publishedVersions(spark, b).filter(_ <= next - retain)
-      .foreach(n => fs.delete(new Path(b, s"v$n"), true))
-    next
+
+    // 2. Claim: rename the stage to the next free version id. Rename
+    //    does NOT overwrite a populated directory, so the first writer
+    //    wins the id and the loser retries at N+1 — the data never
+    //    moves again, only this metadata rename repeats. The read-back
+    //    token check catches the local-FS corner where renaming onto an
+    //    existing directory NESTS the stage inside the winner's version
+    //    (the FileSystem#rename move-into-directory contract) instead
+    //    of failing: on a mismatch the nested stage is pulled back out
+    //    and the claim retries, so no `v<N>` ever holds two writers'
+    //    files.
+    def tokenOf(dir: Path): Option[String] = {
+      val m = new Path(dir, "_PUBLISHED")
+      if (!fs.exists(m)) None
+      else {
+        val in = fs.open(m)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().nextOption().getOrElse(""))
+        finally in.close()
+      }
+    }
+    var v = committed(spark, base) + 1
+    var claimed = false
+    while (!claimed) {
+      val dst = new Path(b, s"v$v")
+      if (fs.exists(dst)) v += 1
+      else if (!fs.rename(stage, dst)) v += 1
+      else if (tokenOf(dst).contains(token)) claimed = true
+      else { // nested into another writer's version: recover and retry
+        val nested = new Path(dst, stage.getName)
+        if (fs.exists(nested)) fs.rename(nested, stage)
+        v += 1
+      }
+    }
+
+    // 3. Commit: a per-version marker made visible by rename. Markers
+    //    are append-only and version-named, so concurrent publishers
+    //    each commit their own version and [[committed]] (the max)
+    //    moves monotonically — no pointer clobber.
+    fs.mkdirs(new Path(b, "_commits"))
+    val ctmp = new Path(b, s".commit-$token")
+    fs.create(ctmp, true).close()
+    if (!fs.rename(ctmp, new Path(b, s"_commits/v$v")) && fs.exists(ctmp))
+      fs.delete(ctmp, false) // marker already present (crash-retry)
+
+    // 4. Prune versions (and their markers) older than the retention
+    //    window, measured from the now-committed maximum — readers only
+    //    ever resolve the pointer; retained history serves time travel.
+    //    Unsealed version dirs at or below the committed id are garbage
+    //    (pre-claim-protocol partial writes: every claimed version
+    //    carries its marker from birth) — collect them so a crashed
+    //    legacy writer can't park on an id forever.
+    val cur = committed(spark, base)
+    publishedVersions(spark, b).filter(_ <= cur - retain).foreach { n =>
+      fs.delete(new Path(b, s"v$n"), true)
+      fs.delete(new Path(b, s"_commits/v$n"), false)
+    }
+    fs.listStatus(b).foreach { st =>
+      st.getPath.getName match {
+        case VDir(n) if st.isDirectory && n.toLong <= cur &&
+          !fs.exists(new Path(st.getPath, "_PUBLISHED")) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    v
   }
 }

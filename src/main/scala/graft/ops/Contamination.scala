@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Benchmark-contamination detection — the decontamination step of a
   * pretraining data pipeline (the published practice: flag or drop
@@ -68,7 +68,7 @@ object Contamination {
     val evalNg = ng.filter(col("doc_id") % evalMod === 0)
       .select("ngram").distinct().withColumn("hit", lit(1))
     ng.filter(col("doc_id") % evalMod =!= 0)
-      .join(broadcast(evalNg), Seq("ngram"), "left")
+      .join(Bcast.ifBounded(evalNg, Bcast.QueryBatch), Seq("ngram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_overlap"))
       .select(col("doc_id"), col("n_ngrams"), col("n_overlap"),

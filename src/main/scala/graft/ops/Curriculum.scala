@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Token-budget curriculum selection: give each source a token budget
   * (its weight × its token mass) and fill it with that source's
@@ -51,7 +51,7 @@ object Curriculum {
       .withColumn("cum_before",
         coalesce(sum("doc_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .join(broadcast(budgets), "source")
+      .join(Bcast.ifBounded(budgets, Bcast.Domain), "source")
       .filter(col("cum_before") < col("budget"))
       .select(col("doc_id"), col("source"), col("sel_rank"),
         col("doc_tokens"), (col("cum_before") + col("doc_tokens")).as("cum_tokens"),

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Deduplication operators over `documents` — the core of a pretraining
   * data pipeline, designed so nothing is ever all-pairs:
@@ -182,13 +182,15 @@ object Dedup {
     * [[nearDups]] and [[incrementalNearDups]]. Restricts the shingle
     * table to candidate docs BEFORE the pair joins: the verify stage
     * then shuffles only the (tiny) candidate subset, not the full
-    * corpus — at 100 TB this is the difference between a
-    * broadcast-semi-join and re-shuffling every shingle twice.
+    * corpus. The candidate id set is collision-driven — corpus-
+    * proportional in the worst case — so it carries no hard hint: AQE
+    * broadcasts it while it actually fits and falls back to a shuffled
+    * semi join on a pathologically duplicate-heavy corpus.
     */
   private def verifiedJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val docIds = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val shCand = sh.join(broadcast(docIds), Seq("doc_id"))
+    val shCand = sh.join(Bcast.ifBounded(docIds, Bcast.Linear), Seq("doc_id"))
     val cnt = shCand.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(shCand.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
@@ -225,7 +227,7 @@ object Dedup {
     val pairs = candidates(spark, dir)
     val docIds = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val shCand = shingles(spark, dir).join(broadcast(docIds), Seq("doc_id"))
+    val shCand = shingles(spark, dir).join(Bcast.ifBounded(docIds, Bcast.Linear), Seq("doc_id"))
     val cnt = shCand.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(shCand.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))

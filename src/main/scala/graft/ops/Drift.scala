@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Distribution-drift detection — Population Stability Index between
   * the first and second half of the event-time range, per value bin:
@@ -33,7 +33,7 @@ object Drift {
     val ev = Tables.events(spark, dir)
       .select(unix_micros(col("ts")).as("us"), col("value"))
     val mid = ev.agg(((min("us") + max("us")) / lit(2L)).cast("long").as("mid_us"))
-    val binned = ev.crossJoin(broadcast(mid))
+    val binned = ev.crossJoin(Bcast.ifBounded(mid, Bcast.OneRow))
       .select(
         when(col("us") < col("mid_us"), lit("p1")).otherwise(lit("p2")).as("period"),
         least(lit(nBins - 1), greatest(lit(0),
@@ -44,10 +44,11 @@ object Drift {
       .join(binned.filter(col("period") === p).select("bin", "cnt"), Seq("bin"), "left")
       .select(col("bin"), coalesce(col("cnt"), lit(0L)).as(n))
     val joined = side("p1", "n1").join(side("p2", "n2"), "bin")
-      .crossJoin(broadcast(
+      .crossJoin(Bcast.ifBounded(
         binned.agg(
           sum(when(col("period") === "p1", col("cnt")).otherwise(0L)).as("t1"),
-          sum(when(col("period") === "p2", col("cnt")).otherwise(0L)).as("t2"))))
+          sum(when(col("period") === "p2", col("cnt")).otherwise(0L)).as("t2")),
+        Bcast.OneRow))
     val p1 = (col("n1").cast("double") + 0.5) / (col("t1").cast("double") + 0.5 * nBins)
     val p2 = (col("n2").cast("double") + 0.5) / (col("t2").cast("double") + 0.5 * nBins)
     joined.select(

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Two-tier entity resolution (record linkage): match a dirty "CRM"
   * delivery of customer records back to the master table.
@@ -90,12 +90,13 @@ object EntityResolution {
         count(when(col("dirty_key") === col("m_key"), 1)).as("n_correct"),
         (sum("dist").cast("double") / count(lit(1))).as("avg_dist"))
     val tot = cust.agg(count(lit(1)).as("n_total"))
-    val r1 = aggOf(tier1).crossJoin(broadcast(tot))
+    val r1 = aggOf(tier1).crossJoin(Bcast.ifBounded(tot, Bcast.OneRow))
     val out1 = r1.select(lit(1).as("tier"), col("n_total").as("n_records"),
       col("n_matched"), col("n_correct"), col("avg_dist"))
     val out2 = aggOf(tier2)
-      .crossJoin(broadcast(
-        r1.select((col("n_total") - col("n_matched")).as("n_residual"))))
+      .crossJoin(Bcast.ifBounded(
+        r1.select((col("n_total") - col("n_matched")).as("n_residual")),
+        Bcast.OneRow))
       .select(lit(2).as("tier"), col("n_residual").as("n_records"),
         col("n_matched"), col("n_correct"), col("avg_dist"))
     out1.unionByName(out2)

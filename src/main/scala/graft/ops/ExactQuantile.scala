@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** EXACT order statistics without a global sort — the distributed-
   * selection alternative to `percentile()` (which buffers each group's
@@ -46,13 +46,13 @@ object ExactQuantile {
 
     // pass 2: histogram → the bin holding the target rank, and the
     // cumulative count strictly before it (groups × bins rows only)
-    val hist = ev.join(broadcast(bounds), "event_type")
+    val hist = ev.join(Bcast.ifBounded(bounds, Bcast.Domain), "event_type")
       .groupBy(col("event_type"), binOf.as("bin"))
       .agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
       sum("c").over(Window.partitionBy("event_type").orderBy("bin")))
     val medianBin = cum
-      .join(broadcast(bounds.select("event_type", "target")), "event_type")
+      .join(Bcast.ifBounded(bounds.select("event_type", "target"), Bcast.Domain), "event_type")
       .filter(col("cum") >= col("target"))
       .groupBy("event_type")
       .agg(min(struct(col("bin"), (col("cum") - col("c")).as("before")))
@@ -62,9 +62,9 @@ object ExactQuantile {
 
     // pass 3: exact selection inside the one bin — per-DISTINCT-value
     // counts, so concentration collapses instead of piling into a sort
-    val inBin = ev.join(broadcast(bounds), "event_type")
+    val inBin = ev.join(Bcast.ifBounded(bounds, Bcast.Domain), "event_type")
       .withColumn("bin", binOf)
-      .join(broadcast(medianBin), "event_type")
+      .join(Bcast.ifBounded(medianBin, Bcast.Domain), "event_type")
       .filter(col("bin") === col("median_bin"))
     inBin.groupBy("event_type", "n", "target", "before", "value")
       .agg(count(lit(1)).as("vc"))
@@ -109,13 +109,13 @@ object ExactQuantile {
       least(floor((col("value") - col("lo")) /
         ((col("hi") - col("lo")) / bins)).cast("int"), lit(bins - 1)))
 
-    val hist = ev.join(broadcast(bounds), "event_type")
+    val hist = ev.join(Bcast.ifBounded(bounds, Bcast.Domain), "event_type")
       .groupBy(col("event_type"), binOf.as("bin"))
       .agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
       sum("c").over(Window.partitionBy("event_type").orderBy("bin")))
     val targetBins = cum
-      .join(broadcast(targets.select("event_type", "pct", "target")),
+      .join(Bcast.ifBounded(targets.select("event_type", "pct", "target"), Bcast.Domain),
         "event_type")
       .filter(col("cum") >= col("target"))
       .groupBy("event_type", "pct", "target")
@@ -124,9 +124,9 @@ object ExactQuantile {
       .select(col("event_type"), col("pct"), col("target"),
         col("tb.bin").as("target_bin"), col("tb.before").as("before"))
 
-    val inBins = ev.join(broadcast(bounds), "event_type")
+    val inBins = ev.join(Bcast.ifBounded(bounds, Bcast.Domain), "event_type")
       .withColumn("bin", binOf)
-      .join(broadcast(targetBins), Seq("event_type"))
+      .join(Bcast.ifBounded(targetBins, Bcast.Domain), Seq("event_type"))
       .filter(col("bin") === col("target_bin"))
     inBins.groupBy("event_type", "pct", "target", "before", "value")
       .agg(count(lit(1)).as("vc"))
@@ -135,7 +135,7 @@ object ExactQuantile {
       .filter(col("vcum") >= col("target"))
       .groupBy("event_type", "pct")
       .agg(min("value").as("q"))
-      .join(broadcast(bounds.select("event_type", "n")), "event_type")
+      .join(Bcast.ifBounded(bounds.select("event_type", "n"), Bcast.Domain), "event_type")
       .select("event_type", "pct", "n", "q")
       .orderBy("event_type", "pct")
   }

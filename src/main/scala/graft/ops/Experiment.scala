@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Experimentation analytics — the two checks a product/data team runs
   * on an event stream before and after shipping a change: a hash-bucket
@@ -58,7 +58,7 @@ object Experiment {
       (pb - pa).cast("decimal(18,6)").as("lift_abs"),
       ((pb - pa) / when(se === 0.0, lit(null)).otherwise(se))
         .cast("decimal(18,6)").as("z_stat"))
-    arms.crossJoin(broadcast(stats))
+    arms.crossJoin(Bcast.ifBounded(stats, Bcast.OneRow))
       .select(col("arm"), col("n_users"), col("n_converted"),
         (col("n_converted").cast("double") / col("n_users").cast("double"))
           .cast("decimal(18,6)").as("conv_rate"),

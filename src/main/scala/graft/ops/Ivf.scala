@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.Bcast
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -55,9 +57,9 @@ object Ivf {
     */
   private def hierarchicalAssign(e: DataFrame, c: DataFrame,
                                  coarseN: Long): DataFrame = {
-    val coarse = broadcast(c.filter(col("centroid_id") < coarseN)
+    val coarse = Bcast.ifBounded(c.filter(col("centroid_id") < coarseN)
       .select(col("centroid_id").as("coarse_id"),
-        col("cv").as("gv"), col("cnorm").as("gnorm")))
+        col("cv").as("gv"), col("cnorm").as("gnorm")), Bcast.SqrtLaw)
 
     def nearestCoarse(in: DataFrame, vCol: String, nCol: String, keep: Seq[String]) = {
       val cos = (dot(col(vCol), col("gv")) / (col(nCol) * col("gnorm")))
@@ -72,8 +74,9 @@ object Ivf {
     }
 
     // fine centroid → its coarse cell (self-assigns when it IS coarse)
-    val cellOf = broadcast(
-      nearestCoarse(c, "cv", "cnorm", Seq("centroid_id", "cv", "cnorm")))
+    val cellOf = Bcast.ifBounded(
+      nearestCoarse(c, "cv", "cnorm", Seq("centroid_id", "cv", "cnorm")),
+      Bcast.SqrtLaw)
     // vector → coarse cell → nearest fine centroid within the cell
     val vecCell = nearestCoarse(e, "v", "norm", Seq("vec_id", "v", "norm"))
     val cos = (dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
@@ -189,7 +192,7 @@ object Ivf {
   private[ops] def probesOf(spark: SparkSession, dir: String,
                             cent: DataFrame, nProbe: Int, queryMod: Int,
                             corpus: Similarity.VecCorpus = Similarity.embCorpus): DataFrame = {
-    val c = broadcast(cent)
+    val c = Bcast.ifBounded(cent, Bcast.SqrtLaw)
     val q = corpus.normalizedOf(spark, dir)
       .filter(AnnParams.queryPred(queryMod))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))

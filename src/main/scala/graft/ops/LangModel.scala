@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** N-gram language-model scoring — the CCNet/KenLM-style perplexity
   * filter: train a bigram model with stupid backoff (Brants et al.,
@@ -61,7 +61,7 @@ object LangModel {
       .join(bi, Seq("prev", "cur"), "left")
       .join(uni.select(col("token").as("prev"), col("uc").as("pc")), Seq("prev"), "left")
       .join(uni.select(col("token").as("cur"), col("uc").as("cc")), Seq("cur"), "left")
-      .crossJoin(broadcast(totals))
+      .crossJoin(Bcast.ifBounded(totals, Bcast.OneRow))
 
     // seen bigram: conditional MLE count(prev,cur)/count(prev);
     // unseen: alpha · smoothed unigram (add-one over train vocab + OOV)

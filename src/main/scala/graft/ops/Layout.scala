@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Z-order (Morton-curve) file layout — the multi-column data-skipping
   * technique lakehouse table formats expose as OPTIMIZE ZORDER BY
@@ -63,7 +63,7 @@ object Layout {
     val bounds = ev.agg(min("u").as("umin"), max("u").as("umax"),
       min("d").as("dmin"), max("d").as("dmax"))
     val grid = 1L << bits
-    val withB = ev.crossJoin(broadcast(bounds))
+    val withB = ev.crossJoin(Bcast.ifBounded(bounds, Bcast.OneRow))
       .select(col("u"), col("d"),
         expr(s"(u - umin) * $grid div (umax - umin + 1)").as("un"),
         expr(s"(d - dmin) * $grid div (dmax - dmin + 1)").as("dn"))

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Classic OLAP workload shapes over the star tables — the TPC-H Q1 /
   * Q3 / Q5 patterns (pricing summary, shipping-priority revenue top-k,
@@ -84,7 +84,7 @@ object Olap {
         (col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           .cast("decimal(28,4)").as("rev"))
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(Bcast.ifBounded(c, Bcast.Linear), col("o_custkey") === col("c_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey", "o_orderdate")
       .agg(sum("rev").cast("decimal(28,4)").as("revenue"))
@@ -120,7 +120,7 @@ object Olap {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"))
     val c = Tables.customer(spark, dir)
-      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .join(Bcast.ifBounded(nr, Bcast.Nations), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
     val s = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_nationkey"))
@@ -133,9 +133,9 @@ object Olap {
       (col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
         .cast("decimal(28,4)").as("rev"))
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(Bcast.ifBounded(c, Bcast.Linear), col("o_custkey") === col("c_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+      .join(Bcast.ifBounded(s, Bcast.Linear), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(sum("rev").cast("decimal(28,4)").as("revenue"))
@@ -226,7 +226,7 @@ object Olap {
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
       .select("o_custkey")
-    c.crossJoin(broadcast(avgBal))
+    c.crossJoin(Bcast.ifBounded(avgBal, Bcast.OneRow))
       .filter(col("bal").cast("double") > col("avg_bal"))
       .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
@@ -298,8 +298,8 @@ object Olap {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val totals = offsets.agg(sum("__cnt").as("__n_total"))
     val ranked = local
-      .join(broadcast(offsets.select("__pid", "__offset")), "__pid")
-      .crossJoin(broadcast(totals))
+      .join(Bcast.ifBounded(offsets.select("__pid", "__offset"), Bcast.Partitions), "__pid")
+      .crossJoin(Bcast.ifBounded(totals, Bcast.OneRow))
       .withColumn("__rank", col("__lrn") + col("__offset"))
       // integer DIV throughout — `/` on longs is double division in Spark
       .withColumn("__base", expr(s"__n_total DIV $tiles"))

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Second tranche of decision-support shapes over the star tables — the
   * TPC-H Q7/Q8/Q9/Q10/Q11/Q15/Q17/Q18/Q19 patterns plus GROUPING SETS
@@ -14,12 +14,18 @@ import graft.Tables
   * correlated averages, HAVING-gated semi joins, disjunctive DNF
   * predicates, and multi-level grouping.
   *
-  * Every shape keeps the 100 TB plan discipline of [[Olap]]: dimension
-  * sides broadcast, the fact table shuffles at most once per grain
-  * change, money aggregates accumulate on an exact DECIMAL grid
-  * (order-free, so both engines sum identically), and every LIMIT rides
-  * a total order. Scalar thresholds (Q11/Q15/Q17) become one-row or
-  * dimension-sized broadcast joins — never a driver collect.
+  * Every shape keeps the 100 TB plan discipline of [[Olap]]: hints ride
+  * [[graft.Bcast]] — only scale-independent frames (nation/region,
+  * one-row scalars, top-k results) carry a hard broadcast hint, while
+  * SF-linear slices (filtered part/supplier/customer) stay unhinted so
+  * AQE broadcasts them at runtime iff they are actually small; the fact
+  * table shuffles at most once per grain change, money aggregates
+  * accumulate on an exact DECIMAL grid (order-free, so both engines sum
+  * identically), and every LIMIT rides a total order. Name-lookup joins
+  * against SF-linear tables happen AFTER the top-k / scalar-max
+  * reduction, so the broadcast side is the ≤20-row result, never the
+  * dimension. Scalar thresholds (Q11/Q15/Q17) become one-row broadcast
+  * joins — never a driver collect.
   */
 object OlapTpch {
 
@@ -49,19 +55,21 @@ object OlapTpch {
       .filter(col("n_name").isin("NATION_1", "NATION_2"))
       .select("n_nationkey", "n_name")
     val s = Tables.supplier(spark, dir)
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(Bcast.ifBounded(n, Bcast.Nations), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val c = Tables.customer(spark, dir)
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(Bcast.ifBounded(n, Bcast.Nations), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).as("ship_year"), rev.as("volume"))
-    // prune BOTH shuffle inputs before the one fact⋈fact join: orders
-    // via the customer broadcast, lineitem via the supplier broadcast
-    val oPruned = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
-    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+    // prune BOTH shuffle inputs before the one fact⋈fact join; the
+    // pruned customer/supplier slices are SF-linear (2/25 of their
+    // tables), so no hard hint — AQE broadcasts them while they fit
+    val oPruned = o.join(Bcast.ifBounded(c, Bcast.Linear),
+      col("o_custkey") === col("c_custkey"))
+    l.join(Bcast.ifBounded(s, Bcast.Linear), col("l_suppkey") === col("s_suppkey"))
       .join(oPruned, col("l_orderkey") === col("o_orderkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
@@ -93,23 +101,23 @@ object OlapTpch {
         col("n_regionkey") === col("r_regionkey"))
       .select("n_nationkey")
     val c = Tables.customer(spark, dir)
-      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .join(Bcast.ifBounded(nr, Bcast.Nations), col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey")
     val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
       .select("p_partkey")
     val sn = Tables.supplier(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
-        col("s_nationkey") === col("n_nationkey"))
+      .join(Bcast.ifBounded(Tables.nation(spark, dir).select("n_nationkey", "n_name"),
+        Bcast.Nations), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         year(col("o_orderdate")).as("order_year"))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), rev.as("volume"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Bcast.ifBounded(p, Bcast.Linear), col("l_partkey") === col("p_partkey"))
+      .join(Bcast.ifBounded(sn, Bcast.Linear), col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Bcast.ifBounded(c, Bcast.Linear), col("o_custkey") === col("c_custkey"))
       .groupBy("order_year")
       .agg(
         sum(when(col("supp_nation") === "NATION_5", col("volume"))
@@ -153,15 +161,15 @@ object OlapTpch {
     val p = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
       .select(col("p_partkey"), col("p_retailprice").cast("decimal(18,2)").as("cost"))
     val sn = Tables.supplier(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
-        col("s_nationkey") === col("n_nationkey"))
+      .join(Bcast.ifBounded(Tables.nation(spark, dir).select("n_nationkey", "n_name"),
+        Bcast.Nations), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"),
         year(col("l_shipdate")).as("ship_year"),
         rev.as("gross"), col("l_quantity").cast("decimal(18,2)").as("qty"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Bcast.ifBounded(p, Bcast.Linear), col("l_partkey") === col("p_partkey"))
+      .join(Bcast.ifBounded(sn, Bcast.Linear), col("l_suppkey") === col("s_suppkey"))
       .select(col("nation"), col("ship_year"),
         (col("gross") - (col("cost") * col("qty")).cast("decimal(28,4)"))
           .cast("decimal(28,4)").as("amount"))
@@ -181,28 +189,35 @@ object OlapTpch {
       |GROUP BY 1, 2""".stripMargin
 
   /** TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
-    * six-month order window. Customer (with its nation name) broadcasts
-    * into the orders⋈lineitem join; the top-20 is a total order
-    * (revenue desc, custkey) so ties cannot flap.
+    * six-month order window. The revenue rollup and the top-20 happen
+    * on the bare customer KEY (grouping by c_custkey alone is
+    * equivalent to grouping by the full attribute tuple — the key is
+    * unique and FK-complete); only the surviving 20 rows then meet the
+    * SF-linear customer⋈nation name table, broadcast as a provably
+    * ≤20-row frame. The top-20 is a total order (revenue desc, custkey)
+    * so ties cannot flap, and re-sorting after the name join restores
+    * it.
     */
   def q10ReturnedTop(spark: SparkSession, dir: String): DataFrame = {
-    val cn = Tables.customer(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("n_name"))
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
       .select("o_orderkey", "o_custkey")
-    Tables.lineitem(spark, dir)
+    val top = Tables.lineitem(spark, dir)
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"), rev.as("r"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
-      .groupBy("c_custkey", "c_name", "c_mktsegment", "n_name")
+      .groupBy("o_custkey")
       .agg(sum("r").cast("decimal(28,4)").as("revenue"))
-      .orderBy(col("revenue").desc, col("c_custkey"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
       .limit(20)
+    Tables.customer(spark, dir)
+      .join(Bcast.ifBounded(Tables.nation(spark, dir).select("n_nationkey", "n_name"),
+        Bcast.Nations), col("c_nationkey") === col("n_nationkey"))
+      .join(Bcast.ifBounded(top, 20L), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("n_name"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
   }
 
   val q10ReturnedTopSql: String =
@@ -232,7 +247,7 @@ object OlapTpch {
     val thr = perPart
       .agg((sum("value").cast("decimal(38,4)") * lit(0.0007).cast("decimal(8,4)"))
         .cast("decimal(38,8)").as("threshold"))
-    perPart.crossJoin(broadcast(thr))
+    perPart.crossJoin(Bcast.ifBounded(thr, Bcast.OneRow))
       .filter(col("value").cast("decimal(38,8)") > col("threshold"))
       .select(col("l_partkey"), col("value"))
       .orderBy(col("value").desc, col("l_partkey"))
@@ -255,8 +270,11 @@ object OlapTpch {
   /** TPC-H Q15 shape: the top supplier(s) by revenue over one ship
     * quarter. The per-supplier revenue frame is computed once; its
     * scalar max broadcasts back as an equality filter (exact DECIMAL,
-    * so the `= max` join cannot miss on rounding); supplier name
-    * arrives by broadcast.
+    * so the `= max` join cannot miss on rounding). The name lookup
+    * happens AFTER the `= max` reduction: the argmax frame (one row
+    * plus exact-revenue ties) probes the SF-linear supplier table,
+    * unhinted — AQE sees its actual tiny size and broadcasts it at
+    * runtime, so the supplier table itself is never shipped.
     */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.lineitem(spark, dir)
@@ -266,10 +284,10 @@ object OlapTpch {
       .groupBy("l_suppkey")
       .agg(sum("r").cast("decimal(28,4)").as("total_rev"))
     val mx = r.agg(max("total_rev").as("max_rev"))
-    r.crossJoin(broadcast(mx))
+    val winners = r.crossJoin(Bcast.ifBounded(mx, Bcast.OneRow))
       .filter(col("total_rev") === col("max_rev"))
-      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
-        col("l_suppkey") === col("s_suppkey"))
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .join(winners, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))
       .orderBy(col("s_suppkey"))
   }
@@ -300,13 +318,13 @@ object OlapTpch {
     val p = Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")
       .select("p_partkey")
     val l = Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Bcast.ifBounded(p, Bcast.Linear), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"),
         col("l_extendedprice").cast("decimal(18,2)").as("price"))
     val avgQ = l.groupBy(col("l_partkey").as("a_partkey"))
       .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
         count(lit(1)).cast("double")).as("avg_qty"))
-    l.join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
+    l.join(Bcast.ifBounded(avgQ, Bcast.Linear), col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(count(lit(1)).as("n_small"),
         sum("price").cast("decimal(28,2)").as("sum_price"))
@@ -335,10 +353,13 @@ object OlapTpch {
       |WHERE l.l_partkey = a.l_partkey AND l.l_quantity < 0.2 * a.avg_qty""".stripMargin
 
   /** TPC-H Q18 shape: large-volume orders — per-order quantity rollup
-    * HAVING > 300, realized as an aggregate-then-join (the qualifying
-    * order set is tiny, so it broadcasts INTO orders rather than
-    * shuffling orders again); customer broadcast for the name; top-20
-    * on a total order.
+    * HAVING > 300, joined back to orders (the qualifying set is a small
+    * fraction but still corpus-proportional, so no hard hint — AQE
+    * broadcasts it while it fits), then the top-20 on
+    * (o_totalprice desc, o_orderkey) BEFORE the customer name lookup:
+    * everything the sort needs is known pre-join, so the SF-linear
+    * customer table is only ever probed by a provably ≤20-row broadcast
+    * frame. Re-sorting after the name join restores the total order.
     */
   def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
@@ -346,17 +367,18 @@ object OlapTpch {
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,2)")
         .as("total_qty"))
       .filter(col("total_qty") > lit(300).cast("decimal(28,2)"))
-    val o = Tables.orders(spark, dir)
+    val top = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-    o.join(broadcast(big), col("o_orderkey") === col("b_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
-        col("o_custkey") === col("c_custkey"))
+      .join(Bcast.ifBounded(big, Bcast.Linear), col("o_orderkey") === col("b_orderkey"))
+      .orderBy(col("o_totalprice").cast("decimal(18,2)").desc, col("o_orderkey"))
+      .limit(20)
+    Tables.customer(spark, dir).select("c_custkey", "c_name")
+      .join(Bcast.ifBounded(top, 20L), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"),
         col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
         col("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      .limit(20)
   }
 
   val q18BigOrdersSql: String =
@@ -389,7 +411,7 @@ object OlapTpch {
         col("l_quantity").between(qLo, qHi)
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_quantity"), rev.as("r"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Bcast.ifBounded(p, Bcast.Linear), col("l_partkey") === col("p_partkey"))
       .filter(leg("Brand#1", 1, 15, 1, 11) || leg("Brand#2", 10, 30, 10, 20) ||
         leg("Brand#3", 20, 50, 20, 30))
       .agg(count(lit(1)).as("n_items"),
@@ -453,9 +475,9 @@ object OlapTpch {
       .select(col("s_suppkey"), col("s_name"),
         col("s_acctbal").cast("decimal(18,2)").as("bal"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Bcast.ifBounded(p, Bcast.Linear), col("l_partkey") === col("p_partkey"))
       .select("p_partkey", "l_suppkey").distinct()
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Bcast.ifBounded(s, Bcast.Linear), col("l_suppkey") === col("s_suppkey"))
       .groupBy("p_partkey")
       .agg(min(struct(col("bal"), col("s_suppkey"), col("s_name"))).as("m"))
       .select(col("p_partkey"), col("m.s_suppkey").as("s_suppkey"),
@@ -484,17 +506,21 @@ object OlapTpch {
       .withColumn("n_ret_supp", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")))
     val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-    ret
+    // top-20 on (n_orders desc, suppkey) BEFORE the name lookup — the
+    // sort needs nothing from supplier, so the SF-linear name table is
+    // probed by a provably ≤20-row broadcast frame, never shipped itself
+    val top = ret
       .filter(col("n_ret_supp") === 1)
       .join(others, col("l_orderkey") === col("o2") &&
         col("l_suppkey") =!= col("s2"), "left_semi")
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("n_orders"))
-      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
-        col("l_suppkey") === col("s_suppkey"))
+      .orderBy(col("n_orders").desc, col("l_suppkey"))
+      .limit(20)
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .join(Bcast.ifBounded(top, 20L), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_orders"))
       .orderBy(col("n_orders").desc, col("s_suppkey"))
-      .limit(20)
   }
 
   val q21ProblemSuppliersSql: String =

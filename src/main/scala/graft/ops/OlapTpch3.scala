@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Third tranche of decision-support shapes — the TPC-H Q6/Q12/Q14/Q16/
   * Q20 patterns, completing the full 22-skeleton TPC-H catalog together
@@ -14,8 +14,9 @@ import graft.Tables
   * date and the line dimension is l_linestatus.
   *
   * Same 100 TB plan discipline as the earlier tranches: the fact table
-  * is the only at-scale shuffle input, dimension sides broadcast after
-  * their selective filters, money/quantity aggregates ride an exact
+  * is the only at-scale shuffle input, dimension slices go through
+  * [[graft.Bcast]] (SF-linear slices unhinted — AQE broadcasts them at
+  * runtime while they fit), money/quantity aggregates ride an exact
   * DECIMAL grid (order-free summation, so Spark and the oracle agree
   * bit-for-bit), ratio outputs divide two exact sums in double at the
   * very end, and every output carries a total order.
@@ -77,7 +78,10 @@ object OlapTpch3 {
       .filter(col("l_shipdate") >= to_date(lit("1996-01-01")) &&
         col("l_shipdate") < to_date(lit("1997-01-01")))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 60))
+      // o_orderdate is a TIMESTAMP: add a calendar interval (date_add
+      // would truncate to a date, diverging from the oracle's
+      // `o_orderdate + INTERVAL 60 DAY` on any non-midnight timestamp)
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .groupBy("l_linestatus")
       .agg(
         sum(when(col("o_orderpriority").isin(highPrio: _*), 1L).otherwise(0L))
@@ -110,7 +114,7 @@ object OlapTpch3 {
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), year(col("l_shipdate")).as("ship_year"),
         rev.as("r"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Bcast.ifBounded(p, Bcast.Linear), col("l_partkey") === col("p_partkey"))
       .groupBy("ship_year")
       .agg((lit(100.0) *
         sum(when(col("p_type") === "PROMO", col("r"))
@@ -140,12 +144,13 @@ object OlapTpch3 {
       .filter(col("s_acctbal") < 2000).select("s_suppkey")
     val ps = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey").distinct()
-      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Bcast.ifBounded(bad, Bcast.Linear), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
     val p = Tables.part(spark, dir)
       .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
         col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50))
       .select("p_partkey", "p_brand", "p_type", "p_size")
-    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    ps.join(Bcast.ifBounded(p, Bcast.Linear), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -193,9 +198,9 @@ object OlapTpch3 {
       .select("p_partkey")
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
     vol
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Bcast.ifBounded(p, Bcast.Linear), col("l_partkey") === col("p_partkey"))
       .filter(col("supp_qty") * 2 > col("part_qty"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Bcast.ifBounded(s, Bcast.Linear), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_suppkey", "s_name")
       .agg(count(lit(1)).as("n_dominated"))
       .orderBy("s_suppkey")

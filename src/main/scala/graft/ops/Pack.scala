@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Global sequence packing: concatenate the whole corpus token stream in
   * doc_id order and cut it into fixed-length training sequences that
@@ -66,7 +66,7 @@ object Pack {
     // tier 2: within-bucket exclusive running sum, parallel across buckets.
     val wb = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.join(broadcast(offsets), "bucket")
+    docs.join(Bcast.ifBounded(offsets, Bcast.Partitions), "bucket")
       .withColumn("tok_start",
         col("bucket_offset") + coalesce(sum("doc_tokens").over(wb), lit(0L)))
       .select("doc_id", "doc_tokens", "tok_start")

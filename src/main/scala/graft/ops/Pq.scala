@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.Bcast
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,7 +67,7 @@ object Pq {
   private def assign(sv: DataFrame, cb: DataFrame): DataFrame = {
     val d2 = (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw")) +
       dot(col("cw"), col("cw"))).cast("decimal(10,6)")
-    sv.join(broadcast(cb), Seq("sub"))
+    sv.join(Bcast.ifBounded(cb, Bcast.Params), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code"), d2.as("d2"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code"))))
@@ -130,7 +132,7 @@ object Pq {
       c.memoName("pqr_residuals")) {
       c.normalizedOf(spark, dir)
         .join(Ivf.assignments(spark, dir, c), "vec_id")
-        .join(broadcast(Ivf.centroids(spark, dir, c)), "centroid_id")
+        .join(Bcast.ifBounded(Ivf.centroids(spark, dir, c), Bcast.SqrtLaw), "centroid_id")
         .select(col("vec_id"), col("centroid_id"),
           zip_with(col("v"), col("cv"), (x, y) => x - y).as("rv"))
     }
@@ -183,17 +185,17 @@ object Pq {
       val lut = subvectors(spark, dir)
         .filter(AnnParams.queryPred(queryMod))
         .withColumnRenamed("vec_id", "query_id")
-        .join(broadcast(cb), Seq("sub"))
+        .join(Bcast.ifBounded(cb, Bcast.Params), Seq("sub"))
         .select(col("query_id"), col("sub"), col("code"),
           dot(col("sv"), col("cw")).cast("decimal(18,9)").as("pd"))
 
       // reconstruction norm: sqrt of the summed codeword self-dots
       val cww = cb.select(col("sub"), col("code"),
         dot(col("cw"), col("cw")).cast("decimal(18,9)").as("w2"))
-      val rn = cd.join(broadcast(cww), Seq("sub", "code"))
+      val rn = cd.join(Bcast.ifBounded(cww, Bcast.Params), Seq("sub", "code"))
         .groupBy("vec_id").agg(sqrt(sum(col("w2")).cast("double")).as("rnorm"))
 
-      val ad = cd.join(broadcast(lut), Seq("sub", "code"))
+      val ad = cd.join(Bcast.ifBounded(lut, Bcast.QueryBatch), Seq("sub", "code"))
         .filter(col("vec_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
         .agg(sum(col("pd")).as("ad"))
@@ -296,7 +298,7 @@ object Pq {
         col("norm").as("qn"))
     val qcos = (dot(col("qv"), col("cv")) / (col("qn") * col("cnorm")))
       .cast("decimal(10,6)")
-    val probes = q.crossJoin(broadcast(cent))
+    val probes = q.crossJoin(Bcast.ifBounded(cent, Bcast.SqrtLaw))
       .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
         qcos.as("cos"))
       .withColumn("rk", row_number().over(
@@ -313,11 +315,11 @@ object Pq {
       struct(lit(s).as("sub"), slice(col("qv"), s * subDim + 1, subDim).as("sv")))
     val lut = q.select(col("query_id"), explode(array(qsubs: _*)).as("e"))
       .select(col("query_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
-      .join(broadcast(cb), Seq("sub"))
+      .join(Bcast.ifBounded(cb, Bcast.Params), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         dot(col("sv"), col("cw")).cast("decimal(18,9)").as("pd"))
     // q·centroid + query norm, per probed (query, list) pair
-    val qc = probes.join(broadcast(cent), "centroid_id")
+    val qc = probes.join(Bcast.ifBounded(cent, Bcast.SqrtLaw), "centroid_id")
       .select(col("query_id"), col("centroid_id"),
         dot(col("qv"), col("cv")).cast("decimal(18,9)").as("qc"),
         col("qn"))
@@ -328,7 +330,7 @@ object Pq {
     val ccw = cent
       .select(col("centroid_id"), explode(array(csubs: _*)).as("e"))
       .select(col("centroid_id"), col("e.sub").as("sub"), col("e.csv").as("csv"))
-      .join(broadcast(cb), Seq("sub"))
+      .join(Bcast.ifBounded(cb, Bcast.Params), Seq("sub"))
       .select(col("centroid_id"), col("sub"), col("code"),
         dot(col("csv"), col("cw")).cast("decimal(18,9)").as("cc"),
         dot(col("cw"), col("cw")).cast("decimal(18,9)").as("w2"))
@@ -337,16 +339,16 @@ object Pq {
     // ‖v̂‖ = sqrt(c·c + 2·Σ c_sub·cw + Σ cw·cw) — exact DECIMAL sums
     val rn = rcodes
       .join(assign, "vec_id")
-      .join(broadcast(ccw), Seq("centroid_id", "sub", "code"))
+      .join(Bcast.ifBounded(ccw, Bcast.SqrtLaw), Seq("centroid_id", "sub", "code"))
       .groupBy("vec_id", "centroid_id")
       .agg(sum(col("cc")).as("scc"), sum(col("w2")).as("sw2"))
-      .join(broadcast(cself), "centroid_id")
+      .join(Bcast.ifBounded(cself, Bcast.SqrtLaw), "centroid_id")
       .select(col("vec_id"),
         sqrt((col("c2") + lit(2) * col("scc") + col("sw2")).cast("double"))
           .as("rnorm"))
 
     val ad = rcodes.join(cands, "vec_id")
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .join(Bcast.ifBounded(lut, Bcast.QueryBatch), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"),
         col("centroid_id"))
       .agg(sum(col("pd")).as("ad"))

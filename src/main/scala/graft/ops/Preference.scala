@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Labeled-data / RLHF preparation operators: preference-pair
   * construction (chosen vs rejected per group) and annotator-agreement
@@ -122,7 +122,7 @@ object Preference {
         count(lit(1)).as("n_labels"),
         sum("pos").as("n_pos"),
         sum((col("pos") === col("majority")).cast("long")).as("n_major"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(Bcast.ifBounded(stats, Bcast.OneRow))
       .select(col("rater"), col("n_labels"),
         (col("n_pos").cast("double") / col("n_labels").cast("double"))
           .cast("decimal(18,6)").as("pos_share"),

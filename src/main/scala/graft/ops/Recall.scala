@@ -103,8 +103,9 @@ object Recall {
       .select(col("vec_id"), slice(col("v"), 1, d).as("vd"))
       .withColumn("nd", sqrt(dot2(col("vd"), col("vd"))))
       .filter(col("nd") > 0)
-    val q = broadcast(base.filter(AnnParams.queryPred(queryMod))
-      .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("nd").as("qn")))
+    val q = graft.Bcast.ifBounded(base.filter(AnnParams.queryPred(queryMod))
+      .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("nd").as("qn")),
+      graft.Bcast.QueryBatch)
     val cos = (dot2(col("qv"), col("vd")) / (col("qn") * col("nd")))
       .cast("decimal(10,6)")
     import org.apache.spark.sql.expressions.Window

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.Bcast
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -187,7 +189,7 @@ object Retrieval {
       .distinct()
     val needed = qterms.select("token").distinct()
 
-    val tf = toks.join(broadcast(needed), "token")
+    val tf = toks.join(Bcast.ifBounded(needed, Bcast.QueryBatch), "token")
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
@@ -202,7 +204,7 @@ object Retrieval {
 
     val scored = qterms
       .join(tf, "token")
-      .join(broadcast(dfreq), "token")
+      .join(Bcast.ifBounded(dfreq, Bcast.QueryBatch), "token")
       .join(lens, "doc_id")
       .select(col("query_id"), col("doc_id"), contrib.as("c"))
       .groupBy("query_id", "doc_id").agg(sum("c").as("score_dec"))

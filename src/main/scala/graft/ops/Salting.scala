@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Skew-safe aggregation: the two-phase salted groupBy. A heavy key that
   * would pin one reducer is split across `salts` partial groups
@@ -56,7 +56,7 @@ object Salting {
     val top = counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
       .agg(sum("cnt").as("top10_rows"), max("cnt").as("max_cnt"))
     counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"))
-      .crossJoin(broadcast(top))
+      .crossJoin(Bcast.ifBounded(top, Bcast.OneRow))
       .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("top10_rows"),
         (col("max_cnt").cast("double") / col("n_rows")).as("top1_share"),
         (col("top10_rows").cast("double") / col("n_rows")).as("top10_share"),

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Deterministic sampling and dataset splitting — reproducible across
   * runs, engines, and cluster sizes because the randomness is a salted
@@ -185,7 +185,7 @@ object Sampling {
       .withColumn("sq", sqrt(col("n_tokens").cast("double")).cast("decimal(18,6)"))
     val totals = bySrc.agg(
       sum("n_tokens").as("tot_tokens"), sum("sq").as("tot_sq"))
-    val rated = bySrc.crossJoin(broadcast(totals)).select(
+    val rated = bySrc.crossJoin(Bcast.ifBounded(totals, Bcast.OneRow)).select(
       col("source"), col("n_docs"), col("n_tokens"),
       (col("n_tokens").cast("double") / col("tot_tokens").cast("double")).as("p_raw"),
       (col("sq").cast("double") / col("tot_sq").cast("double")).as("weight"),
@@ -193,7 +193,7 @@ object Sampling {
         col("sq").cast("double") / col("tot_sq").cast("double") * lit(budgetFrac)
           * col("tot_tokens").cast("double") / col("n_tokens").cast("double"))
         .cast("decimal(12,8)").as("rate_dec"))
-    docs.join(broadcast(rated), "source")
+    docs.join(Bcast.ifBounded(rated, Bcast.Domain), "source")
       .groupBy("source")
       .agg(first("n_docs").as("n_docs"), first("n_tokens").as("n_tokens"),
         first("p_raw").as("p_raw"), first("weight").as("weight"),

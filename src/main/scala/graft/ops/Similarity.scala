@@ -106,8 +106,9 @@ object Similarity {
     // the QUERY subset is the broadcast side — without the hint Spark may
     // build the corpus side of this nested-loop join, which is fatal when
     // the corpus is the 100 TB relation and the queries are a handful
-    val q = broadcast(e.filter(AnnParams.queryPred(queryMod))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn")))
+    val q = graft.Bcast.ifBounded(e.filter(AnnParams.queryPred(queryMod))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn")),
+      graft.Bcast.QueryBatch)
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
       .cast("decimal(10,6)")
     import org.apache.spark.sql.expressions.Window
@@ -215,7 +216,7 @@ object Similarity {
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
       .cast("decimal(10,6)")
     import org.apache.spark.sql.expressions.Window
-    broadcast(probes).join(e, Seq("bucket"))
+    graft.Bcast.ifBounded(probes, graft.Bcast.QueryBatch).join(e, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cosine_sim"))
       .withColumn("rank", row_number().over(
@@ -243,9 +244,9 @@ object Similarity {
   def filteredTopK(spark: SparkSession, dir: String,
                    k: Int = 10, queryMod: Int = 50): DataFrame = {
     val e = normalized(spark, dir)
-    val q = broadcast(e.filter(AnnParams.queryPred(queryMod))
+    val q = graft.Bcast.ifBounded(e.filter(AnnParams.queryPred(queryMod))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("label")))
+        col("norm").as("qn"), col("label")), graft.Bcast.QueryBatch)
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
       .cast("decimal(10,6)")
     import org.apache.spark.sql.expressions.Window

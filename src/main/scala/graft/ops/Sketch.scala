@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** KMV (k-minimum-values) distinct-count sketch — approximate
   * COUNT(DISTINCT) with a mergeable, fixed-size state, the property exact
@@ -135,8 +135,8 @@ object Sketch {
       .otherwise(lit((k - 1).toDouble * two60) / col("hk").cast("double"))
     def row(name: String, full: DataFrame, sk: DataFrame): DataFrame =
       full.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(broadcast(
-          sk.agg(max(when(col("rk") === k, col("h"))).as("hk"))))
+        .crossJoin(Bcast.ifBounded(
+          sk.agg(max(when(col("rk") === k, col("h"))).as("hk")), Bcast.OneRow))
         .select(lit(name).as("set_op"), col("n_exact"), estOf.as("estimate"))
 
     // union sketch = k smallest of the two sketches' union (every global
@@ -145,18 +145,18 @@ object Sketch {
     // θ = min over inputs (2^60 stands in when a set fits its sketch)
     def theta(full: DataFrame, sk: DataFrame, out: String): DataFrame =
       full.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(broadcast(
-          sk.agg(max(when(col("rk") === k, col("h"))).as("hk"))))
+        .crossJoin(Bcast.ifBounded(
+          sk.agg(max(when(col("rk") === k, col("h"))).as("hk")), Bcast.OneRow))
         .select(when(col("n_exact") < k, lit(two60))
           .otherwise(col("hk").cast("double")).as(out))
     val inter = sa.select("h").join(sb.select("h"), "h")
-      .crossJoin(broadcast(theta(a, sa, "ta")))
-      .crossJoin(broadcast(theta(b, sb, "tb")))
+      .crossJoin(Bcast.ifBounded(theta(a, sa, "ta"), Bcast.OneRow))
+      .crossJoin(Bcast.ifBounded(theta(b, sb, "tb"), Bcast.OneRow))
       .filter(col("h").cast("double") < least(col("ta"), col("tb")))
       .agg(count(lit(1)).as("n_cand"),
         min(least(col("ta"), col("tb"))).as("theta"))
     val interExact = a.join(b, "h").agg(count(lit(1)).as("n_exact"))
-    val interRow = interExact.crossJoin(broadcast(inter))
+    val interRow = interExact.crossJoin(Bcast.ifBounded(inter, Bcast.OneRow))
       .select(lit("intersection").as("set_op"), col("n_exact"),
         (coalesce(col("n_cand"), lit(0L)).cast("double") * two60 /
           coalesce(col("theta"), lit(two60))).as("estimate"))
@@ -289,9 +289,9 @@ object Sketch {
       .distinct().toDF("user_id")
 
     val total = events.agg(count(lit(1)).cast("double").as("n_total"))
-    events.join(broadcast(survivors), "user_id")
+    events.join(Bcast.ifBounded(survivors, Bcast.Params), "user_id")
       .groupBy("user_id").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .crossJoin(Bcast.ifBounded(total, Bcast.OneRow))
       .filter(col("cnt").cast("double") > col("n_total") / (k + 1.0))
       .select(col("user_id"), col("cnt"),
         (col("n_total") / (k + 1.0)).as("threshold"))
@@ -388,13 +388,13 @@ object Sketch {
       explode(array(pcts.map(lit): _*)).as("pct"))
       .withColumn("target_rank", expr("(n * pct + 99) DIV 100"))
 
-    val est = cum.join(broadcast(targets), Seq("event_type"))
+    val est = cum.join(Bcast.ifBounded(targets, Bcast.Domain), Seq("event_type"))
       .filter(col("cumw") >= col("target_rank"))
       .groupBy("event_type", "pct", "n", "err_bound", "target_rank")
       .agg(min("value").as("sketch_value"))
 
     // exact confirm: one counting pass, no sort
-    val confirm = ev.join(broadcast(est), Seq("event_type"))
+    val confirm = ev.join(Bcast.ifBounded(est, Bcast.Domain), Seq("event_type"))
       .groupBy("event_type", "pct", "n", "err_bound", "target_rank",
         "sketch_value")
       .agg(sum(when(col("value") < col("sketch_value"), 1L).otherwise(0L))
@@ -804,7 +804,7 @@ object Sketch {
       .join(merged, Seq("r", "c"))
       .groupBy("user_id", "n_exact").agg(min("counter").as("cms_estimate"))
     // one-row totals broadcast (PlanLint-allowlisted shape)
-    estimates.crossJoin(broadcast(total))
+    estimates.crossJoin(Bcast.ifBounded(total, Bcast.OneRow))
       .select(col("user_id"), col("n_exact"), col("cms_estimate"),
         (col("cms_estimate") - col("n_exact")).as("overcount"),
         (col("cms_estimate") >= col("n_exact")).as("never_under"),

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Bcast, Tables}
 
 /** Training-data preparation operators: chunking, vocabulary building,
   * and embedding quantization — the steps between "clean corpus" and
@@ -93,7 +93,7 @@ object TextPrep {
       .agg(count(lit(1)).as("doc_freq"), sum("tf").as("term_freq"))
       .filter(col("term_freq") >= minCount)
       .select("token", "doc_freq")
-    tf.join(broadcast(df), "token")
+    tf.join(Bcast.ifBounded(df, Bcast.Linear), "token")
       .select(col("doc_id"), col("token"), col("tf"),
         (col("tf").cast("double") * log(lit(n) / col("doc_freq").cast("double")))
           .cast("decimal(18,6)").as("tfidf"))
@@ -218,7 +218,7 @@ object TextPrep {
     big.filter(col("n_ab") >= minCount)
       .join(uni.select(col("token").as("a"), col("n_tok").as("n_a")), "a")
       .join(uni.select(col("token").as("b"), col("n_tok").as("n_b")), "b")
-      .crossJoin(broadcast(uTot)).crossJoin(broadcast(bTot))
+      .crossJoin(Bcast.ifBounded(uTot, Bcast.OneRow)).crossJoin(Bcast.ifBounded(bTot, Bcast.OneRow))
       .select(concat_ws(" ", col("a"), col("b")).as("pair"),
         col("n_ab").as("pair_count"), pmiCol.as("pmi"))
       .orderBy(col("pmi").desc, col("pair")).limit(k)
@@ -510,7 +510,7 @@ object TextPrep {
       (tfD + lit(1.2) * (lit(1.0) - 0.75 +
         lit(0.75) * col("doc_len").cast("double") / avgdl)))
       .cast("decimal(18,6)")
-    tf.join(broadcast(dfreq), "token")
+    tf.join(Bcast.ifBounded(dfreq, Bcast.Linear), "token")
       .join(lens, "doc_id")
       .select(col("doc_id"), contrib.as("c"))
       .groupBy("doc_id").agg(sum(col("c")).as("score_dec"))

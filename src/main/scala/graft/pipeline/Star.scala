@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.Bcast
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -126,10 +128,13 @@ object Star {
     */
   def factWithDims(silver: DataFrame, dims: Seq[DataFrame]): DataFrame = {
     require(dims.size == 4, "expected customer, product, region, status dims")
-    val c = broadcast(dims(0))
-    val p = broadcast(dims(1))
-    val r = broadcast(dims(2))
-    val st = broadcast(dims(3))
+    // customer/product dims grow with the corpus — unhinted, so the
+    // stats/AQE path broadcasts them only while they actually fit;
+    // region/status are closed domains and keep the hint
+    val c = Bcast.ifBounded(dims(0), Bcast.Linear)
+    val p = Bcast.ifBounded(dims(1), Bcast.Linear)
+    val r = Bcast.ifBounded(dims(2), Bcast.Domain)
+    val st = Bcast.ifBounded(dims(3), Bcast.Domain)
     silver
       .join(c, silver("user_name") === c("customer_name"), "left")
       .join(p, silver("product_category") === p("product_category"), "left")

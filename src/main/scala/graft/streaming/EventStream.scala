@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Bcast
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -153,7 +155,7 @@ object EventStream extends Serializable {
   def enriched(spark: SparkSession, dir: String, userTiers: DataFrame,
                glob: Option[String] = None): DataFrame = {
     eventsStream(spark, dir, glob)
-      .join(broadcast(userTiers), Seq("user_id"), "left")
+      .join(Bcast.ifBounded(userTiers, Bcast.Linear), Seq("user_id"), "left")
       .withColumn("tier", coalesce(col("tier"), lit("standard")))
   }
 

@@ -20,9 +20,9 @@ class AtomicPublishSpec extends SparkSpec {
     assert(v0 === 0L)
     assert(AtomicPublish.committed(spark, base) === 0L)
 
-    // simulate a crash mid-publish: v1 gets ONE of the two datasets and
-    // no _PUBLISHED marker — exactly the window a sequential overwrite
-    // write leaves open
+    // simulate a legacy-writer crash: v1 gets ONE of the two datasets
+    // and no _PUBLISHED marker — exactly the window a sequential
+    // overwrite write leaves open
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "nk")
       .write.mode("overwrite").parquet(s"$base/v1/dim")
     assert(AtomicPublish.committed(spark, base) === 0L,
@@ -31,15 +31,53 @@ class AtomicPublishSpec extends SparkSpec {
       "readers must still see the old dim")
     assert(AtomicPublish.read(spark, base, "fact").count() === 2L)
 
-    // the retry overwrites the partial dir and commits atomically
+    // the retry claims the next FREE id (the partial dir is treated as
+    // taken, never overwritten) and commits atomically
     val v1 = AtomicPublish.publish(spark, base, Seq(
       "dim" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "nk"),
       "fact" -> Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("fact_id", "dim_id")))
-    assert(v1 === 1L)
+    assert(v1 === 2L)
     assert(AtomicPublish.read(spark, base, "dim").count() === 3L)
     assert(AtomicPublish.read(spark, base, "fact").count() === 3L)
-    // superseded v0 pruned, storage stays O(1) versions
+    // superseded v0 pruned AND the unsealed legacy garbage collected:
+    // storage stays O(1) versions
     assert(!new java.io.File(s"$base/v0").exists())
+    assert(!new java.io.File(s"$base/v1").exists(),
+      "an unsealed version dir below the committed id is garbage")
+  }
+
+  test("two interleaved publishers both commit readable versions") {
+    val base = Files.createTempDirectory("atomic_mw").toString + "/t"
+    AtomicPublish.publish(spark, base, Seq("d" -> Seq(0).toDF("x")), retain = 8)
+    // both writers observe committed=0 and race the SAME next id — the
+    // silent-clobber scenario the single-writer protocol had
+    val writers = (1 to 4).map { w =>
+      new Thread {
+        var got: Long = -1L
+        override def run(): Unit =
+          got = AtomicPublish.publish(spark, base,
+            Seq("d" -> Seq.fill(w + 1)(w).toDF("x")), retain = 8)
+      }
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    val ids = writers.map(_.got)
+    assert(ids.forall(_ >= 1L) && ids.distinct.size === 4,
+      s"every writer must win a distinct version, got $ids")
+    // every version is sealed, committed, and holds exactly its own
+    // writer's rows — no v<N> contains two writers' files
+    writers.foreach { t =>
+      val rows = AtomicPublish.readVersion(spark, base, "d", t.got)
+        .collect().map(_.getInt(0)).toSeq
+      assert(rows.nonEmpty && rows.distinct.size === 1,
+        s"v${t.got} must hold one writer's dataset, got $rows")
+    }
+    // the pointer lands on the max committed version, monotonically
+    assert(AtomicPublish.committed(spark, base) === ids.max)
+    assert(AtomicPublish.versions(spark, base).toSet === (ids :+ 0L).toSet)
+    // no stray staging dirs left behind
+    val strays = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith(".stage-"))
+    assert(strays.isEmpty, s"unclaimed stages: ${strays.mkString(",")}")
   }
 
   test("pointer loss recovers from the newest _PUBLISHED version") {
@@ -47,10 +85,30 @@ class AtomicPublishSpec extends SparkSpec {
     AtomicPublish.publish(spark, base, Seq("d" -> Seq(1).toDF("x")))
     AtomicPublish.publish(spark, base, Seq("d" -> Seq(1, 2).toDF("x")))
     assert(AtomicPublish.committed(spark, base) === 1L)
+    // lose EVERY pointer artifact: commit markers and the legacy file
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$base/_commits"))
     new java.io.File(s"$base/_committed").delete()
     assert(AtomicPublish.committed(spark, base) === 1L,
       "must recover the newest sealed version, not restart")
     assert(AtomicPublish.read(spark, base, "d").count() === 2L)
+  }
+
+  test("a legacy _committed pointer layout stays readable") {
+    val base = Files.createTempDirectory("atomic_legacy").toString + "/t"
+    AtomicPublish.publish(spark, base, Seq("d" -> Seq(1, 2, 3).toDF("x")))
+    // rewrite the layout as the old protocol left it: binary long
+    // pointer file, no _commits markers
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$base/_commits"))
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(s"$base/_committed"))
+    try out.writeLong(0L) finally out.close()
+    assert(AtomicPublish.committed(spark, base) === 0L)
+    assert(AtomicPublish.read(spark, base, "d").count() === 3L)
+    // a publish on top of the legacy layout advances past the pointer
+    val v = AtomicPublish.publish(spark, base, Seq("d" -> Seq(1).toDF("x")))
+    assert(v === 1L && AtomicPublish.committed(spark, base) === 1L)
   }
 
   test("retention window keeps history readable; pruning stays bounded") {

@@ -56,6 +56,29 @@ class PlanLintSpec extends SparkSpec {
     "dash_summary", "dash_by_type", "dash_trend",
     "dash_recent10", "dash_critical5")
 
+  /** Every broadcast hint must pass through [[Bcast.ifBounded]] with a
+    * declared row bound — a bare `functions.broadcast(df)` anywhere else
+    * in main source is an unaudited hint that could pin a corpus-sized
+    * frame into every executor at 100 TB. Source-level scan so a new
+    * call site fails the build until its bound is stated.
+    */
+  test("broadcast hints only through Bcast.ifBounded") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val bare = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(_.getFileName.toString == "Bcast.scala")
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i)
+            if line.matches(""".*(?<![.\w])broadcast\(.*""") &&
+              !line.trim.startsWith("*") && !line.trim.startsWith("//") =>
+            s"$p:${i + 1}"
+        }
+      }.toList
+    assert(bare.isEmpty, s"unaudited broadcast() hints: ${bare.mkString(", ")}")
+  }
+
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries
       .filterNot(q => eager(q._1) || allowedNlj(q._1))
