@@ -144,8 +144,12 @@ case class HllUnionAgg(child: Expression, b: Int,
         s"hll_merge expects 2^$b registers, got ${arr.numElements()}")
       var i = 0
       while (i < m) {
-        val mj = arr.getInt(i)
-        if (mj > buf(i)) buf(i) = mj.toByte
+        // a null register contributes nothing (max with 0) — reading it
+        // unguarded would return garbage from the null slot
+        if (!arr.isNullAt(i)) {
+          val mj = arr.getInt(i)
+          if (mj > buf(i)) buf(i) = mj.toByte
+        }
         i += 1
       }
     }
@@ -264,7 +268,12 @@ case class KmvUnionAgg(child: Expression, k: Int,
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       var i = 0
-      while (i < arr.numElements()) { buf.add(arr.getLong(i)); i += 1 }
+      // skip null elements: unguarded getLong reads 0 from a null slot,
+      // which would inject a spurious global minimum into the k-min set
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) buf.add(arr.getLong(i))
+        i += 1
+      }
     }
     buf
   }

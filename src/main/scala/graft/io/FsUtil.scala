@@ -6,6 +6,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Filesystem helpers shared by the writers. */
 object FsUtil {
 
+  /** Collision-free per-data-directory state location. The previous
+    * scheme keyed on `dir.hashCode` (32 bits, and Java string hashes
+    * collide trivially), so two different data directories could
+    * silently share — and clobber — each other's committed state. The
+    * key is now the sanitized absolute path (readable in /tmp listings)
+    * plus an 8-hex-digit SHA-256 prefix of the raw path, so sanitizing
+    * can't re-introduce a collision ("a/b" vs "a_b").
+    */
+  def stateDir(family: String, dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val san = abs.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^_+", "")
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    s"/tmp/graft_$family/$san-$h"
+  }
+
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -39,19 +39,33 @@ object ResultCache {
     * frames through the cache, as `result_cache_daily` does.
     */
   def fingerprint(df: DataFrame): String = {
-    val spark = df.sparkSession
-    val plan = df.queryExecution.optimizedPlan.canonicalized.toString()
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val snapshot = df.inputFiles.sorted.map { f =>
+    // render the canonicalized plan WITHOUT field truncation: toString
+    // elides attribute/expression lists past spark.sql.debug
+    // .maxToStringFields (default 25) as "... N more fields", so two
+    // wide-table queries differing only beyond the cutoff would collide
+    // and the cache would serve the wrong stored result
+    val plan = df.queryExecution.optimizedPlan.canonicalized.treeString(
+      verbose = true, addSuffix = false, maxFields = Int.MaxValue,
+      printOperatorId = false, printOutputColumns = false)
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(plan.getBytes(StandardCharsets.UTF_8))
+    md.update(0.toByte)
+    md.update(inputSnapshot(df).getBytes(StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** `path|length|mtime` lines for every input file of `df`, sorted —
+    * the structural-invalidation half of the fingerprint, reused by the
+    * persisted-artifact builders ([[graft.ops.AnnIndex]]) to detect
+    * that the data under an unchanged path changed.
+    */
+  def inputSnapshot(df: DataFrame): String = {
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    df.inputFiles.sorted.map { f =>
       val p = new Path(f)
       val st = p.getFileSystem(hconf).getFileStatus(p)
       s"$f|${st.getLen}|${st.getModificationTime}"
     }.mkString("\n")
-    val md = MessageDigest.getInstance("SHA-256")
-    md.update(plan.getBytes(StandardCharsets.UTF_8))
-    md.update(0.toByte)
-    md.update(snapshot.getBytes(StandardCharsets.UTF_8))
-    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Serve `df` through the cache at `cacheDir`. Returns the served

@@ -41,13 +41,20 @@ object AnnIndex {
     Seq("vectors", "centroids", "assignments", "codebooks", "codes")
 
   def baseFor(dir: String): String =
-    s"/tmp/graft_annindex/${Integer.toHexString(dir.hashCode)}"
+    graft.io.FsUtil.stateDir("annindex", dir)
 
   /** Build the full index for `dir`'s derived-text corpus and commit it
     * as the next version; returns the committed version id. Every
     * artifact is computed by the SAME builders the in-session queries
     * use, so content equals the memoized index bit-for-bit.
     */
+  /** SHA-256-free raw snapshot (path|len|mtime) of the source table the
+    * whole index derives from — committed with the version so a serve
+    * can detect that the data under an unchanged path changed.
+    */
+  private def sourceSnapshot(spark: SparkSession, dir: String): String =
+    graft.io.ResultCache.inputSnapshot(graft.Tables.documents(spark, dir))
+
   def build(spark: SparkSession, dir: String): Long = {
     val c = Featurize.corpus
     val n = AnnParams.corpusSizeOf(spark, dir, c)
@@ -58,12 +65,27 @@ object AnnIndex {
       "assignments" -> Ivf.assignments(spark, dir, c),
       "codebooks" -> Pq.residualCodebooks(spark, dir, c),
       "codes" -> Pq.residualCodes(spark, dir, c),
-      // the knob the serve path needs WITHOUT re-counting the corpus
-      "meta" -> Seq((n, AnnParams.nProbe(n))).toDF("n", "n_probe")))
+      // the knob the serve path needs WITHOUT re-counting the corpus,
+      // plus the source snapshot that makes staleness detectable
+      "meta" -> Seq((n, AnnParams.nProbe(n), sourceSnapshot(spark, dir)))
+        .toDF("n", "n_probe", "snapshot")))
   }
 
-  private def ensureBuilt(spark: SparkSession, dir: String): Unit =
-    if (!AtomicPublish.exists(spark, baseFor(dir))) { build(spark, dir); () }
+  /** Rebuild unless a committed version exists AND its recorded source
+    * snapshot still matches the files on disk — a compaction or
+    * re-ingest under the same path invalidates the index structurally
+    * instead of serving stale neighbors.
+    */
+  private def ensureBuilt(spark: SparkSession, dir: String): Unit = {
+    val base = baseFor(dir)
+    val current = AtomicPublish.exists(spark, base) && {
+      val meta = AtomicPublish.read(spark, base, "meta")
+      meta.columns.contains("snapshot") &&
+        meta.select("snapshot").head().getString(0) ==
+          sourceSnapshot(spark, dir)
+    }
+    if (!current) { build(spark, dir); () }
+  }
 
   /** Registered `ann_index_build`: (re)build + per-artifact row counts
     * read back FROM the committed version — the oracle recomputes each

@@ -304,7 +304,7 @@ object Ivf {
   def appendCommit(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "ivf_append_persisted", dir, "ivf_append_persisted") {
       import graft.io.AtomicPublish
-      val base = s"/tmp/graft_ivfinc/${Integer.toHexString(dir.hashCode)}"
+      val base = graft.io.FsUtil.stateDir("ivfinc", dir)
       if (!AtomicPublish.exists(spark, base))
         AtomicPublish.publish(spark, base, Seq(
           "centroids" -> centroids(spark, dir, baseCorpus),

@@ -113,7 +113,7 @@ object Layout {
     * via the scan's numFiles metric.
     */
   def zorderSkipping(spark: SparkSession, dir: String, files: Int = 16): DataFrame = {
-    val base = s"/tmp/graft_zorder/${Integer.toHexString(dir.hashCode)}"
+    val base = graft.io.FsUtil.stateDir("zorder", dir)
     val tagged = taggedCells(spark, dir, files)
     val layouts = Seq("zorder" -> "zfile", "user_sort" -> "ufile")
     layouts.foreach { case (name, fcol) =>

@@ -33,7 +33,7 @@ object SketchState {
   private val b = 8
 
   def baseFor(dir: String): String =
-    s"/tmp/graft_sketchstate/${Integer.toHexString(dir.hashCode)}"
+    graft.io.FsUtil.stateDir("sketchstate", dir)
 
   private def dayEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -24,7 +24,7 @@ object TimeTravel {
 
   def check(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "mv_time_travel", dir, "tt_state") {
-      val base = s"/tmp/graft_tt_state/${Integer.toHexString(dir.hashCode)}"
+      val base = graft.io.FsUtil.stateDir("tt_state", dir)
       // self-contained: rebuild the two-version history from scratch
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -62,7 +62,7 @@ object TimeTravel {
   def resultCacheCheck(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "result_cache_daily", dir, "rc_state") {
       import graft.io.ResultCache
-      val cacheDir = s"/tmp/graft_result_cache/${Integer.toHexString(dir.hashCode)}"
+      val cacheDir = graft.io.FsUtil.stateDir("result_cache", dir)
       def q = graft.plans.MvRewrite.dailyCounts(spark, dir)
       ResultCache.serve(spark, cacheDir)(q)
       val (served, hit) = ResultCache.serve(spark, cacheDir)(q)

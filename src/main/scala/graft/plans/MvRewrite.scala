@@ -212,7 +212,7 @@ object MvRewrite {
     * construction).
     */
   def check(spark: SparkSession, dir: String): DataFrame = {
-    val mvDir = s"/tmp/graft_mv/daily_${Integer.toHexString(dir.hashCode)}"
+    val mvDir = graft.io.FsUtil.stateDir("mv", dir) + "/daily"
     materializeAndRegister(spark, dir, mvDir)
     // Execute the MV-served plan NOW (the rewrite fires inside this
     // action — the checkpointed rows come from the MV scan), then
@@ -242,7 +242,7 @@ object MvRewrite {
     graft.Memo(spark, "events_daily_mv_incremental", dir, "mv_state") {
       import org.apache.spark.sql.functions._
       import graft.io.AtomicPublish
-      val base = s"/tmp/graft_mv_state/${Integer.toHexString(dir.hashCode)}"
+      val base = graft.io.FsUtil.stateDir("mv_state", dir)
       def rollup(df: DataFrame) = df
         .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
         .agg(count(lit(1)).as("n"))

@@ -580,7 +580,7 @@ object EventStream extends Serializable {
     */
   def sessionWindowCheck(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "stream_session_window", dir, "stream_session_window") {
-      val base = s"/tmp/graft_stream/swin_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val base = graft.io.FsUtil.stateDir("stream", dir) + "/swin"
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
