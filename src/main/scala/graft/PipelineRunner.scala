@@ -68,7 +68,7 @@ object PipelineRunner {
     WindowReload.reload(spark, s"$wh/silver", cleansed, start, end)
     // drop the audit column and the reload's partition key (eff_part) —
     // both are storage-side, not part of the silver contract
-    val silver = spark.read.parquet(s"$wh/silver")
+    val silver = WindowReload.read(spark, s"$wh/silver")
       .drop("processed_at", "eff_part")
     println(s"[runner] silver rows processed: ${silver.count()}")
 
@@ -124,9 +124,9 @@ object PipelineRunner {
 
     // 4. final report (final_report.py:22-43): per-table row counts —
     //    star members resolved through the committed manifest
-    Seq("silver", "dq_check_results").foreach { t =>
-      println(s"[runner] $t: ${spark.read.parquet(s"$wh/$t").count()} rows")
-    }
+    println(s"[runner] silver: ${WindowReload.read(spark, s"$wh/silver").count()} rows")
+    println(s"[runner] dq_check_results: " +
+      s"${spark.read.parquet(s"$wh/dq_check_results").count()} rows")
     (dims.map(_._1) :+ "fact").foreach { t =>
       println(s"[runner] $t: ${graft.io.AtomicPublish.read(spark, starBase, t).count()} rows")
     }

@@ -41,7 +41,7 @@ object Export {
 
     // row-count reconciliation (migrate_to_mysql.py:84-88)
     val stagedN = staged.count()
-    val loadedN = spark.read.parquet(targetPath)
+    val loadedN = WindowReload.read(spark, targetPath)
       .filter(col("effective_from") >= lit(java.sql.Date.valueOf(start)) &&
         col("effective_to") <= lit(java.sql.Date.valueOf(end)))
       .count()

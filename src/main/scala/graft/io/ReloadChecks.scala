@@ -36,7 +36,7 @@ object ReloadChecks {
       WindowReload.reload(spark, target, silver,
         Pipeline.defaultStart, Pipeline.defaultEnd)
       // partitionBy moved effective_from to the end; restore silver's order
-      spark.read.parquet(target)
+      WindowReload.read(spark, target)
         .select(silver.columns.map(col).toIndexedSeq: _*)
     }
 

@@ -26,9 +26,24 @@ import org.apache.spark.sql.functions._
   *    re-written alongside the new data — note the reference's quirk is
   *    preserved: a row straddling the window is never reloaded, only
   *    carried;
-  *  - `partitionOverwriteMode=dynamic` then replaces ONLY the partitions
-  *    the union touches; partitions outside `[start, end]` are never read
-  *    or written.
+  *  - each reload writes its partitions into a fresh IMMUTABLE tree
+  *    under `trees/` and commits a tiny MANIFEST (partition → tree)
+  *    through the [[AtomicPublish]] pointer. Partitions outside
+  *    `[start, end]` are never read, written, or copied — the new
+  *    manifest simply re-references their existing tree.
+  *
+  * READER ISOLATION comes from the manifest commit: [[read]] resolves
+  * the committed manifest once and assembles the table from the
+  * immutable trees it names, so a reader racing a reload sees either
+  * the old window or the new one, never a half-swapped partition — the
+  * failure the previous in-place `partitionOverwriteMode=dynamic`
+  * rewrite allowed (old files deleted before new files land). The
+  * manifest history keeps `retain = 2` versions and tree garbage
+  * collection spares anything referenced by a retained version or
+  * younger than a grace period, so a reader holding the previous
+  * manifest keeps a complete view through one concurrent reload.
+  * Multi-writer reloads inherit [[AtomicPublish]]'s optimistic
+  * concurrency (distinct versions, last manifest wins the pointer).
   *
   * Partition granularity scales with density, like every other knob in
   * this library (`AnnParams`): at production density (hundreds of MB per
@@ -124,13 +139,56 @@ object WindowReload {
     }
   }
 
+  private val TreesDir = "trees"
+  private val ManifestBase = "_manifest"
+  private val ManifestDs = "manifest"
+  /** Unreferenced trees younger than this survive GC: a concurrent
+    * reload stages its tree BEFORE committing the manifest that
+    * references it.
+    */
+  private val GcGraceMs = 10 * 60 * 1000L
+
+  /** The committed manifest, if this target uses the manifest layout:
+    * (partition date → tree dir relative to the target; "" = the legacy
+    * in-place tree rooted at the target itself).
+    */
+  private def manifestOf(spark: SparkSession,
+                         target: String): Option[Seq[(LocalDate, String)]] =
+    if (!AtomicPublish.exists(spark, s"$target/$ManifestBase")) None
+    else Some(AtomicPublish.read(spark, s"$target/$ManifestBase", ManifestDs)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getString(1))).toSeq)
+
+  /** Legacy layout discovery: top-level `eff_part=` dirs as "" entries. */
+  private def legacyEntries(fs: org.apache.hadoop.fs.FileSystem,
+                            p: Path): Seq[(LocalDate, String)] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith(s"$PartCol=")) None
+      else scala.util.Try(
+        LocalDate.parse(name.stripPrefix(s"$PartCol="))).toOption
+        .map(_ -> "")
+    }
+
+  /** Assemble the committed table state: one partition-pruned scan per
+    * referenced immutable tree, unioned. Resolving the manifest is the
+    * only pointer read, so the returned frame is a consistent SNAPSHOT —
+    * a reload committing concurrently cannot tear it.
+    */
+  def read(spark: SparkSession, target: String): DataFrame =
+    manifestOf(spark, target) match {
+      case None => spark.read.parquet(target) // legacy in-place layout
+      case Some(entries) =>
+        require(entries.nonEmpty, s"manifest of $target references no partitions")
+        readEntries(spark, target, entries)
+    }
+
   def reload(spark: SparkSession,
              targetPath: String,
              incoming: DataFrame,
              start: LocalDate,
              end: LocalDate,
              granularity: Option[Granularity] = None): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val s = lit(java.sql.Date.valueOf(start))
     val e = lit(java.sql.Date.valueOf(end))
 
@@ -139,78 +197,102 @@ object WindowReload {
 
     val p = new Path(targetPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existed = exists(spark, targetPath)
+    // committed state: the manifest if present, else a legacy in-place
+    // tree adopted as tree "" (its partitions join the manifest and are
+    // carried forward untouched — migration without a rewrite)
+    val entries = manifestOf(spark, targetPath)
+      .getOrElse(legacyEntries(fs, p))
+    val existed = entries.nonEmpty
     // The layout on disk wins: a target written at one granularity must
-    // never be overwritten at another (dynamic overwrite would interleave
-    // two truncation schemes in one dir tree).
+    // never be overwritten at another (two truncation schemes would
+    // interleave in one dir tree).
     val g: Granularity =
       if (existed) readMarker(fs, p)
       else granularity.getOrElse(autoGranularity(
         estimateRows(windowed), start, end))
 
-    // Eager localCheckpoint: (a) materializes the carried-row scan BEFORE
-    // the overwrite touches the same path — Spark otherwise rejects a plan
-    // that reads and overwrites one location ("Cannot overwrite a path
-    // that is also being read from"); (b) lets the stale-partition purge
-    // below reuse the result instead of re-reading the replaced target.
-    val base = (
-      if (existed) {
-        // every partition the delete window intersects gets rewritten, so
-        // carry ALL its rows the delete predicate does not match (at day
-        // granularity these are exactly the straddlers: from in-window,
-        // to beyond it). The eff_part range filter is partition pruning.
-        val carried = spark.read.parquet(targetPath)
-          .filter(col(PartCol) >= lit(java.sql.Date.valueOf(g.trunc(start))) &&
-            col(PartCol) <= lit(java.sql.Date.valueOf(g.trunc(end))))
+    def intersects(d: LocalDate): Boolean =
+      !g.partEnd(d).isBefore(start) && !d.isAfter(end)
+
+    val base = {
+      // every partition the delete window intersects gets rewritten, so
+      // carry ALL its rows the delete predicate does not match (at day
+      // granularity these are exactly the straddlers: from in-window,
+      // to beyond it). Reading ONLY the intersecting entries is the
+      // partition pruning.
+      val inWindow = entries.filter { case (d, _) => intersects(d) }
+      if (inWindow.isEmpty) windowed
+      else {
+        val carried = readEntries(spark, targetPath, inWindow)
           .filter(!(col("effective_from") >= s && col("effective_to") <= e))
           .select(windowed.columns.map(col).toIndexedSeq: _*)
         carried.union(windowed)
-      } else windowed
-    )
+      }
+    }
     val toWrite = base.withColumn(PartCol, g.trunc(col("effective_from")))
-      .localCheckpoint(true)
 
-    // REBALANCE on the partition column before partitionBy: without it each
-    // of the N upstream tasks writes a file into every partition dir it
-    // touches (N × partitions tiny files — at 1000 executors a small-file
-    // explosion and a file-listing bottleneck on every subsequent scan).
-    // The AQE rebalance shuffle yields ~one right-sized file per partition
-    // and splits skewed partitions into multiple files instead of one
-    // giant task.
+    // A fresh immutable tree per reload: no path is ever both read and
+    // overwritten, and readers of the old manifest keep complete files.
+    // REBALANCE on the partition column before partitionBy: without it
+    // each of the N upstream tasks writes a file into every partition
+    // dir it touches (N × partitions tiny files — at 1000 executors a
+    // small-file explosion); the AQE rebalance shuffle yields ~one
+    // right-sized file per partition.
+    val tree = s"$TreesDir/t-${java.util.UUID.randomUUID()}"
     toWrite.hint("rebalance", col(PartCol)).write
-      .mode("overwrite")
+      .mode("errorifexists")
       .partitionBy(PartCol)
-      .parquet(targetPath)
-    if (!existed) {
+      .parquet(s"$targetPath/$tree")
+    if (!fs.exists(new Path(p, Marker))) {
       val out = fs.create(new Path(p, Marker), true)
       try out.write(g.name.getBytes("UTF-8")) finally out.close()
     }
 
-    // Dynamic overwrite replaces only partitions the union touches; a
-    // partition inside [start, end] whose rows ALL matched the delete
-    // predicate and got no replacement or carried rows would silently
-    // survive. The reference's DELETE purges it — so drop such stale
-    // partition dirs. The dir listing is bounded by the window's
-    // partition count, not data size.
-    if (existed) {
-      val written = toWrite.select(PartCol).distinct()
-        .collect().map(_.getDate(0).toLocalDate).toSet
-      fs.listStatus(p).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith(s"$PartCol=")) {
-          // skip unparseable partition names (e.g. a NULL-date partition
-          // __HIVE_DEFAULT_PARTITION__ from a foreign bootstrap) — they
-          // can't be inside the [start, end] window
-          scala.util.Try(LocalDate.parse(name.stripPrefix(s"$PartCol=")))
-            .foreach { d =>
-              val intersects = !g.partEnd(d).isBefore(start) && !d.isAfter(end)
-              if (intersects && !written.contains(d))
-                fs.delete(st.getPath, true)
-            }
-        }
-      }
+    // Partitions this reload produced — a dir listing of the new tree,
+    // bounded by the window's partition count, not data size.
+    val written = legacyEntries(fs, new Path(p, tree)).map(_._1)
+    // New manifest: out-of-window partitions keep their old tree
+    // (re-referenced, never copied); every in-window partition resolves
+    // to the new tree — or to nothing, which IS the reference's DELETE
+    // of a window that got no replacement rows.
+    val newEntries = entries.filterNot { case (d, _) => intersects(d) } ++
+      written.map(_ -> tree)
+    import spark.implicits._
+    AtomicPublish.publish(spark, s"$targetPath/$ManifestBase", Seq(
+      ManifestDs -> newEntries
+        .map { case (d, t) => (java.sql.Date.valueOf(d), t) }
+        .toDF("part_date", "tree")), retain = 2)
+
+    gcTrees(spark, fs, p)
+  }
+
+  private def readEntries(spark: SparkSession, target: String,
+                          entries: Seq[(LocalDate, String)]): DataFrame =
+    entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (tree, parts) =>
+      val root = if (tree.isEmpty) target else s"$target/$tree"
+      spark.read.option("basePath", root)
+        .parquet(parts.map { case (d, _) => s"$root/$PartCol=$d" }: _*)
+    }.reduce(_.unionByName(_))
+
+  /** Drop trees no retained manifest version references, sparing trees
+    * younger than the grace period (a concurrent reload stages its tree
+    * before its manifest commit). The legacy "" tree (the target root)
+    * is never collected — its files are inert once de-referenced.
+    */
+  private def gcTrees(spark: SparkSession,
+                      fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
+    val mbase = s"$p/$ManifestBase"
+    val referenced = AtomicPublish.versions(spark, mbase).flatMap { v =>
+      AtomicPublish.readVersion(spark, mbase, ManifestDs, v)
+        .select("tree").distinct().collect().map(_.getString(0))
+    }.toSet
+    val troot = new Path(p, TreesDir)
+    if (fs.exists(troot)) fs.listStatus(troot).foreach { st =>
+      val rel = s"$TreesDir/${st.getPath.getName}"
+      if (!referenced.contains(rel) &&
+        st.getModificationTime < System.currentTimeMillis() - GcGraceMs)
+        fs.delete(st.getPath, true)
     }
-    toWrite.unpersist()
   }
 
   /** M3 twin — DQ-results window purge + append

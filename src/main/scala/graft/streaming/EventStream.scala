@@ -73,9 +73,9 @@ object EventStream extends Serializable {
 
   /** Streaming read of `dir`'s events with `ts` normalized to a micros
     * TIMESTAMP whatever the stored encoding. */
-  private def eventsStream(spark: SparkSession, dir: String,
-                           glob: Option[String] = None,
-                           options: Map[String, String] = Map.empty): DataFrame = {
+  private[graft] def eventsStream(spark: SparkSession, dir: String,
+                                  glob: Option[String] = None,
+                                  options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (srcDir, srcGlob) = resolveSource(spark, dir, glob)
     val reader = spark.readStream.schema(sourceSchema(spark, srcDir, srcGlob))

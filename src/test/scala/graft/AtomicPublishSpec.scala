@@ -148,7 +148,7 @@ class AtomicPublishSpec extends SparkSpec {
     val cd = AtomicPublish.read(spark, s"$wh/star", "fact")
       .select("created_dt").distinct().collect()
     assert(cd.map(_.getDate(0).toString).toSeq === Seq("2024-01-15"))
-    val pa = spark.read.parquet(s"$wh/silver")
+    val pa = graft.io.WindowReload.read(spark, s"$wh/silver")
       .select("processed_at").distinct().collect()
     assert(pa.map(_.getTimestamp(0).toString).toSeq === Seq("2024-01-15 12:00:00.0"))
   }

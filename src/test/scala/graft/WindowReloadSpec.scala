@@ -17,7 +17,7 @@ class WindowReloadSpec extends SparkSpec {
         col("t").cast("date").as("effective_to"))
 
   private def snapshot(path: String): Set[(Int, String, String)] =
-    spark.read.parquet(path)
+    WindowReload.read(spark, path)
       .select(col("id"), col("effective_from").cast("string"),
         col("effective_to").cast("string"))
       .as[(Int, String, String)].collect().toSet
@@ -33,7 +33,9 @@ class WindowReloadSpec extends SparkSpec {
     WindowReload.reload(spark, target,
       df(rows: _*).repartition(16), jan1, jan31,
       granularity = Some(WindowReload.Day))
-    val dirs = new java.io.File(target).listFiles()
+    val trees = new java.io.File(s"$target/trees").listFiles()
+    assert(trees.length === 1, "one reload = one immutable tree")
+    val dirs = trees(0).listFiles()
       .filter(_.getName.startsWith("eff_part="))
     assert(dirs.length === 3)
     dirs.foreach { d =>
@@ -50,16 +52,17 @@ class WindowReloadSpec extends SparkSpec {
     WindowReload.reload(spark, target,
       df((1, "2023-01-05", "2023-01-10"), (2, "2023-01-20", "2023-01-25")),
       jan1, jan31)
-    def partDirs() = new java.io.File(target).listFiles()
-      .filter(_.getName.startsWith("eff_part=")).map(_.getName).toSet
-    assert(partDirs() === Set("eff_part=2023-01-01"),
+    def partDirs() = WindowReload.read(spark, target)
+      .select(col("eff_part").cast("string")).distinct()
+      .as[String].collect().toSet
+    assert(partDirs() === Set("2023-01-01"),
       "sparse month should collapse to a single coarse partition")
     // second reload (even if a caller now asks for Day) must honor the
     // on-disk layout — mixing truncation schemes in one tree would corrupt
     // the dynamic overwrite
     WindowReload.reload(spark, target, df((3, "2023-01-07", "2023-01-12")),
       jan1, jan31, granularity = Some(WindowReload.Day))
-    assert(partDirs() === Set("eff_part=2023-01-01"))
+    assert(partDirs() === Set("2023-01-01"))
     assert(snapshot(target).map(_._1) === Set(3))
   }
 
@@ -118,6 +121,41 @@ class WindowReloadSpec extends SparkSpec {
          (3, "2023-01-05", "2023-01-10")),  // inside → inserted
       jan1, jan31)
     assert(snapshot(path).map(_._1) === Set(3))
+  }
+
+  test("a reader racing a reload sees the old or the new window, never a gap") {
+    val path = Files.createTempDirectory("wr_iso").toString + "/t"
+    WindowReload.reload(spark, path,
+      df((1, "2023-01-05", "2023-01-10"), (2, "2023-01-20", "2023-01-25")),
+      jan1, jan31)
+    val oldSet = snapshot(path)
+    // a reader that resolved the manifest BEFORE the reload commits —
+    // its frame must stay completely readable afterwards (retain=2
+    // spares the trees the previous manifest references)
+    val preFrame = WindowReload.read(spark, path)
+      .select(col("id"), col("effective_from").cast("string"),
+        col("effective_to").cast("string"))
+    // a reader loop racing the reload: every resolved view must be
+    // EXACTLY the old state or the new state — the in-place dynamic
+    // overwrite this replaces could expose a partition with its old
+    // files deleted and the new ones not yet visible
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Int, String, String)]]
+    @volatile var halt = false
+    val reader = new Thread {
+      override def run(): Unit = while (!halt) seen.add(snapshot(path))
+    }
+    reader.start()
+    try WindowReload.reload(spark, path, df((3, "2023-01-06", "2023-01-11")),
+      jan1, jan31)
+    finally { halt = true; reader.join() }
+    val newSet = snapshot(path)
+    assert(newSet.map(_._1) === Set(3))
+    import scala.jdk.CollectionConverters._
+    val torn = seen.asScala.toSet -- Set(oldSet, newSet)
+    assert(torn.isEmpty, s"torn views observed: $torn")
+    assert(seen.asScala.nonEmpty, "the reader must observe at least one view")
+    assert(preFrame.as[(Int, String, String)].collect().toSet === oldSet,
+      "a pre-reload reader keeps its complete snapshot")
   }
 
   test("auto granularity costs no extra job on first load (estimate, not count)") {
