@@ -161,6 +161,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     fn("feature_hash", classOf[FeatureHashVector], FeatureHashFunctions.builder)
     fn("bloom_might_contain", classOf[BloomMightContain],
       BloomMightContain.builder)
+    fn("word_ngrams", classOf[WordNgrams], WordNgramFunctions.builder)
     SketchAggFunctions.injectables.foreach {
       case (name, clazz, b) => fn(name, clazz, b)
     }

@@ -52,9 +52,8 @@ object Contamination {
       .select(col("doc_id"), split(TextMetrics.normalized(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("ws")) - n),
-          i => concat_ws(" ",
-            (0 until n).map(j => element_at(col("ws"), i + j + 1)): _*))).as("ngram"))
+        graft.functions.WordNgramFunctions
+          .wordNgrams(spark, col("ws"), n).as("ngram"))
       .distinct()
 
   /** Per-training-doc contamination report: distinct-n-gram count,

@@ -94,11 +94,13 @@ object Dedup {
     val docs = docsIn
       .select(col("doc_id"), split(TextMetrics.normalized(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
+    // word_ngrams is the custom Generator form of
+    // explode(transform(sequence(...))) — one emitted row per window,
+    // no per-document index/n-gram array materialization
     docs
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("ws")) - 3),
-          i => concat_ws(" ", element_at(col("ws"), i + 1),
-            element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))).as("shingle"))
+        graft.functions.WordNgramFunctions
+          .wordNgrams(docsIn.sparkSession, col("ws"), 3).as("shingle"))
       .distinct()
   }
 

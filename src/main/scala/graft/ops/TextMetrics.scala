@@ -136,8 +136,7 @@ object TextMetrics {
 
     def gram(n: Int): Column =
       if (n == 1) explode(col("ws"))
-      else explode(transform(sequence(lit(0), size(col("ws")) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + j + 1)): _*)))
+      else graft.functions.WordNgramFunctions.wordNgrams(spark, col("ws"), n)
 
     def stats(n: Int): DataFrame = base
       .select(col("doc_id"), gram(n).as("g"))

@@ -158,9 +158,7 @@ object TextPrep {
     Tables.documents(spark, dir)
       .select(ws.as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
-        i => concat_ws(" ",
-          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))).as("pair"))
+      .select(graft.functions.WordNgramFunctions.wordNgrams(spark, col("ws"), 2).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("pair_count"))
       .orderBy(col("pair_count").desc, col("pair"))
@@ -412,9 +410,8 @@ object TextPrep {
     for (_ <- 1 to iters) {
       val top = cur
         .filter(size(col("ws")) >= 2)
-        .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
-          i => concat_ws(" ",
-            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))).as("pair"))
+        .select(graft.functions.WordNgramFunctions
+          .wordNgrams(docs.sparkSession, col("ws"), 2).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(1).collect()

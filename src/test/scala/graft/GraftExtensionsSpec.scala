@@ -26,8 +26,8 @@ class GraftExtensionsSpec extends SparkSpec {
         .getOrCreate()
       assert(s2 ne spark, "must be a fresh session, not the shared one")
       val expected = Seq("winnow_fingerprint", "nfc_normalize", "cdc_cuts",
-        "feature_hash", "bloom_might_contain", "hll_sketch", "hll_merge",
-        "kmv_sketch", "kmv_union")
+        "feature_hash", "bloom_might_contain", "word_ngrams", "hll_sketch",
+        "hll_merge", "kmv_sketch", "kmv_union")
       expected.foreach { name =>
         assert(s2.sessionState.functionRegistry
           .functionExists(FunctionIdentifier(name)), s"$name not injected")
