@@ -58,11 +58,18 @@ object AnnIndex {
   def build(spark: SparkSession, dir: String): Long = {
     val c = Featurize.corpus
     val n = AnnParams.corpusSizeOf(spark, dir, c)
+    import org.apache.spark.sql.functions.col
     import spark.implicits._
     AtomicPublish.publish(spark, baseFor(dir), Seq(
       "vectors" -> c.normalizedOf(spark, dir),
       "centroids" -> Ivf.centroids(spark, dir, c),
-      "assignments" -> Ivf.assignments(spark, dir, c),
+      // the inverted file rides a RANGE layout on its list key: each
+      // parquet file covers a disjoint centroid_id range, so a probe-set
+      // IN filter through the graft-artifact source prunes whole files
+      // (footer min/max) — a probe reads only its lists, never the index
+      "assignments" -> Ivf.assignments(spark, dir, c)
+        .repartitionByRange(8, col("centroid_id"))
+        .sortWithinPartitions("centroid_id"),
       "codebooks" -> Pq.residualCodebooks(spark, dir, c),
       "codes" -> Pq.residualCodes(spark, dir, c),
       // the knob the serve path needs WITHOUT re-counting the corpus,
@@ -114,19 +121,26 @@ object AnnIndex {
       servePlan(spark, dir)
     }
 
+  /** DataSourceV2 read of one committed artifact — the catalog-table
+    * path ([[graft.sources.GraftArtifactSource]]): pointer-resolved
+    * snapshot, column pruning, and footer-stats filter pushdown.
+    */
+  def artifact(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.format("graft-artifact")
+      .option("base", baseFor(dir)).option("dataset", name).load()
+
   /** The serve DataFrame with NO build fallback and NO memo — the spec
-    * uses this to assert the plan's scans touch only the index.
+    * uses this to assert the plan's scans touch only the index. Every
+    * artifact is read through the DSv2 source.
     */
   private[graft] def servePlan(spark: SparkSession, dir: String): DataFrame = {
-    val base = baseFor(dir)
-    val nProbe = AtomicPublish.read(spark, base, "meta")
-      .head().getInt(1)
+    val nProbe = artifact(spark, dir, "meta").head().getInt(1)
     Pq.ivfPqFrom(
-      AtomicPublish.read(spark, base, "vectors"),
-      AtomicPublish.read(spark, base, "centroids"),
-      AtomicPublish.read(spark, base, "assignments"),
-      AtomicPublish.read(spark, base, "codebooks"),
-      AtomicPublish.read(spark, base, "codes"),
+      artifact(spark, dir, "vectors"),
+      artifact(spark, dir, "centroids"),
+      artifact(spark, dir, "assignments"),
+      artifact(spark, dir, "codebooks"),
+      artifact(spark, dir, "codes"),
       nProbe, k, shortlist, queryMod)
   }
 
