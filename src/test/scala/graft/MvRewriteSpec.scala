@@ -67,7 +67,7 @@ class MvRewriteSpec extends SparkSpec {
   test("incremental MV: fold equals full recompute, versions advance, rule detached") {
     MvRewrite.deregister(spark, sf0001)
     val before = spark.experimental.extraOptimizations.length
-    val base = s"/tmp/graft_mv_state/${Integer.toHexString(sf0001.hashCode)}"
+    val base = graft.io.FsUtil.stateDir("mv_state", sf0001)
     val served = MvRewrite.incrementalCheck(spark, sf0001)
     assert(spark.experimental.extraOptimizations.length == before,
       "incrementalCheck() must deregister its rule after executing")

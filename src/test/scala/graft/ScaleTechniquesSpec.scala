@@ -176,7 +176,7 @@ class ScaleTechniquesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(zo.getLong(3) < us.getLong(3))
     // the manifest prune IS the physical scan: the pruned read's
     // FileSourceScan reports exactly n_files_scanned files
-    val base = s"/tmp/graft_zorder/${Integer.toHexString(sf0001.hashCode)}"
+    val base = graft.io.FsUtil.stateDir("zorder", sf0001)
     val layout = spark.read.parquet(s"$base/zorder")
     val manifest = layout.groupBy("file_id")
       .agg(min("un").as("unmin"), max("un").as("unmax"),
