@@ -135,18 +135,7 @@ object AtomicPublish {
     val b = new Path(base)
     val fs = fsOf(spark, b)
     val token = java.util.UUID.randomUUID().toString
-    val utf8 = java.nio.charset.StandardCharsets.UTF_8
-
-    // 1. Stage: write every member ONCE into a writer-unique hidden
-    //    directory and seal it there — the version is complete before
-    //    it can ever become visible under a `v<N>` name.
-    val stage = new Path(b, s".stage-$token")
-    datasets.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(new Path(stage, name).toString)
-    }
-    val marker = fs.create(new Path(stage, "_PUBLISHED"), true)
-    try marker.write((token +: datasets.map(_._1)).mkString("\n").getBytes(utf8))
-    finally marker.close()
+    val stage = stageDatasets(spark, b, token, datasets)
 
     // 2. Claim: rename the stage to the next free version id. Rename
     //    does NOT overwrite a populated directory, so the first writer
@@ -158,48 +147,119 @@ object AtomicPublish {
     //    of failing: on a mismatch the nested stage is pulled back out
     //    and the claim retries, so no `v<N>` ever holds two writers'
     //    files.
-    def tokenOf(dir: Path): Option[String] = {
-      val m = new Path(dir, "_PUBLISHED")
-      if (!fs.exists(m)) None
-      else {
-        val in = fs.open(m)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().nextOption().getOrElse(""))
-        finally in.close()
-      }
-    }
     var v = committed(spark, base) + 1
     var claimed = false
     while (!claimed) {
       val dst = new Path(b, s"v$v")
       if (fs.exists(dst)) v += 1
       else if (!fs.rename(stage, dst)) v += 1
-      else if (tokenOf(dst).contains(token)) claimed = true
+      else if (tokenOf(fs, dst).contains(token)) claimed = true
       else { // nested into another writer's version: recover and retry
         val nested = new Path(dst, stage.getName)
         if (fs.exists(nested)) fs.rename(nested, stage)
         v += 1
       }
     }
+    commitAndPrune(spark, b, token, v, retain)
+    v
+  }
 
-    // 3. Commit: a per-version marker made visible by rename. Markers
-    //    are append-only and version-named, so concurrent publishers
-    //    each commit their own version and [[committed]] (the max)
-    //    moves monotonically — no pointer clobber.
+  /** Compare-and-swap publish: stage `datasets`, then commit ONLY if the
+    * version lands at exactly `parent + 1` — i.e. no other writer
+    * committed since the caller read `committed == parent`. Returns the
+    * committed id, or None when the parent moved, in which case the
+    * staged data is discarded and the caller must RECOMPUTE against the
+    * new committed version before retrying.
+    *
+    * This is the serializable-commit primitive row-level operations
+    * need. [[publish]]'s claim loop guarantees isolation (each writer
+    * gets its own intact version id) but not serializability: two
+    * MERGEs computed from the same parent would both commit, and the
+    * later version would silently drop the earlier one's row changes.
+    * With tryPublish the loser observes the conflict and re-derives —
+    * the optimistic-concurrency discipline lakehouse table formats use
+    * for row-level transactions.
+    */
+  def tryPublish(spark: SparkSession, base: String,
+                 datasets: Seq[(String, DataFrame)], retain: Int,
+                 parent: Long): Option[Long] = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val b = new Path(base)
+    val fs = fsOf(spark, b)
+    if (committed(spark, base) != parent) return None // fail fast, no write
+    val token = java.util.UUID.randomUUID().toString
+    val stage = stageDatasets(spark, b, token, datasets)
+    val v = parent + 1
+    val dst = new Path(b, s"v$v")
+    // single claim attempt at exactly parent+1: any failure mode means
+    // another writer won the slot → discard the stage and report conflict
+    val won =
+      if (fs.exists(dst)) false
+      else if (!fs.rename(stage, dst)) false
+      else if (tokenOf(fs, dst).contains(token)) true
+      else { // nested into the winner's version dir: pull back out
+        val nested = new Path(dst, stage.getName)
+        if (fs.exists(nested)) fs.rename(nested, stage)
+        false
+      }
+    if (!won) {
+      fs.delete(stage, true)
+      None
+    } else {
+      commitAndPrune(spark, b, token, v, retain)
+      Some(v)
+    }
+  }
+
+  /** Stage every member once into a writer-unique hidden directory and
+    * seal it there — the version is complete before it can ever become
+    * visible under a `v<N>` name. */
+  private def stageDatasets(spark: SparkSession, b: Path, token: String,
+                            datasets: Seq[(String, DataFrame)]): Path = {
+    val fs = fsOf(spark, b)
+    val stage = new Path(b, s".stage-$token")
+    datasets.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(new Path(stage, name).toString)
+    }
+    val marker = fs.create(new Path(stage, "_PUBLISHED"), true)
+    try marker.write((token +: datasets.map(_._1)).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally marker.close()
+    stage
+  }
+
+  private def tokenOf(fs: org.apache.hadoop.fs.FileSystem,
+                      dir: Path): Option[String] = {
+    val m = new Path(dir, "_PUBLISHED")
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().nextOption().getOrElse(""))
+      finally in.close()
+    }
+  }
+
+  /** Commit: a per-version marker made visible by rename. Markers are
+    * append-only and version-named, so concurrent publishers each
+    * commit their own version and [[committed]] (the max) moves
+    * monotonically — no pointer clobber. Then prune versions (and
+    * markers) older than the retention window, measured from the
+    * now-committed maximum; unsealed version dirs at or below the
+    * committed id are garbage (pre-claim-protocol partial writes) and
+    * are collected so a crashed legacy writer can't park on an id
+    * forever.
+    */
+  private def commitAndPrune(spark: SparkSession, b: Path, token: String,
+                             v: Long, retain: Int): Unit = {
+    val fs = fsOf(spark, b)
     fs.mkdirs(new Path(b, "_commits"))
     val ctmp = new Path(b, s".commit-$token")
     fs.create(ctmp, true).close()
     if (!fs.rename(ctmp, new Path(b, s"_commits/v$v")) && fs.exists(ctmp))
       fs.delete(ctmp, false) // marker already present (crash-retry)
 
-    // 4. Prune versions (and their markers) older than the retention
-    //    window, measured from the now-committed maximum — readers only
-    //    ever resolve the pointer; retained history serves time travel.
-    //    Unsealed version dirs at or below the committed id are garbage
-    //    (pre-claim-protocol partial writes: every claimed version
-    //    carries its marker from birth) — collect them so a crashed
-    //    legacy writer can't park on an id forever.
-    val cur = committed(spark, base)
+    val cur = committed(spark, b.toString)
     publishedVersions(spark, b).filter(_ <= cur - retain).foreach { n =>
       fs.delete(new Path(b, s"v$n"), true)
       fs.delete(new Path(b, s"_commits/v$n"), false)
@@ -212,6 +272,5 @@ object AtomicPublish {
         case _ => ()
       }
     }
-    v
   }
 }

@@ -338,6 +338,15 @@ object OpsQueries {
     "io_formats" -> ((s, dir) => graft.io.Formats.roundtrip(s, dir)),
     // small-file compaction: fragment → rebalance-rewrite → invariants
     "compact_roundtrip" -> ((s, dir) => graft.io.Compact.roundtrip(s, dir)),
+    // copy-on-write MERGE (upsert+delete+insert) over the manifest table:
+    // only key-range-affected files rewrite, the rest are referenced
+    "cow_merge" -> ((s, dir) => graft.io.CowTable.mergeCheck(s, dir)),
+    // full row-level lifecycle: MERGE → DELETE WHERE → compact → vacuum,
+    // final snapshot read through the compacted manifest
+    "cow_lifecycle" -> ((s, dir) => graft.io.CowTable.lifecycleCheck(s, dir)),
+    // commit-log streaming: every AtomicPublish version = one exactly-once
+    // micro-batch of the graft-artifact DSv2 source (offsets = version ids)
+    "stream_publish_feed" -> ((s, dir) => graft.streaming.PublishFeed.check(s, dir)),
     // two materialized table versions diffed from the reloaded files:
     // per-source added/removed/changed/unchanged via key-join row digests
     "snapshot_diff" -> ((s, dir) => SnapshotDiff.report(s, dir)),
@@ -654,6 +663,9 @@ object OpsQueries {
     "events_interval_join" -> RangeJoin.sessionErrorLoadSql(),
     "io_formats" -> graft.io.Formats.roundtripSql,
     "compact_roundtrip" -> graft.io.Compact.roundtripSql,
+    "cow_merge" -> graft.io.CowTable.mergeSql,
+    "cow_lifecycle" -> graft.io.CowTable.lifecycleSql,
+    "stream_publish_feed" -> graft.streaming.PublishFeed.checkSql,
     "snapshot_diff" -> SnapshotDiff.reportSql,
     "schema_evolution" -> graft.io.SchemaEvolution.reportSql,
     "stream_hourly" -> graft.streaming.EventStream.hourlyCheckSql,

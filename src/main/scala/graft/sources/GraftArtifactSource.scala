@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,11 +53,14 @@ class GraftArtifactSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-artifact"
 
+  private def cow(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("cow")).exists(_.toBoolean)
+
   private def resolveDir(options: CaseInsensitiveStringMap): String = {
     val base = options.get("base")
-    val ds = options.get("dataset")
+    val ds = if (cow(options)) "manifest" else options.get("dataset")
     require(base != null && ds != null,
-      "graft-artifact requires `base` and `dataset` options")
+      "graft-artifact requires `base` and `dataset` options (or cow=true)")
     val spark = SparkSession.active
     val v = Option(options.get("version")).map(_.toLong)
       .getOrElse(graft.io.AtomicPublish.committed(spark, base))
@@ -64,25 +68,45 @@ class GraftArtifactSource extends TableProvider with DataSourceRegister {
     s"$base/v$v/$ds"
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SparkSession.active.read.parquet(resolveDir(options)).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    if (cow(options)) {
+      // a COW table's version payload is its manifest; the DATA schema
+      // comes from the pool files it references
+      val files = spark.read.parquet(resolveDir(options))
+        .select("file").collect().map(_.getString(0))
+      require(files.nonEmpty, "empty cow table")
+      spark.read.parquet(files.head).schema
+    } else spark.read.parquet(resolveDir(options)).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new ArtifactTable(resolveDir(new CaseInsensitiveStringMap(properties)), schema)
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ArtifactTable(opts.get("base"), opts.get("dataset"),
+      Option(opts.get("startVersion")).map(_.toLong),
+      cow(opts), resolveDir(opts), schema)
+  }
 }
 
-private[sources] class ArtifactTable(dir: String, tableSchema: StructType)
+private[sources] class ArtifactTable(base: String, dataset: String,
+                                     startVersion: Option[Long],
+                                     cow: Boolean,
+                                     dir: String, tableSchema: StructType)
   extends Table with SupportsRead {
   override def name(): String = s"graft-artifact `$dir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArtifactScanBuilder(dir, tableSchema)
+    new ArtifactScanBuilder(base, dataset, startVersion, cow, dir, tableSchema)
 }
 
-private[sources] class ArtifactScanBuilder(dir: String, full: StructType)
+private[sources] class ArtifactScanBuilder(base: String, dataset: String,
+                                           startVersion: Option[Long],
+                                           cow: Boolean,
+                                           dir: String, full: StructType)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -117,12 +141,17 @@ private[sources] class ArtifactScanBuilder(dir: String, full: StructType)
     required =
       if (requiredSchema.isEmpty) StructType(full.fields.take(1))
       else requiredSchema
-  override def build(): Scan = new ArtifactScan(dir, full, required, pushed)
+  override def build(): Scan =
+    new ArtifactScan(base, dataset, startVersion, cow, dir, full,
+      required, pushed)
 }
 
 private[sources] case class ArtifactPartition(path: String) extends InputPartition
 
-private[sources] class ArtifactScan(dir: String, full: StructType,
+private[sources] class ArtifactScan(base: String, dataset: String,
+                                    startVersion: Option[Long],
+                                    cow: Boolean,
+                                    dir: String, full: StructType,
                                     required: StructType,
                                     pushed: Array[Filter])
   extends Scan with Batch {
@@ -130,15 +159,34 @@ private[sources] class ArtifactScan(dir: String, full: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Streaming over the COMMIT LOG: each committed [[graft.io.AtomicPublish]]
+    * version is one exactly-once micro-batch — publish/subscribe on the
+    * table's own transaction history, no side channel. Offsets are
+    * version ids, so a restart from checkpoint resumes exactly after the
+    * last version it processed (retention permitting — a pruned version
+    * inside the requested range fails fast rather than silently
+    * skipping data). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(!cow, "cow tables stream by commit-log version, whose payload " +
+      "is a manifest (rewrites re-reference rows); stream the underlying " +
+      "publishes instead")
+    new ArtifactMicroBatchStream(base, dataset, startVersion, required)
+  }
+
   /** Footer-stats file pruning on the driver: a file survives iff every
-    * pushed filter MAY match some row group (per-column min/max). */
+    * pushed filter MAY match some row group (per-column min/max). For a
+    * COW table the candidate list is the committed MANIFEST's file set
+    * (pool files shared across versions), not a directory listing. */
   private lazy val (allFiles, keptFiles): (Seq[String], Seq[String]) = {
     val p = new Path(dir)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
-    val files = fs.listStatus(p).toSeq.map(_.getPath)
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-      .map(_.toString).sorted
+    val files =
+      if (cow) SparkSession.active.read.parquet(dir)
+        .select("file").collect().map(_.getString(0)).toSeq.sorted
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .map(_.toString).sorted
     val kept = files.filter { f =>
       val in = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(f), conf))
@@ -184,6 +232,59 @@ private[sources] class ArtifactScan(dir: String, full: StructType,
   override def description(): String =
     s"graft-artifact $dir pushed=[${pushed.mkString(", ")}] " +
       s"files=${keptFiles.size}/${allFiles.size}"
+}
+
+/** Offset = committed version id (the table's own transaction log). */
+private[sources] case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[sources] class ArtifactMicroBatchStream(base: String, dataset: String,
+                                                startVersion: Option[Long],
+                                                required: StructType)
+  extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private def fs = new Path(base)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** First version to EMIT defaults to the earliest still-readable one
+    * (Kafka's `earliest`); `startVersion` skips history. The offset is
+    * the version BEFORE the first emitted. */
+  override def initialOffset(): Offset = VersionOffset(
+    startVersion.map(_ - 1).getOrElse {
+      val vs = graft.io.AtomicPublish.versions(spark, base)
+      if (vs.isEmpty) -1L else vs.min - 1
+    })
+
+  override def latestOffset(): Offset =
+    VersionOffset(graft.io.AtomicPublish.committed(spark, base))
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset("""-?\d+""".r.findFirstIn(json)
+      .getOrElse(sys.error(s"bad offset: $json")).toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].version
+    val e = end.asInstanceOf[VersionOffset].version
+    ((s + 1) to e).flatMap { v =>
+      // fail fast on a pruned/partial version: silently skipping a
+      // committed batch would be data loss the checkpoint can't see
+      require(fs.exists(new Path(base, s"v$v/_PUBLISHED")),
+        s"version $v under $base is not readable (pruned?); " +
+          "increase the publisher's retain window for streaming readers")
+      val d = new Path(base, s"v$v/$dataset")
+      fs.listStatus(d).toSeq.map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+        .map(p => ArtifactPartition(p.toString))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArtifactReaderFactory(projection = "", required.json, Array.empty)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] object ArtifactScan {

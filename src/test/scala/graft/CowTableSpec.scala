@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import graft.io.{AtomicPublish, CowTable}
+
+/** Copy-on-write row-level operations: file-granular MERGE/DELETE,
+  * serializable commits under concurrent writers, compaction, vacuum.
+  */
+class CowTableSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def table(n: Int) =
+    (1 to n).map(i => (i.toLong, s"name$i", i * 10.0)).toDF("id", "nm", "amt")
+
+  test("MERGE rewrites only key-range-affected files, references the rest") {
+    val base = Files.createTempDirectory("cow").toString + "/t"
+    CowTable.create(spark, base, table(1000), "id", numFiles = 8)
+    val before = CowTable.manifest(spark, base)
+    assert(before.size === 8)
+
+    // source touches keys 1..5 only: one file's range
+    val src = Seq((2L, "upd2", 99.0, false), (4L, "x", 0.0, true),
+      (2000L, "new", 1.0, false))
+      .toDF("id", "nm", "amt", "_delete")
+    CowTable.merge(spark, base, src, "id")
+    val after = CowTable.manifest(spark, base)
+
+    val beforeFiles = before.map(_.file).toSet
+    val afterFiles = after.map(_.file).toSet
+    val referenced = afterFiles.intersect(beforeFiles)
+    assert(referenced.size === 7,
+      s"7 of 8 files must be referenced untouched, got ${referenced.size}")
+    // the referenced files' bytes were never rewritten (same pool paths)
+    referenced.foreach(f => assert(new java.io.File(f).exists()))
+
+    val got = CowTable.read(spark, base)
+    val expect = table(1000)
+      .filter(col("id") =!= 2L && col("id") =!= 4L)
+      .union(Seq((2L, "upd2", 99.0), (2000L, "new", 1.0)).toDF("id", "nm", "amt"))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    assert(got.count() === 1000L) // -1 delete +1 insert
+  }
+
+  test("tryPublish is a CAS: a stale parent is rejected without a commit") {
+    val base = Files.createTempDirectory("cow_cas").toString + "/t"
+    val v0 = AtomicPublish.publish(spark, base, Seq("d" -> Seq(1).toDF("x")))
+    assert(v0 === 0L)
+    val v1 = AtomicPublish.tryPublish(spark, base,
+      Seq("d" -> Seq(2).toDF("x")), retain = 2, parent = 0L)
+    assert(v1 === Some(1L))
+    // a writer still holding parent=0 must observe the conflict
+    assert(AtomicPublish.tryPublish(spark, base,
+      Seq("d" -> Seq(3).toDF("x")), retain = 2, parent = 0L).isEmpty)
+    assert(AtomicPublish.committed(spark, base) === 1L)
+    assert(!new java.io.File(s"$base/v2").exists(),
+      "the losing stage must not leave a version directory")
+  }
+
+  test("concurrent merges: the loser recomputes and neither update is lost") {
+    val base = Files.createTempDirectory("cow_conc").toString + "/t"
+    CowTable.create(spark, base, table(100), "id", numFiles = 4)
+
+    // writer B commits BETWEEN writer A's read and A's CAS — the
+    // classic lost-update window. A must retry against B's state.
+    val srcA = Seq((10L, "A", 1.0, false)).toDF("id", "nm", "amt", "_delete")
+    val srcB = Seq((90L, "B", 2.0, false)).toDF("id", "nm", "amt", "_delete")
+    var fired = false
+    CowTable.merge(spark, base, srcA, "id", beforeCommit = () => {
+      if (!fired) { fired = true; CowTable.merge(spark, base, srcB, "id") }
+    })
+    val got = CowTable.read(spark, base)
+    assert(got.filter(col("id") === 10L && col("nm") === "A").count() === 1L)
+    assert(got.filter(col("id") === 90L && col("nm") === "B").count() === 1L,
+      "writer B's committed change must survive writer A's retry")
+    assert(got.count() === 100L)
+  }
+
+  test("DELETE WHERE rewrites only files containing matches") {
+    val base = Files.createTempDirectory("cow_del").toString + "/t"
+    CowTable.create(spark, base, table(1000), "id", numFiles = 8)
+    val before = CowTable.manifest(spark, base)
+    // nm is correlated with id, so matches live in one file's range
+    CowTable.deleteWhere(spark, base,
+      col("id") >= 1L && col("id") <= 50L, "id")
+    val after = CowTable.manifest(spark, base)
+    val referenced = after.map(_.file).toSet
+      .intersect(before.map(_.file).toSet)
+    assert(referenced.size === 7,
+      s"only the one containing file may rewrite, got ${8 - referenced.size}")
+    assert(CowTable.read(spark, base).count() === 950L)
+    assert(CowTable.read(spark, base)
+      .filter(col("id") <= 50L).count() === 0L)
+  }
+
+  test("compact bin-packs small files; content identical; vacuum reclaims") {
+    val base = Files.createTempDirectory("cow_cmp").toString + "/t"
+    CowTable.create(spark, base, table(1000), "id", numFiles = 16)
+    assert(CowTable.manifest(spark, base).size === 16)
+    CowTable.compact(spark, base, targetRows = 500L, "id")
+    val m = CowTable.manifest(spark, base)
+    assert(m.size <= 3, s"16 x ~63-row files must pack to ~2, got ${m.size}")
+    val got = CowTable.read(spark, base)
+    assert(got.exceptAll(table(1000)).isEmpty &&
+      table(1000).exceptAll(got).isEmpty)
+
+    // vacuum: the 16 superseded originals are unreferenced -> reclaimed;
+    // everything the manifest references survives
+    val pool = new java.io.File(s"$base/files")
+    val beforeN = pool.listFiles().count(_.getName.endsWith(".parquet"))
+    val reclaimed = CowTable.vacuum(spark, base)
+    assert(reclaimed === 16)
+    val left = pool.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(left === beforeN - reclaimed)
+    assert(CowTable.read(spark, base).count() === 1000L)
+  }
+
+  test("DSv2 cow read: manifest-resolved scan with footer-stats pruning") {
+    val base = Files.createTempDirectory("cow_dsv2").toString + "/t"
+    CowTable.create(spark, base, table(1000), "id", numFiles = 8)
+    val df = spark.read.format("graft-artifact")
+      .option("base", base).option("cow", "true").load()
+    assert(df.exceptAll(table(1000)).isEmpty &&
+      table(1000).exceptAll(df).isEmpty,
+      "the DSv2 cow scan must equal the manifest-resolved read")
+
+    val q = df.filter(col("id") <= 50L)
+    assert(q.count() === 50L)
+    val descs = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }
+    assert(descs.nonEmpty, "expected a graft-artifact DSv2 scan")
+    val FilesRe = ".*files=(\\d+)/(\\d+).*".r
+    descs.head match {
+      case FilesRe(kept, total) =>
+        assert(total.toInt === 8)
+        assert(kept.toInt === 1,
+          s"a one-range filter must keep one pool file: ${descs.head}")
+      case other => fail(s"no file-prune accounting in scan: $other")
+    }
+  }
+
+  test("vacuum honors the retention window: time travel still reads") {
+    val base = Files.createTempDirectory("cow_tt").toString + "/t"
+    val v0 = CowTable.create(spark, base, table(100), "id",
+      numFiles = 2, retain = 2)
+    val src = Seq((1L, "u", 0.0, false)).toDF("id", "nm", "amt", "_delete")
+    val v1 = CowTable.merge(spark, base, src, "id", retain = 2)
+    CowTable.vacuum(spark, base)
+    // v0's files are referenced by the RETAINED v0 manifest -> kept
+    val old = AtomicPublish.readVersion(spark, base, "manifest", v0)
+    assert(old.count() === 2L)
+    assert(spark.read
+      .parquet(old.select("file").as[String].collect(): _*)
+      .count() === 100L, "retained version's data must survive vacuum")
+    assert(CowTable.read(spark, base).count() === 100L)
+    assert(v1 === v0 + 1)
+  }
+}

@@ -10,6 +10,7 @@ This is a builder-side approximation of CORRECTNESS_r{N}.json.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -55,9 +56,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # Driver testdata ships single-file tables; replicated fixtures
+        # (tools.Replicate) use Spark directory output — glob those.
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     unknown = only - set(oracle)
     if unknown:
