@@ -232,10 +232,13 @@ object CowTable {
       }.map(_.reverse).reverse
       val (rewrite, keep) = groups.partition(_.size > 1)
       if (rewrite.isEmpty) return parent // already compact: no-op
-      val newEntries = rewrite.flatMap { g =>
-        writePool(spark, base,
-          spark.read.parquet(g.map(_.file): _*), key, numFiles = 1)
-      }
+      // one range-partitioned job over every rewritten group: the write
+      // parallelizes across the output files (a per-group loop would
+      // serialize on the biggest group) and the re-sort restores tight,
+      // non-overlapping key ranges for future manifest pruning
+      val newEntries = writePool(spark, base,
+        spark.read.parquet(rewrite.flatten.map(_.file): _*), key,
+        numFiles = rewrite.size)
       AtomicPublish.tryPublish(spark, base,
         Seq("manifest" -> manifestDf(spark, keep.flatten ++ newEntries)),
         retain, parent) match {
@@ -295,17 +298,42 @@ object CowTable {
         .cast("decimal(18,2)").as("total"))
     .orderBy("o_orderstatus")
 
-  /** MERGE end-to-end: build the table from orders, apply one batch of
-    * updates+deletes+inserts, read the final snapshot back through the
-    * manifest. The oracle replays the merge relationally, so the stored
+  /** MERGE end-to-end: build the table from orders, apply a RANGE-LOCAL
+    * batch — updates/deletes confined to the lowest eighth of the key
+    * space (`k*8 <= max`, integer math both engines share), inserts
+    * re-keyed past max — and read the final snapshot back through the
+    * manifest. Range-local is the representative production shape (a
+    * late-arriving partition, a corrected tenant): the bench cost is
+    * the ONE affected file plus the insert file, not the table, and an
+    * in-band invariant holds the untouched files to their old pool
+    * paths. The oracle replays the merge relationally, so the stored
     * table — not the in-flight computation — is what gets verified. */
   def mergeCheck(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "cow_merge", dir, "cow_merge") {
       val base = FsUtil.stateDir("cow_merge", dir)
       fsOf(spark, base).delete(new Path(base), true) // self-contained
-      create(spark, base, graft.Tables.orders(spark, dir),
-        "o_orderkey", numFiles = 8)
-      merge(spark, base, mergeBatch(spark, dir), "o_orderkey")
+      val orders = graft.Tables.orders(spark, dir)
+      create(spark, base, orders, "o_orderkey", numFiles = 8)
+      val pre = manifest(spark, base).map(_.file).toSet
+
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val k = col("o_orderkey")
+      val lo = k * 8 <= lit(mx)
+      val upd = orders.filter(lo && k % 7 === 0 && !(k % 11 === 3))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("_delete", lit(false))
+      val ins = orders.filter(k % 103 === 5)
+        .withColumn("o_orderkey", k + lit(mx))
+        .withColumn("o_orderstatus", lit("I"))
+        .withColumn("_delete", lit(false))
+      val del = orders.filter(lo && k % 11 === 3)
+        .withColumn("_delete", lit(true))
+      merge(spark, base, upd.unionByName(ins).unionByName(del), "o_orderkey")
+
+      val referenced = manifest(spark, base).map(_.file).toSet.intersect(pre)
+      require(referenced.size >= 5,
+        s"a range-local merge must reference most files untouched, " +
+          s"kept only ${referenced.size}/8")
       statusAgg(read(spark, base))
     }
 
@@ -313,11 +341,12 @@ object CowTable {
     """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
       |final AS (
       |  SELECT o_orderkey,
-      |         CASE WHEN o_orderkey % 97 = 0
+      |         CASE WHEN o_orderkey * 8 <= m AND o_orderkey % 7 = 0
       |              THEN o_totalprice + 10.0 ELSE o_totalprice
       |         END AS o_totalprice,
       |         o_orderstatus
-      |  FROM orders WHERE o_orderkey % 101 <> 3
+      |  FROM orders, mx
+      |  WHERE NOT (o_orderkey * 8 <= m AND o_orderkey % 11 = 3)
       |  UNION ALL
       |  SELECT o_orderkey + m, o_totalprice, 'I'
       |  FROM orders, mx WHERE o_orderkey % 103 = 5
@@ -340,8 +369,12 @@ object CowTable {
         "o_orderkey", numFiles = 8)
       merge(spark, base, mergeBatch(spark, dir), "o_orderkey")
       deleteWhere(spark, base, col("o_orderstatus") === "I", "o_orderkey")
-      val before = manifest(spark, base).size
-      compact(spark, base, targetRows = Long.MaxValue / 2, "o_orderkey")
+      val m0 = manifest(spark, base)
+      val before = m0.size
+      // pack to quarter-table files: a multi-file parallel write at any
+      // SF, unlike a pack-to-one target that serializes on one task
+      compact(spark, base,
+        targetRows = math.max(1L, m0.map(_.rows).sum / 4), "o_orderkey")
       val after = manifest(spark, base).size
       require(after < before, s"compact must shrink files: $before -> $after")
       val reclaimed = vacuum(spark, base)
