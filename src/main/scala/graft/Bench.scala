@@ -106,7 +106,7 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
     val rerun = streamNames.map { name =>
-      Memo.dropFamily(name) // memo family == query name for stream checks
+      Memo.dropName(name) // the check's own result memo (name == query)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -154,9 +154,10 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-      // drop the query's own result memo (family == name by convention)
+      // drop the query's own result memo (by NAME — family-keyed
+      // eviction no-ops when a check declares a family ≠ its name)
       // so the rerun recomputes its marginal
-      Memo.dropFamily(name)
+      Memo.dropName(name)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

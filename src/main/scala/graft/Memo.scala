@@ -113,6 +113,18 @@ object Memo {
       .foreach(k => cache.remove(k).foreach(release))
   }
 
+  /** Unpersist and drop the entries memoized under NAME `name` — the
+    * query's own result memo, leaving its shared-infrastructure
+    * families warm. This is Bench's re-time hook: dropping by family
+    * would either no-op (a check whose family differs from its name —
+    * the rerun then reads the warm memo and reports ~0 s) or evict a
+    * SHARED family and bill its rebuild to one query.
+    */
+  def dropName(name: String): Unit = cache.synchronized {
+    cache.keysIterator.filter(_._2 == name).toList
+      .foreach(k => cache.remove(k).foreach(release))
+  }
+
   /** Unpersist the RDD a localCheckpoint-ed frame caches its rows in.
     * The frame's plan is `LogicalRDD(rdd)`; `Dataset.unpersist` only
     * talks to the relation cache, so the rdd is reached reflectively
