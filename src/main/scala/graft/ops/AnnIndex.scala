@@ -40,8 +40,11 @@ object AnnIndex {
   private val artifacts =
     Seq("vectors", "centroids", "assignments", "codebooks", "codes")
 
+  // "2": artifact-format version — the grid6 sweep changed persisted
+  // column types (DECIMAL(10,6) → DOUBLE); a fresh family orphans
+  // pre-sweep artifacts instead of serving them through new code
   def baseFor(dir: String): String =
-    graft.io.FsUtil.stateDir("annindex", dir)
+    graft.io.FsUtil.stateDir("annindex2", dir)
 
   /** Build the full index for `dir`'s derived-text corpus and commit it
     * as the next version; returns the committed version id. Every

@@ -205,7 +205,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (coalesce(col("i"), lit(0L)).cast("double") /
           (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double"))
-          .cast("decimal(10,6)").as("jaccard"))
+          .grid6.as("jaccard"))
   }
 
   /** Asymmetric CONTAINMENT scoring over the LSH candidate pairs —
@@ -242,9 +242,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
         ni.as("n_inter"),
         (ni.cast("double") / col("na").cast("double"))
-          .cast("decimal(10,6)").as("a_in_b"),
+          .grid6.as("a_in_b"),
         (ni.cast("double") / col("nb").cast("double"))
-          .cast("decimal(10,6)").as("b_in_a"))
+          .grid6.as("b_in_a"))
       .filter(greatest(col("a_in_b"), col("b_in_a")) >= threshold)
   }
 
@@ -506,8 +506,8 @@ object Dedup {
        |  GROUP BY 1, 2
        |), ex AS (
        |  SELECT p.doc_a, p.doc_b,
-       |         CAST(CAST(COALESCE(i.i, 0) AS DOUBLE)
-       |              / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) AS DECIMAL(10,6)) AS jaccard
+       |         floor((CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |              / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS jaccard
        |  FROM cand_pairs p
        |  LEFT JOIN pair_inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
        |  JOIN sh_counts ca ON ca.doc_id = p.doc_a
@@ -635,7 +635,7 @@ object Dedup {
         Seq("doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-          .cast("decimal(10,6)").as("cosine_sim"))
+          .grid6.as("cosine_sim"))
   }
 
   def multiSignalSql(threshold: Double = 0.5): String =
@@ -647,7 +647,7 @@ object Dedup {
        |  FROM embeddings
        |)
        |SELECT nd.doc_a, nd.doc_b, CAST(nd.jaccard AS DOUBLE) AS jaccard,
-       |       CAST(CAST(list_dot_product(a.v, b.v) / (a.norm * b.norm) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
+       |       CAST(floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS cosine_sim
        |FROM nd LEFT JOIN emb a ON a.vec_id = nd.doc_a
        |LEFT JOIN emb b ON b.vec_id = nd.doc_b""".stripMargin
 
@@ -703,7 +703,7 @@ object Dedup {
     s"WITH $candidatesCte SELECT doc_a, doc_b FROM cand_pairs"
 
   /** Registered-query form of [[nearDupsSql]]: the threshold filter stays
-    * on the exact DECIMAL(10,6), only the output column becomes DOUBLE
+    * on the exact 1e-6 grid, only the output column becomes DOUBLE
     * (graft.Parity contract).
     */
   def nearDupsOutSql(threshold: Double): String =
@@ -737,14 +737,14 @@ object Dedup {
        |  GROUP BY 1, 2
        |)
        |SELECT p.doc_a, p.doc_b,
-       |       CAST(CAST(COALESCE(i.i, 0) AS DOUBLE)
-       |            / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) AS DECIMAL(10,6)) AS jaccard
+       |       floor((CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |            / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS jaccard
        |FROM cand_pairs p
        |LEFT JOIN pair_inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
        |JOIN sh_counts ca ON ca.doc_id = p.doc_a
        |JOIN sh_counts cb ON cb.doc_id = p.doc_b
-       |WHERE CAST(CAST(COALESCE(i.i, 0) AS DOUBLE)
-       |           / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) AS DECIMAL(10,6)) >= $threshold""".stripMargin
+       |WHERE floor((CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |           / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE)) * 1e6 + 0.5) / 1e6 >= $threshold""".stripMargin
 
   def containmentSql(threshold: Double = 0.5): String =
     s"""WITH $candidatesCte, sh_counts AS (
@@ -759,8 +759,8 @@ object Dedup {
        |  SELECT p.doc_a, p.doc_b,
        |         CAST(ca.n AS BIGINT) AS na, CAST(cb.n AS BIGINT) AS nb,
        |         CAST(COALESCE(i.i, 0) AS BIGINT) AS n_inter,
-       |         CAST(CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(ca.n AS DOUBLE) AS DECIMAL(10,6)) AS a_in_b,
-       |         CAST(CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(cb.n AS DOUBLE) AS DECIMAL(10,6)) AS b_in_a
+       |         floor((CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(ca.n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS a_in_b,
+       |         floor((CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(cb.n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS b_in_a
        |  FROM cand_pairs p
        |  LEFT JOIN pair_inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
        |  JOIN sh_counts ca ON ca.doc_id = p.doc_a

@@ -63,7 +63,7 @@ object Ivf {
 
     def nearestCoarse(in: DataFrame, vCol: String, nCol: String, keep: Seq[String]) = {
       val cos = (dot(col(vCol), col("gv")) / (col(nCol) * col("gnorm")))
-        .cast("decimal(10,6)")
+        .grid6
       in.crossJoin(coarse)
         .select(keep.map(col) :+ col("coarse_id") :+ cos.as("gcos"): _*)
         .withColumn("rk", row_number().over(
@@ -80,7 +80,7 @@ object Ivf {
     // vector → coarse cell → nearest fine centroid within the cell
     val vecCell = nearestCoarse(e, "v", "norm", Seq("vec_id", "v", "norm"))
     val cos = (dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-      .cast("decimal(10,6)")
+      .grid6
     vecCell.join(cellOf, "coarse_id")
       .select(col("vec_id"), col("centroid_id"), cos.as("cos"))
       .withColumn("rk", row_number().over(
@@ -197,7 +197,7 @@ object Ivf {
       .filter(AnnParams.queryPred(queryMod))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val qcos = (dot(col("qv"), col("cv")) / (col("qn") * col("cnorm")))
-      .cast("decimal(10,6)")
+      .grid6
     q.crossJoin(c)
       .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"), qcos.as("cos"))
       .withColumn("rk", row_number().over(
@@ -216,7 +216,7 @@ object Ivf {
 
     // search only vectors in the probed lists
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
-      .cast("decimal(10,6)")
+      .grid6
     probes.join(e, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cosine_sim"))
@@ -304,7 +304,8 @@ object Ivf {
   def appendCommit(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "ivf_append_persisted", dir, "ivf_append_persisted") {
       import graft.io.AtomicPublish
-      val base = graft.io.FsUtil.stateDir("ivfinc", dir)
+      // "2": artifact-format version (grid6 sweep: DECIMAL → DOUBLE)
+      val base = graft.io.FsUtil.stateDir("ivfinc2", dir)
       if (!AtomicPublish.exists(spark, base))
         AtomicPublish.publish(spark, base, Seq(
           "centroids" -> centroids(spark, dir, baseCorpus),
@@ -374,7 +375,7 @@ object Ivf {
         .select(col("vec_id").as("query_id"), col("label").as("qlabel")),
         "query_id")
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
-      .cast("decimal(10,6)")
+      .grid6
     probes.join(e, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
       .select(col("query_id"), col("qlabel").as("label"),
@@ -395,13 +396,13 @@ object Ivf {
        |  SELECT query_id, qv, qn, qlabel, centroid_id FROM (
        |    SELECT q.query_id, q.qv, q.qn, q.qlabel, c.centroid_id,
        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
-       |             CAST(list_dot_product(q.qv, c.cv) / (q.qn * c.cnorm) AS DECIMAL(10,6)) DESC,
+       |             floor((list_dot_product(q.qv, c.cv) / (q.qn * c.cnorm)) * 1e6 + 0.5) / 1e6 DESC,
        |             c.centroid_id) AS rk
        |    FROM q CROSS JOIN ivf_centroids c
        |  ) WHERE rk <= (SELECT np FROM nprobe_params)
        |), scored AS (
        |  SELECT p.query_id, p.qlabel AS label, e.vec_id AS neighbor_id,
-       |         CAST(list_dot_product(p.qv, e.v) / (p.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |         floor((list_dot_product(p.qv, e.v) / (p.qn * e.norm)) * 1e6 + 0.5) / 1e6 AS cosine_sim
        |  FROM probes p JOIN ea e USING (centroid_id)
        |  WHERE e.vec_id != p.query_id AND e.label = p.qlabel
        |)
@@ -416,7 +417,7 @@ object Ivf {
 
   /** Hierarchical-assignment CTE block over centroid table `cent`,
     * emitting `<p>_coarse`, `<p>_cell_of`, `<p>_vec_cell`, `<p>_assign`.
-    * Mirrors [[hierarchicalAssign]] exactly (same DECIMAL(10,6) rounding,
+    * Mirrors [[hierarchicalAssign]] exactly (same `grid6` rounding,
     * same lower-id tiebreaks).
     */
   private def hierCte(p: String, cent: String, src: String = "emb"): String =
@@ -428,7 +429,7 @@ object Ivf {
        |  SELECT centroid_id, cv, cnorm, coarse_id FROM (
        |    SELECT f.centroid_id, f.cv, f.cnorm, g.coarse_id,
        |           row_number() OVER (PARTITION BY f.centroid_id ORDER BY
-       |             CAST(list_dot_product(f.cv, g.gv) / (f.cnorm * g.gnorm) AS DECIMAL(10,6)) DESC,
+       |             floor((list_dot_product(f.cv, g.gv) / (f.cnorm * g.gnorm)) * 1e6 + 0.5) / 1e6 DESC,
        |             g.coarse_id) AS rk
        |    FROM $cent f CROSS JOIN ${p}_coarse g
        |  ) WHERE rk = 1
@@ -436,7 +437,7 @@ object Ivf {
        |  SELECT vec_id, v, norm, coarse_id FROM (
        |    SELECT e.vec_id, e.v, e.norm, g.coarse_id,
        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |             CAST(list_dot_product(e.v, g.gv) / (e.norm * g.gnorm) AS DECIMAL(10,6)) DESC,
+       |             floor((list_dot_product(e.v, g.gv) / (e.norm * g.gnorm)) * 1e6 + 0.5) / 1e6 DESC,
        |             g.coarse_id) AS rk
        |    FROM $src e CROSS JOIN ${p}_coarse g
        |  ) WHERE rk = 1
@@ -444,7 +445,7 @@ object Ivf {
        |  SELECT vec_id, centroid_id FROM (
        |    SELECT vc.vec_id, co.centroid_id,
        |           row_number() OVER (PARTITION BY vc.vec_id ORDER BY
-       |             CAST(list_dot_product(vc.v, co.cv) / (vc.norm * co.cnorm) AS DECIMAL(10,6)) DESC,
+       |             floor((list_dot_product(vc.v, co.cv) / (vc.norm * co.cnorm)) * 1e6 + 0.5) / 1e6 DESC,
        |             co.centroid_id) AS rk
        |    FROM ${p}_vec_cell vc JOIN ${p}_cell_of co USING (coarse_id)
        |  ) WHERE rk = 1
@@ -512,13 +513,13 @@ object Ivf {
        |  SELECT query_id, qv, qn, centroid_id FROM (
        |    SELECT q.query_id, q.qv, q.qn, c.centroid_id,
        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
-       |             CAST(list_dot_product(q.qv, c.cv) / (q.qn * c.cnorm) AS DECIMAL(10,6)) DESC,
+       |             floor((list_dot_product(q.qv, c.cv) / (q.qn * c.cnorm)) * 1e6 + 0.5) / 1e6 DESC,
        |             c.centroid_id) AS rk
        |    FROM q CROSS JOIN ivf_centroids c
        |  ) WHERE rk <= (SELECT np FROM nprobe_params)
        |), scored AS (
        |  SELECT p.query_id, e.vec_id AS neighbor_id,
-       |         CAST(list_dot_product(p.qv, e.v) / (p.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |         floor((list_dot_product(p.qv, e.v) / (p.qn * e.norm)) * 1e6 + 0.5) / 1e6 AS cosine_sim
        |  FROM probes p JOIN ea e USING (centroid_id)
        |  WHERE e.vec_id != p.query_id
        |)

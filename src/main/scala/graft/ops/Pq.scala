@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * Assignment ranks codewords by squared L2 distance expressed as
   * `sv·sv − 2·sv·cw + cw·cw` — three [[Similarity.dot]] products, the one
   * float primitive with a proven bit-identical DuckDB twin
-  * (`list_dot_product`) — DECIMAL(10,6)-rounded with lower-code
+  * (`list_dot_product`) — `grid6`-rounded with lower-code
   * tiebreaks, like every ranking in the similarity stack.
   *
   * Scale notes: encoding is O(n·8·16) comparisons via a broadcast
@@ -66,7 +66,7 @@ object Pq {
     */
   private def assign(sv: DataFrame, cb: DataFrame): DataFrame = {
     val d2 = (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw")) +
-      dot(col("cw"), col("cw"))).cast("decimal(10,6)")
+      dot(col("cw"), col("cw"))).grid6
     sv.join(Bcast.ifBounded(cb, Bcast.Params), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code"), d2.as("d2"))
       .withColumn("rk", row_number().over(
@@ -200,7 +200,7 @@ object Pq {
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
         .agg(sum(col("pd")).as("ad"))
       val sim = (col("ad").cast("double") / (col("qn") * col("rnorm")))
-        .cast("decimal(10,6)")
+        .grid6
       ad.join(qn, "query_id")
         .join(rn, col("neighbor_id") === rn("vec_id"))
         .select(col("query_id"), col("neighbor_id"), sim.as("adc_sim"))
@@ -240,7 +240,7 @@ object Pq {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"))
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
-      .cast("decimal(10,6)")
+      .grid6
     cands.join(q, "query_id")
       .join(e, col("neighbor_id") === e("vec_id"))
       .select(col("query_id"), col("neighbor_id"), cos.as("cosine_sim"))
@@ -297,7 +297,7 @@ object Pq {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"))
     val qcos = (dot(col("qv"), col("cv")) / (col("qn") * col("cnorm")))
-      .cast("decimal(10,6)")
+      .grid6
     val probes = q.crossJoin(Bcast.ifBounded(cent, Bcast.SqrtLaw))
       .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
         qcos.as("cos"))
@@ -353,7 +353,7 @@ object Pq {
         col("centroid_id"))
       .agg(sum(col("pd")).as("ad"))
     val sim = ((col("qc") + col("ad")).cast("double") /
-      (col("qn") * col("rnorm"))).cast("decimal(10,6)")
+      (col("qn") * col("rnorm"))).grid6
     val short = ad.join(qc, Seq("query_id", "centroid_id"))
       .join(rn, col("neighbor_id") === rn("vec_id"))
       .select(col("query_id"), col("neighbor_id"), sim.as("adc_sim"))
@@ -369,7 +369,7 @@ object Pq {
       .select(col("vec_id").as("query_id"), col("v").as("q2v"),
         col("norm").as("q2n"))
     val cos = (dot(col("q2v"), col("v")) / (col("q2n") * col("norm")))
-      .cast("decimal(10,6)")
+      .grid6
     short.join(q2, "query_id")
       .join(e2, col("neighbor_id") === e2("vec_id"))
       .select(col("query_id"), col("neighbor_id"), cos.as("cosine_sim"))
@@ -391,9 +391,9 @@ object Pq {
        |  SELECT vec_id, sub, code FROM (
        |    SELECT t.vec_id, t.sub, c.code,
        |           row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
-       |             CAST(list_dot_product(t.sv, t.sv)
+       |             floor((list_dot_product(t.sv, t.sv)
        |                  - 2 * list_dot_product(t.sv, c.cw)
-       |                  + list_dot_product(c.cw, c.cw) AS DECIMAL(10,6)),
+       |                  + list_dot_product(c.cw, c.cw)) * 1e6 + 0.5) / 1e6,
        |             c.code) AS rk
        |    FROM $sv t JOIN $cbTable c USING (sub)
        |  ) WHERE rk = 1
@@ -469,7 +469,7 @@ object Pq {
        |  GROUP BY 1, 2
        |), scored AS MATERIALIZED (
        |  SELECT a.query_id, a.neighbor_id,
-       |         CAST(CAST(a.ad AS DOUBLE) / (e.norm * r.rnorm) AS DECIMAL(10,6)) AS adc_sim
+       |         floor((CAST(a.ad AS DOUBLE) / (e.norm * r.rnorm)) * 1e6 + 0.5) / 1e6 AS adc_sim
        |  FROM ad a
        |  JOIN emb e ON e.vec_id = a.query_id
        |  JOIN rn r ON r.vec_id = a.neighbor_id
@@ -499,7 +499,7 @@ object Pq {
        |  SELECT query_id, centroid_id FROM (
        |    SELECT q.query_id, c.centroid_id,
        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
-       |             CAST(list_dot_product(q.qv, c.cv) / (q.qn * c.cnorm) AS DECIMAL(10,6)) DESC,
+       |             floor((list_dot_product(q.qv, c.cv) / (q.qn * c.cnorm)) * 1e6 + 0.5) / 1e6 DESC,
        |             c.centroid_id) AS rk
        |    FROM q CROSS JOIN ivf_centroids c
        |  ) WHERE rk <= (SELECT np FROM nprobe_params)
@@ -546,7 +546,7 @@ object Pq {
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT a.query_id, a.neighbor_id,
        |           row_number() OVER (PARTITION BY a.query_id ORDER BY
-       |             CAST(CAST(qc.qc + a.ad AS DOUBLE) / (qc.qn * r.rnorm) AS DECIMAL(10,6)) DESC,
+       |             floor((CAST(qc.qc + a.ad AS DOUBLE) / (qc.qn * r.rnorm)) * 1e6 + 0.5) / 1e6 DESC,
        |             a.neighbor_id) AS rk
        |    FROM ad a
        |    JOIN qc ON qc.query_id = a.query_id AND qc.centroid_id = a.centroid_id
@@ -554,7 +554,7 @@ object Pq {
        |  ) WHERE rk <= $shortlist
        |), rescored AS MATERIALIZED (
        |  SELECT s.query_id, s.neighbor_id,
-       |         CAST(list_dot_product(q2.v, n.v) / (q2.norm * n.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |         floor((list_dot_product(q2.v, n.v) / (q2.norm * n.norm)) * 1e6 + 0.5) / 1e6 AS cosine_sim
        |  FROM short s
        |  JOIN emb q2 ON q2.vec_id = s.query_id
        |  JOIN emb n ON n.vec_id = s.neighbor_id
@@ -570,7 +570,7 @@ object Pq {
        |  SELECT query_id, neighbor_id FROM (${topKSql(shortlist, queryMod)})
        |), rescored AS MATERIALIZED (
        |  SELECT c.query_id, c.neighbor_id,
-       |         CAST(list_dot_product(q.v, n.v) / (q.norm * n.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |         floor((list_dot_product(q.v, n.v) / (q.norm * n.norm)) * 1e6 + 0.5) / 1e6 AS cosine_sim
        |  FROM cands c
        |  JOIN pq_emb q ON q.vec_id = c.query_id
        |  JOIN pq_emb n ON n.vec_id = c.neighbor_id

@@ -107,7 +107,7 @@ object Recall {
       .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("nd").as("qn")),
       graft.Bcast.QueryBatch)
     val cos = (dot2(col("qv"), col("vd")) / (col("qn") * col("nd")))
-      .cast("decimal(10,6)")
+      .grid6
     import org.apache.spark.sql.expressions.Window
     q.join(base, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cosine_sim"))
@@ -128,7 +128,7 @@ object Recall {
        |  FROM embd WHERE ${AnnParams.queryPredSql(queryMod)} AND nd > 0
        |), pairs AS (
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-       |         CAST(list_dot_product(q.qv, e.vd) / (q.qn * e.nd) AS DECIMAL(10,6)) AS cosine_sim
+       |         floor((list_dot_product(q.qv, e.vd) / (q.qn * e.nd)) * 1e6 + 0.5) / 1e6 AS cosine_sim
        |  FROM q JOIN embd e ON e.vec_id != q.query_id AND e.nd > 0
        |)
        |SELECT query_id, neighbor_id FROM (

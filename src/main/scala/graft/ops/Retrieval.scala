@@ -77,7 +77,7 @@ object Retrieval {
 
     val qvLit = array(qv.map(lit): _*)
     val cos = (Similarity.dot(qvLit, col("v")) / col("norm"))
-      .cast("decimal(10,6)")
+      .grid6
     val vec = Featurize.vectors(spark, dir)
       .select(col("vec_id").as("doc_id"), cos.as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id"))
@@ -114,7 +114,7 @@ object Retrieval {
        |  FROM lexb
        |), vecb AS (
        |  SELECT vec_id AS doc_id,
-       |         CAST(list_dot_product($qvSql, v) / norm AS DECIMAL(10,6)) AS cosine
+       |         floor((list_dot_product($qvSql, v) / norm) * 1e6 + 0.5) / 1e6 AS cosine
        |  FROM femb
        |  ORDER BY cosine DESC, vec_id LIMIT $legK
        |), vec AS (

@@ -13,7 +13,7 @@ import graft.Tables
   *    correctness baseline. All math is `zip_with`/`aggregate` over the
   *    array column (codegen'd, ordered left-to-right summation so the
   *    DuckDB oracle reproduces it bit-for-bit); ranking ties broken by
-  *    neighbor id on the DECIMAL(10,6)-rounded cosine.
+  *    neighbor id on the 1e-6-grid-rounded cosine (`grid6`).
   *  - [[lshBuckets]]: random-hyperplane (sign) LSH — the scale path.
   *    Hyperplanes with ±1 weights derived from md5(plane‖'_'‖dim), so
   *    the "random" planes are deterministic and reproducible in SQL; the
@@ -110,7 +110,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn")),
       graft.Bcast.QueryBatch)
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
-      .cast("decimal(10,6)")
+      .grid6
     import org.apache.spark.sql.expressions.Window
     q.join(e, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cosine_sim"))
@@ -155,7 +155,7 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb")))
-          .cast("decimal(10,6)").as("cosine_sim"))
+          .grid6.as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 
@@ -214,7 +214,7 @@ object Similarity {
     val probes = qb.select(col("query_id"), col("qv"), col("qn"),
       explode(array(col("qbucket") +: (flips1 ++ flips2): _*)).as("bucket"))
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
-      .cast("decimal(10,6)")
+      .grid6
     import org.apache.spark.sql.expressions.Window
     graft.Bcast.ifBounded(probes, graft.Bcast.QueryBatch).join(e, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -248,7 +248,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"), col("label")), graft.Bcast.QueryBatch)
     val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
-      .cast("decimal(10,6)")
+      .grid6
     import org.apache.spark.sql.expressions.Window
     q.join(e, Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -266,7 +266,7 @@ object Similarity {
        |  FROM emb WHERE ${AnnParams.queryPredSql(queryMod)}
        |), pairs AS (
        |  SELECT q.query_id, q.label, e.vec_id AS neighbor_id,
-       |         CAST(list_dot_product(q.qv, e.v) / (q.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |         floor((list_dot_product(q.qv, e.v) / (q.qn * e.norm)) * 1e6 + 0.5) / 1e6 AS cosine_sim
        |  FROM q JOIN emb e ON e.label = q.label AND e.vec_id != q.query_id
        |)
        |SELECT query_id, label, neighbor_id,
@@ -421,7 +421,7 @@ object Similarity {
        |  SELECT vec_id AS query_id, v AS qv, norm AS qn FROM emb WHERE ${AnnParams.queryPredSql(queryMod)}
        |), pairs AS (
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-       |         CAST(list_dot_product(q.qv, e.v) / (q.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |         floor((list_dot_product(q.qv, e.v) / (q.qn * e.norm)) * 1e6 + 0.5) / 1e6 AS cosine_sim
        |  FROM q JOIN emb e ON e.vec_id != q.query_id
        |)
        |SELECT query_id, neighbor_id, CAST(cosine_sim AS DOUBLE) AS cosine_sim, rank FROM (
@@ -497,7 +497,7 @@ object Similarity {
        |  WHERE f1 < f2 AND f2 < (SELECT nplanes FROM ann_params)
        |), cand AS (
        |  SELECT p.query_id, b.vec_id AS neighbor_id,
-       |         CAST(list_dot_product(p.qv, e.v) / (p.qn * e.norm) AS DECIMAL(10,6)) AS cosine_sim
+       |         floor((list_dot_product(p.qv, e.v) / (p.qn * e.norm)) * 1e6 + 0.5) / 1e6 AS cosine_sim
        |  FROM probes p
        |  JOIN buckets b ON b.bucket = p.bucket AND b.vec_id != p.query_id
        |  JOIN emb e ON e.vec_id = b.vec_id
@@ -517,11 +517,11 @@ object Similarity {
        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
        |)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       CAST(CAST(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
+       |       CAST(floor((list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS cosine_sim
        |FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |JOIN emb ea ON ea.vec_id = a.vec_id
        |JOIN emb eb ON eb.vec_id = b.vec_id
-       |WHERE CAST(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) AS DECIMAL(10,6)) >= $threshold""".stripMargin
+       |WHERE floor((list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm)) * 1e6 + 0.5) / 1e6 >= $threshold""".stripMargin
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
     * bounds the pairwise search with a k-means clustering instead of LSH
@@ -549,7 +549,7 @@ object Similarity {
       .filter(col("keep_c") < col("drop_id"))
       .select(col("centroid_id"), col("drop_id"), col("keep_c"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb")))
-          .cast("decimal(10,6)").as("cos"))
+          .grid6.as("cos"))
       .filter(col("cos") >= threshold)
       .groupBy(col("centroid_id"), col("drop_id"))
       .agg(min(col("keep_c")).as("keep_id"),
@@ -574,10 +574,10 @@ object Similarity {
        |  FROM ivf_assign a JOIN emb e USING (vec_id)
        |), pairs AS (
        |  SELECT a.centroid_id, b.vec_id AS drop_id, a.vec_id AS keep_c,
-       |         CAST(list_dot_product(a.v, b.v) / (a.norm * b.norm) AS DECIMAL(10,6)) AS cos
+       |         floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1e6 + 0.5) / 1e6 AS cos
        |  FROM m a JOIN m b
        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-       |  WHERE CAST(list_dot_product(a.v, b.v) / (a.norm * b.norm) AS DECIMAL(10,6)) >= $threshold
+       |  WHERE floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1e6 + 0.5) / 1e6 >= $threshold
        |)
        |SELECT centroid_id, drop_id, MIN(keep_c) AS keep_id,
        |       CAST(arg_min(cos, keep_c) AS DOUBLE) AS cosine_sim

@@ -191,7 +191,8 @@ object TextPrep {
     * AFTER the `minCount` filter — at 100 TB the joined stream is the
     * (Zipf-truncated) frequent-pair set, not the corpus. The one `ln`
     * rides the same cross-engine contract as [[bm25]]/the HLL estimator,
-    * and lands on a DECIMAL(10,6) grid before ranking, so both engines
+    * and lands on the 1e-6 grid (`grid6` — bit-identical IEEE rounding in
+    * both engines) before ranking, so both engines
     * select the same top-k set (ties at the boundary break on the pair
     * string).
     */
@@ -212,7 +213,7 @@ object TextPrep {
     val pmiCol = log(
       (col("n_ab").cast("double") * col("n_tokens") * col("n_tokens")) /
         (col("n_bigrams").cast("double") * col("n_a") * col("n_b")))
-      .cast("decimal(10,6)")
+      .grid6
     big.filter(col("n_ab") >= minCount)
       .join(uni.select(col("token").as("a"), col("n_tok").as("n_a")), "a")
       .join(uni.select(col("token").as("b"), col("n_tok").as("n_b")), "b")
@@ -240,8 +241,8 @@ object TextPrep {
        |bt AS (SELECT SUM(n_ab) AS n_bigrams FROM big),
        |j AS (
        |  SELECT big.a, big.b, big.n_ab,
-       |         CAST(CAST(ln(CAST(big.n_ab AS DOUBLE) * t.n_tokens * t.n_tokens
-       |           / (CAST(bt.n_bigrams AS DOUBLE) * ua.n_tok * ub.n_tok)) AS DECIMAL(10,6)) AS DOUBLE) AS pmi
+       |         CAST(floor((ln(CAST(big.n_ab AS DOUBLE) * t.n_tokens * t.n_tokens
+       |           / (CAST(bt.n_bigrams AS DOUBLE) * ua.n_tok * ub.n_tok))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS pmi
        |  FROM big JOIN uni ua ON ua.token = big.a
        |           JOIN uni ub ON ub.token = big.b, t, bt
        |  WHERE big.n_ab >= $minCount

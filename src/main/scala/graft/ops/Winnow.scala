@@ -91,7 +91,7 @@ object Winnow {
       .agg(count(lit(1)).as("shared"))
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") / least(col("na"), col("nb")).cast("double"))
-          .cast("decimal(10,6)").as("containment"))
+          .grid6.as("containment"))
       .filter(col("containment") >= threshold)
   }
 
@@ -170,8 +170,8 @@ object Winnow {
        |)
        |SELECT doc_a, doc_b, CAST(containment AS DOUBLE) AS containment FROM (
        |  SELECT p.doc_a, p.doc_b,
-       |         CAST(CAST(p.shared AS DOUBLE) / LEAST(na.n, nb.n)
-       |              AS DECIMAL(10,6)) AS containment
+       |         floor((CAST(p.shared AS DOUBLE) / LEAST(na.n, nb.n)
+       |) * 1e6 + 0.5) / 1e6 AS containment
        |  FROM pairs p
        |  JOIN sizes na ON na.doc_id = p.doc_a
        |  JOIN sizes nb ON nb.doc_id = p.doc_b

@@ -107,7 +107,7 @@ class IvfSpec extends SparkSpec {
 
   test("persisted append: frozen centroids, idempotent cross-session fold") {
     import org.apache.spark.sql.functions._
-    val base = graft.io.FsUtil.stateDir("ivfinc", sf0001)
+    val base = graft.io.FsUtil.stateDir("ivfinc2", sf0001)
     val p = new org.apache.hadoop.fs.Path(base)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     val r = graft.ops.Ivf.appendCommit(spark, sf0001).cache()

@@ -776,7 +776,7 @@ class OpsSpec extends SparkSpec {
     val byHand = math.log(
       first.getAs[Long]("pair_count").toDouble * nTok * nTok / (nBig * na * nb))
     assert(math.abs(byHand -
-      first.getAs[java.math.BigDecimal]("pmi").doubleValue) < 1e-4)
+      first.getAs[Double]("pmi")) < 1e-4)
   }
 
   test("fertility: compression <= 1, totals conserve vs the encode pass") {
@@ -859,7 +859,7 @@ class OpsSpec extends SparkSpec {
     val sh = graft.ops.Dedup.shinglesFrom(planted)
     val pair = Seq((1L, 2L)).toDF("doc_a", "doc_b")
     val j = graft.ops.Dedup.verifiedJaccardFrom(sh, pair).head()
-      .getAs[java.math.BigDecimal]("jaccard").doubleValue
+      .getAs[Double]("jaccard")
     assert(j < 0.2, s"planted pair should have low resemblance, got $j")
     val na = sh.filter(col("doc_id") === 1L).count().toDouble
     val inter = sh.filter(col("doc_id") === 1L)
