@@ -344,6 +344,15 @@ object OpsQueries {
     // full row-level lifecycle: MERGE → DELETE WHERE → compact → vacuum,
     // final snapshot read through the compacted manifest
     "cow_lifecycle" -> ((s, dir) => graft.io.CowTable.lifecycleCheck(s, dir)),
+    // merge-on-read DELETE by deletion vector: a scattered delete writes
+    // O(deleted rows), rewrites ZERO data files; compact materializes
+    "cow_dv" -> ((s, dir) => graft.io.CowTable.dvCheck(s, dir)),
+    // change data feed: row-level diff of two committed versions from
+    // the files present in exactly one manifest — O(changed files)
+    "cow_changes" -> ((s, dir) => graft.io.CowTable.changesCheck(s, dir)),
+    // exactly-once streaming MERGE into the cow table: txn-stamped
+    // commits make checkpoint replays no-ops (replay proven in-band)
+    "stream_cow_merge" -> ((s, dir) => graft.streaming.CowStream.mergeCheck(s, dir)),
     // commit-log streaming: every AtomicPublish version = one exactly-once
     // micro-batch of the graft-artifact DSv2 source (offsets = version ids)
     "stream_publish_feed" -> ((s, dir) => graft.streaming.PublishFeed.check(s, dir)),
@@ -665,6 +674,9 @@ object OpsQueries {
     "compact_roundtrip" -> graft.io.Compact.roundtripSql,
     "cow_merge" -> graft.io.CowTable.mergeSql,
     "cow_lifecycle" -> graft.io.CowTable.lifecycleSql,
+    "cow_dv" -> graft.io.CowTable.dvSql,
+    "cow_changes" -> graft.io.CowTable.changesSql,
+    "stream_cow_merge" -> graft.streaming.CowStream.mergeCheckSql,
     "stream_publish_feed" -> graft.streaming.PublishFeed.checkSql,
     "snapshot_diff" -> SnapshotDiff.reportSql,
     "schema_evolution" -> graft.io.SchemaEvolution.reportSql,

@@ -182,8 +182,17 @@ private[sources] class ArtifactScan(base: String, dataset: String,
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
     val files =
-      if (cow) SparkSession.active.read.parquet(dir)
-        .select("file").collect().map(_.getString(0)).toSeq.sorted
+      if (cow) {
+        val m = SparkSession.active.read.parquet(dir)
+        // a deletion-vectored manifest cannot be served by a plain
+        // file scan (position deletes would silently resurrect):
+        // fail fast — compaction materializes the vectors
+        require(!m.columns.contains("dv") ||
+          m.where("dv <> ''").isEmpty,
+          s"cow table $dir has deletion vectors; run CowTable.compact " +
+            "before serving through graft-artifact")
+        m.select("file").collect().map(_.getString(0)).toSeq.sorted
+      }
       else fs.listStatus(p).toSeq.map(_.getPath)
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
         .map(_.toString).sorted
