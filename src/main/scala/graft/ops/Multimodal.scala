@@ -363,16 +363,19 @@ object Multimodal {
     * Dims must survive exactly; means within the DC-preservation
     * tolerance — `tol` levels for R/G, `tolChroma` for B, which rides
     * almost entirely on the 4:2:0-subsampled, harder-quantized Cb plane.
-    * Tolerances are MEASURED via [[jpegErrors]] (`tools/JpegErr`) across
-    * BOTH driver SFs — max mean errors r/g/b: 2.4 / 1.5 / 9.1 at sf0.01,
-    * 4.6 / 2.7 / 10.3 at sf0.1 (the larger corpus reaches
-    * higher-frequency pattern ids, which quantize worse) — and sit above
-    * the worst observed with margin. The spec separately proves the
-    * codec is genuinely lossy (pixel-level error nonzero) so this is
-    * not vacuously the PNG leg.
+    * Tolerances are MEASURED via [[jpegErrors]] (`tools/JpegErr`) and
+    * are CORPUS-SIZE-INDEPENDENT: [[Pattern]] is periodic with cycle
+    * lcm(13, 11, 256) = 36 608 ids, and the 10× replica (50 000 ids)
+    * covers the whole space — max mean errors over it r/g/b:
+    * 5.03 / 3.22 / 12.14 (vs 2.4 / 1.5 / 9.1 at sf0.01 and
+    * 4.6 / 2.7 / 10.3 at sf0.1, which sample the space partially).
+    * The bounds sit above the full-space worst with margin, so they
+    * hold at ANY corpus size. The spec separately proves the codec is
+    * genuinely lossy (pixel-level error nonzero) so this is not
+    * vacuously the PNG leg.
     */
   def jpegCheck(spark: SparkSession, dir: String,
-                tol: Double = 6.0, tolChroma: Double = 12.0): DataFrame =
+                tol: Double = 6.0, tolChroma: Double = 15.0): DataFrame =
     jpegErrors(spark, dir)
       .select(col("media_id"), col("width"), col("height"),
         (col("r_err") <= tol).as("r_ok"),
