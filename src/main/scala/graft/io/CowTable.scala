@@ -195,6 +195,17 @@ object CowTable {
   def manifest(spark: SparkSession, base: String): Seq[Entry] =
     entriesAt(spark, base, AtomicPublish.committed(spark, base))
 
+  /** Time-travel snapshot: the table AS OF `version`, read through that
+    * version's deletion vectors. Only retained versions are readable
+    * (pruned/partial versions fail fast in [[AtomicPublish.readVersion]]).
+    */
+  def readAt(spark: SparkSession, base: String, version: Long): DataFrame = {
+    val entries = entriesAt(spark, base, version)
+    if (entries.isEmpty) // preserve schema even for an emptied snapshot
+      spark.read.parquet(s"$base/v$version/manifest").limit(0)
+    else scanEntries(spark, entries)
+  }
+
   /** Point-lookup read: snapshot rows whose key range MAY contain one of
     * `keys` (first column, cast long) — the merge discovery join reused
     * as a reader, so a k-key probe scans only the intersecting files,
@@ -496,6 +507,25 @@ object CowTable {
         col("_change_type"): _*)
   }
 
+  /** CDC CURSOR: every row-level change committed AFTER `sinceV`, each
+    * tagged with its commit version — what a downstream consumer polls
+    * between syncs. Cost is the sum of the per-version [[changes]]
+    * diffs: O(churn since the cursor), never a snapshot. The span must
+    * be retained (`retain` ≥ distance at write time); a pruned version
+    * inside the span fails fast rather than silently skipping commits —
+    * the same contract as the commit-log stream. */
+  def changesSince(spark: SparkSession, base: String, sinceV: Long,
+                   key: String): DataFrame = {
+    val vs = AtomicPublish.versions(spark, base).filter(_ > sinceV)
+    require(vs.nonEmpty, s"no committed versions after $sinceV under $base")
+    require(vs.head == sinceV + 1,
+      s"versions ${sinceV + 1}..${vs.head - 1} are pruned; the cursor " +
+        "cannot skip commits — retain a window covering the poll interval")
+    vs.map(v => changes(spark, base, v - 1, v, key)
+        .withColumn("_commit_version", lit(v)))
+      .reduce(_ unionByName _)
+  }
+
   /** Exactly-once MERGE for a Structured Streaming foreachBatch writer:
     * the commit is stamped (stream, batchId) and a replay of an
     * already-applied batch — checkpoint recovery re-delivers the last
@@ -751,4 +781,68 @@ object CowTable {
       |  WHERE o_orderkey * 8 <= m AND o_orderkey % 7 = 0
       |    AND NOT o_orderkey % 11 = 3
       |) AS feed ORDER BY 1""".stripMargin
+
+  /** CDC REPLAY COMPLETENESS: a consumer that starts from the v0
+    * snapshot ([[readAt]]) and folds [[changesSince]] version by version
+    * — delete the deleted keys, upsert the insert/update images — must
+    * reproduce the final table EXACTLY, across all three write paths
+    * (copy-on-write MERGE, deletion-vector delete, copy-on-write
+    * DELETE WHERE). The in-band require compares the folded snapshot's
+    * aggregate to the direct read bit-for-bit; the oracle replays the
+    * same history relationally. This is the contract a downstream CDC
+    * consumer (a replica, a search index, a cache) actually needs: no
+    * missed row, no double-applied row, vectors and rewrites included.
+    */
+  def cdfReplayCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_cdf_replay", dir, "cow_cdf") {
+      val base = FsUtil.stateDir("cow_cdf", dir)
+      fsOf(spark, base).delete(new Path(base), true) // self-contained
+      val v0 = create(spark, base, graft.Tables.orders(spark, dir),
+        "o_orderkey", numFiles = 8, retain = 8)
+      merge(spark, base, rangeLocalBatch(spark, dir),
+        "o_orderkey", retain = 8) // v1: COW merge
+      dvDelete(spark, base, col("o_orderkey") % 19 === 7,
+        retain = 8) // v2: merge-on-read delete
+      deleteWhere(spark, base, col("o_orderstatus") === "I",
+        "o_orderkey", retain = 8) // v3: COW delete (drops the inserts)
+
+      val feed = changesSince(spark, base, v0, "o_orderkey")
+        .localCheckpoint() // one computation, sliced per version below
+      var snap = readAt(spark, base, v0)
+      AtomicPublish.versions(spark, base).filter(_ > v0).foreach { v =>
+        val ch = feed.filter(col("_commit_version") === v)
+        val ups = ch.filter(col("_change_type") =!= "delete")
+          .drop("_change_type", "_commit_version")
+        snap = snap
+          .join(ch.select(col("o_orderkey")).distinct(),
+            Seq("o_orderkey"), "left_anti")
+          .unionByName(ups)
+      }
+      val folded = statusAgg(snap).collect().toSeq
+      val direct = statusAgg(read(spark, base))
+      require(direct.collect().toSeq == folded,
+        "the folded change feed must reproduce the final snapshot")
+      direct
+    }
+
+  val cdfReplaySql: String =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      |v1 AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey * 8 <= m AND o_orderkey % 7 = 0
+      |              THEN o_totalprice + 10.0 ELSE o_totalprice
+      |         END AS o_totalprice,
+      |         o_orderstatus
+      |  FROM orders, mx
+      |  WHERE NOT (o_orderkey * 8 <= m AND o_orderkey % 11 = 3)
+      |  UNION ALL
+      |  SELECT o_orderkey + m, o_totalprice, 'I'
+      |  FROM orders, mx WHERE o_orderkey % 103 = 5
+      |),
+      |v2 AS (SELECT * FROM v1 WHERE NOT o_orderkey % 19 = 7),
+      |v3 AS (SELECT * FROM v2 WHERE o_orderstatus <> 'I')
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -353,6 +353,9 @@ object OpsQueries {
     // exactly-once streaming MERGE into the cow table: txn-stamped
     // commits make checkpoint replays no-ops (replay proven in-band)
     "stream_cow_merge" -> ((s, dir) => graft.streaming.CowStream.mergeCheck(s, dir)),
+    // CDC replay completeness: v0 snapshot + folded change feed ==
+    // final table, across COW merge, DV delete, and COW delete
+    "cow_cdf_replay" -> ((s, dir) => graft.io.CowTable.cdfReplayCheck(s, dir)),
     // commit-log streaming: every AtomicPublish version = one exactly-once
     // micro-batch of the graft-artifact DSv2 source (offsets = version ids)
     "stream_publish_feed" -> ((s, dir) => graft.streaming.PublishFeed.check(s, dir)),
@@ -677,6 +680,7 @@ object OpsQueries {
     "cow_dv" -> graft.io.CowTable.dvSql,
     "cow_changes" -> graft.io.CowTable.changesSql,
     "stream_cow_merge" -> graft.streaming.CowStream.mergeCheckSql,
+    "cow_cdf_replay" -> graft.io.CowTable.cdfReplaySql,
     "stream_publish_feed" -> graft.streaming.PublishFeed.checkSql,
     "snapshot_diff" -> SnapshotDiff.reportSql,
     "schema_evolution" -> graft.io.SchemaEvolution.reportSql,

@@ -116,6 +116,36 @@ class CowDvSpec extends SparkSpec {
     assert(r.getAs[Long]("id") === 42L)
   }
 
+  test("changesSince + readAt: the cursor folds forward; pruned gaps fail fast") {
+    val base = Files.createTempDirectory("cow_cursor").toString + "/t"
+    val v0 = CowTable.create(spark, base, table(100), "id",
+      numFiles = 2, retain = 8)
+    CowTable.merge(spark, base, Seq(
+      (3L, "upd", 99.0, false), (5L, "x", 0.0, true), (200L, "new", 1.0, false))
+      .toDF("id", "nm", "amt", "_delete"), "id", retain = 8) // v1
+    CowTable.dvDelete(spark, base, col("id") === 50L, retain = 8) // v2
+
+    assert(CowTable.readAt(spark, base, v0).count() === 100L)
+    assert(CowTable.readAt(spark, base, v0 + 1).count() === 100L) // -1 +1
+    assert(CowTable.readAt(spark, base, v0 + 2).count() === 99L)
+
+    val feed = CowTable.changesSince(spark, base, v0, "id")
+    assert(feed.filter(col("_commit_version") === 1L).count() === 3L)
+    val v2ch = feed.filter(col("_commit_version") === 2L).collect()
+    assert(v2ch.length === 1 &&
+      v2ch.head.getAs[String]("_change_type") === "delete" &&
+      v2ch.head.getAs[Long]("id") === 50L)
+
+    // a table whose retention pruned the span cannot serve the cursor
+    val b2 = Files.createTempDirectory("cow_gap").toString + "/t"
+    CowTable.create(spark, b2, table(10), "id", numFiles = 1, retain = 1)
+    CowTable.merge(spark, b2,
+      Seq((1L, "u", 0.0, false)).toDF("id", "nm", "amt", "_delete"), "id")
+    intercept[Exception] {
+      CowTable.changesSince(spark, b2, 0L, "id").count()
+    }
+  }
+
   test("exactlyOnceMerge: replays and stale batches are no-ops; compaction keeps the stamp") {
     val base = Files.createTempDirectory("cow_txn").toString + "/t"
     val b0 = Seq((1L, "a", 1.0)).toDF("id", "nm", "amt")
