@@ -111,13 +111,20 @@ object CurationE2e {
   /** The oracle recomputes every stage's expected totals from the rule
     * chain — the Spark side reads them from reloaded files, so the
     * comparison IS the conservation proof.
+    *
+    * kb / cl / toks / kept are MATERIALIZED: DuckDB inlines plain CTEs
+    * at each reference, and `kept` (which embeds BOTH near-dup replays)
+    * feeds three UNION legs — inlined, the LSH pair replay executes
+    * ~12x and the 10x fixture blows a 165 GB spill budget; materialized
+    * it executes once per replay, the same footprint as the standalone
+    * dedup oracles (values unchanged).
     */
   val runSql: String =
-    s"""WITH kb AS (
+    s"""WITH kb AS MATERIALIZED (
        |${Dedup.keepBestSql(0.5)}
-       |), cl AS (
+       |), cl AS MATERIALIZED (
        |${Dedup.canonicalSql(0.5)}
-       |), toks AS (
+       |), toks AS MATERIALIZED (
        |  SELECT doc_id,
        |         CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS toks
        |  FROM documents
@@ -135,7 +142,7 @@ object CurationE2e {
        |  SELECT doc_id, dup_trigram_frac FROM (${TextMetrics.repetitionSql}) t
        |), cc AS (
        |  SELECT doc_id, contaminated FROM (${Contamination.reportSql}) t
-       |), kept AS (
+       |), kept AS MATERIALIZED (
        |  SELECT d.doc_id, toks.toks
        |  FROM documents d
        |  JOIN exact e USING (doc_id)
