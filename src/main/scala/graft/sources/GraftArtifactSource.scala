@@ -222,21 +222,8 @@ private[sources] class ArtifactScan(base: String, dataset: String,
   override def planInputPartitions(): Array[InputPartition] =
     keptFiles.map(ArtifactPartition).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // projection: prune the physical schema down to the required fields,
-    // computed once on the driver from the first footer
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val projection = allFiles.headOption.map { f =>
-      val in = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(f), conf))
-      val fileSchema = try in.getFooter.getFileMetaData.getSchema
-      finally in.close()
-      new MessageType(fileSchema.getName,
-        required.fields.map(f0 =>
-          fileSchema.getType(fileSchema.getFieldIndex(f0.name))): _*).toString
-    }.getOrElse("")
-    new ArtifactReaderFactory(projection, required.json, pushed)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArtifactReaderFactory(required.json, pushed)
 
   override def description(): String =
     s"graft-artifact $dir pushed=[${pushed.mkString(", ")}] " +
@@ -290,7 +277,7 @@ private[sources] class ArtifactMicroBatchStream(base: String, dataset: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArtifactReaderFactory(projection = "", required.json, Array.empty)
+    new ArtifactReaderFactory(required.json, Array.empty)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -353,21 +340,30 @@ private[sources] object ArtifactScan {
   }
 }
 
-private[sources] class ArtifactReaderFactory(projection: String,
-                                             requiredJson: String,
+private[sources] class ArtifactReaderFactory(requiredJson: String,
                                              pushed: Array[Filter])
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val conf = new Configuration()
-    if (projection.nonEmpty)
-      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection)
+    val path = new Path(p.asInstanceOf[ArtifactPartition].path)
+    // column projection is built PER FILE from the file's OWN footer:
+    // pool files written by different commits can disagree on field
+    // repetition (a create writes `required`, a merge's join output
+    // writes `optional`), and parquet-mr's checkContains rejects a
+    // projection lifted from another file's footer
+    val in = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    val fileSchema = try in.getFooter.getFileMetaData.getSchema
+    finally in.close()
+    val projection = new MessageType(fileSchema.getName,
+      required.fields.map(f0 =>
+        fileSchema.getType(fileSchema.getFieldIndex(f0.name))): _*)
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
     val predicate = pushed.flatMap(ArtifactScan.toParquet(_, required))
       .reduceOption[FilterPredicate](FilterApi.and)
     val builder = org.apache.parquet.hadoop.ParquetReader
-      .builder(new GroupReadSupport(),
-        new Path(p.asInstanceOf[ArtifactPartition].path))
+      .builder(new GroupReadSupport(), path)
       .withConf(conf)
     val reader = predicate
       .map(pr => builder.withFilter(FilterCompat.get(pr)).build())

@@ -146,6 +146,25 @@ class CowDvSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 AS-OF: version-pinned cow read equals readAt") {
+    val base = Files.createTempDirectory("cow_asof").toString + "/t"
+    val v0 = CowTable.create(spark, base, table(100), "id",
+      numFiles = 2, retain = 4)
+    CowTable.merge(spark, base,
+      Seq((7L, "u", 1.0, false), (300L, "n", 2.0, false))
+        .toDF("id", "nm", "amt", "_delete"), "id", retain = 4)
+    val asOf = spark.read.format("graft-artifact")
+      .option("base", base).option("cow", "true")
+      .option("version", v0.toString).load()
+    val want = CowTable.readAt(spark, base, v0)
+    assert(asOf.count() === 100L)
+    assert(asOf.exceptAll(want).isEmpty && want.exceptAll(asOf).isEmpty,
+      "the DSv2 version-pinned scan must equal the readAt snapshot")
+    // the head points at the merged state
+    assert(spark.read.format("graft-artifact")
+      .option("base", base).option("cow", "true").load().count() === 101L)
+  }
+
   test("exactlyOnceMerge: replays and stale batches are no-ops; compaction keeps the stamp") {
     val base = Files.createTempDirectory("cow_txn").toString + "/t"
     val b0 = Seq((1L, "a", 1.0)).toDF("id", "nm", "amt")
