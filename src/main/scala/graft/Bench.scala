@@ -184,7 +184,22 @@ object Bench {
     val total = finalResults.map(_._2).sum + prewarmSec
     // failures carried in-band: stderr is routinely discarded by callers
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_full_run":$streamFull,"retimed_full_run":$retimedFull,"memo_prewarm_sec":$prewarmSec,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_full_run":$streamFull,"retimed_full_run":$retimedFull,"memo_prewarm_sec":$prewarmSec,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // durable copy of the COMPLETE per-query map: the driver's committed
+    // record keeps only a 2000-char tail of stdout, which truncates a
+    // 250+-query map — round-over-round deltas need the full figures
+    // in-repo (bench/latest.json is committed per round as bench/r<N>.json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json")
+    try {
+      val f = new java.io.File(outPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.FileWriter(f)
+      try w.write(line + "\n") finally w.close()
+    } catch {
+      case e: Exception => // the stdout line is still the contract
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -14,10 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `Generator`) emitting one row per word n-gram of an `array<string>`,
   * joined with single spaces. This is the whole-operator form of the
   * `explode(transform(sequence(0, size(ws) − n), i → concat_ws(...)))`
-  * chain the dedup/decontamination stack was built on (reference
-  * semantics: 3-shingles for MinHash at
-  * `/root/reference/data-pipeline/docs/dedup.md` scope; n-grams for
-  * leakage checks): identical output, but the generator emits n-grams
+  * chain the dedup/decontamination stack was built on (SURVEY §8's
+  * dedup rationale: 3-shingles for MinHash in `ops/Dedup.shingles`,
+  * word n-grams for the decontamination leakage checks in
+  * `ops/Contamination`): identical output, but the generator emits n-grams
   * one at a time straight from the word array — the chain materializes
   * a `sequence` index array plus a transformed n-gram array per
   * document BEFORE exploding, which for a w-word document allocates

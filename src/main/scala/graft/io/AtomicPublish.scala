@@ -59,6 +59,61 @@ object AtomicPublish {
     }.flatten
   }
 
+  private def legacyPointer(fs: org.apache.hadoop.fs.FileSystem,
+                            b: Path): Long = {
+    val f = new Path(b, "_committed")
+    if (!fs.exists(f)) -1L
+    else {
+      val in = fs.open(f)
+      try in.readLong() finally in.close()
+    }
+  }
+
+  /** Sealed versions that are also COMMITTED. A writer crashing between
+    * the `v<N>` claim rename and the `_commits` marker leaves a sealed
+    * but never-committed orphan; the next writer skips to N+1, so the
+    * orphan sits forever BETWEEN committed ids. It must be invisible to
+    * every consumer that iterates history (the CDC cursor, the
+    * commit-log stream, vacuum's reference set) — emitting it would be
+    * exactly the dirty read the marker protocol exists to prevent.
+    * Committed = has a `_commits/v<N>` marker, or `<= legacy pointer`
+    * (pre-marker layouts), or — when NEITHER mechanism has any record —
+    * every sealed version (the crash-recovery fallback [[committed]]
+    * already uses). */
+  private def committedVersions(spark: SparkSession, b: Path): Seq[Long] = {
+    val fs = fsOf(spark, b)
+    val sealedVs = publishedVersions(spark, b)
+    val commits = new Path(b, "_commits")
+    val marked: Set[Long] =
+      if (!fs.exists(commits)) Set.empty
+      else fs.listStatus(commits).toSeq.map(_.getPath.getName).collect {
+        case VDir(n) => n.toLong
+      }.toSet
+    val legacy = legacyPointer(fs, b)
+    if (marked.isEmpty && legacy < 0) sealedVs // recovery fallback
+    else sealedVs.filter(v => marked.contains(v) || v <= legacy)
+  }
+
+  /** True iff `v` is committed AND still readable (not pruned). */
+  def isCommitted(spark: SparkSession, base: String, v: Long): Boolean =
+    committedVersions(spark, new Path(base)).contains(v)
+
+  /** True iff `v` is a sealed-or-GC-tombstoned ORPHAN: claimed by a
+    * writer that crashed before its commit marker (or a tombstone left
+    * when the orphan's directory was collected). Iterating readers skip
+    * these; an id that is neither committed, orphaned, nor beyond the
+    * head must have been PRUNED and is a fail-fast. */
+  def isOrphan(spark: SparkSession, base: String, v: Long): Boolean = {
+    val b = new Path(base)
+    val fs = fsOf(spark, b)
+    val dir = new Path(b, s"v$v")
+    val tomb = new Path(b, s"_commits/.orphan-v$v")
+    if (fs.exists(tomb)) true
+    else if (!fs.exists(dir)) false
+    else !isCommitted(spark, base, v) &&
+      committed(spark, base) > v // a later commit proves the claim dead
+  }
+
   /** Last committed version under `base`, −1 if none: the max across
     * the per-version commit markers, the legacy single-pointer file
     * (pre-multi-writer layouts remain readable), and — if neither
@@ -73,14 +128,7 @@ object AtomicPublish {
       else fs.listStatus(commits).toSeq.map(_.getPath.getName).collect {
         case VDir(n) => n.toLong
       }.foldLeft(-1L)(math.max)
-    val legacy = {
-      val f = new Path(b, "_committed")
-      if (!fs.exists(f)) -1L
-      else {
-        val in = fs.open(f)
-        try in.readLong() finally in.close()
-      }
-    }
+    val legacy = legacyPointer(fs, b)
     if (marker >= 0 || legacy >= 0) math.max(marker, legacy)
     else {
       val vs = publishedVersions(spark, b)
@@ -111,9 +159,11 @@ object AtomicPublish {
     spark.read.parquet(s"$base/v$version/$name")
   }
 
-  /** All readable (sealed, unpruned) version ids under `base`, ascending. */
+  /** All readable COMMITTED version ids under `base`, ascending. Sealed
+    * orphans (claimed by a crashed writer, never committed) are excluded
+    * — their data was never made visible and must stay that way. */
   def versions(spark: SparkSession, base: String): Seq[Long] =
-    publishedVersions(spark, new Path(base)).sorted
+    committedVersions(spark, new Path(base)).sorted
 
   /** Write all `datasets` as the next version and commit them with one
     * pointer swap; returns the committed version id. Each frame is
@@ -263,11 +313,27 @@ object AtomicPublish {
     publishedVersions(spark, b).filter(_ <= cur - retain).foreach { n =>
       fs.delete(new Path(b, s"v$n"), true)
       fs.delete(new Path(b, s"_commits/v$n"), false)
+      fs.delete(new Path(b, s"_commits/.orphan-v$n"), false)
     }
+    val committedNow = committedVersions(spark, b).toSet
+    val legacy = legacyPointer(fs, b)
     fs.listStatus(b).foreach { st =>
       st.getPath.getName match {
         case VDir(n) if st.isDirectory && n.toLong <= cur &&
           !fs.exists(new Path(st.getPath, "_PUBLISHED")) =>
+          // pre-claim-protocol partial write parked on an id: garbage
+          fs.delete(st.getPath, true)
+        case VDir(n) if st.isDirectory && n.toLong < cur &&
+          n.toLong > legacy && !committedNow.contains(n.toLong) =>
+          // sealed ORPHAN: claimed, never committed, and a LATER commit
+          // exists — the claiming writer is provably dead (tryPublish
+          // deletes its stage on a lost race; only a crash between claim
+          // and marker leaves this). A tombstone keeps the id
+          // distinguishable from a PRUNED committed version for
+          // iterating readers (skip vs fail-fast). Ids <= the legacy
+          // pointer are committed without markers and are never touched.
+          val tomb = new Path(b, s"_commits/.orphan-v$n")
+          fs.create(tomb, true).close()
           fs.delete(st.getPath, true)
         case _ => ()
       }

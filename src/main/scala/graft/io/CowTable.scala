@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   *
   * Consequences at 100 TB:
   *   - a MERGE touching 0.1% of keys rewrites only the files whose
-  *     key range intersects the source keys (found by a broadcast range
-  *     join of source keys against the file-count-bounded manifest —
-  *     never a scan of the table) and REFERENCES every other file
-  *     unchanged in the new manifest. Merge cost is O(affected files +
-  *     source), not O(table).
+  *     key range intersects the source keys — found by a DISTRIBUTED
+  *     interval-bucket join of source keys against the manifest kept
+  *     as a DataFrame (no broadcast, no driver materialization, no
+  *     file-count ceiling) — and REFERENCES every other file unchanged
+  *     in the new manifest via anti-join. Merge cost is O(affected
+  *     files + source), not O(table).
   *   - serializability comes from [[AtomicPublish.tryPublish]]: a merge
   *     computed against parent version P commits only if it lands at
   *     P+1. A concurrent writer winning the slot forces a recompute
@@ -74,7 +75,20 @@ import org.apache.spark.sql.functions._
 object CowTable {
 
   case class Entry(file: String, rows: Long, kmin: Long, kmax: Long,
-                   dv: String = "", dvRows: Long = 0L)
+                   dv: String = "", dvRows: Long = 0L,
+                   smin: Map[String, String] = Map.empty,
+                   smax: Map[String, String] = Map.empty)
+
+  /** Table-level metadata carried in every version's payload: the data
+    * schema (so an EMPTIED table still reads back with the right
+    * columns), the clustering key, and the declared stats-column set
+    * ([[writePool]] records per-file min/max for these so predicate
+    * operations can prune their discovery scans from the manifest). */
+  private[graft] case class Meta(schemaJson: String, key: String,
+                                 statsCols: Seq[String])
+
+  private val ManifestCols =
+    Seq("file", "rows", "kmin", "kmax", "dv", "dvRows", "smin", "smax")
 
   private def fsOf(spark: SparkSession, base: String) =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -87,10 +101,15 @@ object CowTable {
     regexp_replace(input_file_name(), "^file:/+", "/")
 
   /** Write `df` as `numFiles` range-partitioned, key-sorted pool files;
-    * returns their manifest entries (stats from one scan of the NEW
-    * files only). */
+    * returns their manifest entries — row count, key min/max, and
+    * per-file min/max for each declared stats column — from one scan of
+    * the NEW files only. Stats are aggregated on the column's NATURAL
+    * type (lexical min of a stringified numeric would be wrong) and
+    * stored as strings; [[StatsPrune]] casts them back to the
+    * predicate literal's type at prune time. */
   private def writePool(spark: SparkSession, base: String, df: DataFrame,
-                        key: String, numFiles: Int): Seq[Entry] = {
+                        key: String, numFiles: Int,
+                        statsCols: Seq[String] = Nil): Seq[Entry] = {
     val fs = fsOf(spark, base)
     val token = java.util.UUID.randomUUID().toString
     val tmp = new Path(base, s".data-$token")
@@ -109,32 +128,139 @@ object CowTable {
     fs.delete(tmp, true)
     if (moved.isEmpty) Seq.empty
     else {
+      val sCols = statsCols.filter(df.columns.contains)
+      val sminE =
+        if (sCols.isEmpty) typedLit(Map.empty[String, String])
+        else map(sCols.flatMap(c =>
+          Seq(lit(c), min(col(c)).cast("string"))): _*)
+      val smaxE =
+        if (sCols.isEmpty) typedLit(Map.empty[String, String])
+        else map(sCols.flatMap(c =>
+          Seq(lit(c), max(col(c)).cast("string"))): _*)
       val stats = spark.read.parquet(moved: _*)
         .groupBy(fileCol.as("file"))
         .agg(count(lit(1)).as("rows"),
           min(col(key).cast("long")).as("kmin"),
-          max(col(key).cast("long")).as("kmax"))
-        .collect() // file-count bounded
-        .map(r => Entry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          max(col(key).cast("long")).as("kmax"),
+          sminE.as("smin"), smaxE.as("smax"))
+        .collect() // NEW-file-count bounded
+        .map(r => Entry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          smin = Option(r.getMap[String, String](4)).map(_.toMap)
+            .getOrElse(Map.empty),
+          smax = Option(r.getMap[String, String](5)).map(_.toMap)
+            .getOrElse(Map.empty)))
       // a range partition that received no rows produces no part file;
       // nothing to reconcile — `moved` and `stats` agree by construction
       stats.sortBy(_.kmin).toSeq
     }
   }
 
-  private def manifestDf(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+  private def entriesDf(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
     import spark.implicits._
-    entries.toDF()
+    entries.toDF().select(ManifestCols.map(col): _*)
+  }
+
+  /** Manifest columns padded to the current layout — pre-DV manifests
+    * lack the vector columns (absent = no deletions), pre-stats ones
+    * lack the stats maps (absent = prune nothing). */
+  private def pad(df0: DataFrame): DataFrame = {
+    var df = df0
+    if (!df.columns.contains("dv")) df = df.withColumn("dv", lit(""))
+    if (!df.columns.contains("dvRows")) df = df.withColumn("dvRows", lit(0L))
+    if (!df.columns.contains("smin"))
+      df = df.withColumn("smin", typedLit(Map.empty[String, String]))
+    if (!df.columns.contains("smax"))
+      df = df.withColumn("smax", typedLit(Map.empty[String, String]))
+    df.select(ManifestCols.map(col): _*)
+  }
+
+  /** The manifest AS A DATAFRAME — the scale-true form: every
+    * manifest-wide operation (discovery joins, untouched-file
+    * carry-over, stats pruning) composes on this without ever
+    * materializing the file list on the driver, so no file-count
+    * ceiling exists on the table itself. Only operation FOOTPRINTS
+    * (affected/candidate file lists, which must be enumerated to be
+    * scanned at all) are collected. */
+  private def manifestDfAt(spark: SparkSession, base: String,
+                           version: Long): DataFrame =
+    pad(AtomicPublish.readVersion(spark, base, "manifest", version))
+
+  private def collectEntries(df: DataFrame): Seq[Entry] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    pad(df).as[Entry].collect().toSeq
   }
 
   private def entriesAt(spark: SparkSession, base: String,
-                        version: Long): Seq[Entry] = {
+                        version: Long): Seq[Entry] =
+    collectEntries(manifestDfAt(spark, base, version))
+
+  private def metaDf(spark: SparkSession, m: Meta): DataFrame = {
     import spark.implicits._
-    var df = AtomicPublish.readVersion(spark, base, "manifest", version)
-    // pre-DV manifests lack the vector columns; absent = no deletions
-    if (!df.columns.contains("dv")) df = df.withColumn("dv", lit(""))
-    if (!df.columns.contains("dvRows")) df = df.withColumn("dvRows", lit(0L))
-    df.as[Entry].collect().toSeq // file-count bounded
+    Seq((m.schemaJson, m.key, m.statsCols.mkString(",")))
+      .toDF("schemaJson", "key", "statsCols")
+  }
+
+  private[graft] def metaAt(spark: SparkSession, base: String,
+                            v: Long): Option[Meta] = {
+    if (v < 0) return None
+    if (!fsOf(spark, base).exists(new Path(base, s"v$v/meta"))) None
+    else {
+      val r = AtomicPublish.readVersion(spark, base, "meta", v).head()
+      Some(Meta(r.getString(0), r.getString(1),
+        r.getString(2).split(",").filter(_.nonEmpty).toSeq))
+    }
+  }
+
+  /** The committed table metadata (schema / key / stats columns). */
+  private[graft] def meta(spark: SparkSession, base: String): Option[Meta] =
+    metaAt(spark, base, AtomicPublish.committed(spark, base))
+
+  /** Distributed interval-containment discovery: the manifest rows whose
+    * [kmin, kmax] range MAY contain one of `keys` (a one-column frame,
+    * cast to long). This replaces the broadcast range join that capped
+    * the table at `Bcast.SafeRows` files: both sides are bucketed on a
+    * width derived from the manifest's own coverage (span statistics —
+    * one O(files) distributed aggregate, four scalars back), the join is
+    * a plain shuffled EQUI-join on the bucket id with the exact range
+    * containment as a post-condition, and the manifest never leaves the
+    * executors. Entries spanning pathologically many buckets (possible
+    * only after heavy uncompacted range overlap) are kept as candidates
+    * unconditionally — spurious candidates cost a rewrite, never
+    * correctness; [[compact]] restores tight ranges. */
+  private def intervalCandidates(mDf: DataFrame, keys: DataFrame): DataFrame = {
+    val live = mDf.filter(col("kmax") >= col("kmin"))
+    val agg = live.agg(min("kmin"), max("kmax"), count(lit(1)),
+      sum((col("kmax") - col("kmin")).cast("double") + 1.0)).head()
+    if (agg.isNullAt(0)) return mDf.limit(0)
+    val lo = agg.getLong(0)
+    val hi = agg.getLong(1)
+    val n = agg.getLong(2)
+    val cov = agg.getDouble(3)
+    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue) / 2,
+      s"key span [$lo, $hi] too wide for interval bucketing")
+    // bucket width: a power of two near coverage/(8·files), so a tight
+    // layout explodes each entry into ~9 buckets (O(files) exploded
+    // rows) and the bucket id is an exact integer shift — no double
+    // division anywhere near 2^53
+    val w = math.max(1L, math.ceil(cov / math.max(1L, 8L * n)).toLong)
+    val wBits = if (w <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w - 1)
+    def bucketOf(c: Column): Column = shiftright(c - lit(lo), wBits)
+    val b = live
+      .withColumn("_gfb_lo", bucketOf(col("kmin")))
+      .withColumn("_gfb_hi", bucketOf(col("kmax")))
+    val wide = b.filter(col("_gfb_hi") - col("_gfb_lo") > 4096)
+      .select(ManifestCols.map(col): _*)
+    val narrow = b.filter(col("_gfb_hi") - col("_gfb_lo") <= 4096)
+      .withColumn("_gfb", explode(sequence(col("_gfb_lo"), col("_gfb_hi"))))
+    val kDf = keys.select(col(keys.columns.head).cast("long").as("_gf_k"))
+      .distinct()
+      .withColumn("_gfb", bucketOf(col("_gf_k")))
+    narrow.join(kDf, Seq("_gfb"))
+      .where(col("_gf_k") >= col("kmin") && col("_gf_k") <= col("kmax"))
+      .select(ManifestCols.map(col): _*)
+      .unionByName(wide)
+      .dropDuplicates("file")
   }
 
   /** `_metadata.file_path` with the scheme stripped — the row's physical
@@ -145,11 +271,30 @@ object CowTable {
       regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
     .withColumn("_gf_pos", col("_metadata.row_index"))
 
+  /** The (file, pos) rows of the deletion vectors `dvd` references,
+    * restricted PER VECTOR FILE to the entries that point at THAT
+    * vector. A global `file IN (all dvd files)` over all vector files
+    * is not enough: after successive [[dvDelete]]s an OLDER shared
+    * vector still referenced by an unaffected entry can hold stale
+    * rows for a file that has since moved to a newer cumulative vector
+    * — those rows pass a global IN filter, silently exceeding the
+    * manifest's dvRows total (breaking the proven broadcast bound) and
+    * duplicating positions into any new cumulative vector built from
+    * the result. The per-(dv → its files) join makes the scanned row
+    * count EXACTLY the manifest's dvRows sum. */
+  private def vectorRows(spark: SparkSession, dvd: Seq[Entry]): DataFrame =
+    dvd.groupBy(_.dv).map { case (path, es) =>
+      spark.read.parquet(path)
+        .where(col("file").isin(es.map(_.file): _*)) // file-count bounded
+    }.reduce(_ unionByName _)
+
   /** Live rows of `entries`: the raw pool scan minus each file's
     * deletion vector. The anti-join side is broadcast exactly when the
     * manifest's own dvRows total proves it bounded — metadata, not a
-    * guess. With `lineage` the (file, position) address columns are
-    * kept for callers that need to write vectors or discover files. */
+    * guess ([[vectorRows]] restricts per vector file, so the bound is
+    * exact even after successive deletes). With `lineage` the (file,
+    * position) address columns are kept for callers that need to write
+    * vectors or discover files. */
   private def scanEntries(spark: SparkSession, entries: Seq[Entry],
                           lineage: Boolean = false): DataFrame = {
     require(entries.nonEmpty, "scanEntries on an empty manifest")
@@ -158,13 +303,7 @@ object CowTable {
     val live =
       if (dvd.isEmpty) raw
       else {
-        // restrict shared vector files to THIS manifest's entries (an
-        // IN filter parquet can push): stale positions for rewritten
-        // files never match anyway, but dropping them makes the scanned
-        // row count exactly the manifest's dvRows total — which is then
-        // a PROVEN broadcast bound, not an estimate
-        val dv = spark.read.parquet(dvd.map(_.dv).distinct: _*)
-          .where(col("file").isin(dvd.map(_.file): _*)) // file-count bounded
+        val dv = vectorRows(spark, dvd)
         raw.join(graft.Bcast.ifBounded(dv, dvd.map(_.dvRows).sum),
           raw("_gf_file") === dv("file") && raw("_gf_pos") === dv("pos"),
           "left_anti")
@@ -172,22 +311,41 @@ object CowTable {
     if (lineage) live else live.drop("_gf_file", "_gf_pos")
   }
 
-  /** Create the table from `df` as version 0. */
+  /** Create the table from `df` as version 0. `statsCols` declares the
+    * columns [[writePool]] records per-file min/max for — the manifest
+    * statistics that let predicate operations ([[deleteWhere]],
+    * [[dvDelete]]) prune their discovery scans instead of reading the
+    * whole table. */
   def create(spark: SparkSession, base: String, df: DataFrame, key: String,
-             numFiles: Int, retain: Int = 1): Long = {
-    val entries = writePool(spark, base, df, key, numFiles)
-    val v = AtomicPublish.publish(spark, base,
-      Seq("manifest" -> manifestDf(spark, entries)), retain)
-    v
+             numFiles: Int, retain: Int = 1,
+             statsCols: Seq[String] = Nil): Long = {
+    val entries = writePool(spark, base, df, key, numFiles, statsCols)
+    AtomicPublish.publish(spark, base,
+      payload(spark, base, -1L, entriesDf(spark, entries), None,
+        Some(Meta(df.schema.json, key, statsCols))), retain)
   }
+
+  /** An empty frame with the table's DATA schema — the version's `meta`
+    * payload preserves it even when every row (and so every pool file)
+    * is gone; legacy tables without meta fall back to the old
+    * manifest-schema frame. */
+  private def emptyWithSchema(spark: SparkSession, base: String,
+                              v: Long): DataFrame =
+    metaAt(spark, base, v) match {
+      case Some(m) =>
+        val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      case None => spark.read.parquet(s"$base/v$v/manifest").limit(0)
+    }
 
   /** Scan of the committed snapshot (manifest-resolved file list). */
   def read(spark: SparkSession, base: String): DataFrame = {
     val v = AtomicPublish.committed(spark, base)
     require(v >= 0, s"no committed version under $base")
     val entries = entriesAt(spark, base, v)
-    if (entries.isEmpty) // preserve schema even for an emptied table
-      spark.read.parquet(s"$base/v$v/manifest").limit(0)
+    if (entries.isEmpty) emptyWithSchema(spark, base, v)
     else scanEntries(spark, entries)
   }
 
@@ -201,30 +359,23 @@ object CowTable {
     */
   def readAt(spark: SparkSession, base: String, version: Long): DataFrame = {
     val entries = entriesAt(spark, base, version)
-    if (entries.isEmpty) // preserve schema even for an emptied snapshot
-      spark.read.parquet(s"$base/v$version/manifest").limit(0)
+    if (entries.isEmpty) emptyWithSchema(spark, base, version)
     else scanEntries(spark, entries)
   }
 
   /** Point-lookup read: snapshot rows whose key range MAY contain one of
-    * `keys` (first column, cast long) — the merge discovery join reused
-    * as a reader, so a k-key probe scans only the intersecting files,
-    * never the table. */
+    * `keys` (first column, cast long) — the merge discovery reused as a
+    * reader, so a k-key probe scans only the intersecting files, never
+    * the table (and, via [[intervalCandidates]], never broadcasts or
+    * driver-materializes the manifest). */
   def readForKeys(spark: SparkSession, base: String, keys: DataFrame,
                   key: String): DataFrame = {
     val v = AtomicPublish.committed(spark, base)
     require(v >= 0, s"no committed version under $base")
-    val entries = entriesAt(spark, base, v)
-    if (entries.isEmpty) return read(spark, base) // schema-only frame
-    val kDf = keys.select(col(keys.columns.head).cast("long").as("_gf_k"))
-      .distinct()
-    val mDf = manifestDf(spark, entries)
-    val hit = kDf
-      .join(graft.Bcast.ifBounded(mDf, entries.size.toLong),
-        col("_gf_k") >= col("kmin") && col("_gf_k") <= col("kmax"))
-      .select("file").distinct().collect().map(_.getString(0)).toSet
-    if (hit.isEmpty) scanEntries(spark, entries.take(1)).limit(0)
-    else scanEntries(spark, entries.filter(e => hit.contains(e.file)))
+    val mDf = manifestDfAt(spark, base, v)
+    val hit = collectEntries(intervalCandidates(mDf, keys)) // probe footprint
+    if (hit.isEmpty) read(spark, base).limit(0) // schema-only frame
+    else scanEntries(spark, hit)
   }
 
   /** Txn stamps of version `v`: (stream id, last applied batch id). */
@@ -245,13 +396,16 @@ object CowTable {
       .collect { case (s, b) if s == stream => b }
       .foldLeft(-1L)(math.max)
 
-  /** Version payload: the manifest plus the txn table — the PARENT's
-    * stamps carried forward on every commit (compaction or another
-    * stream's merge must never erase a writer's idempotence marker),
-    * updated when this commit is itself stamped. The txn table is
-    * O(streams): collected and rewritten wholesale each version. */
+  /** Version payload: the manifest (a DataFrame — never materialized on
+    * the driver) plus the meta table (parent's, unless a new one is
+    * supplied) plus the txn table — the PARENT's stamps carried forward
+    * on every commit (compaction or another stream's merge must never
+    * erase a writer's idempotence marker), updated when this commit is
+    * itself stamped. The txn table is O(streams): collected and
+    * rewritten wholesale each version. */
   private def payload(spark: SparkSession, base: String, parent: Long,
-                      entries: Seq[Entry], txn: Option[(String, Long)]
+                      manifest: DataFrame, txn: Option[(String, Long)],
+                      newMeta: Option[Meta] = None
                      ): Seq[(String, DataFrame)] = {
     import spark.implicits._
     val carried = txnsAt(spark, base, parent)
@@ -259,7 +413,9 @@ object CowTable {
       case None => carried
       case Some((s, b)) => carried.filterNot(_._1 == s) :+ ((s, b))
     }
-    Seq("manifest" -> manifestDf(spark, entries)) ++
+    Seq("manifest" -> manifest) ++
+      newMeta.orElse(metaAt(spark, base, parent))
+        .map(m => "meta" -> metaDf(spark, m)).toSeq ++
       (if (updated.isEmpty) Seq.empty
        else Seq("txn" -> updated.toDF("stream", "batch")))
   }
@@ -284,31 +440,36 @@ object CowTable {
     while (result < 0) {
       val parent = AtomicPublish.committed(spark, base)
       require(parent >= 0, s"no committed version under $base")
-      val entries = entriesAt(spark, base, parent)
-      val mDf = manifestDf(spark, entries)
-      require(entries.size <= graft.Bcast.SafeRows,
-        s"manifest too large to broadcast (${entries.size} files); " +
-          "an interval index over the manifest is the scale path")
+      // the manifest stays a DataFrame end to end: discovery is the
+      // distributed interval-bucket join (no broadcast, no SafeRows
+      // ceiling — a 100k-file table merges the same way an 8-file one
+      // does) and the untouched files are carried into the new manifest
+      // by anti-join, never enumerated on the driver. Only the AFFECTED
+      // entries — the merge's own rewrite footprint, which must be
+      // listed to be scanned at all — are collected.
+      val mDf = manifestDfAt(spark, base, parent)
       val srcKeys = src.select(col(key).cast("long").as("_gf_k")).distinct()
-      val affected = srcKeys
-        .join(graft.Bcast.ifBounded(mDf, graft.Bcast.SafeRows),
-          col("_gf_k") >= col("kmin") && col("_gf_k") <= col("kmax"))
-        .select("file").distinct().collect().map(_.getString(0)).toSet
-      val untouched = entries.filterNot(e => affected.contains(e.file))
+      val affectedDf = intervalCandidates(mDf, srcKeys).localCheckpoint()
+      val affected = collectEntries(affectedDf) // merge-footprint bounded
+      val untouched = mDf.join(affectedDf.select("file"), Seq("file"),
+        "left_anti")
       val upserts = src.filter(!col("_delete")).drop("_delete")
       val survivors =
         if (affected.isEmpty) upserts
         // DV-aware: a rewritten file's vectored-out rows must not
         // resurrect, so affected files are read through their vectors
-        else scanEntries(spark, entries.filter(e => affected.contains(e.file)))
+        else scanEntries(spark, affected)
           .join(src.select(col(key).cast("long").as(key)).distinct(),
             Seq(key), "left_anti")
           .unionByName(upserts, allowMissingColumns = false)
+      val statsCols = metaAt(spark, base, parent).map(_.statsCols)
+        .getOrElse(Nil)
       val newEntries = writePool(spark, base, survivors, key,
-        math.max(1, affected.size))
+        math.max(1, affected.size), statsCols)
       beforeCommit()
       AtomicPublish.tryPublish(spark, base,
-        payload(spark, base, parent, untouched ++ newEntries, txn),
+        payload(spark, base, parent,
+          untouched.unionByName(entriesDf(spark, newEntries)), txn),
         retain, parent) match {
         case Some(v) => result = v
         case None => () // conflict: recompute against the new committed
@@ -317,27 +478,71 @@ object CowTable {
     result
   }
 
-  /** DELETE WHERE: rewrites only the files that CONTAIN a matching row
-    * (one pruned discovery scan finds them), referencing the rest. */
-  def deleteWhere(spark: SparkSession, base: String, pred: Column,
-                  key: String, retain: Int = 1): Long = {
+  /** INSERT-style append: `df` becomes `numFiles` new pool files added
+    * to the manifest; no existing file is read or touched, and the pool
+    * write happens ONCE — only the manifest commit retries on conflict
+    * (an append conflicts with nothing row-wise, so no recompute is
+    * needed, unlike [[merge]]). Backs the SQL `INSERT INTO` path of
+    * [[graft.sources.GraftCatalog]]. */
+  def append(spark: SparkSession, base: String, df: DataFrame,
+             numFiles: Int = 1, retain: Int = 1): Long = {
+    val m = meta(spark, base).getOrElse(sys.error(
+      s"no table meta under $base — append needs a created cow table"))
+    val newEntries = writePool(spark, base, df, m.key, numFiles, m.statsCols)
     var result = -1L
     while (result < 0) {
       val parent = AtomicPublish.committed(spark, base)
       require(parent >= 0, s"no committed version under $base")
-      val entries = entriesAt(spark, base, parent)
-      if (entries.isEmpty) return parent
-      val data = scanEntries(spark, entries, lineage = true)
-      val hit = data.filter(pred).select(col("_gf_file"))
-        .distinct().collect().map(_.getString(0)).toSet // file-count bounded
-      if (hit.isEmpty) return parent // no-op: nothing matches
-      val untouched = entries.filterNot(e => hit.contains(e.file))
-      val survivors =
-        scanEntries(spark, entries.filter(e => hit.contains(e.file)))
-          .filter(!pred)
-      val newEntries = writePool(spark, base, survivors, key, hit.size)
+      val manifest = manifestDfAt(spark, base, parent)
+        .unionByName(entriesDf(spark, newEntries))
       AtomicPublish.tryPublish(spark, base,
-        payload(spark, base, parent, untouched ++ newEntries, None),
+        payload(spark, base, parent, manifest, None), retain, parent) match {
+        case Some(v) => result = v
+        case None => () // conflict: re-commit against the new manifest
+      }
+    }
+    result
+  }
+
+  /** DELETE WHERE: rewrites only the files that CONTAIN a matching row,
+    * referencing the rest. Discovery is PRUNED from the manifest before
+    * any data is read: [[StatsPrune]] translates the predicate into a
+    * manifest-level may-contain filter over the per-file kmin/kmax and
+    * the declared stats columns, so a range-correlated delete (a date
+    * window on a time-clustered table, a tenant on a tenant-keyed one)
+    * scans only the files whose statistics admit a match — at 100 TB
+    * the difference between a surgical delete and a full-table read.
+    * `onDiscovery(candidates, total)` reports the prune (a test seam /
+    * observability hook). */
+  def deleteWhere(spark: SparkSession, base: String, pred: Column,
+                  key: String, retain: Int = 1,
+                  onDiscovery: (Long, Long) => Unit = (_, _) => ()): Long = {
+    var result = -1L
+    while (result < 0) {
+      val parent = AtomicPublish.committed(spark, base)
+      require(parent >= 0, s"no committed version under $base")
+      val mDf = manifestDfAt(spark, base, parent)
+      val keyName = metaAt(spark, base, parent).map(_.key).getOrElse(key)
+      val candDf = mDf.filter(StatsPrune.mayContain(pred, keyName))
+        .localCheckpoint()
+      val cand = collectEntries(candDf) // possibly-matching files only
+      onDiscovery(cand.size.toLong, mDf.count())
+      if (cand.isEmpty) return parent // stats prove nothing matches
+      val data = scanEntries(spark, cand, lineage = true)
+      val hit = data.filter(pred).select(col("_gf_file"))
+        .distinct().collect().map(_.getString(0)).toSet // candidate-bounded
+      if (hit.isEmpty) return parent // no-op: nothing matches
+      val hitEntries = cand.filter(e => hit.contains(e.file))
+      val untouched = mDf.join(entriesDf(spark, hitEntries).select("file"),
+        Seq("file"), "left_anti")
+      val survivors = scanEntries(spark, hitEntries).filter(!pred)
+      val statsCols = metaAt(spark, base, parent).map(_.statsCols)
+        .getOrElse(Nil)
+      val newEntries = writePool(spark, base, survivors, key, hit.size,
+        statsCols)
+      AtomicPublish.tryPublish(spark, base,
+        payload(spark, base, parent,
+          untouched.unionByName(entriesDf(spark, newEntries)), None),
         retain, parent) match {
         case Some(v) => result = v
         case None => ()
@@ -358,6 +563,11 @@ object CowTable {
     while (result < 0) {
       val parent = AtomicPublish.committed(spark, base)
       require(parent >= 0, s"no committed version under $base")
+      // compaction PLANNING is global bin-packing over the sorted entry
+      // list — inherently a driver-side pass over O(files) manifest
+      // rows (the same metadata every lakehouse OPTIMIZE planner holds;
+      // ~100 bytes/entry, so even a 1M-file table plans in ~100 MB).
+      // The DOING reads only the rewritten groups.
       val entries = entriesAt(spark, base, parent).sortBy(e => (e.kmin, e.file))
       def liveRows(e: Entry): Long = e.rows - e.dvRows // logical size
       val groups = entries.foldLeft(List.empty[List[Entry]]) {
@@ -378,9 +588,12 @@ object CowTable {
       // non-overlapping key ranges for future manifest pruning
       val newEntries = writePool(spark, base,
         scanEntries(spark, rewrite.flatten), key,
-        numFiles = rewrite.size)
+        numFiles = rewrite.size,
+        statsCols = metaAt(spark, base, parent).map(_.statsCols)
+          .getOrElse(Nil))
       AtomicPublish.tryPublish(spark, base,
-        payload(spark, base, parent, keep.flatten ++ newEntries, None),
+        payload(spark, base, parent,
+          entriesDf(spark, keep.flatten ++ newEntries), None),
         retain, parent) match {
         case Some(v) => result = v
         case None => ()
@@ -421,26 +634,29 @@ object CowTable {
     */
   def dvDelete(spark: SparkSession, base: String, pred: Column,
                retain: Int = 1): Long = {
+    import spark.implicits._
     var result = -1L
     while (result < 0) {
       val parent = AtomicPublish.committed(spark, base)
       require(parent >= 0, s"no committed version under $base")
-      val entries = entriesAt(spark, base, parent)
-      if (entries.isEmpty) return parent
-      val hits = scanEntries(spark, entries, lineage = true).filter(pred)
+      val mDf = manifestDfAt(spark, base, parent)
+      val keyName = metaAt(spark, base, parent).map(_.key).getOrElse("")
+      // stats-pruned discovery: only files whose statistics admit a
+      // matching row are scanned for positions
+      val cand = collectEntries(mDf.filter(StatsPrune.mayContain(pred, keyName)))
+      if (cand.isEmpty) return parent // stats prove nothing matches
+      val hits = scanEntries(spark, cand, lineage = true).filter(pred)
         .select(col("_gf_file").as("file"), col("_gf_pos").as("pos"))
         .localCheckpoint() // evaluated once: counts, union, write
       val perFile = hits.groupBy("file").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // file-bounded
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // cand-bounded
       if (perFile.isEmpty) return parent // no-op: nothing matches
       // cumulative vector per affected file: prior positions + new hits
-      val oldDv = entries
+      val oldDv = cand
         .filter(e => perFile.contains(e.file) && e.dv.nonEmpty)
       val allRows =
         if (oldDv.isEmpty) hits
-        else hits.unionByName(
-          spark.read.parquet(oldDv.map(_.dv).distinct: _*)
-            .where(col("file").isin(oldDv.map(_.file): _*)))
+        else hits.unionByName(vectorRows(spark, oldDv))
       val fs = fsOf(spark, base)
       val token = java.util.UUID.randomUUID().toString
       val tmp = new Path(base, s".dv-$token")
@@ -449,10 +665,15 @@ object CowTable {
       fs.mkdirs(new Path(base, "files"))
       require(fs.rename(tmp, dst), s"dv move failed: $tmp -> $dst")
       val dvPath = norm(dst.toString)
-      val cum = entries.map(e => perFile.get(e.file) match {
-        case Some(n) => e.copy(dv = dvPath, dvRows = e.dvRows + n)
-        case None => e
-      })
+      // cumulative manifest update as a DataFrame join against the
+      // (affected-file-count bounded) per-file delta — the manifest is
+      // never materialized on the driver
+      val deltas = perFile.toSeq.toDF("file", "_gf_n")
+      val cum = mDf.join(deltas, Seq("file"), "left")
+        .withColumn("dv",
+          when(col("_gf_n").isNotNull, lit(dvPath)).otherwise(col("dv")))
+        .withColumn("dvRows", col("dvRows") + coalesce(col("_gf_n"), lit(0L)))
+        .select(ManifestCols.map(col): _*)
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent, cum, None), retain, parent) match {
         case Some(v) => result = v
@@ -516,14 +737,22 @@ object CowTable {
     * the same contract as the commit-log stream. */
   def changesSince(spark: SparkSession, base: String, sinceV: Long,
                    key: String): DataFrame = {
+    // consecutive COMMITTED versions only: a sealed orphan id (claimed
+    // by a crashed writer, never committed) must neither be emitted nor
+    // serve as a diff's pre-image — its data was never visible. Pruning
+    // is prefix-by-id, so "sinceV itself still readable" proves no
+    // committed version inside the span was pruned; orphan gaps are
+    // fine (there is nothing to emit for them).
     val vs = AtomicPublish.versions(spark, base).filter(_ > sinceV)
     require(vs.nonEmpty, s"no committed versions after $sinceV under $base")
-    require(vs.head == sinceV + 1,
-      s"versions ${sinceV + 1}..${vs.head - 1} are pruned; the cursor " +
-        "cannot skip commits — retain a window covering the poll interval")
-    vs.map(v => changes(spark, base, v - 1, v, key)
-        .withColumn("_commit_version", lit(v)))
-      .reduce(_ unionByName _)
+    require(AtomicPublish.isCommitted(spark, base, sinceV),
+      s"cursor base v$sinceV under $base is pruned or was never " +
+        "committed; the cursor cannot skip commits — retain a window " +
+        "covering the poll interval")
+    (sinceV +: vs).sliding(2).map { case Seq(prev, v) =>
+      changes(spark, base, prev, v, key)
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_ unionByName _)
   }
 
   /** Exactly-once MERGE for a Structured Streaming foreachBatch writer:
@@ -542,7 +771,8 @@ object CowTable {
       val entries = writePool(spark, base, upserts, key, numFiles = 1)
       import spark.implicits._
       AtomicPublish.publish(spark, base,
-        Seq("manifest" -> manifestDf(spark, entries),
+        Seq("manifest" -> entriesDf(spark, entries),
+          "meta" -> metaDf(spark, Meta(upserts.schema.json, key, Nil)),
           "txn" -> Seq((stream, batchId)).toDF("stream", "batch")), retain)
     } else if (lastTxn(spark, base, stream) >= batchId) {
       AtomicPublish.committed(spark, base) // replay: already applied
@@ -573,7 +803,7 @@ object CowTable {
     upd.unionByName(ins).unionByName(del)
   }
 
-  private def statusAgg(df: DataFrame): DataFrame = df
+  private[graft] def statusAgg(df: DataFrame): DataFrame = df
     .groupBy(col("o_orderstatus"))
     .agg(count(lit(1)).as("n_orders"),
       // exact decimal arithmetic inside, ONE final cast: the driver
@@ -596,7 +826,7 @@ object CowTable {
     * updates/deletes confined to the lowest eighth of the key space
     * (`k*8 <= max`, integer math both engines share), inserts re-keyed
     * past max with status 'I'. */
-  private def rangeLocalBatch(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def rangeLocalBatch(spark: SparkSession, dir: String): DataFrame = {
     val orders = graft.Tables.orders(spark, dir)
     val mx = orders.agg(max("o_orderkey")).head().getLong(0)
     val k = col("o_orderkey")
@@ -690,6 +920,49 @@ object CowTable {
       |FROM final WHERE o_orderstatus <> 'I'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PREDICATE DELETE with manifest-stats pruning, end-to-end: a cow
+    * table over events clustered by event TIME (epoch seconds) with
+    * per-file min/max recorded for the derived `event_date` — the
+    * standard time-clustered fact layout — then
+    * `DELETE WHERE event_date < cutoff`. [[StatsPrune]] turns the
+    * predicate into a manifest filter, so discovery reads only the
+    * head-of-timeline files (in-band require: strictly fewer files
+    * scanned than the manifest lists — the 100 TB contract that a date
+    * purge is NOT a full-table read), the delete rewrites only files
+    * actually containing matches, and the snapshot is aggregated back
+    * through the new manifest. The oracle replays the delete
+    * relationally. */
+  def deleteCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_delete", dir, "cow_delete") {
+      val base = FsUtil.stateDir("cow_delete", dir)
+      fsOf(spark, base).delete(new Path(base), true) // self-contained
+      val ev = graft.Tables.events(spark, dir)
+        .withColumn("_k", unix_timestamp(col("ts")))
+        .withColumn("event_date", to_date(col("ts")))
+      create(spark, base, ev, "_k", numFiles = 8,
+        statsCols = Seq("event_date"))
+      var scanned = -1L
+      var total = -1L
+      deleteWhere(spark, base,
+        col("event_date") < lit(java.sql.Date.valueOf("2024-01-08")), "_k",
+        onDiscovery = (s, t) => { scanned = s; total = t })
+      require(total == 8 && scanned > 0 && scanned < total,
+        s"stats pruning must skip non-matching files: scanned $scanned/$total")
+      read(spark, base).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double").as("total_value"))
+        .orderBy("event_type")
+    }
+
+  val deleteSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |                 AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE NOT (CAST(ts AS DATE) < DATE '2024-01-08')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DELETION-VECTOR end-to-end: two cumulative DV deletes — the first
     * scattered across EVERY file (`k % 13`), the worst case that would
     * force copy-on-write to rewrite the whole table — with an in-band
@@ -715,6 +988,13 @@ object CowTable {
       require(m.forall(_.dvRows > 0),
         "every file holds multiples of 13 at any SF: all must be vectored")
       val onRead = statusAgg(read(spark, base)).collect().toSeq
+      // the SQL-facing DSv2 path must serve the SAME merge-on-read
+      // snapshot (row-position subtraction in the reader), not require
+      // a compaction first
+      val served = statusAgg(spark.read.format("graft-artifact")
+        .option("base", base).option("cow", "true").load())
+      require(served.collect().toSeq == onRead,
+        "graft-artifact must serve a vectored manifest merge-on-read")
       compact(spark, base,
         targetRows = math.max(1L, m.map(e => e.rows - e.dvRows).sum / 4),
         "o_orderkey")

@@ -347,6 +347,10 @@ object OpsQueries {
     // merge-on-read DELETE by deletion vector: a scattered delete writes
     // O(deleted rows), rewrites ZERO data files; compact materializes
     "cow_dv" -> ((s, dir) => graft.io.CowTable.dvCheck(s, dir)),
+    // predicate DELETE with manifest-stats pruning: per-file min/max on a
+    // declared stats column turn a date purge into a head-of-timeline
+    // scan (fewer files scanned than listed, proven in-band)
+    "cow_delete" -> ((s, dir) => graft.io.CowTable.deleteCheck(s, dir)),
     // change data feed: row-level diff of two committed versions from
     // the files present in exactly one manifest — O(changed files)
     "cow_changes" -> ((s, dir) => graft.io.CowTable.changesCheck(s, dir)),
@@ -356,6 +360,12 @@ object OpsQueries {
     // CDC replay completeness: v0 snapshot + folded change feed ==
     // final table, across COW merge, DV delete, and COW delete
     "cow_cdf_replay" -> ((s, dir) => graft.io.CowTable.cdfReplayCheck(s, dir)),
+    // SQL DML surface: DELETE FROM / INSERT INTO / SELECT through the
+    // V2 GraftCatalog, against the same manifest the API paths commit
+    "cow_sql_delete" -> ((s, dir) => graft.sources.GraftCatalog.check(s, dir)),
+    // streaming change-data-feed: each committed version = one
+    // micro-batch of I/U/D rows; folded stream == final snapshot
+    "stream_cdf" -> ((s, dir) => graft.streaming.CdfStream.check(s, dir)),
     // commit-log streaming: every AtomicPublish version = one exactly-once
     // micro-batch of the graft-artifact DSv2 source (offsets = version ids)
     "stream_publish_feed" -> ((s, dir) => graft.streaming.PublishFeed.check(s, dir)),
@@ -678,9 +688,12 @@ object OpsQueries {
     "cow_merge" -> graft.io.CowTable.mergeSql,
     "cow_lifecycle" -> graft.io.CowTable.lifecycleSql,
     "cow_dv" -> graft.io.CowTable.dvSql,
+    "cow_delete" -> graft.io.CowTable.deleteSql,
     "cow_changes" -> graft.io.CowTable.changesSql,
     "stream_cow_merge" -> graft.streaming.CowStream.mergeCheckSql,
     "cow_cdf_replay" -> graft.io.CowTable.cdfReplaySql,
+    "cow_sql_delete" -> graft.sources.GraftCatalog.checkSql,
+    "stream_cdf" -> graft.streaming.CdfStream.checkSql,
     "stream_publish_feed" -> graft.streaming.PublishFeed.checkSql,
     "snapshot_diff" -> SnapshotDiff.reportSql,
     "schema_evolution" -> graft.io.SchemaEvolution.reportSql,

@@ -56,6 +56,9 @@ class GraftArtifactSource extends TableProvider with DataSourceRegister {
   private def cow(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("cow")).exists(_.toBoolean)
 
+  private def changeFeed(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("changeFeed")).exists(_.toBoolean)
+
   private def resolveDir(options: CaseInsensitiveStringMap): String = {
     val base = options.get("base")
     val ds = if (cow(options)) "manifest" else options.get("dataset")
@@ -70,14 +73,24 @@ class GraftArtifactSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    if (cow(options)) {
-      // a COW table's version payload is its manifest; the DATA schema
-      // comes from the pool files it references
-      val files = spark.read.parquet(resolveDir(options))
-        .select("file").collect().map(_.getString(0))
-      require(files.nonEmpty, "empty cow table")
-      spark.read.parquet(files.head).schema
-    } else spark.read.parquet(resolveDir(options)).schema
+    val data =
+      if (cow(options)) {
+        // a COW table's version payload is its manifest; the DATA schema
+        // comes from the table meta (survives an emptied table) or, for
+        // legacy tables, the pool files the manifest references
+        graft.io.CowTable.meta(spark, options.get("base")) match {
+          case Some(m) =>
+            DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+          case None =>
+            val files = spark.read.parquet(resolveDir(options))
+              .select("file").collect().map(_.getString(0))
+            require(files.nonEmpty, "empty cow table")
+            spark.read.parquet(files.head).schema
+        }
+      } else spark.read.parquet(resolveDir(options)).schema
+    if (changeFeed(options))
+      data.add("_change_type", StringType).add("_commit_version", LongType)
+    else data
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -85,13 +98,17 @@ class GraftArtifactSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new ArtifactTable(opts.get("base"), opts.get("dataset"),
       Option(opts.get("startVersion")).map(_.toLong),
-      cow(opts), resolveDir(opts), schema)
+      cow(opts), changeFeed(opts),
+      Option(opts.get("key")).getOrElse(""),
+      resolveDir(opts), schema)
   }
 }
 
 private[sources] class ArtifactTable(base: String, dataset: String,
                                      startVersion: Option[Long],
                                      cow: Boolean,
+                                     changeFeed: Boolean = false,
+                                     keyCol: String = "",
                                      dir: String, tableSchema: StructType)
   extends Table with SupportsRead {
   override def name(): String = s"graft-artifact `$dir`"
@@ -100,15 +117,23 @@ private[sources] class ArtifactTable(base: String, dataset: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArtifactScanBuilder(base, dataset, startVersion, cow, dir, tableSchema)
+    new ArtifactScanBuilder(base, dataset, startVersion, cow, changeFeed,
+      keyCol, dir, tableSchema)
 }
 
 private[sources] class ArtifactScanBuilder(base: String, dataset: String,
                                            startVersion: Option[Long],
                                            cow: Boolean,
+                                           changeFeed: Boolean,
+                                           keyCol: String,
                                            dir: String, full: StructType)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
+
+  def this(base: String, dataset: String, startVersion: Option[Long],
+           cow: Boolean, dir: String, full: StructType) =
+    this(base, dataset, startVersion, cow, changeFeed = false, keyCol = "",
+      dir, full)
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
@@ -142,15 +167,21 @@ private[sources] class ArtifactScanBuilder(base: String, dataset: String,
       if (requiredSchema.isEmpty) StructType(full.fields.take(1))
       else requiredSchema
   override def build(): Scan =
-    new ArtifactScan(base, dataset, startVersion, cow, dir, full,
-      required, pushed)
+    new ArtifactScan(base, dataset, startVersion, cow, changeFeed, keyCol,
+      dir, full, required, pushed)
 }
 
-private[sources] case class ArtifactPartition(path: String) extends InputPartition
+/** One pool file; `dv` (optional) is the deletion-vector directory the
+  * manifest points this file at — the reader subtracts those row
+  * positions (merge-on-read). */
+private[sources] case class ArtifactPartition(path: String, dv: String = "")
+  extends InputPartition
 
 private[sources] class ArtifactScan(base: String, dataset: String,
                                     startVersion: Option[Long],
                                     cow: Boolean,
+                                    changeFeed: Boolean,
+                                    keyCol: String,
                                     dir: String, full: StructType,
                                     required: StructType,
                                     pushed: Array[Filter])
@@ -167,36 +198,46 @@ private[sources] class ArtifactScan(base: String, dataset: String,
     * inside the requested range fails fast rather than silently
     * skipping data). */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(!cow, "cow tables stream by commit-log version, whose payload " +
-      "is a manifest (rewrites re-reference rows); stream the underlying " +
-      "publishes instead")
-    new ArtifactMicroBatchStream(base, dataset, startVersion, required)
+    if (changeFeed) {
+      require(cow && keyCol.nonEmpty,
+        "changeFeed streaming requires cow=true and a `key` option " +
+          "(the table's clustering key, for the row-level diff)")
+      new CdfMicroBatchStream(base, keyCol, startVersion, required,
+        checkpointLocation)
+    } else {
+      require(!cow, "cow tables stream by commit-log version, whose payload " +
+        "is a manifest (rewrites re-reference rows); stream changeFeed=true " +
+        "for row-level changes, or the underlying publishes")
+      new ArtifactMicroBatchStream(base, dataset, startVersion, required)
+    }
   }
 
   /** Footer-stats file pruning on the driver: a file survives iff every
     * pushed filter MAY match some row group (per-column min/max). For a
     * COW table the candidate list is the committed MANIFEST's file set
-    * (pool files shared across versions), not a directory listing. */
-  private lazy val (allFiles, keptFiles): (Seq[String], Seq[String]) = {
+    * (pool files shared across versions), not a directory listing, and
+    * each file carries its deletion-vector pointer — the reader
+    * subtracts the vectored positions, so merge-on-read tables serve
+    * directly (deletes only SHRINK a file's matches, so footer pruning
+    * stays conservative unchanged). */
+  private lazy val (allFiles, keptFiles): (Seq[(String, String)], Seq[(String, String)]) = {
     val p = new Path(dir)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
     val files =
       if (cow) {
         val m = SparkSession.active.read.parquet(dir)
-        // a deletion-vectored manifest cannot be served by a plain
-        // file scan (position deletes would silently resurrect):
-        // fail fast — compaction materializes the vectors
-        require(!m.columns.contains("dv") ||
-          m.where("dv <> ''").isEmpty,
-          s"cow table $dir has deletion vectors; run CowTable.compact " +
-            "before serving through graft-artifact")
-        m.select("file").collect().map(_.getString(0)).toSeq.sorted
+        val withDv =
+          if (m.columns.contains("dv")) m.select("file", "dv")
+          else m.select(m("file"),
+            org.apache.spark.sql.functions.lit("").as("dv"))
+        withDv.collect().map(r => (r.getString(0), r.getString(1)))
+          .toSeq.sortBy(_._1)
       }
       else fs.listStatus(p).toSeq.map(_.getPath)
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-        .map(_.toString).sorted
-    val kept = files.filter { f =>
+        .map(f => (f.toString, "")).sortBy(_._1)
+    val kept = files.filter { case (f, _) =>
       val in = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(f), conf))
       try {
@@ -220,10 +261,11 @@ private[sources] class ArtifactScan(base: String, dataset: String,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    keptFiles.map(ArtifactPartition).toArray
+    keptFiles.map { case (f, dv) => ArtifactPartition(f, dv) }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArtifactReaderFactory(required.json, pushed)
+    new ArtifactReaderFactory(required.json, pushed, new SerializableHadoopConf(
+      SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def description(): String =
     s"graft-artifact $dir pushed=[${pushed.mkString(", ")}] " +
@@ -264,20 +306,99 @@ private[sources] class ArtifactMicroBatchStream(base: String, dataset: String,
     val s = start.asInstanceOf[VersionOffset].version
     val e = end.asInstanceOf[VersionOffset].version
     ((s + 1) to e).flatMap { v =>
-      // fail fast on a pruned/partial version: silently skipping a
-      // committed batch would be data loss the checkpoint can't see
-      require(fs.exists(new Path(base, s"v$v/_PUBLISHED")),
-        s"version $v under $base is not readable (pruned?); " +
-          "increase the publisher's retain window for streaming readers")
-      val d = new Path(base, s"v$v/$dataset")
-      fs.listStatus(d).toSeq.map(_.getPath)
+      // COMMITTED versions only: a sealed orphan (claimed by a crashed
+      // writer, never committed) is skipped — its data was never made
+      // visible and emitting it would be a dirty read. Anything else
+      // missing fails fast: silently skipping a pruned committed batch
+      // would be data loss the checkpoint can't see.
+      if (graft.io.AtomicPublish.isOrphan(spark, base, v)) Seq.empty
+      else {
+        require(graft.io.AtomicPublish.isCommitted(spark, base, v),
+          s"version $v under $base is not readable (pruned?); " +
+            "increase the publisher's retain window for streaming readers")
+        val d = new Path(base, s"v$v/$dataset")
+        fs.listStatus(d).toSeq.map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+          .map(p => ArtifactPartition(p.toString))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArtifactReaderFactory(required.json, Array.empty,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** CHANGE-DATA-FEED streaming source over a [[graft.io.CowTable]]: each
+  * committed version becomes one exactly-once micro-batch of row-level
+  * I/U/D changes (the data columns plus `_change_type` and
+  * `_commit_version`) — how a downstream consumer (replica, index,
+  * cache) actually subscribes to a lakehouse table. Offsets are version
+  * ids; each batch's diff is [[graft.io.CowTable.changes]] between
+  * CONSECUTIVE COMMITTED versions (orphan ids are invisible, a pruned
+  * base fails fast — pruning is prefix-by-id, so a readable base proves
+  * the span complete), materialized ONCE under the stream's checkpoint
+  * (`_graft_cdf/`) so a replayed batch re-serves identical files
+  * instead of recomputing. Cost per batch is O(changed files + their
+  * vectors), never a snapshot scan. */
+private[sources] class CdfMicroBatchStream(base: String, key: String,
+                                           startVersion: Option[Long],
+                                           required: StructType,
+                                           checkpointLocation: String)
+  extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private def fs = new Path(base)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The offset is the version whose SNAPSHOT the consumer already
+    * holds: changes are emitted from the next committed version on.
+    * Defaults to the earliest still-readable version (bootstrap:
+    * `CowTable.readAt(earliest)` + this feed = the live table);
+    * `startVersion` names the first version whose changes are wanted. */
+  override def initialOffset(): Offset = VersionOffset(
+    startVersion.map(_ - 1).getOrElse {
+      val vs = graft.io.AtomicPublish.versions(spark, base)
+      require(vs.nonEmpty, s"no committed versions under $base")
+      vs.min
+    })
+
+  override def latestOffset(): Offset =
+    VersionOffset(graft.io.AtomicPublish.committed(spark, base))
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset("""-?\d+""".r.findFirstIn(json)
+      .getOrElse(sys.error(s"bad offset: $json")).toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].version
+    val e = end.asInstanceOf[VersionOffset].version
+    if (e <= s) return Array.empty
+    val committed = graft.io.AtomicPublish.versions(spark, base)
+    require(committed.contains(s),
+      s"CDF base version $s under $base is pruned or was never " +
+        "committed; increase the publisher's retain window for " +
+        "streaming readers")
+    val span = committed.filter(v => v > s && v <= e)
+    (s +: span).zip(span).flatMap { case (prev, v) =>
+      val out = new Path(checkpointLocation, s"_graft_cdf/v$v-from-$prev")
+      if (!fs.exists(new Path(out, "_SUCCESS")))
+        graft.io.CowTable.changes(spark, base, prev, v, key)
+          .withColumn("_commit_version",
+            org.apache.spark.sql.functions.lit(v))
+          .write.mode("overwrite").parquet(out.toString)
+      fs.listStatus(out).toSeq.map(_.getPath)
         .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
         .map(p => ArtifactPartition(p.toString))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArtifactReaderFactory(required.json, Array.empty)
+    new ArtifactReaderFactory(required.json, Array.empty,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -294,7 +415,19 @@ private[sources] object ArtifactScan {
     case _ => ""
   }
 
+  private def integral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
   private def cmp(a: Any, b: Any): Int = (a, b) match {
+    // both integral: compare as longs — a double comparison collapses
+    // values beyond 2^53 (max=2^53+1 vs GreaterThan(2^53) would compare
+    // EQUAL and prune a file that contains matching rows: silent row
+    // loss, since pruned files never reach Spark's residual filter)
+    case (x: Number, y: Number) if integral(x) && integral(y) =>
+      java.lang.Long.compare(x.longValue(), y.longValue())
     case (x: Number, y: Number) =>
       java.lang.Double.compare(x.doubleValue(), y.doubleValue())
     case (x: org.apache.parquet.io.api.Binary, y: String) =>
@@ -340,14 +473,66 @@ private[sources] object ArtifactScan {
   }
 }
 
+/** Java-serializable carrier for the DRIVER's Hadoop configuration — a
+  * fresh `new Configuration()` on the executor would ignore any
+  * non-default filesystem settings (object-store credentials,
+  * endpoints), so reads would only work for default-FS local paths. */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[sources] class ArtifactReaderFactory(requiredJson: String,
-                                             pushed: Array[Filter])
+                                             pushed: Array[Filter],
+                                             hadoopConf: SerializableHadoopConf)
   extends PartitionReaderFactory {
 
+  /** The (row positions) this partition's deletion vector voids for its
+    * file: the vector directory's parts are read through a parquet-mr
+    * record filter on `file = <this file>`, so only this file's share of
+    * the (shared, cumulative) vector is materialized. */
+  private def deletedPositions(conf: Configuration, dvDir: String,
+                               file: String): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    // own conf copy WITHOUT the data file's column projection (the
+    // vector files carry (file, pos), not the table's columns)
+    val dvConf = new Configuration(conf)
+    dvConf.unset(ReadSupport.PARQUET_READ_SCHEMA)
+    val p = new Path(dvDir)
+    val fs = p.getFileSystem(dvConf)
+    val pred = FilterApi.eq(FilterApi.binaryColumn("file"),
+      org.apache.parquet.io.api.Binary.fromString(file))
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .foreach { part =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new GroupReadSupport(), part)
+          .withConf(dvConf)
+          .withFilter(FilterCompat.get(pred)).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            set.add(g.getLong(g.getType.getFieldIndex("pos"), 0))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    set
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[ArtifactPartition]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    val conf = new Configuration()
-    val path = new Path(p.asInstanceOf[ArtifactPartition].path)
+    val conf = new Configuration(hadoopConf.value)
+    val path = new Path(part.path)
     // column projection is built PER FILE from the file's OWN footer:
     // pool files written by different commits can disagree on field
     // repetition (a create writes `required`, a merge's join output
@@ -360,24 +545,50 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
       required.fields.map(f0 =>
         fileSchema.getType(fileSchema.getFieldIndex(f0.name))): _*)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-    val predicate = pushed.flatMap(ArtifactScan.toParquet(_, required))
-      .reduceOption[FilterPredicate](FilterApi.and)
+    // a deletion-vectored file is read WITHOUT the pushed record filter:
+    // the vector addresses rows by file POSITION, and any row-group or
+    // record skipping would desynchronize the position counter. Spark
+    // re-applies every filter above the scan, so this costs I/O on the
+    // vectored files only, never correctness.
+    val predicate =
+      if (part.dv.nonEmpty) None
+      else pushed.flatMap(ArtifactScan.toParquet(_, required))
+        .reduceOption[FilterPredicate](FilterApi.and)
     val builder = org.apache.parquet.hadoop.ParquetReader
       .builder(new GroupReadSupport(), path)
       .withConf(conf)
     val reader = predicate
       .map(pr => builder.withFilter(FilterCompat.get(pr)).build())
       .getOrElse(builder.build())
-
-    new PartitionReader[InternalRow] {
-      private var current: Group = _
-      override def next(): Boolean = {
-        current = reader.read()
-        current != null
+    if (part.dv.isEmpty)
+      new PartitionReader[InternalRow] {
+        private var current: Group = _
+        override def next(): Boolean = {
+          current = reader.read()
+          current != null
+        }
+        override def get(): InternalRow =
+          ArtifactRows.toRow(current, required)
+        override def close(): Unit = reader.close()
       }
-      override def get(): InternalRow =
-        ArtifactRows.toRow(current, required)
-      override def close(): Unit = reader.close()
+    else {
+      val deleted = deletedPositions(conf, part.dv, part.path)
+      new PartitionReader[InternalRow] {
+        private var current: Group = _
+        private var pos = -1L
+        override def next(): Boolean = {
+          current = reader.read()
+          pos += 1
+          while (current != null && deleted.contains(pos)) {
+            current = reader.read()
+            pos += 1
+          }
+          current != null
+        }
+        override def get(): InternalRow =
+          ArtifactRows.toRow(current, required)
+        override def close(): Unit = reader.close()
+      }
     }
   }
 }
@@ -405,6 +616,33 @@ private[sources] object ArtifactRows {
     case FloatType => g.getFloat(idx, 0)
     case BooleanType => g.getBoolean(idx, 0)
     case DateType => g.getInteger(idx, 0) // parquet DATE = days since epoch
+    case TimestampType | TimestampNTZType =>
+      // catalyst timestamp (tz'd or NTZ) = micros since epoch; parquet
+      // stores INT64 (MICROS or MILLIS per the logical annotation) or
+      // legacy INT96 (nanos-of-day little-endian + julian day)
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val prim = g.getType.getType(idx).asPrimitiveType()
+      prim.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT64 =>
+          val micros = prim.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              Math.multiplyExact(g.getLong(idx, 0), 1000L)
+            case _ => g.getLong(idx, 0) // MICROS (Spark's default)
+          }
+          micros
+        case PrimitiveTypeName.INT96 =>
+          val buf = java.nio.ByteBuffer
+            .wrap(g.getInt96(idx, 0).getBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosOfDay = buf.getLong
+          val julianDay = buf.getInt
+          (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+        case other =>
+          throw new UnsupportedOperationException(
+            s"graft-artifact: timestamp stored as $other")
+      }
     case StringType => UTF8String.fromString(g.getString(idx, 0))
     case ArrayType(et, _) =>
       // Spark's 3-level list encoding: field -> repeated `list` group ->

@@ -38,6 +38,32 @@ class ArtifactStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a crashed writer's orphan version is skipped, never emitted") {
+    val base = Files.createTempDirectory("afeed_orph").toString + "/t"
+    publish(base, Seq((1L, "v0")))
+    // sealed-but-uncommitted debris between two committed versions: the
+    // dirty read the commit-marker protocol exists to prevent
+    val dir = new java.io.File(s"$base/v1")
+    dir.mkdirs()
+    Seq((99L, "phantom")).toDF("id", "tag")
+      .write.parquet(s"$base/v1/d")
+    val w = new java.io.FileWriter(s"$base/v1/_PUBLISHED")
+    try w.write("dead-token\nd") finally w.close()
+    publish(base, Seq((2L, "v2"))) // commits at v2, collects the orphan
+
+    val q = spark.readStream.format("graft-artifact")
+      .option("base", base).option("dataset", "d").load()
+      .writeStream.format("memory").queryName("afeed_orph")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("afeed_orph")
+      assert(got.count() === 2L, "only committed versions may be emitted")
+      assert(got.filter(col("tag") === "phantom").count() === 0L,
+        "the orphan's rows were never made visible and must stay so")
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes after the last processed version") {
     val base = Files.createTempDirectory("afeed_ck").toString + "/t"
     val ckpt = Files.createTempDirectory("afeed_ckpt").toString

@@ -94,6 +94,32 @@ class AtomicPublishSpec extends SparkSpec {
     assert(AtomicPublish.read(spark, base, "d").count() === 2L)
   }
 
+  test("a claimed-but-never-committed orphan is invisible and collected") {
+    val base = Files.createTempDirectory("atomic_orphan").toString + "/t"
+    AtomicPublish.publish(spark, base, Seq("d" -> Seq(1).toDF("x")), 3)
+    // fake a writer that crashed between the v<N> claim rename and the
+    // commit marker: a SEALED version directory with no _commits entry
+    val orphan = new java.io.File(s"$base/v1")
+    orphan.mkdirs()
+    val w = new java.io.FileWriter(s"$base/v1/_PUBLISHED")
+    try w.write("deadbeef-token\nd") finally w.close()
+
+    assert(AtomicPublish.committed(spark, base) === 0L,
+      "a sealed-unmarked version must not move the committed pointer")
+    assert(AtomicPublish.versions(spark, base) === Seq(0L),
+      "the orphan must be invisible to iterating readers")
+
+    // the next writer skips the parked id and commits past it; the GC
+    // collects the orphan, leaving a tombstone so readers can tell
+    // 'skipped orphan' from 'pruned committed version'
+    val v = AtomicPublish.publish(spark, base, Seq("d" -> Seq(2).toDF("x")), 3)
+    assert(v === 2L)
+    assert(AtomicPublish.versions(spark, base) === Seq(0L, 2L))
+    assert(!orphan.exists(), "the orphan directory must be collected")
+    assert(AtomicPublish.isOrphan(spark, base, 1L),
+      "the tombstone must mark the id as a skipped orphan")
+  }
+
   test("a legacy _committed pointer layout stays readable") {
     val base = Files.createTempDirectory("atomic_legacy").toString + "/t"
     AtomicPublish.publish(spark, base, Seq("d" -> Seq(1, 2, 3).toDF("x")))

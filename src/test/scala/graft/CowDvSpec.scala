@@ -67,19 +67,25 @@ class CowDvSpec extends SparkSpec {
       "vacuum must reclaim unreferenced vector directories")
   }
 
-  test("DSv2 cow scan fails fast on a vectored manifest") {
+  test("DSv2 cow scan serves a vectored manifest merge-on-read") {
     val base = Files.createTempDirectory("cow_dvs").toString + "/t"
     CowTable.create(spark, base, table(100), "id", numFiles = 2)
     CowTable.dvDelete(spark, base, col("id") === 5L)
-    val e = intercept[Exception] {
-      spark.read.format("graft-artifact")
-        .option("base", base).option("cow", "true").load().count()
-    }
-    assert(e.getMessage.contains("deletion vectors"))
-    CowTable.compact(spark, base, targetRows = 1000L, "id")
-    val served = spark.read.format("graft-artifact")
+    CowTable.dvDelete(spark, base, col("id") % 10 === 0) // cumulative
+    def served = spark.read.format("graft-artifact")
       .option("base", base).option("cow", "true").load()
-    assert(served.count() === 99L, "compaction restores DSv2 servability")
+    assert(served.count() === 89L,
+      "the reader must subtract vectored row positions")
+    assert(served.filter(col("id") === 5L || col("id") % 10 === 0)
+      .count() === 0L, "no dead row may resurrect through DSv2")
+    // a pushed filter on a vectored file must stay correct even though
+    // the record-level parquet predicate is disabled to keep positions
+    // aligned (Spark re-applies the filter above the scan)
+    assert(served.filter(col("id") <= 20L).count() === 17L)
+    val moR = served.orderBy("id").collect().toSeq
+    CowTable.compact(spark, base, targetRows = 1000L, "id")
+    assert(served.orderBy("id").collect().toSeq === moR,
+      "materialized and merge-on-read serving must agree bit-for-bit")
   }
 
   test("changes: row-level diff from changed files only, no-ops dropped") {

@@ -143,6 +143,91 @@ class CowTableSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("merge survives a manifest beyond the broadcast ceiling (>64k files)") {
+    // the r11 merge required the manifest to broadcast and refused above
+    // Bcast.SafeRows files; the interval-indexed discovery must handle a
+    // manifest of ANY size. Build a real 4-file table, then append 70k
+    // SYNTHETIC manifest entries with key ranges disjoint from the merge
+    // keys — they must ride through discovery + anti-join untouched
+    // (never opened), with no SafeRows require and no driver-side
+    // materialization of the full manifest.
+    val base = Files.createTempDirectory("cow_big").toString + "/t"
+    CowTable.create(spark, base, table(1000), "id", numFiles = 4)
+    val real = CowTable.manifest(spark, base)
+    assert(real.size === 4)
+    val synthetic = spark.range(70000).select(
+      concat(lit("/nonexistent/pool-"), col("id"), lit(".parquet")).as("file"),
+      lit(100L).as("rows"),
+      (col("id") * 1000 + 1000000L).as("kmin"),
+      (col("id") * 1000 + 1000500L).as("kmax"),
+      lit("").as("dv"), lit(0L).as("dvRows"),
+      typedlit(Map.empty[String, String]).as("smin"),
+      typedlit(Map.empty[String, String]).as("smax"))
+    val big = spark.read.parquet(s"$base/v0/manifest").unionByName(synthetic)
+    AtomicPublish.publish(spark, base,
+      Seq("manifest" -> big,
+        "meta" -> spark.read.parquet(s"$base/v0/meta")))
+    assert(CowTable.manifest(spark, base).size === 70004)
+
+    val src = Seq((2L, "upd2", 99.0, false), (2000L, "new", 1.0, false))
+      .toDF("id", "nm", "amt", "_delete")
+    CowTable.merge(spark, base, src, "id")
+
+    val after = CowTable.manifest(spark, base)
+    assert(after.count(_.file.startsWith("/nonexistent/")) === 70000,
+      "every synthetic entry must be referenced untouched")
+    val kept = after.map(_.file).toSet.intersect(real.map(_.file).toSet)
+    assert(kept.size === 3, "3 of 4 real files referenced untouched")
+    // point-read through the same interval index (a full read would try
+    // to open the synthetic paths — they exist only as metadata here)
+    val got = CowTable.readForKeys(spark, base,
+      Seq(2L, 2000L).toDF("id"), "id")
+    assert(got.filter(col("id") === 2L && col("nm") === "upd2").count() === 1L)
+    assert(got.filter(col("id") === 2000L && col("nm") === "new").count() === 1L)
+  }
+
+  test("deleteWhere prunes discovery from per-file stats on a non-key column") {
+    val base = Files.createTempDirectory("cow_stats").toString + "/t"
+    // grp correlates with the clustering key (id), the production shape
+    // stats pruning exists for (a date column on a time-keyed table)
+    val df = (1 to 1000).map(i => (i.toLong, s"g${i / 250}", i * 1.0))
+      .toDF("id", "grp", "amt")
+    CowTable.create(spark, base, df, "id", numFiles = 4,
+      statsCols = Seq("grp"))
+    var scanned = -1L; var total = -1L
+    CowTable.deleteWhere(spark, base, col("grp") === "g0", "id",
+      onDiscovery = (s, t) => { scanned = s; total = t })
+    assert(total === 4)
+    assert(scanned >= 1 && scanned < 4,
+      s"stats must prune the discovery scan: $scanned/$total")
+    assert(CowTable.read(spark, base).filter(col("grp") === "g0").count() === 0L)
+    assert(CowTable.read(spark, base).count() === 1000L - 249L)
+
+    // a predicate the translator does NOT understand must scan all files
+    // (conservative), never lose rows
+    var s2 = -1L
+    CowTable.deleteWhere(spark, base, length(col("grp")) > 90, "id",
+      onDiscovery = (s, _) => s2 = s)
+    assert(s2 === 4, "untranslatable predicate must keep every candidate")
+    assert(CowTable.read(spark, base).count() === 751L)
+  }
+
+  test("an emptied table keeps its data schema and accepts a re-merge") {
+    val base = Files.createTempDirectory("cow_empty").toString + "/t"
+    CowTable.create(spark, base, table(10), "id", numFiles = 2)
+    CowTable.deleteWhere(spark, base, lit(true), "id")
+    val empty = CowTable.read(spark, base)
+    assert(empty.columns.toSeq === Seq("id", "nm", "amt"),
+      "an emptied table must preserve the DATA schema, not the manifest's")
+    assert(empty.count() === 0L)
+    assert(CowTable.readForKeys(spark, base,
+      Seq(1L).toDF("id"), "id").columns.toSeq === Seq("id", "nm", "amt"))
+    // and it must come back to life through a plain merge
+    CowTable.merge(spark, base,
+      Seq((5L, "re", 1.0, false)).toDF("id", "nm", "amt", "_delete"), "id")
+    assert(CowTable.read(spark, base).count() === 1L)
+  }
+
   test("vacuum honors the retention window: time travel still reads") {
     val base = Files.createTempDirectory("cow_tt").toString + "/t"
     val v0 = CowTable.create(spark, base, table(100), "id",
