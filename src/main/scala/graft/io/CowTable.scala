@@ -216,6 +216,12 @@ object CowTable {
   private[graft] def meta(spark: SparkSession, base: String): Option[Meta] =
     metaAt(spark, base, AtomicPublish.committed(spark, base))
 
+  private def dataSchemaAt(spark: SparkSession, base: String,
+                           v: Long): Option[org.apache.spark.sql.types.StructType] =
+    metaAt(spark, base, v).map(m =>
+      org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** Distributed interval-containment discovery: the manifest rows whose
     * [kmin, kmax] range MAY contain one of `keys` (a one-column frame,
     * cast to long). This replaces the broadcast range join that capped
@@ -294,11 +300,21 @@ object CowTable {
     * guess ([[vectorRows]] restricts per vector file, so the bound is
     * exact even after successive deletes). With `lineage` the (file,
     * position) address columns are kept for callers that need to write
-    * vectors or discover files. */
+    * vectors or discover files. `schema` (the table meta's, made
+    * nullable) makes the scan SCHEMA-EVOLUTION-aware: pool files
+    * written before a column was added simply yield NULL for it —
+    * without it, a mixed-schema file list would silently adopt one
+    * file's footer. */
   private def scanEntries(spark: SparkSession, entries: Seq[Entry],
-                          lineage: Boolean = false): DataFrame = {
+                          lineage: Boolean = false,
+                          schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     require(entries.nonEmpty, "scanEntries on an empty manifest")
-    val raw = lineageCols(spark.read.parquet(entries.map(_.file): _*))
+    val reader = schema match {
+      case Some(s) => spark.read.schema(
+        org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true))))
+      case None => spark.read
+    }
+    val raw = lineageCols(reader.parquet(entries.map(_.file): _*))
     val dvd = entries.filter(_.dv.nonEmpty)
     val live =
       if (dvd.isEmpty) raw
@@ -346,7 +362,7 @@ object CowTable {
     require(v >= 0, s"no committed version under $base")
     val entries = entriesAt(spark, base, v)
     if (entries.isEmpty) emptyWithSchema(spark, base, v)
-    else scanEntries(spark, entries)
+    else scanEntries(spark, entries, schema = dataSchemaAt(spark, base, v))
   }
 
   /** Manifest of the committed snapshot. */
@@ -360,7 +376,8 @@ object CowTable {
   def readAt(spark: SparkSession, base: String, version: Long): DataFrame = {
     val entries = entriesAt(spark, base, version)
     if (entries.isEmpty) emptyWithSchema(spark, base, version)
-    else scanEntries(spark, entries)
+    else scanEntries(spark, entries,
+      schema = dataSchemaAt(spark, base, version))
   }
 
   /** Point-lookup read: snapshot rows whose key range MAY contain one of
@@ -375,7 +392,7 @@ object CowTable {
     val mDf = manifestDfAt(spark, base, v)
     val hit = collectEntries(intervalCandidates(mDf, keys)) // probe footprint
     if (hit.isEmpty) read(spark, base).limit(0) // schema-only frame
-    else scanEntries(spark, hit)
+    else scanEntries(spark, hit, schema = dataSchemaAt(spark, base, v))
   }
 
   /** Txn stamps of version `v`: (stream id, last applied batch id). */
@@ -448,6 +465,28 @@ object CowTable {
       // entries — the merge's own rewrite footprint, which must be
       // listed to be scanned at all — are collected.
       val mDf = manifestDfAt(spark, base, parent)
+      // ADDITIVE schema evolution: a source carrying columns the table
+      // lacks widens the schema — old pool files stay untouched and
+      // read back NULL for the new columns (the scan is meta-schema
+      // driven), new files carry them, and the committed meta records
+      // the widened shape. A source MISSING table columns is rejected
+      // (a full-row MERGE replace would silently null existing data).
+      val tblSchema = dataSchemaAt(spark, base, parent)
+      val srcSchema = org.apache.spark.sql.types.StructType(
+        src.schema.fields.filterNot(_.name == "_delete"))
+      tblSchema.foreach { ts =>
+        val missing = ts.fieldNames.filterNot(srcSchema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"merge source is missing table columns ${missing.mkString(", ")}" +
+            " — schema evolution only ADDS columns")
+      }
+      val evolved = tblSchema.map { ts =>
+        val extra = srcSchema.fields
+          .filterNot(f => ts.fieldNames.contains(f.name))
+        if (extra.isEmpty) ts
+        else org.apache.spark.sql.types.StructType(
+          ts.fields ++ extra.map(_.copy(nullable = true)))
+      }
       val srcKeys = src.select(col(key).cast("long").as("_gf_k")).distinct()
       val affectedDf = intervalCandidates(mDf, srcKeys).localCheckpoint()
       val affected = collectEntries(affectedDf) // merge-footprint bounded
@@ -458,7 +497,7 @@ object CowTable {
         if (affected.isEmpty) upserts
         // DV-aware: a rewritten file's vectored-out rows must not
         // resurrect, so affected files are read through their vectors
-        else scanEntries(spark, affected)
+        else scanEntries(spark, affected, schema = evolved)
           .join(src.select(col(key).cast("long").as(key)).distinct(),
             Seq(key), "left_anti")
           .unionByName(upserts, allowMissingColumns = false)
@@ -467,9 +506,14 @@ object CowTable {
       val newEntries = writePool(spark, base, survivors, key,
         math.max(1, affected.size), statsCols)
       beforeCommit()
+      val newMeta = (tblSchema, evolved) match {
+        case (Some(ts), Some(e)) if e.length != ts.length =>
+          metaAt(spark, base, parent).map(_.copy(schemaJson = e.json))
+        case _ => None
+      }
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
-          untouched.unionByName(entriesDf(spark, newEntries)), txn),
+          untouched.unionByName(entriesDf(spark, newEntries)), txn, newMeta),
         retain, parent) match {
         case Some(v) => result = v
         case None => () // conflict: recompute against the new committed
@@ -528,14 +572,19 @@ object CowTable {
       val cand = collectEntries(candDf) // possibly-matching files only
       onDiscovery(cand.size.toLong, mDf.count())
       if (cand.isEmpty) return parent // stats prove nothing matches
-      val data = scanEntries(spark, cand, lineage = true)
+      val schema = dataSchemaAt(spark, base, parent)
+      val data = scanEntries(spark, cand, lineage = true, schema = schema)
       val hit = data.filter(pred).select(col("_gf_file"))
         .distinct().collect().map(_.getString(0)).toSet // candidate-bounded
       if (hit.isEmpty) return parent // no-op: nothing matches
       val hitEntries = cand.filter(e => hit.contains(e.file))
       val untouched = mDf.join(entriesDf(spark, hitEntries).select("file"),
         Seq("file"), "left_anti")
-      val survivors = scanEntries(spark, hitEntries).filter(!pred)
+      // SQL DELETE semantics: a row is deleted iff the predicate is
+      // TRUE — a NULL-evaluating row (e.g. an evolution-null column)
+      // SURVIVES; a bare `!pred` would silently drop it
+      val survivors = scanEntries(spark, hitEntries, schema = schema)
+        .filter(!coalesce(pred, lit(false)))
       val statsCols = metaAt(spark, base, parent).map(_.statsCols)
         .getOrElse(Nil)
       val newEntries = writePool(spark, base, survivors, key, hit.size,
@@ -586,8 +635,11 @@ object CowTable {
       // parallelizes across the output files (a per-group loop would
       // serialize on the biggest group) and the re-sort restores tight,
       // non-overlapping key ranges for future manifest pruning
+      // meta-schema-driven scan: compaction also MATERIALIZES schema
+      // evolution, rewriting old-shape files into the current shape
       val newEntries = writePool(spark, base,
-        scanEntries(spark, rewrite.flatten), key,
+        scanEntries(spark, rewrite.flatten,
+          schema = dataSchemaAt(spark, base, parent)), key,
         numFiles = rewrite.size,
         statsCols = metaAt(spark, base, parent).map(_.statsCols)
           .getOrElse(Nil))
@@ -645,7 +697,8 @@ object CowTable {
       // matching row are scanned for positions
       val cand = collectEntries(mDf.filter(StatsPrune.mayContain(pred, keyName)))
       if (cand.isEmpty) return parent // stats prove nothing matches
-      val hits = scanEntries(spark, cand, lineage = true).filter(pred)
+      val hits = scanEntries(spark, cand, lineage = true,
+        schema = dataSchemaAt(spark, base, parent)).filter(pred)
         .select(col("_gf_file").as("file"), col("_gf_pos").as("pos"))
         .localCheckpoint() // evaluated once: counts, union, write
       val perFile = hits.groupBy("file").agg(count(lit(1)).as("n"))
@@ -705,12 +758,17 @@ object CowTable {
     val postEntries = to.filterNot(e => fromIds.contains(id(e)))
     val anyEntry = (preEntries ++ postEntries ++ to ++ from).headOption
       .getOrElse(sys.error(s"changes: no entries in either version of $base"))
-    val dataCols = spark.read.parquet(anyEntry.file).columns.toSeq
+    // BOTH sides read with the TO-version's schema: under additive
+    // evolution the pre-image null-fills the new columns, so untouched
+    // co-located rows still compare struct-equal and drop as no-ops
+    val schema = dataSchemaAt(spark, base, toV)
+    val dataCols = schema.map(_.fieldNames.toSeq)
+      .getOrElse(spark.read.parquet(anyEntry.file).columns.toSeq)
     def side(entries: Seq[Entry], name: String): DataFrame = {
       val df =
         if (entries.isEmpty)
-          scanEntries(spark, Seq(anyEntry)).limit(0) // schema-only
-        else scanEntries(spark, entries)
+          scanEntries(spark, Seq(anyEntry), schema = schema).limit(0)
+        else scanEntries(spark, entries, schema = schema)
       df.select(col(key).cast("long").as("_gf_k"),
         struct(dataCols.map(col): _*).as(name))
     }
@@ -961,6 +1019,43 @@ object CowTable {
       |                 AS DECIMAL(18,2)) AS DOUBLE) AS total_value
       |FROM events
       |WHERE NOT (CAST(ts AS DATE) < DATE '2024-01-08')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ADDITIVE SCHEMA EVOLUTION end-to-end: a MERGE whose source carries
+    * a column the table lacks (`o_note`, stamped on every updated row)
+    * widens the committed schema — untouched files are NOT rewritten
+    * (in-band require) yet read back NULL for the new column, matched
+    * rows carry the stamp, and the aggregate counts both. The oracle
+    * derives the same shape relationally. */
+  def evolveCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_evolve", dir, "cow_evolve") {
+      val base = FsUtil.stateDir("cow_evolve", dir)
+      fsOf(spark, base).delete(new Path(base), true) // self-contained
+      val orders = graft.Tables.orders(spark, dir)
+      create(spark, base, orders, "o_orderkey", numFiles = 8)
+      val pre = manifest(spark, base).map(_.file).toSet
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val k = col("o_orderkey")
+      val batch = orders.filter(k * 8 <= lit(mx) && k % 7 === 0)
+        .withColumn("o_note", lit("U"))
+        .withColumn("_delete", lit(false))
+      merge(spark, base, batch, "o_orderkey")
+      val referenced = manifest(spark, base).map(_.file).toSet.intersect(pre)
+      require(referenced.size >= 5,
+        "evolution must not rewrite untouched files: " +
+          s"kept only ${referenced.size}/8")
+      read(spark, base).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("o_note")).as("n_noted"))
+        .orderBy("o_orderstatus")
+    }
+
+  val evolveSql: String =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(COUNT(CASE WHEN o_orderkey * 8 <= m AND o_orderkey % 7 = 0
+      |                       THEN 1 END) AS BIGINT) AS n_noted
+      |FROM orders, mx
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DELETION-VECTOR end-to-end: two cumulative DV deletes — the first

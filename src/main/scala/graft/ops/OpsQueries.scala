@@ -351,6 +351,9 @@ object OpsQueries {
     // declared stats column turn a date purge into a head-of-timeline
     // scan (fewer files scanned than listed, proven in-band)
     "cow_delete" -> ((s, dir) => graft.io.CowTable.deleteCheck(s, dir)),
+    // additive schema evolution: a merge source with a new column widens
+    // the schema; untouched files read back NULL for it, unrewritten
+    "cow_evolve" -> ((s, dir) => graft.io.CowTable.evolveCheck(s, dir)),
     // change data feed: row-level diff of two committed versions from
     // the files present in exactly one manifest — O(changed files)
     "cow_changes" -> ((s, dir) => graft.io.CowTable.changesCheck(s, dir)),
@@ -689,6 +692,7 @@ object OpsQueries {
     "cow_lifecycle" -> graft.io.CowTable.lifecycleSql,
     "cow_dv" -> graft.io.CowTable.dvSql,
     "cow_delete" -> graft.io.CowTable.deleteSql,
+    "cow_evolve" -> graft.io.CowTable.evolveSql,
     "cow_changes" -> graft.io.CowTable.changesSql,
     "stream_cow_merge" -> graft.streaming.CowStream.mergeCheckSql,
     "cow_cdf_replay" -> graft.io.CowTable.cdfReplaySql,

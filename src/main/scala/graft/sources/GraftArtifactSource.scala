@@ -537,13 +537,16 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
     // pool files written by different commits can disagree on field
     // repetition (a create writes `required`, a merge's join output
     // writes `optional`), and parquet-mr's checkContains rejects a
-    // projection lifted from another file's footer
+    // projection lifted from another file's footer. A required column
+    // ABSENT from the file (written before an additive schema
+    // evolution) is skipped here and null-filled row-side.
     val in = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     val fileSchema = try in.getFooter.getFileMetaData.getSchema
     finally in.close()
     val projection = new MessageType(fileSchema.getName,
-      required.fields.map(f0 =>
-        fileSchema.getType(fileSchema.getFieldIndex(f0.name))): _*)
+      required.fields.filter(f0 => fileSchema.containsField(f0.name))
+        .map(f0 =>
+          fileSchema.getType(fileSchema.getFieldIndex(f0.name))): _*)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
     // a deletion-vectored file is read WITHOUT the pushed record filter:
     // the vector addresses rows by file POSITION, and any row-group or
@@ -600,10 +603,14 @@ private[sources] object ArtifactRows {
     var i = 0
     while (i < schema.length) {
       val f = schema.fields(i)
-      val idx = g.getType.getFieldIndex(f.name)
+      // absent field = written before an additive evolution: NULL
       out(i) =
-        if (g.getFieldRepetitionCount(idx) == 0) null
-        else value(g, idx, f.dataType)
+        if (!g.getType.containsField(f.name)) null
+        else {
+          val idx = g.getType.getFieldIndex(f.name)
+          if (g.getFieldRepetitionCount(idx) == 0) null
+          else value(g, idx, f.dataType)
+        }
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)

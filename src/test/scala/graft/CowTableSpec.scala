@@ -228,6 +228,51 @@ class CowTableSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(CowTable.read(spark, base).count() === 1L)
   }
 
+  test("additive schema evolution: old files null-fill, every path agrees") {
+    val base = Files.createTempDirectory("cow_evo").toString + "/t"
+    CowTable.create(spark, base, table(100), "id", numFiles = 4, retain = 4)
+    val pre = CowTable.manifest(spark, base).map(_.file).toSet
+    // the source adds `tag`; only ids 1..5 (one file's range) are touched
+    val src = Seq((2L, "upd", 99.0, "T", false), (200L, "new", 1.0, "T", false))
+      .toDF("id", "nm", "amt", "tag", "_delete")
+    CowTable.merge(spark, base, src, "id", retain = 4)
+
+    val kept = CowTable.manifest(spark, base).map(_.file).toSet.intersect(pre)
+    assert(kept.size === 3, "untouched files must not rewrite on evolution")
+    val got = CowTable.read(spark, base)
+    assert(got.columns.toSeq === Seq("id", "nm", "amt", "tag"))
+    assert(got.filter(col("tag").isNotNull).count() === 2L)
+    assert(got.filter(col("id") === 50L).select("tag").head().isNullAt(0),
+      "an untouched old-file row must read NULL for the new column")
+    assert(got.count() === 101L)
+
+    // DSv2 + SQL catalog read the same widened shape
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    val sqlGot = spark.sql(s"SELECT tag, COUNT(*) AS n FROM graft.`$base` " +
+      "WHERE tag IS NOT NULL GROUP BY 1")
+    assert(sqlGot.head().getString(0) === "T" && sqlGot.head().getLong(1) === 2L)
+
+    // a source missing a table column is rejected outright
+    val e = intercept[IllegalArgumentException] {
+      CowTable.merge(spark, base,
+        Seq((3L, "x", false)).toDF("id", "nm", "_delete"), "id")
+    }
+    assert(e.getMessage.contains("missing table columns"))
+
+    // the change feed diffs cleanly across the evolution boundary:
+    // co-located untouched rows drop as no-ops (null == null)
+    val ch = CowTable.changes(spark, base, 0L, 1L, "id")
+    assert(ch.filter(col("_change_type") === "update").count() === 1L)
+    assert(ch.filter(col("_change_type") === "insert").count() === 1L)
+    assert(ch.count() === 2L, "evolution alone must produce no phantom diffs")
+
+    // compaction materializes the widened shape into every file
+    CowTable.compact(spark, base, targetRows = 1000L, "id", retain = 4)
+    val files = CowTable.manifest(spark, base).map(_.file)
+    assert(spark.read.parquet(files: _*).columns.contains("tag"))
+  }
+
   test("vacuum honors the retention window: time travel still reads") {
     val base = Files.createTempDirectory("cow_tt").toString + "/t"
     val v0 = CowTable.create(spark, base, table(100), "id",

@@ -55,6 +55,14 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Resource knobs for big-fixture replays (the 10x gate): the heavy
+    # oracles spill far less with few threads + insertion order off, and
+    # the spill must land on the big mount, not a worker cwd.
+    if os.environ.get("SELFCHECK_THREADS"):
+        con.execute(f"SET threads={int(os.environ['SELFCHECK_THREADS'])}")
+        con.execute("SET preserve_insertion_order=false")
+    if os.environ.get("SELFCHECK_TEMP"):
+        con.execute(f"SET temp_directory='{os.environ['SELFCHECK_TEMP']}'")
     for t in TABLES:
         # Driver testdata ships single-file tables; replicated fixtures
         # (tools.Replicate) use Spark directory output — glob those.
