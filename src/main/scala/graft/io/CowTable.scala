@@ -142,13 +142,23 @@ object CowTable {
         .agg(count(lit(1)).as("rows"),
           min(col(key).cast("long")).as("kmin"),
           max(col(key).cast("long")).as("kmax"),
-          sminE.as("smin"), smaxE.as("smax"))
+          sminE.as("smin"), smaxE.as("smax"),
+          count(when(col(key).isNull ||
+            col(key).cast("long").isNull, 1)).as("_gf_nullk"))
         .collect() // NEW-file-count bounded
-        .map(r => Entry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          smin = Option(r.getMap[String, String](4)).map(_.toMap)
-            .getOrElse(Map.empty),
-          smax = Option(r.getMap[String, String](5)).map(_.toMap)
-            .getOrElse(Map.empty)))
+        .map { r =>
+          // the clustering key is the row IDENTITY (manifest pruning,
+          // SQL rowId): a null or non-castable key would be silently
+          // unaddressable — refuse the write instead
+          require(r.getLong(6) == 0L,
+            s"cow table key `$key` must be non-null and castable to " +
+              s"long; ${r.getLong(6)} violating rows in ${r.getString(0)}")
+          Entry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            smin = Option(r.getMap[String, String](4)).map(_.toMap)
+              .getOrElse(Map.empty),
+            smax = Option(r.getMap[String, String](5)).map(_.toMap)
+              .getOrElse(Map.empty))
+        }
       // a range partition that received no rows produces no part file;
       // nothing to reconcile — `moved` and `stats` agree by construction
       stats.sortBy(_.kmin).toSeq
@@ -837,6 +847,98 @@ object CowTable {
     } else {
       merge(spark, base, source, key, retain, txn = Some((stream, batchId)))
     }
+  }
+
+  /** MERGE-ON-READ delta commit: apply a set of key-level DELETES (as
+    * deletion-vector entries — zero data files rewritten) plus a set of
+    * INSERT rows (new pool files — nothing read) in ONE committed
+    * version. This is the commit half of the SQL row-level surface
+    * ([[graft.sources.GraftCatalog]]'s `MERGE INTO` / `UPDATE` /
+    * row-level `DELETE`): Spark's delta-based rewrite identifies rows by
+    * the clustering key (`SupportsDelta.rowId`), an UPDATE arrives as
+    * delete+insert, and this method turns the two sets into vectors +
+    * appends. Deleted keys are REDISCOVERED against the current manifest
+    * inside the CAS retry loop — positions are never carried across a
+    * conflicting commit, so a concurrent rewrite of an affected file
+    * cannot misaddress a row (the same recompute-on-conflict discipline
+    * as [[merge]], at key granularity).
+    *
+    * Cost: O(inserts) write + O(files containing a deleted key) scan for
+    * positions + O(deleted rows) vector bytes. Nothing else is read.
+    */
+  def applyDelta(spark: SparkSession, base: String, deleteKeys: DataFrame,
+                 inserts: Option[DataFrame], retain: Int = 1,
+                 txn: Option[(String, Long)] = None): Long = {
+    import spark.implicits._
+    val m = meta(spark, base).getOrElse(sys.error(
+      s"no table meta under $base — applyDelta needs a created cow table"))
+    val key = m.key
+    // inserts become pool files ONCE — only the manifest CAS retries
+    val newEntries = inserts.map { df =>
+      writePool(spark, base, df, key, numFiles = 1, m.statsCols)
+    }.getOrElse(Seq.empty)
+    val keys = deleteKeys
+      .select(col(deleteKeys.columns.head).cast("long").as("_gf_k"))
+      .distinct().localCheckpoint() // evaluated once across retries
+    val anyDeletes = keys.limit(1).count() > 0
+    var result = -1L
+    while (result < 0) {
+      val parent = AtomicPublish.committed(spark, base)
+      require(parent >= 0, s"no committed version under $base")
+      val mDf = manifestDfAt(spark, base, parent)
+      val cum =
+        if (!anyDeletes) mDf
+        else {
+          val cand = collectEntries(intervalCandidates(mDf, keys))
+          if (cand.isEmpty) mDf
+          else {
+            // positions of the doomed LIVE rows (the scan subtracts each
+            // file's existing vector, so already-deleted rows never
+            // duplicate into the new cumulative vector)
+            val schema = dataSchemaAt(spark, base, parent)
+            val hits = scanEntries(spark, cand, lineage = true,
+              schema = schema)
+              .join(keys, col(key).cast("long") === col("_gf_k"),
+                "left_semi")
+              .select(col("_gf_file").as("file"), col("_gf_pos").as("pos"))
+              .localCheckpoint()
+            val perFile = hits.groupBy("file").agg(count(lit(1)).as("n"))
+              .collect().map(r => r.getString(0) -> r.getLong(1))
+              .toMap // candidate-file-count bounded
+            if (perFile.isEmpty) mDf
+            else {
+              val oldDv = cand
+                .filter(e => perFile.contains(e.file) && e.dv.nonEmpty)
+              val allRows =
+                if (oldDv.isEmpty) hits
+                else hits.unionByName(vectorRows(spark, oldDv))
+              val fs = fsOf(spark, base)
+              val token = java.util.UUID.randomUUID().toString
+              val tmp = new Path(base, s".dv-$token")
+              allRows.write.mode("overwrite").parquet(tmp.toString)
+              val dst = new Path(base, s"files/$token-dv")
+              fs.mkdirs(new Path(base, "files"))
+              require(fs.rename(tmp, dst), s"dv move failed: $tmp -> $dst")
+              val dvPath = norm(dst.toString)
+              val deltas = perFile.toSeq.toDF("file", "_gf_n")
+              mDf.join(deltas, Seq("file"), "left")
+                .withColumn("dv", when(col("_gf_n").isNotNull, lit(dvPath))
+                  .otherwise(col("dv")))
+                .withColumn("dvRows",
+                  col("dvRows") + coalesce(col("_gf_n"), lit(0L)))
+                .select(ManifestCols.map(col): _*)
+            }
+          }
+        }
+      AtomicPublish.tryPublish(spark, base,
+        payload(spark, base, parent,
+          cum.unionByName(entriesDf(spark, newEntries)), txn), retain,
+        parent) match {
+        case Some(v) => result = v
+        case None => () // conflict: rediscover positions against the new state
+      }
+    }
+    result
   }
 
   // -------------------------------------------------------------------

@@ -366,6 +366,10 @@ object OpsQueries {
     // SQL DML surface: DELETE FROM / INSERT INTO / SELECT through the
     // V2 GraftCatalog, against the same manifest the API paths commit
     "cow_sql_delete" -> ((s, dir) => graft.sources.GraftCatalog.check(s, dir)),
+    // SQL MERGE INTO / UPDATE through Spark's delta-based row-level
+    // framework: deletes land as deletion vectors (zero files
+    // rewritten), inserts as new pool files, updates as delete+insert
+    "cow_sql_merge" -> ((s, dir) => graft.sources.GraftCatalog.mergeCheck(s, dir)),
     // streaming change-data-feed: each committed version = one
     // micro-batch of I/U/D rows; folded stream == final snapshot
     "stream_cdf" -> ((s, dir) => graft.streaming.CdfStream.check(s, dir)),
@@ -697,6 +701,7 @@ object OpsQueries {
     "stream_cow_merge" -> graft.streaming.CowStream.mergeCheckSql,
     "cow_cdf_replay" -> graft.io.CowTable.cdfReplaySql,
     "cow_sql_delete" -> graft.sources.GraftCatalog.checkSql,
+    "cow_sql_merge" -> graft.sources.GraftCatalog.mergeCheckSql,
     "stream_cdf" -> graft.streaming.CdfStream.checkSql,
     "stream_publish_feed" -> graft.streaming.PublishFeed.checkSql,
     "snapshot_diff" -> SnapshotDiff.reportSql,

@@ -4,11 +4,11 @@ import java.util
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -133,12 +133,108 @@ object GraftCatalog {
       |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
       |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SQL `MERGE INTO` + `UPDATE`, end-to-end through Spark's delta-based
+    * row-level framework ([[CowRowLevelOperation]]): one MERGE carrying
+    * all three actions (matched-delete on `k % 11 = 3`, matched-update
+    * re-pricing `k % 7 = 0`, not-matched insert of re-keyed `k % 103 = 5`
+    * rows), then an `UPDATE … WHERE` that must take the same row-level
+    * path. In-band requires: the MERGE rewrites ZERO data files (deletes
+    * and the update's delete half land as deletion vectors, inserts as
+    * new pool files), and the catalog read equals the API read. The
+    * oracle replays both statements relationally. */
+  def mergeCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_sql_merge", dir, "cow_sqlm") {
+      val base = graft.io.FsUtil.stateDir("cow_sqlm", dir)
+      new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true) // self-contained
+      val orders = graft.Tables.orders(spark, dir)
+      CowTable.create(spark, base, orders, "o_orderkey", numFiles = 8)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+      val pre = CowTable.manifest(spark, base).map(_.file).toSet
+
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val k = col("o_orderkey")
+      val srcDf = orders.filter(k % 7 === 0 && !(k % 11 === 3))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+        .unionByName(orders.filter(k % 11 === 3)
+          .withColumn("o_orderstatus", lit("D")))
+        .unionByName(orders.filter(k % 103 === 5)
+          .withColumn("o_orderkey", k + lit(mx)))
+      val srcView = "cow_sqlm_src_" +
+        java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+      srcDf.createOrReplaceTempView(srcView)
+
+      spark.sql(
+        s"""MERGE INTO graft.`$base` t USING $srcView s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.o_orderstatus = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET
+           |  o_totalprice = s.o_totalprice, o_orderstatus = 'U'
+           |WHEN NOT MATCHED THEN INSERT
+           |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |   o_orderdate, o_orderpriority)
+           |  VALUES (s.o_orderkey, s.o_custkey, 'I', s.o_totalprice,
+           |          s.o_orderdate, s.o_orderpriority)""".stripMargin)
+      val m = CowTable.manifest(spark, base)
+      require(m.map(_.file).toSet.intersect(pre) == pre,
+        "a delta-based SQL MERGE must rewrite ZERO data files")
+      require(m.exists(_.dvRows > 0),
+        "the MERGE's deletes must land as deletion vectors")
+
+      // UPDATE rewrites through the same delta path (no SupportsUpdate
+      // metadata route exists): delete-by-key + re-insert
+      spark.sql(s"UPDATE graft.`$base` SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderstatus = 'I' AND o_orderkey % 5 = 1")
+
+      require(spark.sql(s"SELECT COUNT(*) FROM graft.`$base`")
+        .head().getLong(0) == CowTable.read(spark, base).count(),
+        "catalog scan and API read must resolve the same manifest")
+      spark.sql(
+        s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |FROM graft.`$base` GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
+
+  val mergeCheckSql: String =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5.0
+      |              ELSE o_totalprice END AS o_totalprice,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+      |              ELSE o_orderstatus END AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 11 <> 3
+      |  UNION ALL
+      |  SELECT o_orderkey + m, o_totalprice, 'I'
+      |  FROM orders, mx WHERE o_orderkey % 103 = 5
+      |),
+      |final AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderstatus = 'I' AND o_orderkey % 5 = 1
+      |              THEN o_totalprice * 2 ELSE o_totalprice
+      |         END AS o_totalprice,
+      |         o_orderstatus
+      |  FROM merged
+      |)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 }
 
 /** A [[CowTable]] as a V2 table: DV-aware manifest-resolved reads,
-  * metadata-routed `DELETE WHERE`, append-only `INSERT INTO`. */
+  * metadata-routed `DELETE WHERE`, append-only `INSERT INTO`, and the
+  * full delta-based row-level surface (`MERGE INTO`, `UPDATE`,
+  * arbitrary-predicate `DELETE`) via [[CowRowLevelOperation]] — a
+  * convertible DELETE still takes the cheaper metadata route through
+  * `SupportsDelete`; everything else rewrites row-level. */
 private[sources] class CowSqlTable(base: String)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   private def spark = SparkSession.active
   private def tableMeta = CowTable.meta(spark, base).getOrElse(
@@ -146,8 +242,16 @@ private[sources] class CowSqlTable(base: String)
 
   override def name(): String = s"graft.`$base`"
 
-  override def schema(): StructType =
-    DataType.fromJson(tableMeta.schemaJson).asInstanceOf[StructType]
+  /** The meta schema with the clustering key marked NON-NULL — the key
+    * is the row identity ([[CowRowLevelOperation.rowId]] requires a
+    * non-nullable attribute), and [[CowTable]]'s pool writer enforces
+    * the invariant on every write. */
+  override def schema(): StructType = {
+    val m = tableMeta
+    val s = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    StructType(s.fields.map(f =>
+      if (f.name == m.key) f.copy(nullable = false) else f))
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
@@ -168,6 +272,13 @@ private[sources] class CowSqlTable(base: String)
       .reduceOption(_ && _).getOrElse(lit(true)) // no WHERE = truncate
     CowTable.deleteWhere(spark, base, pred, tableMeta.key)
     ()
+  }
+
+  // ---- MERGE INTO / UPDATE / row-level DELETE ----------------------
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    val m = tableMeta
+    () => new CowRowLevelOperation(base, m.key, schema(), info.command())
   }
 
   // ---- INSERT INTO (append) ---------------------------------------

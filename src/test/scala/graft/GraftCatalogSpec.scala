@@ -28,13 +28,89 @@ class GraftCatalogSpec extends SparkSpec {
     assert(CowTable.read(spark, base).filter(col("id") <= 25).count() === 0L)
   }
 
-  test("an untranslatable DELETE predicate is refused, not half-applied") {
+  test("an untranslatable DELETE predicate falls back to the row-level " +
+    "path (deletion vectors, zero files rewritten)") {
     val base = Files.createTempDirectory("gcat_bad").toString + "/t"
-    CowTable.create(spark, base, table(10), "id", numFiles = 1)
-    intercept[AnalysisException] {
-      spark.sql(s"DELETE FROM graft.`$base` WHERE length(nm) > 90")
+    CowTable.create(spark, base, table(100), "id", numFiles = 4)
+    val pre = CowTable.manifest(spark, base).map(_.file).toSet
+    // length(nm) is not a convertible V2 filter: SupportsDelete refuses,
+    // Spark rewrites through SupportsDelta — key-addressed DV delete
+    spark.sql(s"DELETE FROM graft.`$base` WHERE length(nm) = 5") // name1..name9
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$base`")
+      .head().getLong(0) === 91L)
+    val m = CowTable.manifest(spark, base)
+    assert(m.map(_.file).toSet === pre,
+      "a row-level DELETE must land as vectors, rewriting no data file")
+    assert(m.map(_.dvRows).sum === 9L)
+  }
+
+  test("DELETE with a subquery predicate takes the row-level path") {
+    val base = Files.createTempDirectory("gcat_subq").toString + "/t"
+    CowTable.create(spark, base, table(50), "id", numFiles = 2)
+    table(10).select(col("id")).createOrReplaceTempView("gcat_doomed")
+    spark.sql(
+      s"DELETE FROM graft.`$base` WHERE id IN (SELECT id FROM gcat_doomed)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$base`")
+      .head().getLong(0) === 40L)
+    assert(spark.sql(s"SELECT MIN(id) FROM graft.`$base`")
+      .head().getLong(0) === 11L)
+  }
+
+  test("MERGE INTO applies delete/update/insert; deletes and the update's" +
+    " delete half are vectors, inserts are new pool files") {
+    val base = Files.createTempDirectory("gcat_merge").toString + "/t"
+    CowTable.create(spark, base, table(100), "id", numFiles = 4)
+    val pre = CowTable.manifest(spark, base).map(_.file).toSet
+    // source: delete ids 1-10, re-price ids 41-50, insert ids 101-105
+    ((1 to 10).map(i => (i.toLong, "del")) ++
+      (41 to 50).map(i => (i.toLong, "upd")) ++
+      (101 to 105).map(i => (i.toLong, "ins")))
+      .toDF("id", "act").createOrReplaceTempView("gcat_merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$base` t USING gcat_merge_src s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.act = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET amt = t.amt + 0.5
+         |WHEN NOT MATCHED THEN INSERT (id, nm, amt)
+         |  VALUES (s.id, s.act, 1.0)""".stripMargin)
+    val got = spark.sql(s"SELECT * FROM graft.`$base`")
+    assert(got.count() === 95L) // 100 - 10 + 5
+    assert(got.filter(col("id") <= 10).count() === 0L)
+    assert(got.filter(col("id").between(41, 50))
+      .agg(sum("amt")).head().getDouble(0) ===
+      (41 to 50).map(_ * 10.0 + 0.5).sum)
+    assert(got.filter(col("nm") === "ins").count() === 5L)
+    val m = CowTable.manifest(spark, base)
+    assert(m.map(_.file).toSet.intersect(pre) === pre,
+      "a delta MERGE must not rewrite any existing data file")
+    assert(m.map(_.dvRows).sum === 20L, "10 deletes + 10 update-deletes")
+    // merge-on-read debt repays through the normal lifecycle
+    CowTable.compact(spark, base, targetRows = 100L, "id")
+    assert(CowTable.manifest(spark, base).forall(_.dvRows === 0L))
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$base`")
+      .head().getLong(0) === 95L)
+  }
+
+  test("UPDATE rewrites through the delta path and survives a re-read") {
+    val base = Files.createTempDirectory("gcat_upd").toString + "/t"
+    CowTable.create(spark, base, table(30), "id", numFiles = 2)
+    spark.sql(s"UPDATE graft.`$base` SET amt = amt * 2, nm = 'x2' " +
+      "WHERE id % 3 = 0")
+    val got = CowTable.read(spark, base)
+    assert(got.count() === 30L)
+    assert(got.filter(col("nm") === "x2").count() === 10L)
+    assert(got.filter(col("id") === 9).head().getDouble(2) === 180.0)
+    assert(got.filter(col("id") === 10).head().getDouble(2) === 100.0)
+  }
+
+  test("a null clustering key is refused at write time") {
+    val base = Files.createTempDirectory("gcat_nullk").toString + "/t"
+    val bad = Seq((Some(1L), "a", 1.0), (None, "b", 2.0))
+      .toDF("id", "nm", "amt")
+    val e = intercept[Exception] {
+      CowTable.create(spark, base, bad, "id", numFiles = 1)
     }
-    assert(CowTable.read(spark, base).count() === 10L, "nothing deleted")
+    assert(e.getMessage.contains("must be non-null"))
   }
 
   test("INSERT INTO appends; INSERT OVERWRITE is refused") {
