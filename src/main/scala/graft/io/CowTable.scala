@@ -351,6 +351,23 @@ object CowTable {
         Some(Meta(df.schema.json, key, statsCols))), retain)
   }
 
+  /** DDL-style creation of an EMPTY table: version 0 is a zero-entry
+    * manifest carrying only the meta (schema / clustering key / stats
+    * columns). Backs the SQL `CREATE TABLE` path of
+    * [[graft.sources.GraftCatalog]] — the first `INSERT INTO` / merge
+    * populates it. */
+  def createEmpty(spark: SparkSession, base: String,
+                  schema: org.apache.spark.sql.types.StructType, key: String,
+                  statsCols: Seq[String] = Nil, retain: Int = 1): Long = {
+    require(schema.fieldNames.contains(key),
+      s"clustering key `$key` is not a column of the table schema")
+    require(!AtomicPublish.exists(spark, base),
+      s"cow table already exists under $base")
+    AtomicPublish.publish(spark, base,
+      payload(spark, base, -1L, entriesDf(spark, Seq.empty), None,
+        Some(Meta(schema.json, key, statsCols))), retain)
+  }
+
   /** An empty frame with the table's DATA schema — the version's `meta`
     * payload preserves it even when every row (and so every pool file)
     * is gone; legacy tables without meta fall back to the old

@@ -44,6 +44,17 @@ import graft.io.{AtomicPublish, CowTable}
   * commit. Key-identity caveat: like the API merge, the key is the row
   * identity; a MERGE whose ON clause is not key equality still deletes
   * by key.
+  *
+  * Scale note (read side): row-level `UPDATE`/`DELETE` predicates push
+  * into this scan at planning, so their target read is footer-pruned to
+  * the files that may match. `MERGE INTO`'s matching depends on the
+  * SOURCE, and Spark 4.1 runtime-prunes files only for GROUP-BASED
+  * operations (`RowLevelOperationRuntimeGroupFiltering` matches
+  * `ReplaceData`, not `WriteDelta`) — so the SQL MERGE's target read is
+  * O(table) while its WRITE stays O(delta). A key-range-local merge at
+  * 100 TB should use [[graft.io.CowTable.merge]], whose interval-bucket
+  * discovery reads only intersecting files; the SQL surface trades that
+  * read locality for ANSI MERGE compatibility.
   */
 private[sources] class CowRowLevelOperation(base: String, key: String,
                                             tableSchema: StructType,

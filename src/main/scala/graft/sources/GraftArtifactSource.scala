@@ -185,7 +185,7 @@ private[sources] class ArtifactScan(base: String, dataset: String,
                                     dir: String, full: StructType,
                                     required: StructType,
                                     pushed: Array[Filter])
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -219,8 +219,10 @@ private[sources] class ArtifactScan(base: String, dataset: String,
     * each file carries its deletion-vector pointer — the reader
     * subtracts the vectored positions, so merge-on-read tables serve
     * directly (deletes only SHRINK a file's matches, so footer pruning
-    * stays conservative unchanged). */
-  private lazy val (allFiles, keptFiles): (Seq[(String, String)], Seq[(String, String)]) = {
+    * stays conservative unchanged). The same footer pass accumulates
+    * each kept file's ROW COUNT and compressed byte size — the post-
+    * pruning statistics [[estimateStatistics]] hands Catalyst. */
+  private lazy val (allFiles, keptFiles): (Seq[(String, String)], Seq[ArtifactScan.Kept]) = {
     val p = new Path(dir)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
@@ -228,21 +230,27 @@ private[sources] class ArtifactScan(base: String, dataset: String,
       if (cow) {
         val m = SparkSession.active.read.parquet(dir)
         val withDv =
-          if (m.columns.contains("dv")) m.select("file", "dv")
+          if (m.columns.contains("dv"))
+            m.select(m("file"), m("dv"), m("dvRows"))
           else m.select(m("file"),
-            org.apache.spark.sql.functions.lit("").as("dv"))
-        withDv.collect().map(r => (r.getString(0), r.getString(1)))
+            org.apache.spark.sql.functions.lit("").as("dv"),
+            org.apache.spark.sql.functions.lit(0L).as("dvRows"))
+        withDv.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
           .toSeq.sortBy(_._1)
       }
       else fs.listStatus(p).toSeq.map(_.getPath)
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-        .map(f => (f.toString, "")).sortBy(_._1)
-    val kept = files.filter { case (f, _) =>
+        .map(f => (f.toString, "", 0L)).sortBy(_._1)
+    // footer reads are independent I/O — a sequential pass over a
+    // 100k-file table costs minutes of driver wall; a bounded pool
+    // keeps it tens of seconds (the order of `kept` is restored from
+    // the listing so partition planning stays deterministic)
+    def evalOne(f: String, dv: String, dvRows: Long): Option[ArtifactScan.Kept] = {
       val in = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(f), conf))
       try {
         val blocks = in.getFooter.getBlocks.asScala
-        blocks.exists { b =>
+        val mayMatch = blocks.exists { b =>
           pushed.forall { flt =>
             val colOf = ArtifactScan.filterColumn(flt)
             b.getColumns.asScala
@@ -255,13 +263,40 @@ private[sources] class ArtifactScan(base: String, dataset: String,
               }
           }
         }
+        if (!mayMatch) None
+        else Some(ArtifactScan.Kept(f, dv,
+          rows = math.max(0L, blocks.map(_.getRowCount).sum - dvRows),
+          bytes = blocks.map(_.getCompressedSize).sum))
       } finally in.close()
     }
-    (files, kept)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
+    val kept = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(files.map { case (f, dv, dvRows) =>
+          scala.concurrent.Future(evalOne(f, dv, dvRows))
+        }), scala.concurrent.duration.Duration.Inf).flatten
+    } finally pool.shutdown()
+    (files.map(t => (t._1, t._2)), kept)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    keptFiles.map { case (f, dv) => ArtifactPartition(f, dv) }.toArray
+    keptFiles.map(k => ArtifactPartition(k.path, k.dv)).toArray
+
+  /** POST-PRUNING statistics from metadata the prune pass already holds
+    * (manifest live-row counts minus deletion vectors, footer block
+    * sizes) — exact rows, parquet-compressed bytes (the same figure
+    * Spark's own file sources report). This is what lets Catalyst
+    * auto-broadcast a small cow table or a filtered artifact slice in a
+    * SQL join without a hint, and feeds the CBO's join reordering. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(keptFiles.map(_.bytes).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(keptFiles.map(_.rows).sum)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ArtifactReaderFactory(required.json, pushed, new SerializableHadoopConf(
@@ -405,6 +440,12 @@ private[sources] class CdfMicroBatchStream(base: String, key: String,
 }
 
 private[sources] object ArtifactScan {
+
+  /** A file surviving footer pruning, with the statistics the prune
+    * pass read for free: LIVE rows (footer row count minus the
+    * manifest's deletion-vector count) and compressed bytes. */
+  case class Kept(path: String, dv: String, rows: Long, bytes: Long)
+
   def filterColumn(f: Filter): String = f match {
     case EqualTo(a, _) => a
     case In(a, _) => a

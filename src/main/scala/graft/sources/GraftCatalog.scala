@@ -4,8 +4,9 @@ import java.util
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsDelete, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.SupportsWrite
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
@@ -38,11 +39,16 @@ import graft.io.{AtomicPublish, CowTable}
   * discovery and only matching files rewritten — a METADATA-routed
   * delete, not a rewrite of the table); `INSERT INTO` maps to
   * [[CowTable.append]] through the V1 write bridge (new pool files +
-  * one manifest CAS commit, nothing rewritten). Table DDL stays with
-  * the Scala API ([[CowTable.create]]) — a catalog `CREATE TABLE`
-  * cannot express the clustering key + stats-column contract.
+  * one manifest CAS commit, nothing rewritten); `MERGE INTO` /
+  * `UPDATE` / non-convertible `DELETE` rewrite through the delta-based
+  * row-level framework ([[CowRowLevelOperation]]). DDL closes the
+  * lifecycle: `CREATE TABLE … TBLPROPERTIES ('key'='…')` (the
+  * clustering-key contract rides in properties, CTAS included),
+  * `DROP TABLE`, and the maintenance surface as native `CALL`
+  * procedures ([[GraftProcedures]]) — a cow table is fully operable
+  * from SQL with no Scala.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
 
@@ -65,19 +71,62 @@ class GraftCatalog extends TableCatalog {
     new CowSqlTable(base)
   }
 
+  /** `CREATE TABLE graft.`path` (…) TBLPROPERTIES ('key'='…')` — the
+    * clustering-key contract rides in table properties: `key` (required,
+    * the row identity and manifest-pruning dimension) and `statsCols`
+    * (optional comma-separated per-file min/max columns). Version 0 is
+    * an empty manifest carrying the meta; CTAS works too (Spark creates
+    * then appends through the table's write builder). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "create cow tables via CowTable.create (clustering key + stats columns)")
+                           properties: util.Map[String, String]): Table = {
+    val base = ident.name()
+    require(ident.namespace().isEmpty && base.startsWith("/"),
+      s"graft tables are addressed by absolute base path, got $ident")
+    require(partitions.isEmpty,
+      "cow tables cluster on the `key` property, not PARTITIONED BY " +
+        "(per-file key ranges + stats columns replace directory partitions)")
+    val key = Option(properties.get("key")).getOrElse(sys.error(
+      "CREATE TABLE on a graft table requires TBLPROPERTIES ('key'='<col>')"))
+    val statsCols = Option(properties.get("statscols"))
+      .orElse(Option(properties.get("statsCols")))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    CowTable.createEmpty(SparkSession.active, base, schema, key, statsCols)
+    new CowSqlTable(base)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolution is additive via MERGE")
 
-  override def dropTable(ident: Identifier): Boolean = false
+  /** `DROP TABLE graft.`path``: removes the table's versions, pool and
+    * meta. Only a path that actually holds a cow table is dropped. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val base = ident.name()
+    val spark = SparkSession.active
+    if (ident.namespace().nonEmpty || !base.startsWith("/") ||
+      !AtomicPublish.exists(spark, base) ||
+      CowTable.meta(spark, base).isEmpty) false
+    else {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ---- maintenance procedures: CALL graft.compact / graft.vacuum -----
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.byName.getOrElse(
+      ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new RuntimeException(s"no such procedure $catalogName.$ident; " +
+        s"available: ${GraftProcedures.byName.keys.toSeq.sorted.mkString(", ")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.byName.keys.toArray.sorted
+      .map(n => Identifier.of(Array.empty, n))
 }
 
 object GraftCatalog {
@@ -320,4 +369,90 @@ private[sources] object CowSqlTable {
     case AlwaysFalse() => Some(lit(false))
     case _ => None
   }
+}
+
+/** Maintenance procedures for cow tables, callable from SQL — the
+  * OPTIMIZE/VACUUM surface every lakehouse exposes, here as Spark 4's
+  * native `CALL` statement:
+  *
+  * {{{
+  *   CALL graft.compact(`table` => '/warehouse/orders', target_rows => 1000000)
+  *   CALL graft.vacuum('/warehouse/orders', 3600000)
+  * }}}
+  *
+  * Each returns a one-row result set (the new committed version / the
+  * reclaimed file count) so the caller can assert the effect in-band.
+  */
+private[sources] object GraftProcedures {
+
+  import java.util.Collections
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+  private def result(schema: StructType, values: Any*): java.util.Iterator[Scan] =
+    Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        Array(new GenericInternalRow(values.toArray))
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  private def base(input: org.apache.spark.sql.catalyst.InternalRow): String = {
+    val b = input.getUTF8String(0).toString
+    require(CowTable.meta(SparkSession.active, b).isDefined,
+      s"no cow table under $b")
+    b
+  }
+
+  /** `CALL graft.compact(table, target_rows)` → (version, data_files):
+    * bin-packs undersized neighbors and materializes deletion vectors
+    * ([[CowTable.compact]]); a no-op returns the current version. */
+  object Compact extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "bin-pack a cow table's files to ~target_rows and materialize " +
+        "deletion vectors"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("cow table base path").build(),
+      ProcedureParameter.in("target_rows", LongType)
+        .comment("rows per packed file").build())
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val b = base(input)
+      val key = CowTable.meta(spark, b).get.key
+      val v = CowTable.compact(spark, b, input.getLong(1), key)
+      result(new StructType().add("version", LongType)
+        .add("data_files", LongType),
+        v, CowTable.manifest(spark, b).size.toLong)
+    }
+  }
+
+  /** `CALL graft.vacuum(table, grace_ms)` → (reclaimed_files):
+    * deletes pool files referenced by no retained version
+    * ([[CowTable.vacuum]]); `grace_ms` guards in-flight writers. */
+  object Vacuum extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "reclaim pool files referenced by no retained version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("cow table base path").build(),
+      ProcedureParameter.in("grace_ms", LongType)
+        .defaultValue("0").comment("skip files younger than this").build())
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val b = base(input)
+      val n = CowTable.vacuum(spark, b,
+        if (input.isNullAt(1)) 0L else input.getLong(1))
+      result(new StructType().add("reclaimed_files", LongType), n.toLong)
+    }
+  }
+
+  val byName: Map[String, UnboundProcedure] =
+    Map("compact" -> Compact, "vacuum" -> Vacuum)
 }

@@ -161,4 +161,71 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft.`/nonexistent/nowhere`").collect()
     }
   }
+
+  test("CREATE TABLE with key property, full SQL lifecycle, DROP TABLE") {
+    val base = Files.createTempDirectory("gcat_ddl").toString + "/t"
+    spark.sql(s"CREATE TABLE graft.`$base` (id BIGINT, nm STRING, " +
+      "amt DOUBLE) TBLPROPERTIES ('key'='id', 'statsCols'='nm')")
+    assert(spark.sql(s"SELECT * FROM graft.`$base`").count() === 0L)
+    spark.sql(s"INSERT INTO graft.`$base` VALUES (1L, 'a', 1.0), " +
+      "(2L, 'b', 2.0)")
+    spark.sql(s"UPDATE graft.`$base` SET amt = 9.0 WHERE nm = 'b'")
+    assert(spark.sql(s"SELECT SUM(amt) FROM graft.`$base`")
+      .head().getDouble(0) === 10.0)
+    assert(CowTable.meta(spark, base).get.statsCols === Seq("nm"))
+    assert(spark.sql(s"DROP TABLE graft.`$base`") != null)
+    intercept[AnalysisException] {
+      spark.sql(s"SELECT * FROM graft.`$base`").collect()
+    }
+  }
+
+  test("CREATE TABLE without the key property is refused") {
+    val base = Files.createTempDirectory("gcat_nokey").toString + "/t"
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$base` (id BIGINT)")
+    }
+    assert(e.getMessage.contains("key"))
+  }
+
+  test("CTAS creates and populates in one statement") {
+    val base = Files.createTempDirectory("gcat_ctas").toString + "/t"
+    table(20).createOrReplaceTempView("gcat_ctas_src")
+    spark.sql(s"CREATE TABLE graft.`$base` TBLPROPERTIES ('key'='id') " +
+      "AS SELECT * FROM gcat_ctas_src")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$base`")
+      .head().getLong(0) === 20L)
+  }
+
+  test("CALL graft.compact and graft.vacuum maintain the table from SQL") {
+    val base = Files.createTempDirectory("gcat_call").toString + "/t"
+    CowTable.create(spark, base, table(100), "id", numFiles = 8)
+    CowTable.dvDelete(spark, base, col("id") % 10 === 0)
+    val res = spark.sql(
+      s"CALL graft.compact(`table` => '$base', target_rows => 1000)")
+    assert(res.columns.toSeq === Seq("version", "data_files"))
+    assert(res.head().getLong(1) === 1L, "100 rows pack into one file")
+    assert(CowTable.manifest(spark, base).forall(_.dvRows === 0L))
+    val reclaimed = spark.sql(s"CALL graft.vacuum('$base', 0)")
+      .head().getLong(0)
+    assert(reclaimed > 0L, "superseded files reclaimed")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$base`")
+      .head().getLong(0) === 90L)
+  }
+
+  test("manifest-derived scan statistics drive an unhinted broadcast") {
+    val base = Files.createTempDirectory("gcat_stats").toString + "/t"
+    CowTable.create(spark, base, table(100), "id", numFiles = 2)
+    CowTable.dvDelete(spark, base, col("id") <= 10)
+    // exact post-DV row count reaches Catalyst through the scan
+    val rel = spark.sql(s"SELECT * FROM graft.`$base`")
+    val stats = rel.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(_.toLong === 90L),
+      s"expected exact rowCount=90, got ${stats.rowCount}")
+    // a cow table far below the broadcast threshold joins broadcast
+    // WITHOUT a hint: the size estimate comes from the manifest pass
+    val big = spark.range(100000).selectExpr("id", "id * 2 AS v")
+    val plan = big.join(rel, "id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small cow side must auto-broadcast, got:\n$plan")
+  }
 }
