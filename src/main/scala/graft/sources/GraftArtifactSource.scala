@@ -266,7 +266,12 @@ private[sources] class ArtifactScan(base: String, dataset: String,
         if (!mayMatch) None
         else Some(ArtifactScan.Kept(f, dv,
           rows = math.max(0L, blocks.map(_.getRowCount).sum - dvRows),
-          bytes = blocks.map(_.getCompressedSize).sum))
+          // UNCOMPRESSED page bytes, not on-disk: sizeInBytes gates
+          // broadcast decisions against an IN-MEMORY threshold, and a
+          // snappy'd array column (a 500k-row embedding table fits
+          // ~10 MB on disk, ~300 MB hydrated) would flip large joins
+          // to broadcast if the compressed figure were reported
+          bytes = blocks.map(_.getTotalByteSize).sum))
       } finally in.close()
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -292,8 +297,15 @@ private[sources] class ArtifactScan(base: String, dataset: String,
     * auto-broadcast a small cow table or a filtered artifact slice in a
     * SQL join without a hint, and feeds the CBO's join reordering. */
   override def estimateStatistics(): Statistics = new Statistics {
+    // sizeInBytes gates BROADCAST decisions against an in-memory
+    // threshold, so it is floored at an UnsafeRow-overhead cost per
+    // row: a row-many-but-byte-small scan (a 500k-row inverted-list
+    // table is ~7 MB of uncompressed pages) must not flip a join to a
+    // per-task 500k-entry hash build that a 10 MB threshold was never
+    // meant to admit (measured 2.2x on the 10x serve path).
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(keptFiles.map(_.bytes).sum)
+      java.util.OptionalLong.of(math.max(keptFiles.map(_.bytes).sum,
+        keptFiles.map(_.rows).sum * 32L))
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(keptFiles.map(_.rows).sum)
   }
