@@ -885,7 +885,8 @@ object CowTable {
     */
   def applyDelta(spark: SparkSession, base: String, deleteKeys: DataFrame,
                  inserts: Option[DataFrame], retain: Int = 1,
-                 txn: Option[(String, Long)] = None): Long = {
+                 txn: Option[(String, Long)] = None,
+                 beforeCommit: () => Unit = () => ()): Long = {
     import spark.implicits._
     val m = meta(spark, base).getOrElse(sys.error(
       s"no table meta under $base — applyDelta needs a created cow table"))
@@ -947,6 +948,7 @@ object CowTable {
             }
           }
         }
+      beforeCommit() // test seam (fires once per attempt, before the CAS)
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           cum.unionByName(entriesDf(spark, newEntries)), txn), retain,

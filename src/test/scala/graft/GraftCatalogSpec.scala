@@ -212,6 +212,32 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 90L)
   }
 
+  test("applyDelta rediscovers key positions across a competing rewrite") {
+    val base = Files.createTempDirectory("gcat_race").toString + "/t"
+    CowTable.create(spark, base, table(100), "id", numFiles = 4)
+    // the delta deletes ids 5 and 55; between its position discovery and
+    // its CAS, a competing MERGE rewrites the file holding id 5 (updates
+    // ids 1-10), so the first attempt's vector points at a DEAD file —
+    // carrying those positions would silently miss the delete
+    var fired = false
+    CowTable.applyDelta(spark, base,
+      Seq(5L, 55L).toDF("id"),
+      inserts = Some(Seq((200L, "ins", 1.0)).toDF("id", "nm", "amt")),
+      beforeCommit = () => if (!fired) {
+        fired = true
+        CowTable.merge(spark, base,
+          table(100).filter(col("id") <= 10)
+            .withColumn("amt", col("amt") + 1000.0), "id")
+      })
+    val got = CowTable.read(spark, base)
+    assert(got.count() === 99L) // 100 - 2 + 1
+    assert(got.filter(col("id").isin(5L, 55L)).count() === 0L,
+      "both deletes must land even though id 5's file was rewritten")
+    assert(got.filter(col("id") === 7).head().getDouble(2) === 1070.0,
+      "the competing merge's update must survive")
+    assert(got.filter(col("id") === 200).count() === 1L)
+  }
+
   test("manifest-derived scan statistics drive an unhinted broadcast") {
     val base = Files.createTempDirectory("gcat_stats").toString + "/t"
     CowTable.create(spark, base, table(100), "id", numFiles = 2)
