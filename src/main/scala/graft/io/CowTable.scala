@@ -895,12 +895,29 @@ object CowTable {
     val newEntries = inserts.map { df =>
       writePool(spark, base, df, key, numFiles = 1, m.statsCols)
     }.getOrElse(Seq.empty)
-    val keys = deleteKeys
+    // per-key delete-ACTION counts: Spark emits one delete action per
+    // target ROW, so for a key-unique table every key carries count 1,
+    // and an UPDATE touching all n duplicates of a key carries n
+    val keyActions = deleteKeys
       .select(col(deleteKeys.columns.head).cast("long").as("_gf_k"))
-      .distinct().localCheckpoint() // evaluated once across retries
+      .groupBy("_gf_k").agg(count(lit(1)).as("_gf_actions"))
+      .localCheckpoint() // evaluated once across retries
+    val keys = keyActions.select("_gf_k")
     val anyDeletes = keys.limit(1).count() > 0
+    // pure no-op delta (MERGE whose every action filtered out): nothing
+    // to write, nothing to commit — the parent version IS the result
+    // (a txn-stamped no-op still commits, to record its batch id)
+    if (!anyDeletes && newEntries.isEmpty && txn.isEmpty)
+      return AtomicPublish.committed(spark, base)
+    val fs = fsOf(spark, base)
+    var staleDv: Option[String] = None // losing attempt's vector, if any
     var result = -1L
     while (result < 0) {
+      // a previous attempt's vector lost its CAS: it is referenced by
+      // nothing and will be rediscovered fresh — reclaim it now instead
+      // of leaving an orphan per retry for vacuum
+      staleDv.foreach(p => fs.delete(new Path(p), true))
+      staleDv = None
       val parent = AtomicPublish.committed(spark, base)
       require(parent >= 0, s"no committed version under $base")
       val mDf = manifestDfAt(spark, base, parent)
@@ -914,12 +931,33 @@ object CowTable {
             // file's existing vector, so already-deleted rows never
             // duplicate into the new cumulative vector)
             val schema = dataSchemaAt(spark, base, parent)
-            val hits = scanEntries(spark, cand, lineage = true,
+            val hitRows = scanEntries(spark, cand, lineage = true,
               schema = schema)
-              .join(keys, col(key).cast("long") === col("_gf_k"),
-                "left_semi")
-              .select(col("_gf_file").as("file"), col("_gf_pos").as("pos"))
+              .withColumn("_gf_k", col(key).cast("long"))
+              .join(keys, Seq("_gf_k"), "left_semi")
+              .select(col("_gf_file").as("file"), col("_gf_pos").as("pos"),
+                col("_gf_k"))
               .localCheckpoint()
+            // ROW-IDENTITY GUARD: the delta protocol deletes by key, so
+            // a key matching MORE live rows than it has delete actions
+            // would silently vector out rows the statement never touched
+            // (the duplicate-key UPDATE data-loss anomaly). Refuse — the
+            // table violates the clustering-key-as-row-identity contract
+            // the SQL row-level surface requires.
+            val over = hitRows.groupBy("_gf_k").agg(count(lit(1)).as("n"))
+              .join(keyActions, Seq("_gf_k"))
+              .filter(col("n") > col("_gf_actions"))
+              .limit(1).collect()
+            require(over.isEmpty, {
+              val r = over.head
+              s"clustering key `$key` is not unique under $base: key " +
+                s"${r.getLong(0)} has ${r.getLong(1)} live rows but only " +
+                s"${r.getLong(2)} delete action(s) address it — a " +
+                "key-identified delete would drop rows the statement " +
+                "never matched; deduplicate the table (or merge by key) " +
+                "before using SQL row-level DML"
+            })
+            val hits = hitRows.select(col("file"), col("pos"))
             val perFile = hits.groupBy("file").agg(count(lit(1)).as("n"))
               .collect().map(r => r.getString(0) -> r.getLong(1))
               .toMap // candidate-file-count bounded
@@ -930,7 +968,6 @@ object CowTable {
               val allRows =
                 if (oldDv.isEmpty) hits
                 else hits.unionByName(vectorRows(spark, oldDv))
-              val fs = fsOf(spark, base)
               val token = java.util.UUID.randomUUID().toString
               val tmp = new Path(base, s".dv-$token")
               allRows.write.mode("overwrite").parquet(tmp.toString)
@@ -938,6 +975,7 @@ object CowTable {
               fs.mkdirs(new Path(base, "files"))
               require(fs.rename(tmp, dst), s"dv move failed: $tmp -> $dst")
               val dvPath = norm(dst.toString)
+              staleDv = Some(dvPath)
               val deltas = perFile.toSeq.toDF("file", "_gf_n")
               mDf.join(deltas, Seq("file"), "left")
                 .withColumn("dv", when(col("_gf_n").isNotNull, lit(dvPath))
@@ -949,11 +987,15 @@ object CowTable {
           }
         }
       beforeCommit() // test seam (fires once per attempt, before the CAS)
+      // deletes that hit nothing and no inserts: an identical manifest —
+      // short-circuit to the parent (dvDelete's no-op contract) instead
+      // of committing an empty version
+      if (staleDv.isEmpty && newEntries.isEmpty && txn.isEmpty) return parent
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           cum.unionByName(entriesDf(spark, newEntries)), txn), retain,
         parent) match {
-        case Some(v) => result = v
+        case Some(v) => result = v; staleDv = None // committed: referenced
         case None => () // conflict: rediscover positions against the new state
       }
     }

@@ -118,14 +118,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
 
   // ---- maintenance procedures: CALL graft.compact / graft.vacuum -----
+  /** Unknown procedures surface as the analyzer's own ROUTINE_NOT_FOUND
+    * resolution error (Spark 4.1 has no NoSuchProcedureException class;
+    * AnalysisException is what a failed routine lookup reports), not a
+    * bare RuntimeException. */
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     GraftProcedures.byName.getOrElse(
       ident.name().toLowerCase(java.util.Locale.ROOT),
-      throw new RuntimeException(s"no such procedure $catalogName.$ident; " +
-        s"available: ${GraftProcedures.byName.keys.toSeq.sorted.mkString(", ")}"))
+      throw new org.apache.spark.sql.AnalysisException("ROUTINE_NOT_FOUND",
+        Map("routineName" -> s"`$catalogName`.`${ident.name()}`")))
 
+  /** Procedures live in the catalog's root namespace only. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    GraftProcedures.byName.keys.toArray.sorted
+    if (namespace.nonEmpty) Array.empty
+    else GraftProcedures.byName.keys.toArray.sorted
       .map(n => Identifier.of(Array.empty, n))
 }
 

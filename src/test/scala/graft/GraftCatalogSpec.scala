@@ -238,6 +238,76 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got.filter(col("id") === 200).count() === 1L)
   }
 
+  test("a key-identified UPDATE on a duplicate-key table refuses instead " +
+    "of silently dropping the unmatched duplicate") {
+    val base = Files.createTempDirectory("gcat_dupk").toString + "/t"
+    // key 1 appears twice — legal for the API (merge replaces by key),
+    // fatal for SQL row-level DML, whose rowId IS the key
+    CowTable.create(spark, base,
+      Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "c", 3.0))
+        .toDF("id", "nm", "amt"), "id", numFiles = 1)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$base` SET amt = 9.0 WHERE nm = 'a'")
+    }
+    assert(e.getMessage.contains("not unique"),
+      s"expected the row-identity guard, got: ${e.getMessage}")
+    // nothing was lost OR changed: the statement failed atomically
+    assert(CowTable.read(spark, base).count() === 3L)
+    assert(CowTable.read(spark, base)
+      .agg(sum("amt")).head().getDouble(0) === 6.0)
+  }
+
+  test("an UPDATE addressing ALL duplicates of a key commits (actions " +
+    "cover every live hit)") {
+    val base = Files.createTempDirectory("gcat_dupall").toString + "/t"
+    CowTable.create(spark, base,
+      Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "c", 3.0))
+        .toDF("id", "nm", "amt"), "id", numFiles = 1)
+    // WHERE id = 1 matches both duplicates: two delete actions for key 1,
+    // two live hits — delete-all + reinsert-all is exactly SQL semantics
+    spark.sql(s"UPDATE graft.`$base` SET amt = amt + 10.0 WHERE id = 1")
+    val got = CowTable.read(spark, base).orderBy("nm").collect()
+    assert(got.map(_.getDouble(2)).toSeq === Seq(11.0, 12.0, 3.0))
+  }
+
+  test("a row-level statement that changes nothing commits no version") {
+    val base = Files.createTempDirectory("gcat_noop").toString + "/t"
+    CowTable.create(spark, base, table(10), "id", numFiles = 1)
+    val v0 = graft.io.AtomicPublish.committed(spark, base)
+    spark.sql(s"UPDATE graft.`$base` SET amt = 0.0 WHERE length(nm) = 99")
+    spark.sql(s"DELETE FROM graft.`$base` WHERE length(nm) = 99")
+    assert(graft.io.AtomicPublish.committed(spark, base) === v0,
+      "no-op DML must short-circuit to the parent version")
+  }
+
+  test("a losing delta attempt's deletion vector is reclaimed on retry, " +
+    "not orphaned until vacuum") {
+    val base = Files.createTempDirectory("gcat_dvorph").toString + "/t"
+    CowTable.create(spark, base, table(100), "id", numFiles = 4)
+    var fired = false
+    CowTable.applyDelta(spark, base, Seq(5L, 55L).toDF("id"),
+      inserts = None,
+      beforeCommit = () => if (!fired) {
+        fired = true // competing append bumps the version: CAS loses once
+        CowTable.append(spark, base, Seq((300L, "x", 1.0))
+          .toDF("id", "nm", "amt"))
+      })
+    assert(CowTable.read(spark, base).count() === 99L) // 100 - 2 + 1
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvDirs = fs.listStatus(new org.apache.hadoop.fs.Path(base, "files"))
+      .map(_.getPath.getName).filter(_.endsWith("-dv"))
+    assert(dvDirs.length === 1,
+      s"the losing attempt's vector must be deleted on retry, got $dvDirs")
+  }
+
+  test("an unknown procedure is an analyzer resolution error") {
+    val e = intercept[AnalysisException] {
+      spark.sql("CALL graft.no_such_proc('x')")
+    }
+    assert(e.getMessage.contains("no_such_proc"))
+  }
+
   test("manifest-derived scan statistics drive an unhinted broadcast") {
     val base = Files.createTempDirectory("gcat_stats").toString + "/t"
     CowTable.create(spark, base, table(100), "id", numFiles = 2)
