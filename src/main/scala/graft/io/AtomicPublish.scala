@@ -140,6 +140,24 @@ object AtomicPublish {
   def exists(spark: SparkSession, base: String): Boolean =
     committed(spark, base) >= 0
 
+  /** Latest version whose COMMIT MARKER was created at or before
+    * `tsMillis` — the `TIMESTAMP AS OF` resolution (the marker file's
+    * mtime IS the commit instant: it is created empty and renamed
+    * visible exactly once). −1 when nothing was committed by then or
+    * the table predates the marker protocol (legacy single-pointer
+    * layouts carry no per-version commit times). */
+  def committedAsOf(spark: SparkSession, base: String,
+                    tsMillis: Long): Long = {
+    val b = new Path(base)
+    val fs = fsOf(spark, b)
+    val commits = new Path(b, "_commits")
+    if (!fs.exists(commits)) return -1L
+    fs.listStatus(commits).toSeq
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName).collect { case VDir(n) => n.toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
   /** Read dataset `name` of the committed version. */
   def read(spark: SparkSession, base: String, name: String): DataFrame = {
     val v = committed(spark, base)

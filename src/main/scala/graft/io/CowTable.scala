@@ -45,10 +45,19 @@ import org.apache.spark.sql.functions._
   *     run it from the maintenance role, or pass a `graceMs` larger
   *     than the longest write.
   *
-  * Keys are numeric (cast to long) — the manifest prunes on a single
-  * clustering key, the same contract as the z-order demo's first
-  * dimension. Overlapping key ranges after many merges degrade pruning,
-  * never correctness ([[compact]] restores tight ranges by re-sorting).
+  * Keys are numeric (cast to long) or STRING — the manifest prunes on a
+  * single clustering key, the same contract as the z-order demo's first
+  * dimension. A string key (the reference's VARCHAR natural keys —
+  * `/root/reference/sql/dds/s_sql_dds/table/t_dim_tables.sql:4,11,18,25`)
+  * additionally records its natural min/max in the per-file stats maps;
+  * discovery buckets on an order-preserving 7-byte encoding taken AFTER
+  * the manifest-global common prefix (so `user_000…`-shaped keys still
+  * spread across buckets) with EXACT string containment as the
+  * post-condition. Overlapping key ranges after many merges degrade
+  * pruning, never correctness ([[compact]] restores tight ranges by
+  * re-sorting). For SQL row-level DML the key is the ROW IDENTITY and
+  * must be unique; [[applyDelta]] refuses a delete whose key addresses
+  * more live rows than the statement matched.
   *
   * Two merge-on-read extensions complete the row-level story:
   *   - DELETION VECTORS ([[dvDelete]]): a scattered DELETE (GDPR purge,
@@ -90,6 +99,37 @@ object CowTable {
   private val ManifestCols =
     Seq("file", "rows", "kmin", "kmax", "dv", "dvRows", "smin", "smax")
 
+  /** Order-preserving key encodings for the manifest's long-typed
+    * kmin/kmax and the bucketed discovery join. */
+  private[graft] object KeyEnc {
+    /** A string's first 7 UTF-8 bytes, big-endian, zero-right-padded —
+      * a NON-NEGATIVE long that preserves Spark's binary string order
+      * (7 bytes = 56 bits, so `conv`'s unsigned arithmetic is exact and
+      * the sign bit never flips). Prefix-lossy: equal encodings do NOT
+      * imply equal strings, so every use pairs it with an exact natural
+      * comparison. All codegen'd builtins. */
+    def string(c: Column): Column =
+      coalesce(conv(hex(rpad(substring(encode(c, "UTF-8"), 1, 7), 7,
+        Array[Byte](0))), 16, 10).cast("long"),
+        when(c.isNotNull, lit(0L)))
+
+    /** The manifest-stat encoding for a key column of type `dt`. */
+    def of(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.StringType => string(c)
+        case _ => c.cast("long")
+      }
+  }
+
+  private def keyType(df: DataFrame, key: String): org.apache.spark.sql.types.DataType = {
+    require(df.columns.contains(key),
+      s"clustering key `$key` is not a column of ${df.columns.mkString(", ")}")
+    df.schema(key).dataType
+  }
+
+  private def isStringKey(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.StringType
+
   private def fsOf(spark: SparkSession, base: String) =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -128,7 +168,14 @@ object CowTable {
     fs.delete(tmp, true)
     if (moved.isEmpty) Seq.empty
     else {
-      val sCols = statsCols.filter(df.columns.contains)
+      val kDt = keyType(df, key)
+      val ke = KeyEnc.of(col(key), kDt)
+      // a STRING key's natural (exact, full-string) min/max always rides
+      // in the stats maps — discovery and predicate pruning compare
+      // strings exactly there; the long kmin/kmax carry the lossy
+      // order-preserving encoding for the bucket join
+      val sCols = (statsCols ++ (if (isStringKey(kDt)) Seq(key) else Nil))
+        .distinct.filter(df.columns.contains)
       val sminE =
         if (sCols.isEmpty) typedLit(Map.empty[String, String])
         else map(sCols.flatMap(c =>
@@ -140,19 +187,19 @@ object CowTable {
       val stats = spark.read.parquet(moved: _*)
         .groupBy(fileCol.as("file"))
         .agg(count(lit(1)).as("rows"),
-          min(col(key).cast("long")).as("kmin"),
-          max(col(key).cast("long")).as("kmax"),
+          min(ke).as("kmin"),
+          max(ke).as("kmax"),
           sminE.as("smin"), smaxE.as("smax"),
-          count(when(col(key).isNull ||
-            col(key).cast("long").isNull, 1)).as("_gf_nullk"))
+          count(when(col(key).isNull || ke.isNull, 1)).as("_gf_nullk"))
         .collect() // NEW-file-count bounded
         .map { r =>
           // the clustering key is the row IDENTITY (manifest pruning,
-          // SQL rowId): a null or non-castable key would be silently
+          // SQL rowId): a null or non-encodable key would be silently
           // unaddressable — refuse the write instead
           require(r.getLong(6) == 0L,
-            s"cow table key `$key` must be non-null and castable to " +
-              s"long; ${r.getLong(6)} violating rows in ${r.getString(0)}")
+            s"cow table key `$key` must be non-null" +
+              (if (isStringKey(kDt)) "" else " and castable to long") +
+              s"; ${r.getLong(6)} violating rows in ${r.getString(0)}")
           Entry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
             smin = Option(r.getMap[String, String](4)).map(_.toMap)
               .getOrElse(Map.empty),
@@ -244,10 +291,84 @@ object CowTable {
     * only after heavy uncompacted range overlap) are kept as candidates
     * unconditionally — spurious candidates cost a rewrite, never
     * correctness; [[compact]] restores tight ranges. */
-  private def intervalCandidates(mDf: DataFrame, keys: DataFrame): DataFrame = {
-    val live = mDf.filter(col("kmax") >= col("kmin"))
-    val agg = live.agg(min("kmin"), max("kmax"), count(lit(1)),
-      sum((col("kmax") - col("kmin")).cast("double") + 1.0)).head()
+  private def intervalCandidates(mDf: DataFrame, keys: DataFrame): DataFrame =
+    bucketCandidates(mDf, col("kmin"), col("kmax"),
+      keys.select(col(keys.columns.head).cast("long").as("_gf_kb"),
+        col(keys.columns.head).cast("long").as("_gf_kx")).distinct(),
+      exact = (kx, lo, hi) => kx >= lo && kx <= hi,
+      exactLo = col("kmin"), exactHi = col("kmax"))
+
+  /** String-key discovery: the same bucket equi-join, but bucketed on an
+    * order-preserving 7-byte encoding taken AFTER the manifest-global
+    * COMMON PREFIX (computed from the global natural min/max — every key
+    * lies between them, so a shared prefix there is shared by all keys;
+    * stripping it makes `user_000…`-shaped keys spread across buckets
+    * instead of collapsing into one), with EXACT natural-string
+    * containment against each file's stored min/max as the
+    * post-condition. Files without the key's stats entry (legacy) are
+    * kept unconditionally — spurious candidates cost a rewrite, never
+    * correctness. */
+  private def stringCandidates(mDf: DataFrame, keys: DataFrame,
+                               key: String): DataFrame = {
+    val sLo = element_at(col("smin"), lit(key))
+    val sHi = element_at(col("smax"), lit(key))
+    val g = mDf.filter(sLo.isNotNull && sHi.isNotNull)
+      .agg(min(sLo), max(sHi)).head()
+    if (g.isNullAt(0)) // no string stats anywhere: every file a candidate
+      return mDf.dropDuplicates("file")
+    val lcp = (g.getString(0), g.getString(1)) match {
+      case (a, b) =>
+        val raw = a.zip(b).takeWhile { case (x, y) => x == y }.length
+        // never cut inside a surrogate pair: an unpaired high surrogate
+        // would UTF-8-encode as a replacement char and break the
+        // encoding's order preservation
+        if (raw > 0 && Character.isHighSurrogate(a.charAt(raw - 1))) raw - 1
+        else raw
+    }
+    def encOf(c: Column): Column = KeyEnc.string(substring(c, lcp + 1, 7))
+    val legacy = mDf.filter(sLo.isNull || sHi.isNull)
+      .select(ManifestCols.map(col): _*)
+    bucketCandidates(mDf.filter(sLo.isNotNull && sHi.isNotNull),
+      encOf(sLo), encOf(sHi),
+      keys.select(col(keys.columns.head).cast("string").as("_gf_kx"))
+        .distinct()
+        .withColumn("_gf_kb", encOf(col("_gf_kx"))),
+      exact = (kx, lo, hi) => kx >= lo && kx <= hi,
+      exactLo = sLo, exactHi = sHi)
+      .unionByName(legacy)
+      .dropDuplicates("file")
+  }
+
+  /** Manifest rows whose key range MAY contain one of `keys` (a
+    * one-column frame in the key's NATURAL type) — dispatches on the
+    * key type. */
+  private def discoverCandidates(mDf: DataFrame, keys: DataFrame,
+                                 key: String,
+                                 kDt: org.apache.spark.sql.types.DataType): DataFrame =
+    if (isStringKey(kDt)) stringCandidates(mDf, keys, key)
+    else intervalCandidates(mDf, keys)
+
+  /** Distributed interval-containment discovery over LONG bounds
+    * (`loC`/`hiC` evaluated per manifest row; `keys` carries `_gf_kb`,
+    * the long bucket key, and `_gf_kx`, the exact-comparison key):
+    * both sides are bucketed on a width derived from the manifest's own
+    * coverage (span statistics — one O(files) distributed aggregate,
+    * four scalars back), the join is a plain shuffled EQUI-join on the
+    * bucket id with the exact range containment as a post-condition,
+    * and the manifest never leaves the executors. Entries spanning
+    * pathologically many buckets (possible only after heavy uncompacted
+    * range overlap) are kept as candidates unconditionally — spurious
+    * candidates cost a rewrite, never correctness; [[compact]] restores
+    * tight ranges. */
+  private def bucketCandidates(mDf: DataFrame, loC: Column, hiC: Column,
+                               keys: DataFrame,
+                               exact: (Column, Column, Column) => Column,
+                               exactLo: Column, exactHi: Column): DataFrame = {
+    val withB = mDf.withColumn("_gf_lo", loC).withColumn("_gf_hi", hiC)
+      .withColumn("_gf_xlo", exactLo).withColumn("_gf_xhi", exactHi)
+    val live = withB.filter(col("_gf_hi") >= col("_gf_lo"))
+    val agg = live.agg(min("_gf_lo"), max("_gf_hi"), count(lit(1)),
+      sum((col("_gf_hi") - col("_gf_lo")).cast("double") + 1.0)).head()
     if (agg.isNullAt(0)) return mDf.limit(0)
     val lo = agg.getLong(0)
     val hi = agg.getLong(1)
@@ -263,17 +384,15 @@ object CowTable {
     val wBits = if (w <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w - 1)
     def bucketOf(c: Column): Column = shiftright(c - lit(lo), wBits)
     val b = live
-      .withColumn("_gfb_lo", bucketOf(col("kmin")))
-      .withColumn("_gfb_hi", bucketOf(col("kmax")))
+      .withColumn("_gfb_lo", bucketOf(col("_gf_lo")))
+      .withColumn("_gfb_hi", bucketOf(col("_gf_hi")))
     val wide = b.filter(col("_gfb_hi") - col("_gfb_lo") > 4096)
       .select(ManifestCols.map(col): _*)
     val narrow = b.filter(col("_gfb_hi") - col("_gfb_lo") <= 4096)
       .withColumn("_gfb", explode(sequence(col("_gfb_lo"), col("_gfb_hi"))))
-    val kDf = keys.select(col(keys.columns.head).cast("long").as("_gf_k"))
-      .distinct()
-      .withColumn("_gfb", bucketOf(col("_gf_k")))
+    val kDf = keys.withColumn("_gfb", bucketOf(col("_gf_kb")))
     narrow.join(kDf, Seq("_gfb"))
-      .where(col("_gf_k") >= col("kmin") && col("_gf_k") <= col("kmax"))
+      .where(exact(col("_gf_kx"), col("_gf_xlo"), col("_gf_xhi")))
       .select(ManifestCols.map(col): _*)
       .unionByName(wide)
       .dropDuplicates("file")
@@ -417,7 +536,12 @@ object CowTable {
     val v = AtomicPublish.committed(spark, base)
     require(v >= 0, s"no committed version under $base")
     val mDf = manifestDfAt(spark, base, v)
-    val hit = collectEntries(intervalCandidates(mDf, keys)) // probe footprint
+    val kDt = dataSchemaAt(spark, base, v)
+      .flatMap(_.fields.find(_.name == key)).map(_.dataType)
+      .getOrElse(keyType(keys, keys.columns.head))
+    val hit = collectEntries(discoverCandidates(mDf,
+      keys.select(col(keys.columns.head).cast(kDt)), key,
+      kDt)) // probe footprint
     if (hit.isEmpty) read(spark, base).limit(0) // schema-only frame
     else scanEntries(spark, hit, schema = dataSchemaAt(spark, base, v))
   }
@@ -514,8 +638,11 @@ object CowTable {
         else org.apache.spark.sql.types.StructType(
           ts.fields ++ extra.map(_.copy(nullable = true)))
       }
-      val srcKeys = src.select(col(key).cast("long").as("_gf_k")).distinct()
-      val affectedDf = intervalCandidates(mDf, srcKeys).localCheckpoint()
+      val kDt = tblSchema.flatMap(_.fields.find(_.name == key))
+        .map(_.dataType).getOrElse(keyType(src, key))
+      val srcKeys = src.select(col(key).cast(kDt).as("_gf_k")).distinct()
+      val affectedDf = discoverCandidates(mDf, srcKeys, key, kDt)
+        .localCheckpoint()
       val affected = collectEntries(affectedDf) // merge-footprint bounded
       val untouched = mDf.join(affectedDf.select("file"), Seq("file"),
         "left_anti")
@@ -525,7 +652,7 @@ object CowTable {
         // DV-aware: a rewritten file's vectored-out rows must not
         // resurrect, so affected files are read through their vectors
         else scanEntries(spark, affected, schema = evolved)
-          .join(src.select(col(key).cast("long").as(key)).distinct(),
+          .join(src.select(col(key).cast(kDt).as(key)).distinct(),
             Seq(key), "left_anti")
           .unionByName(upserts, allowMissingColumns = false)
       val statsCols = metaAt(spark, base, parent).map(_.statsCols)
@@ -594,7 +721,10 @@ object CowTable {
       require(parent >= 0, s"no committed version under $base")
       val mDf = manifestDfAt(spark, base, parent)
       val keyName = metaAt(spark, base, parent).map(_.key).getOrElse(key)
-      val candDf = mDf.filter(StatsPrune.mayContain(pred, keyName))
+      val sk = dataSchemaAt(spark, base, parent)
+        .flatMap(_.fields.find(_.name == keyName))
+        .exists(f => isStringKey(f.dataType))
+      val candDf = mDf.filter(StatsPrune.mayContain(pred, keyName, sk))
         .localCheckpoint()
       val cand = collectEntries(candDf) // possibly-matching files only
       onDiscovery(cand.size.toLong, mDf.count())
@@ -720,9 +850,13 @@ object CowTable {
       require(parent >= 0, s"no committed version under $base")
       val mDf = manifestDfAt(spark, base, parent)
       val keyName = metaAt(spark, base, parent).map(_.key).getOrElse("")
+      val sk = dataSchemaAt(spark, base, parent)
+        .flatMap(_.fields.find(_.name == keyName))
+        .exists(f => isStringKey(f.dataType))
       // stats-pruned discovery: only files whose statistics admit a
       // matching row are scanned for positions
-      val cand = collectEntries(mDf.filter(StatsPrune.mayContain(pred, keyName)))
+      val cand = collectEntries(
+        mDf.filter(StatsPrune.mayContain(pred, keyName, sk)))
       if (cand.isEmpty) return parent // stats prove nothing matches
       val hits = scanEntries(spark, cand, lineage = true,
         schema = dataSchemaAt(spark, base, parent)).filter(pred)
@@ -796,7 +930,9 @@ object CowTable {
         if (entries.isEmpty)
           scanEntries(spark, Seq(anyEntry), schema = schema).limit(0)
         else scanEntries(spark, entries, schema = schema)
-      df.select(col(key).cast("long").as("_gf_k"),
+      // NATURAL key type (both sides read with the TO-schema, so the
+      // join type always agrees; string keys diff the same way)
+      df.select(col(key).as("_gf_k"),
         struct(dataCols.map(col): _*).as(name))
     }
     val pre = side(preEntries, "_pre")
@@ -895,11 +1031,15 @@ object CowTable {
     val newEntries = inserts.map { df =>
       writePool(spark, base, df, key, numFiles = 1, m.statsCols)
     }.getOrElse(Seq.empty)
+    val kDt = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.find(_.name == key).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     // per-key delete-ACTION counts: Spark emits one delete action per
     // target ROW, so for a key-unique table every key carries count 1,
     // and an UPDATE touching all n duplicates of a key carries n
     val keyActions = deleteKeys
-      .select(col(deleteKeys.columns.head).cast("long").as("_gf_k"))
+      .select(col(deleteKeys.columns.head).cast(kDt).as("_gf_k"))
       .groupBy("_gf_k").agg(count(lit(1)).as("_gf_actions"))
       .localCheckpoint() // evaluated once across retries
     val keys = keyActions.select("_gf_k")
@@ -924,7 +1064,7 @@ object CowTable {
       val cum =
         if (!anyDeletes) mDf
         else {
-          val cand = collectEntries(intervalCandidates(mDf, keys))
+          val cand = collectEntries(discoverCandidates(mDf, keys, key, kDt))
           if (cand.isEmpty) mDf
           else {
             // positions of the doomed LIVE rows (the scan subtracts each
@@ -933,7 +1073,7 @@ object CowTable {
             val schema = dataSchemaAt(spark, base, parent)
             val hitRows = scanEntries(spark, cand, lineage = true,
               schema = schema)
-              .withColumn("_gf_k", col(key).cast("long"))
+              .withColumn("_gf_k", col(key).cast(kDt))
               .join(keys, Seq("_gf_k"), "left_semi")
               .select(col("_gf_file").as("file"), col("_gf_pos").as("pos"),
                 col("_gf_k"))
@@ -951,7 +1091,7 @@ object CowTable {
             require(over.isEmpty, {
               val r = over.head
               s"clustering key `$key` is not unique under $base: key " +
-                s"${r.getLong(0)} has ${r.getLong(1)} live rows but only " +
+                s"${r.get(0)} has ${r.getLong(1)} live rows but only " +
                 s"${r.getLong(2)} delete action(s) address it — a " +
                 "key-identified delete would drop rows the statement " +
                 "never matched; deduplicate the table (or merge by key) " +
@@ -997,6 +1137,97 @@ object CowTable {
         parent) match {
         case Some(v) => result = v; staleDv = None // committed: referenced
         case None => () // conflict: rediscover positions against the new state
+      }
+    }
+    result
+  }
+
+  /** DDL-style ADDITIVE schema evolution: widen the committed data
+    * schema by `fields` (forced nullable — existing pool files are NOT
+    * rewritten and read back NULL for the new columns on every path)
+    * in one metadata-only commit. Backs `ALTER TABLE … ADD COLUMN(S)`
+    * of [[graft.sources.GraftCatalog]]; the write-side twin is
+    * [[merge]]'s source-driven evolution. Cost: O(1) data I/O — the
+    * manifest is carried forward untouched. */
+  def addColumns(spark: SparkSession, base: String,
+                 fields: Seq[org.apache.spark.sql.types.StructField],
+                 retain: Int = 1): Long = {
+    require(fields.nonEmpty, "addColumns: no columns given")
+    var result = -1L
+    while (result < 0) {
+      val parent = AtomicPublish.committed(spark, base)
+      require(parent >= 0, s"no committed version under $base")
+      val m = metaAt(spark, base, parent).getOrElse(sys.error(
+        s"no table meta under $base — addColumns needs a created cow table"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      fields.foreach(f => require(!schema.fieldNames.contains(f.name),
+        s"column `${f.name}` already exists under $base"))
+      val widened = org.apache.spark.sql.types.StructType(
+        schema.fields ++ fields.map(_.copy(nullable = true)))
+      AtomicPublish.tryPublish(spark, base,
+        payload(spark, base, parent, manifestDfAt(spark, base, parent),
+          None, Some(m.copy(schemaJson = widened.json))),
+        retain, parent) match {
+        case Some(v) => result = v
+        case None => () // concurrent commit: re-widen against its schema
+      }
+    }
+    result
+  }
+
+  /** GROUP-REPLACE commit: swap an explicit set of (file, dv) entries
+    * for the rewritten `rows` in one committed version — the commit half
+    * of the GROUP-BASED SQL `MERGE INTO` ([[graft.sources.GraftCatalog]]):
+    * Spark's runtime group filtering prunes the target scan to the files
+    * holding a matched row, the rewrite reads exactly those groups
+    * (through their deletion vectors), and this method publishes
+    * replacement pool files for them — the same copy-on-write shape as
+    * the API [[merge]], driven from ANSI SQL.
+    *
+    * `replaced` carries each file WITH the deletion vector it was read
+    * through: a concurrent commit that rewrote one of the files — or
+    * added a vector to it — invalidates the rewrite (its rows are a
+    * stale snapshot), so the commit FAILS with a conflict instead of
+    * resurrecting concurrently-deleted rows; the statement must be
+    * retried. Unrelated concurrent commits (appends, other files'
+    * rewrites) pass the check and the CAS simply re-lands on the new
+    * parent. Rewritten groups drop their vectors (debt repaid), so a
+    * replaced file's entry leaves the manifest vector and all.
+    */
+  def replaceFiles(spark: SparkSession, base: String,
+                   replaced: Seq[(String, String)], rows: DataFrame,
+                   retain: Int = 1): Long = {
+    import spark.implicits._
+    val m = meta(spark, base).getOrElse(sys.error(
+      s"no table meta under $base — replaceFiles needs a created cow table"))
+    // rewritten rows become pool files ONCE — only the manifest CAS retries
+    val newEntries =
+      if (rows.isEmpty) Seq.empty
+      else writePool(spark, base, rows, m.key,
+        numFiles = math.max(1, replaced.size), m.statsCols)
+    if (replaced.isEmpty && newEntries.isEmpty)
+      return AtomicPublish.committed(spark, base) // no-op
+    val replacedDf = replaced.toDF("file", "_gf_dv").localCheckpoint()
+    var result = -1L
+    while (result < 0) {
+      val parent = AtomicPublish.committed(spark, base)
+      require(parent >= 0, s"no committed version under $base")
+      val mDf = manifestDfAt(spark, base, parent)
+      val live = mDf.join(replacedDf, Seq("file"))
+        .filter(col("dv") === col("_gf_dv")).count()
+      require(live == replaced.size,
+        s"concurrent update conflict under $base: ${replaced.size - live} " +
+          s"of ${replaced.size} replaced files were rewritten or vectored " +
+          "since the statement's scan — retry the statement")
+      val untouched = mDf.join(replacedDf.select("file"), Seq("file"),
+        "left_anti")
+      AtomicPublish.tryPublish(spark, base,
+        payload(spark, base, parent,
+          untouched.unionByName(entriesDf(spark, newEntries)), None),
+        retain, parent) match {
+        case Some(v) => result = v
+        case None => () // unrelated commit won the slot: re-validate, re-land
       }
     }
     result
@@ -1362,6 +1593,82 @@ object CowTable {
         "the folded change feed must reproduce the final snapshot")
       direct
     }
+
+  /** STRING CLUSTERING KEY end-to-end — the reference's row-level
+    * entities key on VARCHAR natural keys
+    * (`/root/reference/sql/dds/s_sql_dds/table/t_dim_tables.sql:4,11,18,25`
+    * — UNIQUE `user_name`, `product_category`, …), so the cow table must
+    * cluster, discover and prune on strings. The fixture is adversarial
+    * for a naive prefix encoding: every `c_name` shares the long
+    * `Customer#0000…` prefix, so discovery's bucket join works only
+    * because the encoding strips the manifest-global common prefix.
+    * In-band requires: a range-local merge keeps ≥ 5 of 8 files
+    * untouched (bucketed string discovery is LOCAL), a point lookup by
+    * name returns exactly its row through [[readForKeys]], and a
+    * predicate delete on the key prunes its discovery scan via the
+    * stats maps (strictly fewer files scanned than listed). The oracle
+    * replays the surviving state relationally. */
+  def stringKeyCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_string_key", dir, "cow_strk") {
+      val base = FsUtil.stateDir("cow_strk", dir)
+      fsOf(spark, base).delete(new Path(base), true) // self-contained
+      val cust = graft.Tables.customer(spark, dir)
+      create(spark, base, cust, "c_name", numFiles = 8)
+      val pre = manifest(spark, base).map(_.file).toSet
+
+      val mx = cust.agg(max("c_custkey")).head().getLong(0)
+      val k = col("c_custkey")
+      val lo = k * 8 <= lit(mx)
+      val upd = cust.filter(lo && k % 7 === 0 && !(k % 11 === 3))
+        .withColumn("c_acctbal", col("c_acctbal") + lit(10.0))
+        .withColumn("_delete", lit(false))
+      val ins = cust.filter(k % 103 === 5)
+        .withColumn("c_name", concat(lit("Xtra#"), col("c_name")))
+        .withColumn("c_mktsegment", lit("NEW"))
+        .withColumn("_delete", lit(false))
+      val del = cust.filter(lo && k % 11 === 3)
+        .withColumn("_delete", lit(true))
+      merge(spark, base, upd.unionByName(ins).unionByName(del), "c_name")
+      val referenced = manifest(spark, base).map(_.file).toSet.intersect(pre)
+      require(referenced.size >= 5,
+        "string-key discovery must keep non-intersecting files " +
+          s"untouched: kept only ${referenced.size}/8")
+
+      import spark.implicits._
+      val probe = readForKeys(spark, base,
+        Seq("Customer#000000001").toDF("c_name"), "c_name")
+      require(probe.filter(col("c_name") === "Customer#000000001")
+        .count() == 1L,
+        "string-keyed point lookup must resolve its row")
+
+      // 'Xtra#' sorts above every Customer# name: the stats maps must
+      // confine discovery to the insert file(s)
+      var scanned = -1L
+      var total = -1L
+      deleteWhere(spark, base, col("c_name") >= lit("Xtra#"), "c_name",
+        onDiscovery = (s, t) => { scanned = s; total = t })
+      require(scanned > 0 && scanned < total,
+        s"string-key stats pruning must skip files: scanned $scanned/$total")
+
+      read(spark, base).groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double").as("total_bal"))
+        .orderBy("c_mktsegment")
+    }
+
+  val stringKeySql: String =
+    """WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(CAST(SUM(CAST(CASE WHEN c_custkey * 8 <= m
+      |                               AND c_custkey % 7 = 0
+      |                               AND NOT c_custkey % 11 = 3
+      |                          THEN c_acctbal + 10.0 ELSE c_acctbal
+      |                          END AS DECIMAL(18,2)))
+      |                 AS DECIMAL(18,2)) AS DOUBLE) AS total_bal
+      |FROM customer, mx
+      |WHERE NOT (c_custkey * 8 <= m AND c_custkey % 11 = 3)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val cdfReplaySql: String =
     """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),

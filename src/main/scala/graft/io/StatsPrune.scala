@@ -30,10 +30,15 @@ private[graft] object StatsPrune {
 
   /** Manifest filter: TRUE for every file that MAY contain a row
     * matching `pred`; `key` is the table's clustering-key column, whose
-    * statistics live in kmin/kmax rather than the stats maps. */
-  def mayContain(pred: Column, key: String): Column =
+    * statistics live in kmin/kmax rather than the stats maps. A STRING
+    * key (`stringKey = true`) routes through the stats maps instead —
+    * its natural min/max are always recorded there at write time, so the
+    * comparison is exact string order, not the lossy long encoding
+    * kmin/kmax carry for the bucket join. */
+  def mayContain(pred: Column, key: String,
+                 stringKey: Boolean = false): Column =
     translate(org.apache.spark.sql.graftbridge.ColumnBridge.expression(pred),
-      key).getOrElse(lit(true))
+      if (stringKey) "" else key).getOrElse(lit(true))
 
   private def attrName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute => Some(a.name)

@@ -226,6 +226,37 @@ object Ivf {
       .filter(col("rank") <= k)
   }
 
+  /** [[topK]] answered ENTIRELY from index FRAMES — the plain-IVF twin
+    * of [[Pq.ivfPqFrom]]: vectors/centroids/assignments arrive as
+    * persisted artifacts, so no featurize pass and no k-means run
+    * inside the query. */
+  private[ops] def topKFrom(vectors: DataFrame, cent: DataFrame,
+                            assign: DataFrame, nProbe: Int, k: Int,
+                            queryMod: Int): DataFrame = {
+    val q = vectors.filter(AnnParams.queryPred(queryMod))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val qcos = (dot(col("qv"), col("cv")) / (col("qn") * col("cnorm")))
+      .grid6
+    val probes = q.crossJoin(Bcast.ifBounded(cent, Bcast.SqrtLaw))
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
+        qcos.as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("centroid_id"))))
+      .filter(col("rk") <= nProbe)
+      .select("query_id", "qv", "qn", "centroid_id")
+    val e = vectors.join(assign, "vec_id")
+    val cos = (dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .grid6
+    probes.join(e, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cosine_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** The held-out-batch split for the index-maintenance demonstration:
     * vectors with `vec_id % 10 == 7` arrive AFTER the index was built on
     * the other ~90%.

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -256,36 +256,64 @@ object Multimodal {
       aHashOf(spark, nearDupImageTable(spark, dir)).select("media_id", "ahash")
     }
     val bandW = 64 / nBands
+    def ham(ha: Column, hb: Column): Column = (0 until 4).map { i =>
+      bit_count(
+        conv(substring(ha, 1 + i * 16, 16), 2, 10).cast("long")
+          .bitwiseXOR(conv(substring(hb, 1 + i * 16, 16), 2, 10).cast("long")))
+    }.reduce(_ + _)
+    def shareBand(ha: Column, hb: Column): Column = (0 until nBands).map(i =>
+      substring(ha, 1 + i * bandW, bandW) === substring(hb, 1 + i * bandW, bandW))
+      .reduce(_ || _)
+    // collapse to one LSH participant per DISTINCT hash first: a cluster
+    // of c byte-identical images (repeated logos/banners in a real crawl
+    // — and this fixture's dense dup classes) would otherwise band into
+    // c²/2 candidate pairs that all verify at hamming 0 (measured 37× at
+    // 10× before the collapse). Neighbor relations are a function of
+    // the HASH alone, so per-image results are recovered exactly from
+    // class membership counts.
+    val classes = hashes.groupBy("ahash")
+      .agg(count(lit(1)).as("n_members"))
     val bandArr = array((0 until nBands).map(i =>
       substring(col("ahash"), 1 + i * bandW, bandW)): _*)
-    val bands = hashes.select(col("media_id"),
+    val bands = classes.select(col("ahash"), col("n_members"),
       posexplode(bandArr).as(Seq("band_idx", "band")))
     val cand = bands.as("a").join(bands.as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.band") === col("b.band") &&
-        col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+        col("a.ahash") < col("b.ahash"))
+      .select(col("a.ahash").as("ha"), col("a.n_members").as("na"),
+        col("b.ahash").as("hb"), col("b.n_members").as("nb"))
       .distinct()
-    val withHashes = cand
-      .join(hashes.select(col("media_id").as("media_a"), col("ahash").as("ha")), "media_a")
-      .join(hashes.select(col("media_id").as("media_b"), col("ahash").as("hb")), "media_b")
-    val hamming = (0 until 4).map { i =>
-      bit_count(
-        conv(substring(col("ha"), 1 + i * 16, 16), 2, 10).cast("long")
-          .bitwiseXOR(conv(substring(col("hb"), 1 + i * 16, 16), 2, 10).cast("long")))
-    }.reduce(_ + _)
-    val pairs = withHashes
-      .select(col("media_a"), col("media_b"), hamming.cast("int").as("hamming"))
+    val pairs = cand
+      .withColumn("hamming", ham(col("ha"), col("hb")).cast("int"))
       .filter(col("hamming") <= maxDist)
     val sym = pairs
-      .select(col("media_a").as("media_id"), col("media_b").as("nbr"), col("hamming"))
+      .select(col("ha").as("ahash"), col("nb").as("n_nbr"), col("hamming"))
       .unionByName(pairs
-        .select(col("media_b").as("media_id"), col("media_a").as("nbr"), col("hamming")))
-    sym.groupBy("media_id").agg(
-      count(lit(1)).as("n_neighbors"),
-      min("hamming").as("min_hamming"),
-      (max(when(abs(col("nbr") - col("media_id")) === TwinOffset, 1)
-        .otherwise(0)) === 1).as("twin_found"))
+        .select(col("hb").as("ahash"), col("na").as("n_nbr"), col("hamming")))
+    val classNbr = sym.groupBy("ahash")
+      .agg(sum("n_nbr").as("cross_nbrs"), min("hamming").as("min_cross"))
+    // twin detection at the ID grain: every (x, x+TwinOffset) pair via a
+    // 1-to-1 self-join (linear in the corpus), qualified by the SAME
+    // neighbor definition (shares a band AND hamming ≤ maxDist)
+    val twinPairs = hashes.as("x").join(hashes.as("y"),
+        col("y.media_id") === col("x.media_id") + lit(TwinOffset))
+      .filter(shareBand(col("x.ahash"), col("y.ahash")) &&
+        ham(col("x.ahash"), col("y.ahash")) <= maxDist)
+      .select(col("x.media_id").as("xa"), col("y.media_id").as("xb"))
+    val twinIds = twinPairs.select(col("xa").as("media_id"))
+      .unionByName(twinPairs.select(col("xb").as("media_id")))
+      .distinct().withColumn("_tf", lit(true))
+    hashes.join(classes, "ahash")
+      .join(classNbr, Seq("ahash"), "left")
+      .join(twinIds, Seq("media_id"), "left")
+      .select(col("media_id"),
+        (col("n_members") - 1 + coalesce(col("cross_nbrs"), lit(0L)))
+          .as("n_neighbors"),
+        when(col("n_members") > 1, lit(0)).otherwise(col("min_cross"))
+          .cast("int").as("min_hamming"),
+        coalesce(col("_tf"), lit(false)).as("twin_found"))
+      .filter(col("n_neighbors") >= 1)
   }
 
   /** Oracle: both variants' hashes recomputed ANALYTICALLY from the

@@ -232,9 +232,9 @@ object OpsQueries {
     // documents.text — unit-norm vector exploded to (doc_id, pos, feature)
     "emb_featurize" -> ((s, dir) => Featurize.featurized(s, dir)),
     // IVF top-k over the DERIVED vectors — text → vector → index → search
-    // end-to-end, no fixture embeddings anywhere in the chain
-    "ann_topk_derived" -> ((s, dir) =>
-      Ivf.topK(s, dir, queryMod = 200, corpus = Featurize.corpus)),
+    // end-to-end, no fixture embeddings anywhere in the chain; answered
+    // from the PERSISTED index (the serve path), not an inline rebuild
+    "ann_topk_derived" -> ((s, dir) => AnnIndex.topKDerived(s, dir)),
     // the full residual IVF-PQ stack (probe → ADC → rerank) on derived
     // vectors — same code path as ivfpq_topk, different VecCorpus
     "ivfpq_topk_derived" -> ((s, dir) =>
@@ -363,6 +363,9 @@ object OpsQueries {
     // CDC replay completeness: v0 snapshot + folded change feed ==
     // final table, across COW merge, DV delete, and COW delete
     "cow_cdf_replay" -> ((s, dir) => graft.io.CowTable.cdfReplayCheck(s, dir)),
+    // VARCHAR natural keys (the reference's dimension identities):
+    // string clustering key with bucketed discovery + stats pruning
+    "cow_string_key" -> ((s, dir) => graft.io.CowTable.stringKeyCheck(s, dir)),
     // SQL DML surface: DELETE FROM / INSERT INTO / SELECT through the
     // V2 GraftCatalog, against the same manifest the API paths commit
     "cow_sql_delete" -> ((s, dir) => graft.sources.GraftCatalog.check(s, dir)),
@@ -370,6 +373,17 @@ object OpsQueries {
     // framework: deletes land as deletion vectors (zero files
     // rewritten), inserts as new pool files, updates as delete+insert
     "cow_sql_merge" -> ((s, dir) => graft.sources.GraftCatalog.mergeCheck(s, dir)),
+    // the 100 TB SQL-MERGE proof: a range-local MERGE INTO whose target
+    // rewrite is runtime-pruned to the matched files (group-based COW)
+    "cow_sql_merge_pruned" -> ((s, dir) =>
+      graft.sources.GraftCatalog.mergePrunedCheck(s, dir)),
+    // SQL time travel: VERSION AS OF / TIMESTAMP AS OF through the catalog
+    "cow_time_travel" -> ((s, dir) =>
+      graft.sources.GraftCatalog.timeTravelCheck(s, dir)),
+    // warehouse registry: CREATE TABLE graft.<name> / SHOW TABLES /
+    // ALTER TABLE ADD COLUMN (metadata-only) / UPDATE the new column
+    "cow_sql_registry" -> ((s, dir) =>
+      graft.sources.GraftCatalog.registryCheck(s, dir)),
     // streaming change-data-feed: each committed version = one
     // micro-batch of I/U/D rows; folded stream == final snapshot
     "stream_cdf" -> ((s, dir) => graft.streaming.CdfStream.check(s, dir)),
@@ -700,8 +714,12 @@ object OpsQueries {
     "cow_changes" -> graft.io.CowTable.changesSql,
     "stream_cow_merge" -> graft.streaming.CowStream.mergeCheckSql,
     "cow_cdf_replay" -> graft.io.CowTable.cdfReplaySql,
+    "cow_string_key" -> graft.io.CowTable.stringKeySql,
     "cow_sql_delete" -> graft.sources.GraftCatalog.checkSql,
     "cow_sql_merge" -> graft.sources.GraftCatalog.mergeCheckSql,
+    "cow_sql_merge_pruned" -> graft.sources.GraftCatalog.mergePrunedSql,
+    "cow_time_travel" -> graft.sources.GraftCatalog.timeTravelSql,
+    "cow_sql_registry" -> graft.sources.GraftCatalog.registrySql,
     "stream_cdf" -> graft.streaming.CdfStream.checkSql,
     "stream_publish_feed" -> graft.streaming.PublishFeed.checkSql,
     "snapshot_diff" -> SnapshotDiff.reportSql,

@@ -20,11 +20,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.io.{AtomicPublish, CowTable}
 
 /** DELTA-BASED row-level SQL over a [[graft.io.CowTable]] — the
-  * merge-on-read half of the SQL DML surface. Spark's row-level
-  * framework rewrites `MERGE INTO` / `UPDATE` / non-metadata `DELETE`
-  * against a [[SupportsDelta]] operation into a stream of per-row
-  * actions identified by `rowId`; here the row id is the table's
-  * CLUSTERING KEY, so:
+  * merge-on-read half of the SQL DML surface, serving `UPDATE` and
+  * non-metadata `DELETE` (`MERGE INTO` routes group-based instead —
+  * [[CowGroupMergeOperation]] — because only group-based plans get
+  * Spark's runtime target-file pruning). Spark's row-level framework
+  * rewrites the statement against a [[SupportsDelta]] operation into a
+  * stream of per-row actions identified by `rowId`; here the row id is
+  * the table's CLUSTERING KEY, so:
   *
   *   - a DELETE action is a doomed key → committed as deletion-vector
   *     entries (O(deleted rows) bytes, ZERO data files rewritten);
@@ -41,20 +43,16 @@ import graft.io.{AtomicPublish, CowTable}
   * commit turns them into one [[graft.io.CowTable.applyDelta]] version,
   * whose CAS loop REDISCOVERS key positions against the current
   * manifest on conflict — positions never carry across a competing
-  * commit. Key-identity caveat: like the API merge, the key is the row
-  * identity; a MERGE whose ON clause is not key equality still deletes
-  * by key.
+  * commit.
   *
   * Scale note (read side): row-level `UPDATE`/`DELETE` predicates push
   * into this scan at planning, so their target read is footer-pruned to
-  * the files that may match. `MERGE INTO`'s matching depends on the
-  * SOURCE, and Spark 4.1 runtime-prunes files only for GROUP-BASED
-  * operations (`RowLevelOperationRuntimeGroupFiltering` matches
-  * `ReplaceData`, not `WriteDelta`) — so the SQL MERGE's target read is
-  * O(table) while its WRITE stays O(delta). A key-range-local merge at
-  * 100 TB should use [[graft.io.CowTable.merge]], whose interval-bucket
-  * discovery reads only intersecting files; the SQL surface trades that
-  * read locality for ANSI MERGE compatibility.
+  * the files that may match, and the write is O(deleted rows) in vector
+  * bytes — the right trade for scattered predicates. Key-identity
+  * contract: the key is the row identity and must be unique across the
+  * addressed rows; [[graft.io.CowTable.applyDelta]] refuses (loudly,
+  * pre-commit) when a delete key addresses more live rows than the
+  * statement matched.
   */
 private[sources] class CowRowLevelOperation(base: String, key: String,
                                             tableSchema: StructType,
@@ -89,6 +87,180 @@ private[sources] class CowDeltaWrite(base: String, key: String,
                                      info: LogicalWriteInfo) extends DeltaWrite {
   override def toBatch: DeltaBatchWrite = new CowDeltaBatchWrite(base, key, info)
   override def description(): String = s"cow-delta write to $base"
+}
+
+/** GROUP-BASED `MERGE INTO` — the copy-on-write half of the SQL
+  * row-level surface. A delta MERGE's write is O(delta), but Spark 4.1
+  * runtime-prunes target files only for group-based plans
+  * (`RowLevelOperationRuntimeGroupFiltering` matches `ReplaceData`, not
+  * `WriteDelta`), so the delta MERGE read the WHOLE table. This
+  * operation takes the group route instead, the same shape as the API
+  * [[graft.io.CowTable.merge]]:
+  *
+  *   1. the target scan declares `_file` as its runtime filter
+  *     attribute; Spark's own rule plans a dynamic subquery
+  *     (target ⋈ source on the merge condition, projected to `_file`,
+  *     key-column-pruned) and [[ArtifactScan.filter]] drops every file
+  *     holding no matched row;
+  *   2. the rewrite reads ONLY those matched files (through their
+  *     deletion vectors) plus the source — carry-over rows, updates and
+  *     inserts stream back as the replacement content;
+  *   3. [[graft.io.CowTable.replaceFiles]] swaps exactly the scanned
+  *     (file, dv) entries for the new pool files in one CAS commit,
+  *     failing on a conflicting rewrite of an affected file.
+  *
+  * Target read cost: one key-column scan for discovery + the matched
+  * files. A range-local MERGE on a 100 TB table reads megabytes of
+  * data pages, not the table. Rewriting whole matched files also makes
+  * MERGE safe on duplicate-key tables (file grain, not key grain).
+  * DELETE/UPDATE stay delta-based ([[CowRowLevelOperation]]): their
+  * predicates push into the scan statically, and a scattered DELETE is
+  * O(deleted rows) as vectors instead of a file rewrite.
+  */
+private[sources] class CowGroupMergeOperation(base: String, key: String,
+                                              tableSchema: StructType)
+  extends RowLevelOperation {
+
+  /** The scan instance the rewrite plans against — after runtime group
+    * filtering it knows the exact (file, dv) set being replaced, which
+    * the write's commit swaps out. One scan per operation instance
+    * (Spark builds one rewrite plan per MERGE statement). */
+  @volatile private[sources] var configuredScan: Option[ArtifactScan] = None
+
+  override def command(): RowLevelOperation.Command =
+    RowLevelOperation.Command.MERGE
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val v = AtomicPublish.committed(spark, base)
+    require(v >= 0, s"no committed version under $base")
+    new ArtifactScanBuilder(base, "manifest", None, cow = true,
+      s"$base/v$v/manifest", tableSchema) {
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val s = super.build().asInstanceOf[ArtifactScan]
+        configuredScan = Some(s)
+        s
+      }
+    }
+  }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(ArtifactScan.FileCol))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new CowReplaceWrite(base, info, CowGroupMergeOperation.this)
+    }
+
+  override def description(): String =
+    s"cow-group MERGE on $base (runtime file pruning via ${ArtifactScan.FileCol})"
+}
+
+private[sources] class CowReplaceWrite(base: String, info: LogicalWriteInfo,
+                                       op: CowGroupMergeOperation)
+  extends Write {
+  override def toBatch: BatchWrite = new CowReplaceBatchWrite(base, info, op)
+  override def description(): String = s"cow-group replace write to $base"
+}
+
+private[sources] case class CowReplaceMessage(files: Seq[String])
+  extends WriterCommitMessage
+
+private[sources] class CowReplaceBatchWrite(base: String,
+                                            info: LogicalWriteInfo,
+                                            op: CowGroupMergeOperation)
+  extends BatchWrite {
+
+  private val staging = s"$base/.replace-${info.queryId()}"
+  private val stagedSchema = info.schema()
+
+  override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
+    new CowReplaceWriterFactory(staging, stagedSchema.json,
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staged = messages.collect { case m: CowReplaceMessage => m }
+      .flatMap(_.files).toSeq
+    try {
+      val replaced = op.configuredScan.map(_.resolvedFiles).getOrElse(
+        sys.error(s"group MERGE on $base committed without a configured " +
+          "target scan"))
+      // the replacement content in the TABLE's columns (the staged rows
+      // may carry metadata attributes the rewrite required, e.g. _file)
+      val tableCols = graft.io.CowTable.meta(spark, base)
+        .map(m => org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+          .asInstanceOf[StructType].fieldNames.toSeq)
+        .getOrElse(sys.error(s"no cow-table meta under $base"))
+      val rows =
+        if (staged.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            StructType(stagedSchema.fields.filter(f =>
+              tableCols.contains(f.name))))
+        else spark.read.schema(
+          StructType(stagedSchema.fields.map(_.copy(nullable = true))))
+          .parquet(staged: _*)
+      CowTable.replaceFiles(spark, base, replaced,
+        rows.select(tableCols.map(col): _*))
+      ()
+    } finally cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit = {
+    val p = new Path(staging)
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+}
+
+private[sources] class CowReplaceWriterFactory(staging: String,
+                                               schemaJson: String,
+                                               conf: SerializableHadoopConf)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CowReplaceTaskWriter(staging,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], conf,
+      partitionId, taskId)
+}
+
+/** Executor-side replacement-row writer: rows stream into a
+  * task-attempt-unique parquet file via parquet-mr, opened lazily so an
+  * empty task stages nothing; only COMMITTED tasks' files are read. */
+private[sources] class CowReplaceTaskWriter(staging: String,
+                                            schema: StructType,
+                                            conf: SerializableHadoopConf,
+                                            partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  import CowDeltaTaskWriter._
+
+  private val path = s"$staging/rows/part-$partitionId-$taskId.parquet"
+  private val tpe = toMessageType("rows", schema)
+  private val factory = new SimpleGroupFactory(tpe)
+  private var writer: ParquetWriter[Group] = _
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new Path(path), conf.value))
+      .withType(tpe).withConf(conf.value).build()
+    writer.write(toGroup(factory.newGroup(), row, schema))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) { writer.close(); CowReplaceMessage(Seq(path)) }
+    else CowReplaceMessage(Seq.empty)
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = if (writer != null) writer.close()
 }
 
 /** Per-task staged files, listed EXPLICITLY (never by directory scan):

@@ -185,10 +185,59 @@ private[sources] class ArtifactScan(base: String, dataset: String,
                                     dir: String, full: StructType,
                                     required: StructType,
                                     pushed: Array[Filter])
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** RUNTIME file filtering on the virtual `_file` column — what lets
+    * Spark's own `RowLevelOperationRuntimeGroupFiltering` prune a
+    * group-based MERGE's target scan to the files that actually hold a
+    * matched row (the dynamic subquery joins target×source projected to
+    * `_file`; this scan then drops every other file). Conservative by
+    * construction: an unrecognized predicate filters nothing. */
+  private var runtimeKept: Option[Set[String]] = None
+
+  /** Only a scan that actually READS `_file` (a row-level rewrite that
+    * declared it via requiredMetadataAttributes) is runtime-filterable
+    * on it: Spark's generic dynamic-pruning rules probe filterAttributes
+    * on EVERY join over the scan and fail resolving an attribute the
+    * pruned relation doesn't carry. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (required.fieldNames.contains(ArtifactScan.FileCol))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+        ArtifactScan.FileCol))
+    else Array.empty
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        val onFile = p.children().head match {
+          case r: NamedReference =>
+            r.fieldNames().mkString(".") == ArtifactScan.FileCol
+          case _ => false
+        }
+        if (onFile) {
+          val vals: Set[String] = p.children().tail.collect {
+            case l: Literal[_] if l.dataType() == StringType =>
+              String.valueOf(l.value())
+          }.toSet
+          // IN over collected values is exhaustive: intersect (an empty
+          // subquery result legitimately prunes every file)
+          runtimeKept = Some(runtimeKept.fold(vals)(_ intersect vals))
+        }
+      }
+    }
+  }
+
+  /** The files this scan will actually read — post footer pruning AND
+    * post runtime filtering — with each file's deletion vector. The
+    * group-based row-level commit replaces exactly this set. */
+  private[sources] def resolvedFiles: Seq[(String, String)] =
+    keptFiles.map(k => (k.path, k.dv))
+      .filter(f => runtimeKept.forall(_.contains(f._1)))
 
   /** Streaming over the COMMIT LOG: each committed [[graft.io.AtomicPublish]]
     * version is one exactly-once micro-batch — publish/subscribe on the
@@ -229,12 +278,17 @@ private[sources] class ArtifactScan(base: String, dataset: String,
     val files =
       if (cow) {
         val m = SparkSession.active.read.parquet(dir)
-        val withDv =
-          if (m.columns.contains("dv"))
-            m.select(m("file"), m("dv"), m("dvRows"))
-          else m.select(m("file"),
-            org.apache.spark.sql.functions.lit("").as("dv"),
-            org.apache.spark.sql.functions.lit(0L).as("dvRows"))
+        // mirror CowTable.pad: each vector column is substituted
+        // independently when absent — a legacy manifest can carry `dv`
+        // without `dvRows` (pad tolerates that shape on the API path,
+        // so the DSv2 path must too)
+        val dvC =
+          if (m.columns.contains("dv")) m("dv")
+          else org.apache.spark.sql.functions.lit("")
+        val dvRowsC =
+          if (m.columns.contains("dvRows")) m("dvRows")
+          else org.apache.spark.sql.functions.lit(0L)
+        val withDv = m.select(m("file"), dvC.as("dv"), dvRowsC.as("dvRows"))
         withDv.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
           .toSeq.sortBy(_._1)
       }
@@ -288,7 +342,7 @@ private[sources] class ArtifactScan(base: String, dataset: String,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    keptFiles.map(k => ArtifactPartition(k.path, k.dv)).toArray
+    resolvedFiles.map { case (p, dv) => ArtifactPartition(p, dv) }.toArray
 
   /** POST-PRUNING statistics from metadata the prune pass already holds
     * (manifest live-row counts minus deletion vectors, footer block
@@ -316,7 +370,8 @@ private[sources] class ArtifactScan(base: String, dataset: String,
 
   override def description(): String =
     s"graft-artifact $dir pushed=[${pushed.mkString(", ")}] " +
-      s"files=${keptFiles.size}/${allFiles.size}"
+      s"files=${keptFiles.size}/${allFiles.size}" +
+      runtimeKept.fold("")(k => s" runtimeKept=${k.size}")
 }
 
 /** Offset = committed version id (the table's own transaction log). */
@@ -452,6 +507,12 @@ private[sources] class CdfMicroBatchStream(base: String, key: String,
 }
 
 private[sources] object ArtifactScan {
+
+  /** The virtual metadata column naming each row's physical file (the
+    * manifest's stored, scheme-stripped form) — selectable from SQL
+    * (`SELECT _file, * FROM graft.\`…\``) and the grouping attribute
+    * runtime group filtering prunes row-level rewrites on. */
+  val FileCol = "_file"
 
   /** A file surviving footer pruning, with the statistics the prune
     * pass read for free: LIVE rows (footer row count minus the
@@ -596,8 +657,11 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
     val in = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     val fileSchema = try in.getFooter.getFileMetaData.getSchema
     finally in.close()
+    // `_file` is VIRTUAL (the partition knows its path) — never part of
+    // the parquet projection; toRow fills it from the partition
     val projection = new MessageType(fileSchema.getName,
-      required.fields.filter(f0 => fileSchema.containsField(f0.name))
+      required.fields.filter(f0 => f0.name != ArtifactScan.FileCol &&
+        fileSchema.containsField(f0.name))
         .map(f0 =>
           fileSchema.getType(fileSchema.getFieldIndex(f0.name))): _*)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
@@ -616,6 +680,7 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
     val reader = predicate
       .map(pr => builder.withFilter(FilterCompat.get(pr)).build())
       .getOrElse(builder.build())
+    val fileVal = UTF8String.fromString(part.path)
     if (part.dv.isEmpty)
       new PartitionReader[InternalRow] {
         private var current: Group = _
@@ -624,7 +689,7 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
           current != null
         }
         override def get(): InternalRow =
-          ArtifactRows.toRow(current, required)
+          ArtifactRows.toRow(current, required, fileVal)
         override def close(): Unit = reader.close()
       }
     else {
@@ -642,7 +707,7 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
           current != null
         }
         override def get(): InternalRow =
-          ArtifactRows.toRow(current, required)
+          ArtifactRows.toRow(current, required, fileVal)
         override def close(): Unit = reader.close()
       }
     }
@@ -651,14 +716,17 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
 
 private[sources] object ArtifactRows {
 
-  def toRow(g: Group, schema: StructType): InternalRow = {
+  def toRow(g: Group, schema: StructType,
+            file: UTF8String = null): InternalRow = {
     val out = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
       val f = schema.fields(i)
-      // absent field = written before an additive evolution: NULL
       out(i) =
-        if (!g.getType.containsField(f.name)) null
+        // the virtual `_file` column comes from the partition, not the file
+        if (f.name == ArtifactScan.FileCol && file != null) file
+        // absent field = written before an additive evolution: NULL
+        else if (!g.getType.containsField(f.name)) null
         else {
           val idx = g.getType.getFieldIndex(f.name)
           if (g.getFieldRepetitionCount(idx) == 0) null

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -48,7 +48,8 @@ import graft.io.{AtomicPublish, CowTable}
   * procedures ([[GraftProcedures]]) — a cow table is fully operable
   * from SQL with no Scala.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catalogName: String = "graft"
 
@@ -58,31 +59,102 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def name(): String = catalogName
 
-  /** Tables are path-addressed; there is no namespace to enumerate. */
+  /** Warehouse root for NAME-addressed tables, read from the LIVE
+    * session conf at every call (catalog instances are cached by the
+    * session's CatalogManager, so init-time options would pin whatever
+    * was set before first use): `spark.sql.catalog.<name>.warehouse`.
+    * Path-addressed tables (a backquoted absolute path) need no
+    * warehouse. */
+  private def warehouse: Option[String] =
+    SparkSession.active.conf
+      .getOption(s"spark.sql.catalog.$catalogName.warehouse")
+      .map(_.stripSuffix("/"))
+
+  /** An identifier's base path: one absolute-path part addresses the
+    * table directly; otherwise namespace + name resolve under the
+    * warehouse root. */
+  private def basePath(ident: Identifier): Option[String] =
+    if (ident.namespace().isEmpty && ident.name().startsWith("/"))
+      Some(ident.name())
+    else warehouse.map(w =>
+      (w +: (ident.namespace() :+ ident.name())).mkString("/"))
+
+  private def isCow(spark: SparkSession, base: String): Boolean =
+    AtomicPublish.exists(spark, base) &&
+      CowTable.meta(spark, base).isDefined
+
+  /** `SHOW TABLES IN graft[.ns]`: the cow tables under the warehouse's
+    * namespace directory. Path-addressed tables live outside any
+    * namespace and are not enumerable (the same trade Delta's
+    * path-tables make). */
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty
+    warehouse.map { w =>
+      val spark = SparkSession.active
+      val dir = new org.apache.hadoop.fs.Path(
+        (w +: namespace.toSeq).mkString("/"))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) Array.empty[Identifier]
+      else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+        .filter(p => isCow(spark, p.toUri.getPath))
+        .map(p => Identifier.of(namespace, p.getName))
+    }.getOrElse(Array.empty)
 
   override def loadTable(ident: Identifier): Table = {
-    val base = ident.name()
-    if (ident.namespace().nonEmpty || !base.startsWith("/") ||
-      !AtomicPublish.exists(SparkSession.active, base) ||
-      CowTable.meta(SparkSession.active, base).isEmpty)
-      throw new NoSuchTableException(ident)
-    new CowSqlTable(base)
+    val spark = SparkSession.active
+    basePath(ident).filter(isCow(spark, _)) match {
+      case Some(base) => new CowSqlTable(base)
+      case None => throw new NoSuchTableException(ident)
+    }
   }
 
-  /** `CREATE TABLE graft.`path` (…) TBLPROPERTIES ('key'='…')` — the
-    * clustering-key contract rides in table properties: `key` (required,
-    * the row identity and manifest-pruning dimension) and `statsCols`
-    * (optional comma-separated per-file min/max columns). Version 0 is
-    * an empty manifest carrying the meta; CTAS works too (Spark creates
-    * then appends through the table's write builder). */
+  /** `SELECT … FROM graft.t VERSION AS OF n` — a read-only snapshot
+    * pinned to committed version `n` (retention permitting; a pruned
+    * version fails fast at scan time). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val spark = SparkSession.active
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new NoSuchTableException(ident)
+    }
+    basePath(ident).filter(isCow(spark, _)) match {
+      case Some(base) =>
+        if (!AtomicPublish.isCommitted(spark, base, v))
+          sys.error(s"version $v under $base is not committed or was " +
+            "pruned; increase `retain` on writes to keep time-travel depth")
+        new CowSqlTable(base, pinned = Some(v))
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  /** `SELECT … FROM graft.t TIMESTAMP AS OF ts` — resolved to the last
+    * version whose commit marker predates `ts` (micros since epoch). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val spark = SparkSession.active
+    basePath(ident).filter(isCow(spark, _)) match {
+      case Some(base) =>
+        val v = AtomicPublish.committedAsOf(spark, base,
+          timestampMicros / 1000L)
+        if (v < 0)
+          sys.error(s"no version of $base was committed at or before " +
+            s"timestamp $timestampMicros")
+        new CowSqlTable(base, pinned = Some(v))
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  /** `CREATE TABLE graft.`path`|graft.name (…) TBLPROPERTIES
+    * ('key'='…')` — the clustering-key contract rides in table
+    * properties: `key` (required, the row identity and manifest-pruning
+    * dimension) and `statsCols` (optional comma-separated per-file
+    * min/max columns). Version 0 is an empty manifest carrying the
+    * meta; CTAS works too (Spark creates then appends through the
+    * table's write builder). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val base = ident.name()
-    require(ident.namespace().isEmpty && base.startsWith("/"),
-      s"graft tables are addressed by absolute base path, got $ident")
+    val base = basePath(ident).getOrElse(sys.error(
+      s"cannot resolve $ident: address the table by absolute path " +
+        s"(graft.`/abs/path`) or set spark.sql.catalog.$catalogName" +
+        ".warehouse for name-addressed tables"))
     require(partitions.isEmpty,
       "cow tables cluster on the `key` property, not PARTITIONED BY " +
         "(per-file key ranges + stats columns replace directory partitions)")
@@ -96,26 +168,108 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new CowSqlTable(base)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolution is additive via MERGE")
-
-  /** `DROP TABLE graft.`path``: removes the table's versions, pool and
-    * meta. Only a path that actually holds a cow table is dropped. */
-  override def dropTable(ident: Identifier): Boolean = {
-    val base = ident.name()
+  /** `ALTER TABLE graft.t ADD COLUMN(S) …` — additive evolution as one
+    * metadata-only commit ([[CowTable.addColumns]]): existing files are
+    * never rewritten and read back NULL for the new columns. Every
+    * other change kind is refused (the key is immutable table identity;
+    * drops/renames would orphan stored data). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val spark = SparkSession.active
-    if (ident.namespace().nonEmpty || !base.startsWith("/") ||
-      !AtomicPublish.exists(spark, base) ||
-      CowTable.meta(spark, base).isEmpty) false
-    else {
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val base = basePath(ident).filter(isCow(spark, _))
+      .getOrElse(throw new NoSuchTableException(ident))
+    val fields = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"ADD COLUMN supports top-level columns only, got " +
+            a.fieldNames().mkString("."))
+        require(a.isNullable,
+          "added columns must be nullable: existing rows have no value")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE on a cow table supports ADD COLUMN(S) only, got " +
+          other.getClass.getSimpleName)
+    }
+    CowTable.addColumns(spark, base, fields)
+    new CowSqlTable(base)
+  }
+
+  /** `DROP TABLE graft.`path`|graft.name`: removes the table's versions,
+    * pool and meta. Only a path that actually holds a cow table is
+    * dropped. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val spark = SparkSession.active
+    basePath(ident).filter(isCow(spark, _)) match {
+      case None => false
+      case Some(base) =>
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
     }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ---- namespaces: directories under the warehouse root --------------
+  override def listNamespaces(): Array[Array[String]] =
+    warehouse.map { w =>
+      val spark = SparkSession.active
+      val dir = new org.apache.hadoop.fs.Path(w)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) Array.empty[Array[String]]
+      else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+        .filterNot(p => isCow(spark, p.toUri.getPath)) // tables aren't namespaces
+        .map(p => Array(p.getName))
+    }.getOrElse(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    Array.empty // one level: warehouse/<ns>/<table>
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || warehouse.exists { w =>
+      val spark = SparkSession.active
+      val dir = new org.apache.hadoop.fs.Path(
+        (w +: namespace.toSeq).mkString("/"))
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        catalogName +: namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val w = warehouse.getOrElse(sys.error(
+      s"set spark.sql.catalog.$catalogName.warehouse to create namespaces"))
+    val spark = SparkSession.active
+    val dir = new org.apache.hadoop.fs.Path(
+      (w +: namespace.toSeq).mkString("/"))
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dir)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val spark = SparkSession.active
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        (catalogName +: namespace.toSeq).toArray)
+    warehouse.exists { w =>
+      val dir = new org.apache.hadoop.fs.Path(
+        (w +: namespace.toSeq).mkString("/"))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(dir) && fs.delete(dir, true)
+    }
+  }
 
   // ---- maintenance procedures: CALL graft.compact / graft.vacuum -----
   /** Unknown procedures surface as the analyzer's own ROUTINE_NOT_FOUND
@@ -189,15 +343,19 @@ object GraftCatalog {
       |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** SQL `MERGE INTO` + `UPDATE`, end-to-end through Spark's delta-based
-    * row-level framework ([[CowRowLevelOperation]]): one MERGE carrying
-    * all three actions (matched-delete on `k % 11 = 3`, matched-update
-    * re-pricing `k % 7 = 0`, not-matched insert of re-keyed `k % 103 = 5`
-    * rows), then an `UPDATE … WHERE` that must take the same row-level
-    * path. In-band requires: the MERGE rewrites ZERO data files (deletes
-    * and the update's delete half land as deletion vectors, inserts as
-    * new pool files), and the catalog read equals the API read. The
-    * oracle replays both statements relationally. */
+  /** SQL `MERGE INTO` + `UPDATE`, end-to-end through Spark's row-level
+    * framework: one MERGE carrying all three actions (matched-delete on
+    * `k % 11 = 3`, matched-update re-pricing `k % 7 = 0`, not-matched
+    * insert of re-keyed `k % 103 = 5` rows) through the GROUP-BASED
+    * route ([[CowGroupMergeOperation]] — runtime file pruning + whole-
+    * file copy-on-write; this source touches every file's key range, so
+    * the rewrite legitimately spans the table — the PRUNING proof is
+    * [[mergePrunedCheck]]'s range-local merge), then an `UPDATE … WHERE`
+    * through the DELTA route ([[CowRowLevelOperation]] — deletion
+    * vectors, zero rewrites). In-band requires discriminate the two
+    * routes: the MERGE leaves no vectors, the UPDATE creates them, and
+    * the catalog read equals the API read. The oracle replays both
+    * statements relationally. */
   def mergeCheck(spark: SparkSession, dir: String): DataFrame =
     graft.Memo(spark, "cow_sql_merge", dir, "cow_sqlm") {
       val base = graft.io.FsUtil.stateDir("cow_sqlm", dir)
@@ -208,7 +366,6 @@ object GraftCatalog {
       CowTable.create(spark, base, orders, "o_orderkey", numFiles = 8)
       spark.conf.set("spark.sql.catalog.graft",
         classOf[GraftCatalog].getName)
-      val pre = CowTable.manifest(spark, base).map(_.file).toSet
 
       val mx = orders.agg(max("o_orderkey")).head().getLong(0)
       val k = col("o_orderkey")
@@ -234,15 +391,15 @@ object GraftCatalog {
            |  VALUES (s.o_orderkey, s.o_custkey, 'I', s.o_totalprice,
            |          s.o_orderdate, s.o_orderpriority)""".stripMargin)
       val m = CowTable.manifest(spark, base)
-      require(m.map(_.file).toSet.intersect(pre) == pre,
-        "a delta-based SQL MERGE must rewrite ZERO data files")
-      require(m.exists(_.dvRows > 0),
-        "the MERGE's deletes must land as deletion vectors")
+      require(m.map(_.dvRows).sum == 0L,
+        "a group-based SQL MERGE is copy-on-write: no deletion vectors")
 
-      // UPDATE rewrites through the same delta path (no SupportsUpdate
-      // metadata route exists): delete-by-key + re-insert
+      // UPDATE rewrites through the delta path (predicate pushes into
+      // the scan statically): delete-by-key as vectors + re-insert
       spark.sql(s"UPDATE graft.`$base` SET o_totalprice = o_totalprice * 2 " +
         "WHERE o_orderstatus = 'I' AND o_orderkey % 5 = 1")
+      require(CowTable.manifest(spark, base).exists(_.dvRows > 0),
+        "the UPDATE's delete half must land as deletion vectors")
 
       require(spark.sql(s"SELECT COUNT(*) FROM graft.`$base`")
         .head().getLong(0) == CowTable.read(spark, base).count(),
@@ -279,6 +436,182 @@ object GraftCatalog {
       |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
       |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The 100 TB proof for SQL MERGE: a RANGE-LOCAL merge (updates and
+    * deletes confined to the lowest eighth of the key space — the same
+    * batch the API [[CowTable.mergeCheck]] applies — plus inserts
+    * re-keyed past max) through `MERGE INTO`. Spark's runtime group
+    * filtering + the scan's `_file` runtime filter must confine the
+    * REWRITE to the files actually holding matched keys: the in-band
+    * require holds ≥ 5 of the 8 original pool files referenced
+    * untouched in the new manifest (previously the SQL MERGE read AND
+    * the delta write's discovery scanned O(table); now both the
+    * rewrite read and the write are O(matched files + source)). The
+    * relational outcome is identical to the API merge, so the oracle
+    * is [[CowTable.mergeSql]] verbatim. */
+  def mergePrunedCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_sql_merge_pruned", dir, "cow_sqlmp") {
+      val base = graft.io.FsUtil.stateDir("cow_sqlmp", dir)
+      new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true) // self-contained
+      val orders = graft.Tables.orders(spark, dir)
+      CowTable.create(spark, base, orders, "o_orderkey", numFiles = 8)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+      val pre = CowTable.manifest(spark, base).map(_.file).toSet
+
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val k = col("o_orderkey")
+      val lo = k * 8 <= lit(mx)
+      val srcDf = orders.filter(lo && k % 7 === 0 && !(k % 11 === 3))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("_act", lit("U"))
+        .unionByName(orders.filter(lo && k % 11 === 3)
+          .withColumn("_act", lit("D")))
+        .unionByName(orders.filter(k % 103 === 5)
+          .withColumn("o_orderkey", k + lit(mx))
+          .withColumn("_act", lit("I")))
+      val srcView = "cow_sqlmp_src_" +
+        java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+      srcDf.createOrReplaceTempView(srcView)
+
+      spark.sql(
+        s"""MERGE INTO graft.`$base` t USING $srcView s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s._act = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+           |WHEN NOT MATCHED THEN INSERT
+           |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |   o_orderdate, o_orderpriority)
+           |  VALUES (s.o_orderkey, s.o_custkey, 'I', s.o_totalprice,
+           |          s.o_orderdate, s.o_orderpriority)""".stripMargin)
+
+      val m = CowTable.manifest(spark, base)
+      val referenced = m.map(_.file).toSet.intersect(pre)
+      require(referenced.size >= 5,
+        "runtime group filtering must keep the unmatched files out of " +
+          s"the rewrite: kept only ${referenced.size}/8 untouched")
+      require(m.map(_.dvRows).sum == 0L,
+        "a group-based SQL MERGE is copy-on-write: no deletion vectors")
+      require(spark.sql(s"SELECT COUNT(*) FROM graft.`$base`")
+        .head().getLong(0) == CowTable.read(spark, base).count(),
+        "catalog scan and API read must resolve the same manifest")
+      spark.sql(
+        s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |FROM graft.`$base` GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
+
+  /** Same relational outcome as the API range-local merge. */
+  val mergePrunedSql: String = CowTable.mergeSql
+
+  /** SQL TIME TRAVEL through the catalog: create (v0) → range-local
+    * merge (v1) → `SELECT … VERSION AS OF v0` must serve the PRE-merge
+    * snapshot — the registered output IS that snapshot's aggregate, so
+    * the DuckDB oracle (plain `orders`) directly verifies the pinned
+    * read. In-band: the un-pinned read reflects the merge (row count
+    * differs from v0 by the net insert−delete), `TIMESTAMP AS OF now`
+    * resolves to the latest version, and a write to a pinned snapshot
+    * is refused. */
+  def timeTravelCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_time_travel", dir, "cow_tt_sql") {
+      val base = graft.io.FsUtil.stateDir("cow_tt_sql", dir)
+      new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true) // self-contained
+      val orders = graft.Tables.orders(spark, dir)
+      val v0 = CowTable.create(spark, base, orders, "o_orderkey",
+        numFiles = 8, retain = 3)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+      CowTable.merge(spark, base, CowTable.rangeLocalBatch(spark, dir),
+        "o_orderkey", retain = 3)
+
+      val currentN = spark.sql(s"SELECT COUNT(*) FROM graft.`$base`")
+        .head().getLong(0)
+      val v0N = spark.sql(
+        s"SELECT COUNT(*) FROM graft.`$base` VERSION AS OF $v0")
+        .head().getLong(0)
+      require(v0N == orders.count() && currentN != v0N,
+        s"VERSION AS OF must pin the snapshot: v0=$v0N, current=$currentN")
+      val nowMicros = System.currentTimeMillis() * 1000L
+      require(spark.sql(s"SELECT COUNT(*) FROM graft.`$base` " +
+        s"TIMESTAMP AS OF timestamp_micros(${nowMicros}L)")
+        .head().getLong(0) == currentN,
+        "TIMESTAMP AS OF now must resolve to the latest version")
+      require(scala.util.Try(spark.sql(
+        s"DELETE FROM graft.`$base` VERSION AS OF $v0 WHERE TRUE")).isFailure,
+        "a pinned snapshot must be read-only")
+
+      spark.sql(
+        s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |FROM graft.`$base` VERSION AS OF $v0
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
+
+  /** The pinned v0 snapshot IS the source table. */
+  val timeTravelSql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** CATALOG REGISTRY + DDL evolution end-to-end: a WAREHOUSE-rooted
+    * name-addressed table (`CREATE TABLE graft.<name> … AS SELECT`),
+    * discovered by `SHOW TABLES IN graft` (the reference's own tests
+    * enumerate `information_schema` —
+    * `/root/reference/tests/test_etl.py:30-54`), widened by
+    * `ALTER TABLE … ADD COLUMN` (metadata-only — in-band require: zero
+    * data files rewritten), populated through a row-level `UPDATE`, and
+    * aggregated back. The oracle replays the flag assignment
+    * relationally. */
+  def registryCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_sql_registry", dir, "cow_reg") {
+      val wh = graft.io.FsUtil.stateDir("cow_wh", dir)
+      new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(wh), true) // self-contained
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val srcView = "cow_reg_orders_" +
+        java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+      graft.Tables.orders(spark, dir).createOrReplaceTempView(srcView)
+
+      spark.sql("CREATE TABLE graft.reg_orders " +
+        "TBLPROPERTIES ('key'='o_orderkey') AS " +
+        s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $srcView")
+      require(spark.sql("SHOW TABLES IN graft").collect()
+        .exists(_.getString(1) == "reg_orders"),
+        "SHOW TABLES must list the warehouse table")
+
+      val base = s"$wh/reg_orders"
+      val pre = CowTable.manifest(spark, base).map(_.file).toSet
+      spark.sql("ALTER TABLE graft.reg_orders ADD COLUMN o_flag STRING")
+      require(CowTable.manifest(spark, base).map(_.file).toSet == pre,
+        "ADD COLUMN is metadata-only: zero data files rewritten")
+      spark.sql("UPDATE graft.reg_orders SET o_flag = 'HI' " +
+        "WHERE o_orderkey % 97 = 0")
+
+      spark.sql(
+        """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          |       CAST(COUNT(o_flag) AS BIGINT) AS n_flagged,
+          |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+          |FROM graft.reg_orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
+
+  val registrySql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(COUNT(CASE WHEN o_orderkey % 97 = 0 THEN 1 END)
+      |            AS BIGINT) AS n_flagged,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }
 
 /** A [[CowTable]] as a V2 table: DV-aware manifest-resolved reads,
@@ -287,15 +620,28 @@ object GraftCatalog {
   * arbitrary-predicate `DELETE`) via [[CowRowLevelOperation]] — a
   * convertible DELETE still takes the cheaper metadata route through
   * `SupportsDelete`; everything else rewrites row-level. */
-private[sources] class CowSqlTable(base: String)
+private[sources] class CowSqlTable(base: String,
+                                   pinned: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private def spark = SparkSession.active
-  private def tableMeta = CowTable.meta(spark, base).getOrElse(
-    sys.error(s"no cow-table meta under $base"))
+  private def resolvedVersion: Long = pinned.getOrElse {
+    val v = AtomicPublish.committed(spark, base)
+    require(v >= 0, s"no committed version under $base")
+    v
+  }
+  private def tableMeta = CowTable.metaAt(spark, base, resolvedVersion)
+    .orElse(CowTable.meta(spark, base)).getOrElse(
+      sys.error(s"no cow-table meta under $base"))
+  private def requireWritable(): Unit =
+    require(pinned.isEmpty,
+      s"$name is a time-travel snapshot (VERSION/TIMESTAMP AS OF): " +
+        "read-only")
 
-  override def name(): String = s"graft.`$base`"
+  override def name(): String =
+    s"graft.`$base`" + pinned.fold("")(v => s"@v$v")
 
   /** The meta schema with the clustering key marked NON-NULL — the key
     * is the row identity ([[CowRowLevelOperation.rowId]] requires a
@@ -312,8 +658,7 @@ private[sources] class CowSqlTable(base: String)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val v = AtomicPublish.committed(spark, base)
-    require(v >= 0, s"no committed version under $base")
+    val v = resolvedVersion
     new ArtifactScanBuilder(base, "manifest", None, cow = true,
       s"$base/v$v/manifest", schema())
   }
@@ -323,21 +668,45 @@ private[sources] class CowSqlTable(base: String)
     filters.forall(f => CowSqlTable.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireWritable()
     val pred = filters.flatMap(CowSqlTable.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true)) // no WHERE = truncate
     CowTable.deleteWhere(spark, base, pred, tableMeta.key)
     ()
   }
 
+  /** The virtual `_file` metadata column: selectable from SQL, and the
+    * grouping attribute runtime group filtering prunes the group-based
+    * MERGE's target scan on. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ArtifactScan.FileCol
+      override def dataType(): DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "physical pool file serving this row (manifest-stored form)"
+    })
+
   // ---- MERGE INTO / UPDATE / row-level DELETE ----------------------
+  /** MERGE takes the GROUP-BASED route (runtime file pruning + whole-
+    * file copy-on-write, the API merge's shape); DELETE/UPDATE stay
+    * delta-based (predicates push statically; scattered deletes land as
+    * O(deleted rows) vectors). */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireWritable()
     val m = tableMeta
-    () => new CowRowLevelOperation(base, m.key, schema(), info.command())
+    () => info.command() match {
+      case RowLevelOperation.Command.MERGE =>
+        new CowGroupMergeOperation(base, m.key, schema())
+      case cmd => new CowRowLevelOperation(base, m.key, schema(), cmd)
+    }
   }
 
   // ---- INSERT INTO (append) ---------------------------------------
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable()
     new WriteBuilder {
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
@@ -352,6 +721,7 @@ private[sources] class CowSqlTable(base: String)
           }
       }
     }
+  }
 }
 
 private[sources] object CowSqlTable {

@@ -289,4 +289,76 @@ class CowTableSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(CowTable.read(spark, base).count() === 100L)
     assert(v1 === v0 + 1)
   }
+
+  test("a string clustering key discovers range-locally despite a shared " +
+    "prefix; point lookups and predicate deletes prune") {
+    val base = Files.createTempDirectory("cow_strk").toString + "/t"
+    // every key shares 'user_0' at this size — the adversarial shape for
+    // a naive first-bytes encoding; discovery strips the global common
+    // prefix before bucketing
+    val users = (0 until 400).map(i => (f"user_$i%04d", i, i * 1.0))
+      .toDF("user_name", "n", "v")
+    CowTable.create(spark, base, users, "user_name", numFiles = 8)
+    val pre = CowTable.manifest(spark, base).map(_.file).toSet
+
+    val batch = Seq(("user_0003", 3, 99.0, false),
+      ("user_0007", 7, 99.0, false), ("user_0005", 5, 0.0, true),
+      ("zz_new", 400, 1.0, false))
+      .toDF("user_name", "n", "v", "_delete")
+    CowTable.merge(spark, base, batch, "user_name")
+    val referenced = CowTable.manifest(spark, base).map(_.file).toSet
+      .intersect(pre)
+    assert(referenced.size === 7,
+      s"string discovery must touch only the low-range file, kept " +
+        s"${referenced.size}/8")
+    val got = CowTable.read(spark, base)
+    assert(got.count() === 400L) // 400 - 1 delete + 1 insert
+    assert(got.filter(col("user_name") === "user_0003")
+      .head().getDouble(2) === 99.0)
+    assert(got.filter(col("user_name") === "user_0005").count() === 0L)
+
+    // point lookup by name scans only intersecting files (the probe
+    // returns candidate-file rows; the caller applies the key filter)
+    val probed = CowTable.readForKeys(spark, base,
+      Seq("user_0123").toDF("user_name"), "user_name")
+    assert(probed.filter(col("user_name") === "user_0123").count() === 1L)
+    assert(probed.count() < 400L,
+      "the probe must scan a file subset, not the table")
+
+    // predicate delete on the string key prunes discovery via the
+    // auto-recorded natural min/max
+    var scanned = -1L
+    var total = -1L
+    CowTable.deleteWhere(spark, base,
+      col("user_name") >= "user_0390", "user_name",
+      onDiscovery = (s, t) => { scanned = s; total = t })
+    assert(scanned > 0 && scanned < total,
+      s"string stats pruning must skip files: $scanned/$total")
+    assert(CowTable.read(spark, base).count() === 389L) // drops 0390-0399 + zz_new
+    assert(CowTable.read(spark, base)
+      .filter(col("user_name") === "zz_new").count() === 0L,
+      "zz_new sorts above user_0390: deleted too")
+  }
+
+  test("string-keyed SQL row-level DML: UPDATE by name, dup-name guard") {
+    val base = Files.createTempDirectory("cow_strsql").toString + "/t"
+    val users = (0 until 50).map(i => (f"user_$i%04d", i * 1.0))
+      .toDF("user_name", "v")
+    CowTable.create(spark, base, users, "user_name", numFiles = 2)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql(s"UPDATE graft.`$base` SET v = v + 100.0 " +
+      "WHERE user_name = 'user_0007'")
+    assert(CowTable.read(spark, base)
+      .filter(col("user_name") === "user_0007").head().getDouble(1) === 107.0)
+    // duplicate-name table: partial UPDATE refuses (row-identity guard)
+    val dup = Files.createTempDirectory("cow_strdup").toString + "/t"
+    CowTable.create(spark, dup,
+      Seq(("a", 1.0, "x"), ("a", 2.0, "y"), ("b", 3.0, "z"))
+        .toDF("user_name", "v", "tag"), "user_name", numFiles = 1)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$dup` SET v = 0.0 WHERE tag = 'x'")
+    }
+    assert(e.getMessage.contains("not unique"))
+  }
 }

@@ -56,12 +56,14 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 11L)
   }
 
-  test("MERGE INTO applies delete/update/insert; deletes and the update's" +
-    " delete half are vectors, inserts are new pool files") {
+  test("MERGE INTO applies delete/update/insert group-based: runtime file" +
+    " pruning rewrites ONLY the files holding a matched key") {
     val base = Files.createTempDirectory("gcat_merge").toString + "/t"
+    // 4 range files: ids 1-25, 26-50, 51-75, 76-100
     CowTable.create(spark, base, table(100), "id", numFiles = 4)
-    val pre = CowTable.manifest(spark, base).map(_.file).toSet
-    // source: delete ids 1-10, re-price ids 41-50, insert ids 101-105
+    val pre = CowTable.manifest(spark, base).sortBy(_.kmin).map(_.file)
+    // source: delete ids 1-10, re-price ids 41-50, insert ids 101-105 —
+    // every matched key lives in the first two files
     ((1 to 10).map(i => (i.toLong, "del")) ++
       (41 to 50).map(i => (i.toLong, "upd")) ++
       (101 to 105).map(i => (i.toLong, "ins")))
@@ -81,14 +83,15 @@ class GraftCatalogSpec extends SparkSpec {
       (41 to 50).map(_ * 10.0 + 0.5).sum)
     assert(got.filter(col("nm") === "ins").count() === 5L)
     val m = CowTable.manifest(spark, base)
-    assert(m.map(_.file).toSet.intersect(pre) === pre,
-      "a delta MERGE must not rewrite any existing data file")
-    assert(m.map(_.dvRows).sum === 20L, "10 deletes + 10 update-deletes")
-    // merge-on-read debt repays through the normal lifecycle
-    CowTable.compact(spark, base, targetRows = 100L, "id")
-    assert(CowTable.manifest(spark, base).forall(_.dvRows === 0L))
-    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$base`")
-      .head().getLong(0) === 95L)
+    // Spark's RowLevelOperationRuntimeGroupFiltering + the scan's _file
+    // runtime filter: the two UNMATCHED files must survive untouched,
+    // the two matched ones must be replaced (copy-on-write, no vectors)
+    assert(m.map(_.file).toSet.intersect(pre.toSet) === pre.drop(2).toSet,
+      "group MERGE must rewrite exactly the files holding matched keys")
+    assert(m.map(_.dvRows).sum === 0L, "group MERGE leaves no vectors")
+    // untouched rows carried over bit-for-bit inside rewritten ranges
+    assert(got.filter(col("id").between(11, 25))
+      .agg(sum("amt")).head().getDouble(0) === (11 to 25).map(_ * 10.0).sum)
   }
 
   test("UPDATE rewrites through the delta path and survives a re-read") {
