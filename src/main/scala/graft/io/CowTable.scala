@@ -47,7 +47,8 @@ import org.apache.spark.sql.functions._
   *
   * Keys are numeric (cast to long) or STRING — the manifest prunes on a
   * single clustering key, the same contract as the z-order demo's first
-  * dimension. A string key (the reference's VARCHAR natural keys —
+  * dimension. A string key (the reference's VARCHAR UNIQUE natural keys
+  * `customer_name`/`product_category`/`region_name`/`status_name` —
   * `/root/reference/sql/dds/s_sql_dds/table/t_dim_tables.sql:4,11,18,25`)
   * additionally records its natural min/max in the per-file stats maps;
   * discovery buckets on an order-preserving 7-byte encoding taken AFTER
@@ -1597,7 +1598,8 @@ object CowTable {
   /** STRING CLUSTERING KEY end-to-end — the reference's row-level
     * entities key on VARCHAR natural keys
     * (`/root/reference/sql/dds/s_sql_dds/table/t_dim_tables.sql:4,11,18,25`
-    * — UNIQUE `user_name`, `product_category`, …), so the cow table must
+    * — UNIQUE `customer_name`, `product_category`, …), so the cow table
+    * must
     * cluster, discover and prune on strings. The fixture is adversarial
     * for a naive prefix encoding: every `c_name` shares the long
     * `Customer#0000…` prefix, so discovery's bucket join works only

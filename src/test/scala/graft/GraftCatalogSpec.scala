@@ -311,6 +311,80 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no_such_proc"))
   }
 
+  test("an insert-only MERGE runtime-prunes the rewrite to ZERO files " +
+    "(pure append, nothing rewritten)") {
+    val base = Files.createTempDirectory("gcat_mins").toString + "/t"
+    CowTable.create(spark, base, table(100), "id", numFiles = 4)
+    val pre = CowTable.manifest(spark, base).map(_.file).toSet
+    (201 to 205).map(i => (i.toLong, "ins"))
+      .toDF("id", "act").createOrReplaceTempView("gcat_mins_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$base` t USING gcat_mins_src s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (id, nm, amt)
+         |  VALUES (s.id, s.act, 1.0)""".stripMargin)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$base`")
+      .head().getLong(0) === 105L)
+    val m = CowTable.manifest(spark, base).map(_.file).toSet
+    assert(m.intersect(pre) === pre,
+      "no source key matches any file: every original file survives")
+  }
+
+  test("VERSION AS OF pins a snapshot; TIMESTAMP AS OF resolves by " +
+    "commit time; pinned snapshots refuse writes") {
+    val base = Files.createTempDirectory("gcat_tt").toString + "/t"
+    val v0 = CowTable.create(spark, base, table(50), "id",
+      numFiles = 2, retain = 3)
+    CowTable.merge(spark, base,
+      Seq((1L, "upd", 999.0, false)).toDF("id", "nm", "amt", "_delete"),
+      "id", retain = 3)
+    assert(spark.sql(
+      s"SELECT amt FROM graft.`$base` VERSION AS OF $v0 WHERE id = 1")
+      .head().getDouble(0) === 10.0, "pinned snapshot = pre-merge value")
+    assert(spark.sql(s"SELECT amt FROM graft.`$base` WHERE id = 1")
+      .head().getDouble(0) === 999.0)
+    val nowMicros = System.currentTimeMillis() * 1000L
+    assert(spark.sql(s"SELECT amt FROM graft.`$base` " +
+      s"TIMESTAMP AS OF timestamp_micros(${nowMicros}L) WHERE id = 1")
+      .head().getDouble(0) === 999.0, "now resolves to latest commit")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$base` VERSION AS OF $v0 WHERE id = 1")
+    }
+    assert(e.getMessage.toLowerCase.contains("read-only") ||
+      e.getMessage.toLowerCase.contains("not support") ||
+      e.getMessage.toLowerCase.contains("syntax"),
+      s"unexpected: ${e.getMessage}")
+  }
+
+  test("warehouse registry: CREATE by name, SHOW TABLES, ALTER ADD " +
+    "COLUMN metadata-only, DROP by name") {
+    val wh = Files.createTempDirectory("gcat_wh").toString
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      table(20).createOrReplaceTempView("gcat_wh_src")
+      spark.sql("CREATE TABLE graft.t_reg TBLPROPERTIES ('key'='id') " +
+        "AS SELECT * FROM gcat_wh_src")
+      assert(spark.sql("SHOW TABLES IN graft").collect()
+        .exists(_.getString(1) === "t_reg"))
+      val pre = CowTable.manifest(spark, s"$wh/t_reg").map(_.file).toSet
+      spark.sql("ALTER TABLE graft.t_reg ADD COLUMN note STRING")
+      assert(CowTable.manifest(spark, s"$wh/t_reg").map(_.file).toSet === pre,
+        "ADD COLUMN must not rewrite data files")
+      spark.sql("UPDATE graft.t_reg SET note = 'x' WHERE id <= 5")
+      assert(spark.sql("SELECT COUNT(note) FROM graft.t_reg")
+        .head().getLong(0) === 5L)
+      // non-additive changes are refused
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.t_reg DROP COLUMN note")
+      }
+      assert(e.getMessage.contains("ADD COLUMN"))
+      assert(spark.sql("DROP TABLE graft.t_reg") != null)
+      assert(!spark.sql("SHOW TABLES IN graft").collect()
+        .exists(_.getString(1) === "t_reg"))
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
+
   test("manifest-derived scan statistics drive an unhinted broadcast") {
     val base = Files.createTempDirectory("gcat_stats").toString + "/t"
     CowTable.create(spark, base, table(100), "id", numFiles = 2)
