@@ -232,6 +232,22 @@ object CowTable {
     df.select(ManifestCols.map(col): _*)
   }
 
+  /** RE-ROOT stored paths to the CURRENT base: every pool file and
+    * vector lives under `base/files/<globally-unique-name>`, so the
+    * basename is the durable identity and the prefix is just where the
+    * table happens to live — re-deriving it at read time makes the
+    * table RELOCATABLE (`ALTER TABLE … RENAME TO`, a directory move, a
+    * mount change) without rewriting any retained manifest. Idempotent
+    * for tables that never moved. */
+  private def reroot(df: DataFrame, base: String): DataFrame = {
+    val pool = norm(new Path(base, "files").toString)
+    def re(c: Column): Column =
+      when(c.isNotNull && c =!= lit(""),
+        concat(lit(pool + "/"), regexp_extract(c, "[^/]+$", 0)))
+        .otherwise(c)
+    df.withColumn("file", re(col("file"))).withColumn("dv", re(col("dv")))
+  }
+
   /** The manifest AS A DATAFRAME — the scale-true form: every
     * manifest-wide operation (discovery joins, untouched-file
     * carry-over, stats pruning) composes on this without ever
@@ -241,7 +257,22 @@ object CowTable {
     * scanned at all) are collected. */
   private def manifestDfAt(spark: SparkSession, base: String,
                            version: Long): DataFrame =
-    pad(AtomicPublish.readVersion(spark, base, "manifest", version))
+    reroot(pad(AtomicPublish.readVersion(spark, base, "manifest", version)),
+      base)
+
+  /** RENAME/relocation precondition: deletion vectors address rows by
+    * the path recorded at write time, so a table is RELOCATABLE only
+    * while every retained version is vector-free ([[compact]]
+    * materializes vectors; [[vacuum]] reclaims them). Metadata-only
+    * check — one aggregate per retained version, no data read. */
+  private[graft] def requireRelocatable(spark: SparkSession,
+                                        base: String): Unit =
+    AtomicPublish.versions(spark, base).foreach { v =>
+      val r = manifestDfAt(spark, base, v).agg(sum("dvRows")).head()
+      require(r.isNullAt(0) || r.getLong(0) == 0L,
+        s"version v$v under $base carries deletion vectors (addressed " +
+          "by write-time path): CALL compact + vacuum before RENAME")
+    }
 
   private def collectEntries(df: DataFrame): Seq[Entry] = {
     val spark = df.sparkSession

@@ -289,7 +289,15 @@ private[sources] class ArtifactScan(base: String, dataset: String,
           if (m.columns.contains("dvRows")) m("dvRows")
           else org.apache.spark.sql.functions.lit(0L)
         val withDv = m.select(m("file"), dvC.as("dv"), dvRowsC.as("dvRows"))
-        withDv.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // re-root stored paths to the CURRENT base (mirrors CowTable's
+        // read-time re-rooting: basenames are the durable identity, so
+        // a renamed/relocated table serves unchanged)
+        val pool = base.stripSuffix("/") + "/files"
+        def re(s: String): String =
+          if (s == null || s.isEmpty) s
+          else pool + s.substring(s.lastIndexOf('/'))
+        withDv.collect()
+          .map(r => (re(r.getString(0)), re(r.getString(1)), r.getLong(2)))
           .toSeq.sortBy(_._1)
       }
       else fs.listStatus(p).toSeq.map(_.getPath)

@@ -39,12 +39,16 @@ import graft.io.{AtomicPublish, CowTable}
   * discovery and only matching files rewritten — a METADATA-routed
   * delete, not a rewrite of the table); `INSERT INTO` maps to
   * [[CowTable.append]] through the V1 write bridge (new pool files +
-  * one manifest CAS commit, nothing rewritten); `MERGE INTO` /
-  * `UPDATE` / non-convertible `DELETE` rewrite through the delta-based
-  * row-level framework ([[CowRowLevelOperation]]). DDL closes the
+  * one manifest CAS commit, nothing rewritten); `MERGE INTO` rewrites
+  * GROUP-BASED with runtime target-file pruning
+  * ([[CowGroupMergeOperation]]); `UPDATE` / non-convertible `DELETE`
+  * rewrite through the delta-based row-level framework
+  * ([[CowRowLevelOperation]]). DDL closes the
   * lifecycle: `CREATE TABLE … TBLPROPERTIES ('key'='…')` (the
   * clustering-key contract rides in properties, CTAS included),
-  * `DROP TABLE`, and the maintenance surface as native `CALL`
+  * `DROP TABLE`, `RENAME TO` (one directory move — reads re-root
+  * stored paths, so the table is relocatable), and the maintenance
+  * surface as native `CALL`
   * procedures ([[GraftProcedures]]) — a cow table is fully operable
   * from SQL with no Scala.
   */
@@ -208,8 +212,29 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** `ALTER TABLE graft.a RENAME TO graft.b`: one directory rename — the
+    * table IS its base directory (versions, pool, meta all relative), so
+    * identity moves atomically on a real filesystem. Renaming a
+    * path-addressed table to a warehouse name (or vice versa) works the
+    * same way; the destination must not already exist. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val spark = SparkSession.active
+    val src = basePath(oldIdent).filter(isCow(spark, _))
+      .getOrElse(throw new NoSuchTableException(oldIdent))
+    val dst = basePath(newIdent).getOrElse(sys.error(
+      s"cannot resolve rename target $newIdent: use an absolute path or " +
+        s"set spark.sql.catalog.$catalogName.warehouse"))
+    CowTable.requireRelocatable(spark, src)
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dp))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        s"`$catalogName`.`${newIdent.name()}`")
+    fs.mkdirs(dp.getParent)
+    require(fs.rename(sp, dp), s"rename failed: $src -> $dst")
+    ()
+  }
 
   // ---- namespaces: directories under the warehouse root --------------
   override def listNamespaces(): Array[Array[String]] =
@@ -773,10 +798,21 @@ private[sources] object GraftProcedures {
       override def readSchema(): StructType = schema
     }).iterator()
 
+  /** The `table` argument accepts an absolute base path OR a
+    * warehouse-relative name (resolved against EVERY configured
+    * `spark.sql.catalog.<name>.warehouse`, first hit wins — procedures
+    * are catalog-name-agnostic singletons). */
   private def base(input: org.apache.spark.sql.catalyst.InternalRow): String = {
-    val b = input.getUTF8String(0).toString
-    require(CowTable.meta(SparkSession.active, b).isDefined,
-      s"no cow table under $b")
+    val spark = SparkSession.active
+    val raw = input.getUTF8String(0).toString
+    val b =
+      if (raw.startsWith("/")) raw
+      else spark.conf.getAll.collect {
+        case (k, w) if k.startsWith("spark.sql.catalog.") &&
+          k.endsWith(".warehouse") => s"${w.stripSuffix("/")}/$raw"
+      }.find(p => CowTable.meta(spark, p).isDefined)
+        .getOrElse(raw)
+    require(CowTable.meta(spark, b).isDefined, s"no cow table under $b")
     b
   }
 

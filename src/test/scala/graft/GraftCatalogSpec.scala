@@ -379,9 +379,37 @@ class GraftCatalogSpec extends SparkSpec {
         spark.sql("ALTER TABLE graft.t_reg DROP COLUMN note")
       }
       assert(e.getMessage.contains("ADD COLUMN"))
+      // maintenance procedures accept warehouse-relative names too
+      assert(spark.sql(
+        "CALL graft.compact(`table` => 't_reg', target_rows => 1000)")
+        .head().getLong(0) >= 0L)
       assert(spark.sql("DROP TABLE graft.t_reg") != null)
       assert(!spark.sql("SHOW TABLES IN graft").collect()
         .exists(_.getString(1) === "t_reg"))
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
+
+  test("RENAME TO moves the table directory; old name gone, data intact") {
+    val wh = Files.createTempDirectory("gcat_ren").toString
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      table(10).createOrReplaceTempView("gcat_ren_src")
+      spark.sql("CREATE TABLE graft.t_old TBLPROPERTIES ('key'='id') " +
+        "AS SELECT * FROM gcat_ren_src")
+      // the TO name is catalog-relative (Spark resolves it in t_old's
+      // catalog; a graft.-prefixed target would parse as a namespace)
+      spark.sql("ALTER TABLE graft.t_old RENAME TO t_new")
+      assert(spark.sql("SELECT COUNT(*) FROM graft.t_new")
+        .head().getLong(0) === 10L)
+      intercept[AnalysisException] {
+        spark.sql("SELECT * FROM graft.t_old").collect()
+      }
+      // destination collision is refused
+      spark.sql("CREATE TABLE graft.t_other TBLPROPERTIES ('key'='id') " +
+        "AS SELECT * FROM gcat_ren_src")
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.t_other RENAME TO t_new")
+      }
     } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
   }
 
