@@ -311,6 +311,62 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no_such_proc"))
   }
 
+  test("group MERGE on a deletion-vectored target reads through the " +
+    "vectors: no resurrection, debt materialized on rewrite") {
+    val base = Files.createTempDirectory("gcat_mdv").toString + "/t"
+    CowTable.create(spark, base, table(100), "id", numFiles = 4)
+    CowTable.dvDelete(spark, base, col("id") % 10 === 0) // 10 rows vectored
+    Seq((5L, 0.5)).toDF("id", "namt").createOrReplaceTempView("gcat_mdv_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$base` t USING gcat_mdv_src s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET amt = s.namt""".stripMargin)
+    val got = CowTable.read(spark, base)
+    assert(got.count() === 90L, "vectored rows must not resurrect")
+    assert(got.filter(col("id") % 10 === 0).count() === 0L)
+    assert(got.filter(col("id") === 5).head().getDouble(2) === 0.5)
+    // the rewritten (matched) file drops its vector; untouched files keep
+    // theirs — the manifest's dvRows total shrinks by the matched file's
+    val m = CowTable.manifest(spark, base)
+    assert(m.map(_.dvRows).sum < 10L && m.map(_.dvRows).sum > 0L,
+      s"matched file's vector materialized, others kept: ${m.map(_.dvRows)}")
+  }
+
+  test("MERGE with a NON-KEY ON condition is file-grain correct (the " +
+    "key-identity trap the delta path refuses does not exist here)") {
+    val base = Files.createTempDirectory("gcat_mnk").toString + "/t"
+    CowTable.create(spark, base,
+      Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "c", 3.0))
+        .toDF("id", "nm", "amt"), "id", numFiles = 1)
+    Seq(("a", 9.0)).toDF("nm", "namt").createOrReplaceTempView("gcat_mnk_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$base` t USING gcat_mnk_src s
+         |ON t.nm = s.nm
+         |WHEN MATCHED THEN UPDATE SET amt = s.namt""".stripMargin)
+    val got = CowTable.read(spark, base).orderBy("nm").collect()
+    assert(got.map(r => (r.getString(1), r.getDouble(2))).toSeq ===
+      Seq(("a", 9.0), ("b", 2.0), ("c", 3.0)),
+      "only the matched row changes; its duplicate-key sibling survives")
+  }
+
+  test("a source matching one target row twice raises the MERGE " +
+    "cardinality error instead of silently duplicating") {
+    val base = Files.createTempDirectory("gcat_card").toString + "/t"
+    CowTable.create(spark, base, table(10), "id", numFiles = 1)
+    Seq((5L, 1.0), (5L, 2.0)).toDF("id", "namt")
+      .createOrReplaceTempView("gcat_card_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$base` t USING gcat_card_src s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET amt = s.namt""".stripMargin)
+    }
+    assert(e.getMessage.contains("MERGE_CARDINALITY_VIOLATION") ||
+      e.getMessage.toLowerCase.contains("multiple"),
+      s"unexpected: ${e.getMessage}")
+    assert(CowTable.read(spark, base).count() === 10L, "nothing committed")
+  }
+
   test("an insert-only MERGE runtime-prunes the rewrite to ZERO files " +
     "(pure append, nothing rewritten)") {
     val base = Files.createTempDirectory("gcat_mins").toString + "/t"
