@@ -140,12 +140,40 @@ object AtomicPublish {
   def exists(spark: SparkSession, base: String): Boolean =
     committed(spark, base) >= 0
 
-  /** Latest version whose COMMIT MARKER was created at or before
-    * `tsMillis` — the `TIMESTAMP AS OF` resolution (the marker file's
-    * mtime IS the commit instant: it is created empty and renamed
-    * visible exactly once). −1 when nothing was committed by then or
-    * the table predates the marker protocol (legacy single-pointer
-    * layouts carry no per-version commit times). */
+  /** A version's COMMIT INSTANT (epoch millis): the timestamp persisted
+    * INSIDE the marker payload at commit time — durable metadata that a
+    * directory copy, an rsync'd relocation or a filesystem that rewrites
+    * mtimes cannot disturb. Markers written before the payload existed
+    * (empty files) fall back to the marker's mtime — legacy-correct as
+    * long as the table never moved. */
+  def commitInstant(spark: SparkSession, base: String,
+                    v: Long): Option[Long] = {
+    val b = new Path(base)
+    val fs = fsOf(spark, b)
+    val m = new Path(b, s"_commits/v$v")
+    if (!fs.exists(m)) None
+    else {
+      val st = fs.getFileStatus(m)
+      val payload =
+        if (st.getLen == 0L) None
+        else {
+          val in = fs.open(m)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().nextOption().flatMap(_.trim.toLongOption)
+          finally in.close()
+        }
+      Some(payload.getOrElse(st.getModificationTime))
+    }
+  }
+
+  /** Latest version whose COMMIT INSTANT is at or before `tsMillis` —
+    * the `TIMESTAMP AS OF` resolution. The instant is the epoch-millis
+    * payload written into the per-version marker at commit time
+    * ([[commitInstant]]; mtime only as the pre-payload legacy fallback),
+    * so history survives a directory copy/move intact. −1 when nothing
+    * was committed by then or the table predates the marker protocol
+    * (legacy single-pointer layouts carry no per-version commit times).
+    */
   def committedAsOf(spark: SparkSession, base: String,
                     tsMillis: Long): Long = {
     val b = new Path(base)
@@ -153,8 +181,11 @@ object AtomicPublish {
     val commits = new Path(b, "_commits")
     if (!fs.exists(commits)) return -1L
     fs.listStatus(commits).toSeq
-      .filter(_.getModificationTime <= tsMillis)
-      .map(_.getPath.getName).collect { case VDir(n) => n.toLong }
+      .flatMap(st => st.getPath.getName match {
+        case VDir(n) => Some(n.toLong)
+        case _ => None
+      })
+      .filter(v => commitInstant(spark, base, v).exists(_ <= tsMillis))
       .foldLeft(-1L)(math.max)
   }
 
@@ -323,7 +354,15 @@ object AtomicPublish {
     val fs = fsOf(spark, b)
     fs.mkdirs(new Path(b, "_commits"))
     val ctmp = new Path(b, s".commit-$token")
-    fs.create(ctmp, true).close()
+    // the marker PAYLOAD is the commit instant (epoch millis): durable
+    // TIMESTAMP AS OF metadata that survives relocation — a directory
+    // copy rewrites every mtime to the copy instant, which would
+    // silently flatten the version history if mtime were the source of
+    // truth
+    val out = fs.create(ctmp, true)
+    try out.write(String.valueOf(System.currentTimeMillis())
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     if (!fs.rename(ctmp, new Path(b, s"_commits/v$v")) && fs.exists(ctmp))
       fs.delete(ctmp, false) // marker already present (crash-retry)
 

@@ -350,12 +350,19 @@ object CowTable {
       return mDf.dropDuplicates("file")
     val lcp = (g.getString(0), g.getString(1)) match {
       case (a, b) =>
-        val raw = a.zip(b).takeWhile { case (x, y) => x == y }.length
+        val raw0 = a.zip(b).takeWhile { case (x, y) => x == y }.length
         // never cut inside a surrogate pair: an unpaired high surrogate
         // would UTF-8-encode as a replacement char and break the
         // encoding's order preservation
-        if (raw > 0 && Character.isHighSurrogate(a.charAt(raw - 1))) raw - 1
-        else raw
+        val raw =
+          if (raw0 > 0 && Character.isHighSurrogate(a.charAt(raw0 - 1)))
+            raw0 - 1
+          else raw0
+        // `raw` counts UTF-16 code units, but Spark's substring counts
+        // CODE POINTS: a supplementary char inside the shared prefix
+        // would make substring strip past it, breaking the encoding's
+        // order preservation (and so discovery's completeness). Convert.
+        a.codePointCount(0, raw)
     }
     def encOf(c: Column): Column = KeyEnc.string(substring(c, lcp + 1, 7))
     val legacy = mDf.filter(sLo.isNull || sHi.isNull)
@@ -1217,19 +1224,23 @@ object CowTable {
     * replacement pool files for them — the same copy-on-write shape as
     * the API [[merge]], driven from ANSI SQL.
     *
-    * `replaced` carries each file WITH the deletion vector it was read
-    * through: a concurrent commit that rewrote one of the files — or
-    * added a vector to it — invalidates the rewrite (its rows are a
-    * stale snapshot), so the commit FAILS with a conflict instead of
-    * resurrecting concurrently-deleted rows; the statement must be
-    * retried. Unrelated concurrent commits (appends, other files'
-    * rewrites) pass the check and the CAS simply re-lands on the new
-    * parent. Rewritten groups drop their vectors (debt repaid), so a
-    * replaced file's entry leaves the manifest vector and all.
+    * Conflict discipline: the rewrite's row set was derived from a
+    * DISCOVERY JOIN against the snapshot `scanVersion` — not just from
+    * the replaced files — so ANY commit that lands after that snapshot
+    * invalidates it: a concurrent append/merge could introduce rows with
+    * MATCHED keys into files outside the replaced set, and committing
+    * anyway would be non-serializable write skew (the case Delta's COW
+    * MERGE raises ConcurrentAppendException for). When `scanVersion` is
+    * given the commit therefore requires landing at exactly
+    * `scanVersion + 1`; otherwise it falls back to validating that the
+    * replaced (file, dv) pairs are unchanged (which still catches every
+    * conflicting rewrite of an affected file). Rewritten groups drop
+    * their vectors (debt repaid), so a replaced file's entry leaves the
+    * manifest vector and all.
     */
   def replaceFiles(spark: SparkSession, base: String,
                    replaced: Seq[(String, String)], rows: DataFrame,
-                   retain: Int = 1): Long = {
+                   retain: Int = 1, scanVersion: Option[Long] = None): Long = {
     import spark.implicits._
     val m = meta(spark, base).getOrElse(sys.error(
       s"no table meta under $base — replaceFiles needs a created cow table"))
@@ -1245,6 +1256,14 @@ object CowTable {
     while (result < 0) {
       val parent = AtomicPublish.committed(spark, base)
       require(parent >= 0, s"no committed version under $base")
+      // serializability: the statement's match set is a snapshot of
+      // scanVersion — any later commit may hold newly-matched keys in
+      // files OUTSIDE the replaced set, so it conflicts even if the
+      // replaced entries themselves are untouched
+      scanVersion.foreach(sv => require(parent == sv,
+        s"concurrent update conflict under $base: the statement planned " +
+          s"against v$sv but v$parent has since committed — retry the " +
+          "statement against the new snapshot"))
       val mDf = manifestDfAt(spark, base, parent)
       val live = mDf.join(replacedDf, Seq("file"))
         .filter(col("dv") === col("_gf_dv")).count()

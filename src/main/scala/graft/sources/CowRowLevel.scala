@@ -127,6 +127,13 @@ private[sources] class CowGroupMergeOperation(base: String, key: String,
     * (Spark builds one rewrite plan per MERGE statement). */
   @volatile private[sources] var configuredScan: Option[ArtifactScan] = None
 
+  /** The committed version the target scan planned against — the
+    * snapshot the statement's match set is valid for. The commit
+    * requires landing at exactly this + 1 (serializable MERGE: a
+    * concurrent append of matched keys is a conflict, not a carry-over).
+    */
+  @volatile private[sources] var scanVersion: Option[Long] = None
+
   override def command(): RowLevelOperation.Command =
     RowLevelOperation.Command.MERGE
 
@@ -134,6 +141,7 @@ private[sources] class CowGroupMergeOperation(base: String, key: String,
     val spark = SparkSession.active
     val v = AtomicPublish.committed(spark, base)
     require(v >= 0, s"no committed version under $base")
+    scanVersion = Some(v)
     new ArtifactScanBuilder(base, "manifest", None, cow = true,
       s"$base/v$v/manifest", tableSchema) {
       override def build(): org.apache.spark.sql.connector.read.Scan = {
@@ -204,7 +212,7 @@ private[sources] class CowReplaceBatchWrite(base: String,
           StructType(stagedSchema.fields.map(_.copy(nullable = true))))
           .parquet(staged: _*)
       CowTable.replaceFiles(spark, base, replaced,
-        rows.select(tableCols.map(col): _*))
+        rows.select(tableCols.map(col): _*), scanVersion = op.scanVersion)
       ()
     } finally cleanup()
   }

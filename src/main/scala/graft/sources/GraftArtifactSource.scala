@@ -291,8 +291,12 @@ private[sources] class ArtifactScan(base: String, dataset: String,
         val withDv = m.select(m("file"), dvC.as("dv"), dvRowsC.as("dvRows"))
         // re-root stored paths to the CURRENT base (mirrors CowTable's
         // read-time re-rooting: basenames are the durable identity, so
-        // a renamed/relocated table serves unchanged)
-        val pool = base.stripSuffix("/") + "/files"
+        // a renamed/relocated table serves unchanged). Normalized with
+        // the SAME Path-based form CowTable.reroot uses — raw string
+        // concat over a scheme'd or doubled-slash base would spell the
+        // same file two ways and break the group-MERGE commit's
+        // replaceFiles join on `file`.
+        val pool = new Path(new Path(base), "files").toUri.getPath
         def re(s: String): String =
           if (s == null || s.isEmpty) s
           else pool + s.substring(s.lastIndexOf('/'))

@@ -74,14 +74,26 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       .getOption(s"spark.sql.catalog.$catalogName.warehouse")
       .map(_.stripSuffix("/"))
 
+  /** Warehouse-relative identifier parts must stay INSIDE the warehouse
+    * root: a backticked part carrying a path separator or a `..` step
+    * would otherwise escape it (and DROP TABLE deletes recursively). */
+  private def requireSafePart(part: String): String = {
+    require(!part.contains("/") && !part.contains("\\") && part != ".." &&
+      part != "." && part.nonEmpty,
+      s"illegal identifier part `$part`: warehouse-relative names must " +
+        "not contain path separators or dot-steps")
+    part
+  }
+
   /** An identifier's base path: one absolute-path part addresses the
     * table directly; otherwise namespace + name resolve under the
-    * warehouse root. */
+    * warehouse root (each part sanitized — no escape from the root). */
   private def basePath(ident: Identifier): Option[String] =
     if (ident.namespace().isEmpty && ident.name().startsWith("/"))
       Some(ident.name())
     else warehouse.map(w =>
-      (w +: (ident.namespace() :+ ident.name())).mkString("/"))
+      (w +: (ident.namespace() :+ ident.name()).map(requireSafePart))
+        .mkString("/"))
 
   private def isCow(spark: SparkSession, base: String): Boolean =
     AtomicPublish.exists(spark, base) &&
@@ -272,7 +284,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       s"set spark.sql.catalog.$catalogName.warehouse to create namespaces"))
     val spark = SparkSession.active
     val dir = new org.apache.hadoop.fs.Path(
-      (w +: namespace.toSeq).mkString("/"))
+      (w +: namespace.toSeq.map(requireSafePart)).mkString("/"))
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dir)
     ()
   }
@@ -285,13 +297,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = {
     val spark = SparkSession.active
-    if (!cascade && listTables(namespace).nonEmpty)
-      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
-        (catalogName +: namespace.toSeq).toArray)
     warehouse.exists { w =>
       val dir = new org.apache.hadoop.fs.Path(
-        (w +: namespace.toSeq).mkString("/"))
+        (w +: namespace.toSeq.map(requireSafePart)).mkString("/"))
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // without CASCADE refuse ANY contents — not just cow tables:
+      // loose files, half-created tables and non-cow directories would
+      // otherwise be deleted recursively without the user asking for it
+      if (!cascade && fs.exists(dir) && fs.listStatus(dir).nonEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+          (catalogName +: namespace.toSeq).toArray)
       fs.exists(dir) && fs.delete(dir, true)
     }
   }

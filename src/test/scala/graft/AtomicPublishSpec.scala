@@ -179,5 +179,45 @@ class AtomicPublishSpec extends SparkSpec {
     assert(pa.map(_.getTimestamp(0).toString).toSeq === Seq("2024-01-15 12:00:00.0"))
   }
 
+  test("TIMESTAMP AS OF history survives a directory copy (commit " +
+    "instants are marker payload, not mtime)") {
+    val base = Files.createTempDirectory("atomic_ts").toString + "/t"
+    (0 to 2).foreach { i =>
+      AtomicPublish.publish(spark, base,
+        Seq("d" -> Seq.fill(i + 1)(i).toDF("x")), retain = 8)
+      Thread.sleep(15) // distinct millis between commit instants
+    }
+    val instants = (0L to 2L).map(v =>
+      AtomicPublish.commitInstant(spark, base, v).get)
+    assert(instants === instants.sorted && instants.distinct.size === 3)
+    (0L to 2L).foreach(v => assert(
+      AtomicPublish.committedAsOf(spark, base, instants(v.toInt)) === v))
+
+    Thread.sleep(15)
+    // relocate by DIRECTORY COPY — every file's mtime becomes the copy
+    // instant; resolution must be unchanged because the instant is
+    // payload
+    val copy = Files.createTempDirectory("atomic_ts_copy").toString + "/t"
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        val d = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copyDir(f, d)
+        else java.nio.file.Files.copy(f.toPath, d.toPath)
+      }
+    }
+    copyDir(new java.io.File(base), new java.io.File(copy))
+    (0L to 2L).foreach { v =>
+      assert(AtomicPublish.commitInstant(spark, copy, v).get === instants(v.toInt),
+        "the commit instant must be durable metadata")
+      assert(AtomicPublish.committedAsOf(spark, copy, instants(v.toInt)) === v,
+        s"historical timestamp for v$v must resolve on the moved table")
+    }
+    // a pre-instant timestamp still finds nothing; post-instant the head
+    assert(AtomicPublish.committedAsOf(spark, copy, instants.head - 10) === -1L)
+    assert(AtomicPublish.committedAsOf(spark, copy,
+      System.currentTimeMillis()) === 2L)
+  }
+
   private val Pipeline = graft.pipeline.Pipeline
 }

@@ -364,4 +364,54 @@ class CowTableSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(e.getMessage.contains("not unique"))
   }
+
+  test("string keys with a supplementary-char shared prefix discover " +
+    "completely (code-point vs code-unit LCP)") {
+    // "𐐀" (U+10400) is 2 UTF-16 code units but 1 code point. A
+    // unit-counted LCP (4) fed to Spark's code-point substring would
+    // strip past the real shared prefix (2 code points), invert a
+    // file's encoded lo/hi bounds ("…amzz" → "zz" > "…bmaa" → "aa"),
+    // and drop the file from discovery — silent row loss.
+    val base = Files.createTempDirectory("cow_sup").toString + "/t"
+    val keys = Seq("𐐀𐐀amzz",
+      "𐐀𐐀bmaa",
+      "𐐀𐐀cxxx",
+      "𐐀𐐀dxxx")
+    val df = keys.zipWithIndex.map { case (k, i) => (k, i * 1.0) }
+      .toDF("k", "v")
+    CowTable.create(spark, base, df, "k", numFiles = 2)
+    keys.foreach { k =>
+      val hit = CowTable.readForKeys(spark, base, Seq(k).toDF("k"), "k")
+        .filter(col("k") === k).count()
+      assert(hit === 1L, s"key $k must resolve through string discovery")
+    }
+    // and a merge by those keys updates every row (discovery complete)
+    val upd = keys.map(k => (k, 100.0, false)).toDF("k", "v", "_delete")
+    CowTable.merge(spark, base, upd, "k")
+    assert(CowTable.read(spark, base).filter(col("v") === 100.0)
+      .count() === keys.size.toLong)
+  }
+
+  test("replaceFiles with a scan version refuses ANY intervening commit " +
+    "(serializable group MERGE, no write skew)") {
+    val base = Files.createTempDirectory("cow_ser").toString + "/t"
+    val v0 = CowTable.create(spark, base, table(100), "id", numFiles = 2)
+    val m = CowTable.manifest(spark, base)
+    // a concurrent APPEND lands after the statement's scan — it may
+    // contain matched keys in files outside the replaced set, so the
+    // commit must conflict even though the replaced entries are intact
+    CowTable.append(spark, base,
+      Seq((500L, "late", 1.0)).toDF("id", "nm", "amt"))
+    val e = intercept[Exception] {
+      CowTable.replaceFiles(spark, base,
+        Seq((m.head.file, m.head.dv)),
+        table(10), scanVersion = Some(v0))
+    }
+    assert(e.getMessage.contains("concurrent update conflict"))
+    // without an intervening commit the same replace commits fine
+    val v2 = AtomicPublish.committed(spark, base)
+    CowTable.replaceFiles(spark, base, Seq((m.head.file, m.head.dv)),
+      table(10), scanVersion = Some(v2))
+    assert(AtomicPublish.committed(spark, base) === v2 + 1)
+  }
 }

@@ -485,4 +485,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"small cow side must auto-broadcast, got:\n$plan")
   }
+
+  test("identifier parts with path separators or dot-steps cannot " +
+    "escape the warehouse root") {
+    val wh = Files.createTempDirectory("gcat_esc").toString
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      // plant a cow table OUTSIDE the warehouse that a `..` escape
+      // would otherwise reach (and DROP TABLE would delete)
+      val outside = new java.io.File(wh).getParent + "/gcat_escape_victim"
+      CowTable.create(spark, outside, table(5), "id", numFiles = 1)
+      Seq(s"SELECT * FROM graft.`../${new java.io.File(outside).getName}`",
+        "SELECT * FROM graft.ns.`../../x`",
+        "DROP TABLE graft.`a/b`").foreach { q =>
+        val e = intercept[Exception] { spark.sql(q).collect() }
+        assert(e.getMessage.contains("illegal identifier part") ||
+          e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"),
+          s"$q must not resolve, got: ${e.getMessage}")
+      }
+      assert(CowTable.read(spark, outside).count() === 5L,
+        "the outside table must be untouched")
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
+
+  test("DROP NAMESPACE without CASCADE refuses ANY contents, not just " +
+    "cow tables") {
+    val wh = Files.createTempDirectory("gcat_ns").toString
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE graft.scratch")
+      // a loose non-cow file inside the namespace
+      val loose = new java.io.File(s"$wh/scratch/notes.txt")
+      val w = new java.io.FileWriter(loose)
+      try w.write("keep me") finally w.close()
+      val e = intercept[Exception] {
+        spark.sql("DROP NAMESPACE graft.scratch")
+      }
+      assert(e.getMessage.contains("SCHEMA_NOT_EMPTY") ||
+        e.getMessage.toLowerCase.contains("non-empty"),
+        s"got: ${e.getMessage}")
+      assert(loose.exists(), "refused drop must leave contents intact")
+      spark.sql("DROP NAMESPACE graft.scratch CASCADE")
+      assert(!loose.exists())
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
 }
