@@ -45,9 +45,14 @@ import org.apache.spark.sql.functions._
   *     run it from the maintenance role, or pass a `graceMs` larger
   *     than the longest write.
   *
-  * Keys are numeric (cast to long) or STRING — the manifest prunes on a
-  * single clustering key, the same contract as the z-order demo's first
-  * dimension. A string key (the reference's VARCHAR UNIQUE natural keys
+  * The clustering key is an ORDERED COLUMN LIST (comma-separated
+  * wherever a key is named); the manifest prunes on the LEADING
+  * column's ranges — the same contract as a z-order's first dimension —
+  * while the ROW IDENTITY is the full tuple (the reference's grains are
+  * composite: `(fact_id, customer_id, effective_from)` for the DQ
+  * uniqueness check, `(user_id, effective_from)` for silver SCD2).
+  * Leading keys are numeric (cast to long) or STRING. A string key (the
+  * reference's VARCHAR UNIQUE natural keys
   * `customer_name`/`product_category`/`region_name`/`status_name` —
   * `/root/reference/sql/dds/s_sql_dds/table/t_dim_tables.sql:4,11,18,25`)
   * additionally records its natural min/max in the per-file stats maps;
@@ -91,11 +96,40 @@ object CowTable {
 
   /** Table-level metadata carried in every version's payload: the data
     * schema (so an EMPTIED table still reads back with the right
-    * columns), the clustering key, and the declared stats-column set
+    * columns), the clustering key, the declared stats-column set
     * ([[writePool]] records per-file min/max for these so predicate
-    * operations can prune their discovery scans from the manifest). */
+    * operations can prune their discovery scans from the manifest), and
+    * COLUMN MAPPING — the lakehouse answer to `RENAME`/`DROP COLUMN`
+    * without rewriting data: every column has an immutable PHYSICAL
+    * name (what pool files and stats maps are written with; the logical
+    * name at add time), `colMap` carries the logical→physical pairs
+    * that differ, and `physUsed` every physical name ever occupied (so
+    * re-adding a dropped/renamed name gets a FRESH physical name
+    * instead of resurrecting stale values from old files). */
   private[graft] case class Meta(schemaJson: String, key: String,
-                                 statsCols: Seq[String])
+                                 statsCols: Seq[String],
+                                 colMap: Seq[(String, String)] = Nil,
+                                 physUsed: Seq[String] = Nil) {
+    /** logical → physical; identity for unmapped columns. */
+    def phys(name: String): String = colMap.toMap.getOrElse(name, name)
+    def physMap: Map[String, String] = colMap.toMap
+  }
+
+  /** A collision-free PHYSICAL name for a new logical column: taken =
+    * every physical name ever used (dropped/renamed included) plus the
+    * live schema's physical names (covers pre-mapping metas with an
+    * empty physUsed). */
+  private def freshPhys(m: Meta, schema: org.apache.spark.sql.types.StructType,
+                        logical: String): String = {
+    val taken = (m.physUsed ++ schema.fieldNames.map(m.phys)).toSet
+    if (!taken.contains(logical)) logical
+    else Iterator.from(2).map(i => s"${logical}__$i")
+      .find(!taken.contains(_)).get
+  }
+
+  private def colMapAt(spark: SparkSession, base: String,
+                       v: Long): Map[String, String] =
+    metaAt(spark, base, v).map(_.physMap).getOrElse(Map.empty)
 
   private val ManifestCols =
     Seq("file", "rows", "kmin", "kmax", "dv", "dvRows", "smin", "smax")
@@ -122,10 +156,27 @@ object CowTable {
       }
   }
 
+  /** A clustering key is an ORDERED LIST of columns, written as a
+    * comma-separated string everywhere a key is named (API parameters,
+    * the meta table, the SQL `key` table property) — the reference's row
+    * identities are composite (`(fact_id, customer_id, effective_from)`
+    * in `fn_dq_checks_load.sql:125-134`, the silver SCD2 grain
+    * `(user_id, effective_from)` in `01_init_all.sql:34-36`), so the row
+    * identity must be the full tuple. The MANIFEST prunes on the
+    * LEADING column's ranges (kmin/kmax — the same contract as a
+    * z-order's first dimension); matching is exact on the full tuple at
+    * scan time. A single-column key is the one-element list. */
+  private[graft] def splitKeys(key: String): Seq[String] = {
+    val ks = key.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(ks.nonEmpty, s"empty clustering key `$key`")
+    ks
+  }
+
   private def keyType(df: DataFrame, key: String): org.apache.spark.sql.types.DataType = {
-    require(df.columns.contains(key),
-      s"clustering key `$key` is not a column of ${df.columns.mkString(", ")}")
-    df.schema(key).dataType
+    val lead = splitKeys(key).head
+    require(df.columns.contains(lead),
+      s"clustering key `$lead` is not a column of ${df.columns.mkString(", ")}")
+    df.schema(lead).dataType
   }
 
   private def isStringKey(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -148,14 +199,24 @@ object CowTable {
     * type (lexical min of a stringified numeric would be wrong) and
     * stored as strings; [[StatsPrune]] casts them back to the
     * predicate literal's type at prune time. */
+  /** `colMap` (logical → physical) renames columns on the way INTO the
+    * pool: files always carry PHYSICAL names, so a later logical
+    * RENAME/DROP is metadata-only and old files stay valid. */
   private def writePool(spark: SparkSession, base: String, df: DataFrame,
                         key: String, numFiles: Int,
-                        statsCols: Seq[String] = Nil): Seq[Entry] = {
+                        statsCols: Seq[String] = Nil,
+                        colMap: Map[String, String] = Map.empty): Seq[Entry] = {
+    val ks = splitKeys(key)
+    ks.foreach(k => require(df.columns.contains(k),
+      s"clustering key column `$k` is not a column of " +
+        df.columns.mkString(", ")))
+    def ph(c: String): String = colMap.getOrElse(c, c)
     val fs = fsOf(spark, base)
     val token = java.util.UUID.randomUUID().toString
     val tmp = new Path(base, s".data-$token")
-    df.repartitionByRange(math.max(1, numFiles), col(key))
-      .sortWithinPartitions(key)
+    df.repartitionByRange(math.max(1, numFiles), ks.map(col): _*)
+      .sortWithinPartitions(ks.head, ks.tail: _*)
+      .select(df.columns.map(c => col(c).as(ph(c))).toIndexedSeq: _*)
       .write.mode("overwrite").parquet(tmp.toString)
     val pool = new Path(base, "files")
     fs.mkdirs(pool)
@@ -170,28 +231,32 @@ object CowTable {
     if (moved.isEmpty) Seq.empty
     else {
       val kDt = keyType(df, key)
-      val ke = KeyEnc.of(col(key), kDt)
-      // a STRING key's natural (exact, full-string) min/max always rides
-      // in the stats maps — discovery and predicate pruning compare
-      // strings exactly there; the long kmin/kmax carry the lossy
-      // order-preserving encoding for the bucket join
-      val sCols = (statsCols ++ (if (isStringKey(kDt)) Seq(key) else Nil))
+      // the stats scan reads the MOVED files, whose columns carry
+      // PHYSICAL names; stats-map keys are physical too (stable across
+      // logical renames)
+      val ke = KeyEnc.of(col(ph(ks.head)), kDt)
+      // a STRING leading key's natural (exact, full-string) min/max
+      // always rides in the stats maps — discovery and predicate pruning
+      // compare strings exactly there; the long kmin/kmax carry the
+      // lossy order-preserving encoding for the bucket join
+      val sCols = (statsCols ++ (if (isStringKey(kDt)) Seq(ks.head) else Nil))
         .distinct.filter(df.columns.contains)
       val sminE =
         if (sCols.isEmpty) typedLit(Map.empty[String, String])
         else map(sCols.flatMap(c =>
-          Seq(lit(c), min(col(c)).cast("string"))): _*)
+          Seq(lit(ph(c)), min(col(ph(c))).cast("string"))): _*)
       val smaxE =
         if (sCols.isEmpty) typedLit(Map.empty[String, String])
         else map(sCols.flatMap(c =>
-          Seq(lit(c), max(col(c)).cast("string"))): _*)
+          Seq(lit(ph(c)), max(col(ph(c))).cast("string"))): _*)
       val stats = spark.read.parquet(moved: _*)
         .groupBy(fileCol.as("file"))
         .agg(count(lit(1)).as("rows"),
           min(ke).as("kmin"),
           max(ke).as("kmax"),
           sminE.as("smin"), smaxE.as("smax"),
-          count(when(col(key).isNull || ke.isNull, 1)).as("_gf_nullk"))
+          count(when(ks.map(k => col(ph(k)).isNull).reduce(_ || _) ||
+            ke.isNull, 1)).as("_gf_nullk"))
         .collect() // NEW-file-count bounded
         .map { r =>
           // the clustering key is the row IDENTITY (manifest pruning,
@@ -199,7 +264,8 @@ object CowTable {
           // unaddressable — refuse the write instead
           require(r.getLong(6) == 0L,
             s"cow table key `$key` must be non-null" +
-              (if (isStringKey(kDt)) "" else " and castable to long") +
+              (if (isStringKey(kDt)) "" else
+                " (and the leading column castable to long)") +
               s"; ${r.getLong(6)} violating rows in ${r.getString(0)}")
           Entry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
             smin = Option(r.getMap[String, String](4)).map(_.toMap)
@@ -260,19 +326,29 @@ object CowTable {
     reroot(pad(AtomicPublish.readVersion(spark, base, "manifest", version)),
       base)
 
-  /** RENAME/relocation precondition: deletion vectors address rows by
-    * the path recorded at write time, so a table is RELOCATABLE only
-    * while every retained version is vector-free ([[compact]]
-    * materializes vectors; [[vacuum]] reclaims them). Metadata-only
-    * check — one aggregate per retained version, no data read. */
+  /** RENAME/relocation precondition. Deletion vectors written by this
+    * version of the engine reference files by BASENAME (the `_RELOC`
+    * marker inside the vector directory names the convention) and are
+    * fully relocatable; LEGACY vectors addressed rows by the full
+    * write-time path, which a move would orphan. The check is
+    * metadata-bounded: the distinct vector paths across retained
+    * versions (never the vector contents), one marker existence test
+    * each. */
   private[graft] def requireRelocatable(spark: SparkSession,
-                                        base: String): Unit =
+                                        base: String): Unit = {
+    val fs = fsOf(spark, base)
     AtomicPublish.versions(spark, base).foreach { v =>
-      val r = manifestDfAt(spark, base, v).agg(sum("dvRows")).head()
-      require(r.isNullAt(0) || r.getLong(0) == 0L,
-        s"version v$v under $base carries deletion vectors (addressed " +
-          "by write-time path): CALL compact + vacuum before RENAME")
+      val dvs = manifestDfAt(spark, base, v)
+        .filter(col("dv") =!= lit("")).select("dv").distinct()
+        .collect().map(_.getString(0)) // vector-count bounded
+      dvs.foreach { dv =>
+        require(fs.exists(new Path(dv, "_RELOC")),
+          s"version v$v under $base references a LEGACY deletion vector " +
+            s"($dv) that addresses rows by write-time path: CALL " +
+            "compact + vacuum before RENAME")
+      }
     }
+  }
 
   private def collectEntries(df: DataFrame): Seq[Entry] = {
     val spark = df.sparkSession
@@ -286,8 +362,10 @@ object CowTable {
 
   private def metaDf(spark: SparkSession, m: Meta): DataFrame = {
     import spark.implicits._
-    Seq((m.schemaJson, m.key, m.statsCols.mkString(",")))
-      .toDF("schemaJson", "key", "statsCols")
+    Seq((m.schemaJson, m.key, m.statsCols.mkString(","),
+      m.colMap.map { case (l, p) => s"$l=$p" }.mkString(";"),
+      m.physUsed.mkString(";")))
+      .toDF("schemaJson", "key", "statsCols", "colMap", "physUsed")
   }
 
   private[graft] def metaAt(spark: SparkSession, base: String,
@@ -295,9 +373,20 @@ object CowTable {
     if (v < 0) return None
     if (!fsOf(spark, base).exists(new Path(base, s"v$v/meta"))) None
     else {
-      val r = AtomicPublish.readVersion(spark, base, "meta", v).head()
-      Some(Meta(r.getString(0), r.getString(1),
-        r.getString(2).split(",").filter(_.nonEmpty).toSeq))
+      val df = AtomicPublish.readVersion(spark, base, "meta", v)
+      val mapped = df.columns.contains("colMap") // pre-mapping metas lack it
+      val r = df.head()
+      val base3 = Meta(r.getString(0), r.getString(1),
+        r.getString(2).split(",").filter(_.nonEmpty).toSeq)
+      Some(if (!mapped) base3
+      else base3.copy(
+        colMap = r.getAs[String]("colMap").split(";").filter(_.contains("="))
+          .map { kv =>
+            val i = kv.indexOf('=')
+            (kv.substring(0, i), kv.substring(i + 1))
+          }.toSeq,
+        physUsed = r.getAs[String]("physUsed").split(";")
+          .filter(_.nonEmpty).toSeq))
     }
   }
 
@@ -378,13 +467,14 @@ object CowTable {
       .dropDuplicates("file")
   }
 
-  /** Manifest rows whose key range MAY contain one of `keys` (a
-    * one-column frame in the key's NATURAL type) — dispatches on the
-    * key type. */
+  /** Manifest rows whose LEADING-key range MAY contain one of `keys` (a
+    * one-column frame carrying leading-key values in their NATURAL
+    * type) — dispatches on the leading key's type. `statKey` is the
+    * leading key's PHYSICAL name (what the stats maps are keyed by). */
   private def discoverCandidates(mDf: DataFrame, keys: DataFrame,
-                                 key: String,
+                                 statKey: String,
                                  kDt: org.apache.spark.sql.types.DataType): DataFrame =
-    if (isStringKey(kDt)) stringCandidates(mDf, keys, key)
+    if (isStringKey(kDt)) stringCandidates(mDf, keys, statKey)
     else intervalCandidates(mDf, keys)
 
   /** Distributed interval-containment discovery over LONG bounds
@@ -445,6 +535,8 @@ object CowTable {
       regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
     .withColumn("_gf_pos", col("_metadata.row_index"))
 
+  private def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
   /** The (file, pos) rows of the deletion vectors `dvd` references,
     * restricted PER VECTOR FILE to the entries that point at THAT
     * vector. A global `file IN (all dvd files)` over all vector files
@@ -455,12 +547,43 @@ object CowTable {
     * manifest's dvRows total (breaking the proven broadcast bound) and
     * duplicating positions into any new cumulative vector built from
     * the result. The per-(dv → its files) join makes the scanned row
-    * count EXACTLY the manifest's dvRows sum. */
+    * count EXACTLY the manifest's dvRows sum.
+    *
+    * Vector CONTENT references files by BASENAME (the durable identity
+    * — what makes a live-DV table relocatable); legacy vectors stored
+    * the full write-time path. Both shapes are matched by basename and
+    * emitted re-rooted to the entries' CURRENT full paths, so callers
+    * join against the live manifest's file column either way. */
   private def vectorRows(spark: SparkSession, dvd: Seq[Entry]): DataFrame =
     dvd.groupBy(_.dv).map { case (path, es) =>
+      import spark.implicits._
+      val current = es.map(e => (baseName(e.file), e.file)).distinct
+        .toDF("_gf_b", "_gf_cur")
       spark.read.parquet(path)
-        .where(col("file").isin(es.map(_.file): _*)) // file-count bounded
+        .withColumn("_gf_b", regexp_extract(col("file"), "[^/]+$", 0))
+        .join(graft.Bcast.ifBounded(current, es.size.toLong),
+          Seq("_gf_b")) // file-count bounded
+        .select(col("_gf_cur").as("file"), col("pos"))
     }.reduce(_ unionByName _)
+
+  /** Stage-and-commit a deletion vector: `rows` carries (file, pos)
+    * with CURRENT full paths; content is written with BASENAME refs
+    * (plus the `_RELOC` marker naming the convention) so the vector —
+    * and therefore the table — survives a rename/copy/move. Returns the
+    * vector's pool path. */
+  private def writeVector(spark: SparkSession, base: String,
+                          rows: DataFrame): String = {
+    val fs = fsOf(spark, base)
+    val token = java.util.UUID.randomUUID().toString
+    val tmp = new Path(base, s".dv-$token")
+    rows.select(regexp_extract(col("file"), "[^/]+$", 0).as("file"),
+      col("pos")).write.mode("overwrite").parquet(tmp.toString)
+    fs.create(new Path(tmp, "_RELOC"), true).close()
+    val dst = new Path(base, s"files/$token-dv")
+    fs.mkdirs(new Path(base, "files"))
+    require(fs.rename(tmp, dst), s"dv move failed: $tmp -> $dst")
+    norm(dst.toString)
+  }
 
   /** Live rows of `entries`: the raw pool scan minus each file's
     * deletion vector. The anti-join side is broadcast exactly when the
@@ -475,14 +598,24 @@ object CowTable {
     * file's footer. */
   private def scanEntries(spark: SparkSession, entries: Seq[Entry],
                           lineage: Boolean = false,
-                          schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+                          schema: Option[org.apache.spark.sql.types.StructType] = None,
+                          colMap: Map[String, String] = Map.empty): DataFrame = {
     require(entries.nonEmpty, "scanEntries on an empty manifest")
+    // pool files carry PHYSICAL column names; the caller's schema is
+    // LOGICAL — read physical, rename back (identity when unmapped)
+    val mapped = schema.exists(_.fields.exists(f => colMap.contains(f.name)))
     val reader = schema match {
       case Some(s) => spark.read.schema(
-        org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true))))
+        org.apache.spark.sql.types.StructType(s.fields.map(f =>
+          f.copy(name = colMap.getOrElse(f.name, f.name), nullable = true))))
       case None => spark.read
     }
-    val raw = lineageCols(reader.parquet(entries.map(_.file): _*))
+    val raw0 = lineageCols(reader.parquet(entries.map(_.file): _*))
+    val raw =
+      if (!mapped) raw0
+      else raw0.select(schema.get.fields.map(f =>
+        col(colMap.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq ++
+        Seq(col("_gf_file"), col("_gf_pos")): _*)
     val dvd = entries.filter(_.dv.nonEmpty)
     val live =
       if (dvd.isEmpty) raw
@@ -517,8 +650,8 @@ object CowTable {
   def createEmpty(spark: SparkSession, base: String,
                   schema: org.apache.spark.sql.types.StructType, key: String,
                   statsCols: Seq[String] = Nil, retain: Int = 1): Long = {
-    require(schema.fieldNames.contains(key),
-      s"clustering key `$key` is not a column of the table schema")
+    splitKeys(key).foreach(k => require(schema.fieldNames.contains(k),
+      s"clustering key column `$k` is not a column of the table schema"))
     require(!AtomicPublish.exists(spark, base),
       s"cow table already exists under $base")
     AtomicPublish.publish(spark, base,
@@ -547,7 +680,8 @@ object CowTable {
     require(v >= 0, s"no committed version under $base")
     val entries = entriesAt(spark, base, v)
     if (entries.isEmpty) emptyWithSchema(spark, base, v)
-    else scanEntries(spark, entries, schema = dataSchemaAt(spark, base, v))
+    else scanEntries(spark, entries, schema = dataSchemaAt(spark, base, v),
+      colMap = colMapAt(spark, base, v))
   }
 
   /** Manifest of the committed snapshot. */
@@ -562,7 +696,8 @@ object CowTable {
     val entries = entriesAt(spark, base, version)
     if (entries.isEmpty) emptyWithSchema(spark, base, version)
     else scanEntries(spark, entries,
-      schema = dataSchemaAt(spark, base, version))
+      schema = dataSchemaAt(spark, base, version),
+      colMap = colMapAt(spark, base, version))
   }
 
   /** Point-lookup read: snapshot rows whose key range MAY contain one of
@@ -574,15 +709,19 @@ object CowTable {
                   key: String): DataFrame = {
     val v = AtomicPublish.committed(spark, base)
     require(v >= 0, s"no committed version under $base")
+    val lead = splitKeys(key).head
     val mDf = manifestDfAt(spark, base, v)
     val kDt = dataSchemaAt(spark, base, v)
-      .flatMap(_.fields.find(_.name == key)).map(_.dataType)
+      .flatMap(_.fields.find(_.name == lead)).map(_.dataType)
       .getOrElse(keyType(keys, keys.columns.head))
+    val cm = colMapAt(spark, base, v)
     val hit = collectEntries(discoverCandidates(mDf,
-      keys.select(col(keys.columns.head).cast(kDt)), key,
+      keys.select(col(keys.columns.head).cast(kDt)),
+      cm.getOrElse(lead, lead),
       kDt)) // probe footprint
     if (hit.isEmpty) read(spark, base).limit(0) // schema-only frame
-    else scanEntries(spark, hit, schema = dataSchemaAt(spark, base, v))
+    else scanEntries(spark, hit, schema = dataSchemaAt(spark, base, v),
+      colMap = cm)
   }
 
   /** Txn stamps of version `v`: (stream id, last applied batch id). */
@@ -670,6 +809,7 @@ object CowTable {
           s"merge source is missing table columns ${missing.mkString(", ")}" +
             " — schema evolution only ADDS columns")
       }
+      val parentMeta = metaAt(spark, base, parent)
       val evolved = tblSchema.map { ts =>
         val extra = srcSchema.fields
           .filterNot(f => ts.fieldNames.contains(f.name))
@@ -677,10 +817,33 @@ object CowTable {
         else org.apache.spark.sql.types.StructType(
           ts.fields ++ extra.map(_.copy(nullable = true)))
       }
-      val kDt = tblSchema.flatMap(_.fields.find(_.name == key))
-        .map(_.dataType).getOrElse(keyType(src, key))
-      val srcKeys = src.select(col(key).cast(kDt).as("_gf_k")).distinct()
-      val affectedDf = discoverCandidates(mDf, srcKeys, key, kDt)
+      // evolution under column mapping: each NEW column gets a fresh
+      // PHYSICAL name (a dropped/renamed predecessor's physical name
+      // must not be resurrected from old files)
+      val evolvedMeta: Option[Meta] = (parentMeta, tblSchema, evolved) match {
+        case (Some(pm), Some(ts), Some(e)) if e.length != ts.length =>
+          val extra = e.fields.drop(ts.length)
+          var m2 = pm
+          extra.foreach { f =>
+            val p0 = freshPhys(m2, ts, f.name)
+            m2 = m2.copy(
+              colMap = if (p0 == f.name) m2.colMap
+                       else m2.colMap :+ (f.name -> p0),
+              physUsed = (m2.physUsed :+ p0).distinct)
+          }
+          Some(m2.copy(schemaJson = e.json))
+        case _ => None
+      }
+      val mergeMap = evolvedMeta.orElse(parentMeta).map(_.physMap)
+        .getOrElse(Map.empty)
+      val ks = splitKeys(key)
+      def colDt(name: String): org.apache.spark.sql.types.DataType =
+        tblSchema.flatMap(_.fields.find(_.name == name)).map(_.dataType)
+          .getOrElse(src.schema(name).dataType)
+      val kDt = colDt(ks.head)
+      val srcKeys = src.select(col(ks.head).cast(kDt).as("_gf_k")).distinct()
+      val affectedDf = discoverCandidates(mDf, srcKeys,
+        mergeMap.getOrElse(ks.head, ks.head), kDt)
         .localCheckpoint()
       val affected = collectEntries(affectedDf) // merge-footprint bounded
       val untouched = mDf.join(affectedDf.select("file"), Seq("file"),
@@ -689,21 +852,19 @@ object CowTable {
       val survivors =
         if (affected.isEmpty) upserts
         // DV-aware: a rewritten file's vectored-out rows must not
-        // resurrect, so affected files are read through their vectors
-        else scanEntries(spark, affected, schema = evolved)
-          .join(src.select(col(key).cast(kDt).as(key)).distinct(),
-            Seq(key), "left_anti")
+        // resurrect, so affected files are read through their vectors.
+        // The row identity is the FULL key tuple: only rows matching a
+        // source row on every key column are replaced.
+        else scanEntries(spark, affected, schema = evolved,
+          colMap = mergeMap)
+          .join(src.select(ks.map(k => col(k).cast(colDt(k)).as(k)): _*)
+            .distinct(), ks, "left_anti")
           .unionByName(upserts, allowMissingColumns = false)
-      val statsCols = metaAt(spark, base, parent).map(_.statsCols)
-        .getOrElse(Nil)
+      val statsCols = parentMeta.map(_.statsCols).getOrElse(Nil)
       val newEntries = writePool(spark, base, survivors, key,
-        math.max(1, affected.size), statsCols)
+        math.max(1, affected.size), statsCols, colMap = mergeMap)
       beforeCommit()
-      val newMeta = (tblSchema, evolved) match {
-        case (Some(ts), Some(e)) if e.length != ts.length =>
-          metaAt(spark, base, parent).map(_.copy(schemaJson = e.json))
-        case _ => None
-      }
+      val newMeta = evolvedMeta
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           untouched.unionByName(entriesDf(spark, newEntries)), txn, newMeta),
@@ -725,7 +886,8 @@ object CowTable {
              numFiles: Int = 1, retain: Int = 1): Long = {
     val m = meta(spark, base).getOrElse(sys.error(
       s"no table meta under $base — append needs a created cow table"))
-    val newEntries = writePool(spark, base, df, m.key, numFiles, m.statsCols)
+    val newEntries = writePool(spark, base, df, m.key, numFiles, m.statsCols,
+      colMap = m.physMap)
     var result = -1L
     while (result < 0) {
       val parent = AtomicPublish.committed(spark, base)
@@ -759,17 +921,20 @@ object CowTable {
       val parent = AtomicPublish.committed(spark, base)
       require(parent >= 0, s"no committed version under $base")
       val mDf = manifestDfAt(spark, base, parent)
-      val keyName = metaAt(spark, base, parent).map(_.key).getOrElse(key)
+      val pMeta = metaAt(spark, base, parent)
+      val cm = pMeta.map(_.physMap).getOrElse(Map.empty)
+      val keyName = splitKeys(pMeta.map(_.key).getOrElse(key)).head
       val sk = dataSchemaAt(spark, base, parent)
         .flatMap(_.fields.find(_.name == keyName))
         .exists(f => isStringKey(f.dataType))
-      val candDf = mDf.filter(StatsPrune.mayContain(pred, keyName, sk))
+      val candDf = mDf.filter(StatsPrune.mayContain(pred, keyName, sk, cm))
         .localCheckpoint()
       val cand = collectEntries(candDf) // possibly-matching files only
       onDiscovery(cand.size.toLong, mDf.count())
       if (cand.isEmpty) return parent // stats prove nothing matches
       val schema = dataSchemaAt(spark, base, parent)
-      val data = scanEntries(spark, cand, lineage = true, schema = schema)
+      val data = scanEntries(spark, cand, lineage = true, schema = schema,
+        colMap = cm)
       val hit = data.filter(pred).select(col("_gf_file"))
         .distinct().collect().map(_.getString(0)).toSet // candidate-bounded
       if (hit.isEmpty) return parent // no-op: nothing matches
@@ -779,12 +944,12 @@ object CowTable {
       // SQL DELETE semantics: a row is deleted iff the predicate is
       // TRUE — a NULL-evaluating row (e.g. an evolution-null column)
       // SURVIVES; a bare `!pred` would silently drop it
-      val survivors = scanEntries(spark, hitEntries, schema = schema)
+      val survivors = scanEntries(spark, hitEntries, schema = schema,
+        colMap = cm)
         .filter(!coalesce(pred, lit(false)))
-      val statsCols = metaAt(spark, base, parent).map(_.statsCols)
-        .getOrElse(Nil)
+      val statsCols = pMeta.map(_.statsCols).getOrElse(Nil)
       val newEntries = writePool(spark, base, survivors, key, hit.size,
-        statsCols)
+        statsCols, colMap = cm)
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           untouched.unionByName(entriesDf(spark, newEntries)), None),
@@ -835,10 +1000,12 @@ object CowTable {
       // evolution, rewriting old-shape files into the current shape
       val newEntries = writePool(spark, base,
         scanEntries(spark, rewrite.flatten,
-          schema = dataSchemaAt(spark, base, parent)), key,
+          schema = dataSchemaAt(spark, base, parent),
+          colMap = colMapAt(spark, base, parent)), key,
         numFiles = rewrite.size,
         statsCols = metaAt(spark, base, parent).map(_.statsCols)
-          .getOrElse(Nil))
+          .getOrElse(Nil),
+        colMap = colMapAt(spark, base, parent))
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           entriesDf(spark, keep.flatten ++ newEntries), None),
@@ -888,17 +1055,20 @@ object CowTable {
       val parent = AtomicPublish.committed(spark, base)
       require(parent >= 0, s"no committed version under $base")
       val mDf = manifestDfAt(spark, base, parent)
-      val keyName = metaAt(spark, base, parent).map(_.key).getOrElse("")
+      val cm = colMapAt(spark, base, parent)
+      val keyName = metaAt(spark, base, parent).map(_.key)
+        .map(k => splitKeys(k).head).getOrElse("")
       val sk = dataSchemaAt(spark, base, parent)
         .flatMap(_.fields.find(_.name == keyName))
         .exists(f => isStringKey(f.dataType))
       // stats-pruned discovery: only files whose statistics admit a
       // matching row are scanned for positions
       val cand = collectEntries(
-        mDf.filter(StatsPrune.mayContain(pred, keyName, sk)))
+        mDf.filter(StatsPrune.mayContain(pred, keyName, sk, cm)))
       if (cand.isEmpty) return parent // stats prove nothing matches
       val hits = scanEntries(spark, cand, lineage = true,
-        schema = dataSchemaAt(spark, base, parent)).filter(pred)
+        schema = dataSchemaAt(spark, base, parent), colMap = cm)
+        .filter(pred)
         .select(col("_gf_file").as("file"), col("_gf_pos").as("pos"))
         .localCheckpoint() // evaluated once: counts, union, write
       val perFile = hits.groupBy("file").agg(count(lit(1)).as("n"))
@@ -910,14 +1080,7 @@ object CowTable {
       val allRows =
         if (oldDv.isEmpty) hits
         else hits.unionByName(vectorRows(spark, oldDv))
-      val fs = fsOf(spark, base)
-      val token = java.util.UUID.randomUUID().toString
-      val tmp = new Path(base, s".dv-$token")
-      allRows.write.mode("overwrite").parquet(tmp.toString)
-      val dst = new Path(base, s"files/$token-dv")
-      fs.mkdirs(new Path(base, "files"))
-      require(fs.rename(tmp, dst), s"dv move failed: $tmp -> $dst")
-      val dvPath = norm(dst.toString)
+      val dvPath = writeVector(spark, base, allRows)
       // cumulative manifest update as a DataFrame join against the
       // (affected-file-count bounded) per-file delta — the manifest is
       // never materialized on the driver
@@ -962,16 +1125,20 @@ object CowTable {
     // evolution the pre-image null-fills the new columns, so untouched
     // co-located rows still compare struct-equal and drop as no-ops
     val schema = dataSchemaAt(spark, base, toV)
+    val cm = colMapAt(spark, base, toV)
     val dataCols = schema.map(_.fieldNames.toSeq)
       .getOrElse(spark.read.parquet(anyEntry.file).columns.toSeq)
+    val ks = splitKeys(key)
     def side(entries: Seq[Entry], name: String): DataFrame = {
       val df =
         if (entries.isEmpty)
-          scanEntries(spark, Seq(anyEntry), schema = schema).limit(0)
-        else scanEntries(spark, entries, schema = schema)
+          scanEntries(spark, Seq(anyEntry), schema = schema,
+            colMap = cm).limit(0)
+        else scanEntries(spark, entries, schema = schema, colMap = cm)
       // NATURAL key type (both sides read with the TO-schema, so the
-      // join type always agrees; string keys diff the same way)
-      df.select(col(key).as("_gf_k"),
+      // join type always agrees; string keys diff the same way). A
+      // composite key joins as the full tuple — the row identity.
+      df.select(struct(ks.map(col): _*).as("_gf_k"),
         struct(dataCols.map(col): _*).as(name))
     }
     val pre = side(preEntries, "_pre")
@@ -1068,20 +1235,37 @@ object CowTable {
     val key = m.key
     // inserts become pool files ONCE — only the manifest CAS retries
     val newEntries = inserts.map { df =>
-      writePool(spark, base, df, key, numFiles = 1, m.statsCols)
+      writePool(spark, base, df, key, numFiles = 1, m.statsCols,
+        colMap = m.physMap)
     }.getOrElse(Seq.empty)
-    val kDt = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+    val ks = splitKeys(key)
+    val tblSchema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-      .fields.find(_.name == key).map(_.dataType)
-      .getOrElse(org.apache.spark.sql.types.LongType)
-    // per-key delete-ACTION counts: Spark emits one delete action per
-    // target ROW, so for a key-unique table every key carries count 1,
-    // and an UPDATE touching all n duplicates of a key carries n
+    def dtOf(k: String): org.apache.spark.sql.types.DataType =
+      tblSchema.fields.find(_.name == k).map(_.dataType)
+        .getOrElse(org.apache.spark.sql.types.LongType)
+    val kDt = dtOf(ks.head)
+    // the delete-key frame carries the FULL rowId tuple: by name for a
+    // composite key (Spark's rowIdSchema), positionally for the
+    // single-column legacy callers
+    val gfk = ks.indices.map(i => s"_gfk_$i")
+    val keyedCols: Seq[Column] =
+      if (ks.size == 1)
+        Seq(col(deleteKeys.columns.head).cast(kDt).as(gfk.head))
+      else ks.zipWithIndex.map { case (k, i) =>
+        require(deleteKeys.columns.contains(k),
+          s"delete-key frame is missing key column `$k` of composite " +
+            s"key `$key` (has ${deleteKeys.columns.mkString(", ")})")
+        col(k).cast(dtOf(k)).as(gfk(i))
+      }
+    // per-key-TUPLE delete-ACTION counts: Spark emits one delete action
+    // per target ROW, so for a key-unique table every tuple carries
+    // count 1, and an UPDATE touching all n duplicates carries n
     val keyActions = deleteKeys
-      .select(col(deleteKeys.columns.head).cast(kDt).as("_gf_k"))
-      .groupBy("_gf_k").agg(count(lit(1)).as("_gf_actions"))
+      .select(keyedCols: _*)
+      .groupBy(gfk.map(col): _*).agg(count(lit(1)).as("_gf_actions"))
       .localCheckpoint() // evaluated once across retries
-    val keys = keyActions.select("_gf_k")
+    val keys = keyActions.select(col(gfk.head)).distinct()
     val anyDeletes = keys.limit(1).count() > 0
     // pure no-op delta (MERGE whose every action filtered out): nothing
     // to write, nothing to commit — the parent version IS the result
@@ -1103,7 +1287,8 @@ object CowTable {
       val cum =
         if (!anyDeletes) mDf
         else {
-          val cand = collectEntries(discoverCandidates(mDf, keys, key, kDt))
+          val cand = collectEntries(discoverCandidates(mDf, keys,
+            m.phys(ks.head), kDt))
           if (cand.isEmpty) mDf
           else {
             // positions of the doomed LIVE rows (the scan subtracts each
@@ -1111,30 +1296,35 @@ object CowTable {
             // duplicate into the new cumulative vector)
             val schema = dataSchemaAt(spark, base, parent)
             val hitRows = scanEntries(spark, cand, lineage = true,
-              schema = schema)
-              .withColumn("_gf_k", col(key).cast(kDt))
-              .join(keys, Seq("_gf_k"), "left_semi")
-              .select(col("_gf_file").as("file"), col("_gf_pos").as("pos"),
-                col("_gf_k"))
+              schema = schema, colMap = m.physMap)
+              .withColumns(ks.zipWithIndex.map { case (k, i) =>
+                gfk(i) -> col(k).cast(dtOf(k))
+              }.toMap)
+              .join(keyActions.select(gfk.map(col): _*), gfk, "left_semi")
+              .select(col("_gf_file").as("file") +: col("_gf_pos").as("pos")
+                +: gfk.map(col): _*)
               .localCheckpoint()
-            // ROW-IDENTITY GUARD: the delta protocol deletes by key, so
-            // a key matching MORE live rows than it has delete actions
-            // would silently vector out rows the statement never touched
-            // (the duplicate-key UPDATE data-loss anomaly). Refuse — the
-            // table violates the clustering-key-as-row-identity contract
-            // the SQL row-level surface requires.
-            val over = hitRows.groupBy("_gf_k").agg(count(lit(1)).as("n"))
-              .join(keyActions, Seq("_gf_k"))
+            // ROW-IDENTITY GUARD: the delta protocol deletes by key
+            // tuple, so a tuple matching MORE live rows than it has
+            // delete actions would silently vector out rows the
+            // statement never touched (the duplicate-key UPDATE
+            // data-loss anomaly). Refuse — the table violates the
+            // clustering-key-as-row-identity contract the SQL row-level
+            // surface requires.
+            val over = hitRows.groupBy(gfk.map(col): _*)
+              .agg(count(lit(1)).as("n"))
+              .join(keyActions, gfk)
               .filter(col("n") > col("_gf_actions"))
               .limit(1).collect()
             require(over.isEmpty, {
               val r = over.head
+              val tuple = gfk.indices.map(r.get).mkString("(", ", ", ")")
               s"clustering key `$key` is not unique under $base: key " +
-                s"${r.get(0)} has ${r.getLong(1)} live rows but only " +
-                s"${r.getLong(2)} delete action(s) address it — a " +
-                "key-identified delete would drop rows the statement " +
-                "never matched; deduplicate the table (or merge by key) " +
-                "before using SQL row-level DML"
+                s"$tuple has ${r.getLong(gfk.size)} live rows but only " +
+                s"${r.getLong(gfk.size + 1)} delete action(s) address " +
+                "it — a key-identified delete would drop rows the " +
+                "statement never matched; deduplicate the table (or " +
+                "merge by key) before using SQL row-level DML"
             })
             val hits = hitRows.select(col("file"), col("pos"))
             val perFile = hits.groupBy("file").agg(count(lit(1)).as("n"))
@@ -1147,13 +1337,7 @@ object CowTable {
               val allRows =
                 if (oldDv.isEmpty) hits
                 else hits.unionByName(vectorRows(spark, oldDv))
-              val token = java.util.UUID.randomUUID().toString
-              val tmp = new Path(base, s".dv-$token")
-              allRows.write.mode("overwrite").parquet(tmp.toString)
-              val dst = new Path(base, s"files/$token-dv")
-              fs.mkdirs(new Path(base, "files"))
-              require(fs.rename(tmp, dst), s"dv move failed: $tmp -> $dst")
-              val dvPath = norm(dst.toString)
+              val dvPath = writeVector(spark, base, allRows)
               staleDv = Some(dvPath)
               val deltas = perFile.toSeq.toDF("file", "_gf_n")
               mDf.join(deltas, Seq("file"), "left")
@@ -1204,12 +1388,99 @@ object CowTable {
         s"column `${f.name}` already exists under $base"))
       val widened = org.apache.spark.sql.types.StructType(
         schema.fields ++ fields.map(_.copy(nullable = true)))
+      // column mapping: a new column whose name was EVER used physically
+      // (a dropped or renamed predecessor) gets a fresh physical name —
+      // old files must serve NULL for it, not the predecessor's values
+      var m2 = m
+      fields.foreach { f =>
+        val p0 = freshPhys(m2, schema, f.name)
+        m2 = m2.copy(
+          colMap = if (p0 == f.name) m2.colMap
+                   else m2.colMap :+ (f.name -> p0),
+          physUsed = (m2.physUsed :+ p0).distinct)
+      }
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent, manifestDfAt(spark, base, parent),
-          None, Some(m.copy(schemaJson = widened.json))),
+          None, Some(m2.copy(schemaJson = widened.json))),
         retain, parent) match {
         case Some(v) => result = v
         case None => () // concurrent commit: re-widen against its schema
+      }
+    }
+    result
+  }
+
+  /** DDL `ALTER TABLE … RENAME COLUMN` as one metadata-only commit:
+    * the logical name changes, the PHYSICAL name in every pool file
+    * stays — reads map through the meta's column mapping on all paths
+    * (API scan, DSv2, CDF). Key columns are refused (the key is table
+    * identity: manifests, vectors and row ids are derived from it). */
+  def renameColumn(spark: SparkSession, base: String, from: String,
+                   to: String, retain: Int = 1): Long = {
+    var result = -1L
+    while (result < 0) {
+      val parent = AtomicPublish.committed(spark, base)
+      require(parent >= 0, s"no committed version under $base")
+      val m = metaAt(spark, base, parent).getOrElse(sys.error(
+        s"no table meta under $base"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(schema.fieldNames.contains(from),
+        s"column `$from` does not exist under $base")
+      require(!schema.fieldNames.contains(to),
+        s"column `$to` already exists under $base")
+      require(!splitKeys(m.key).contains(from),
+        s"column `$from` is part of the clustering key (the row " +
+          "identity): key columns cannot be renamed")
+      val phys = m.phys(from)
+      val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(
+        f => if (f.name == from) f.copy(name = to) else f))
+      val m2 = m.copy(schemaJson = renamed.json,
+        colMap = m.colMap.filterNot(_._1 == from) :+ (to -> phys),
+        physUsed = (m.physUsed :+ phys).distinct,
+        statsCols = m.statsCols.map(c => if (c == from) to else c))
+      AtomicPublish.tryPublish(spark, base,
+        payload(spark, base, parent, manifestDfAt(spark, base, parent),
+          None, Some(m2)), retain, parent) match {
+        case Some(v) => result = v
+        case None => ()
+      }
+    }
+    result
+  }
+
+  /** DDL `ALTER TABLE … DROP COLUMN` as one metadata-only commit: the
+    * column leaves the logical schema and the mapping; its physical
+    * data stays in old files (never projected again) and its physical
+    * name stays RESERVED so a later re-add cannot resurrect stale
+    * values. Key columns are refused. */
+  def dropColumn(spark: SparkSession, base: String, name: String,
+                 retain: Int = 1): Long = {
+    var result = -1L
+    while (result < 0) {
+      val parent = AtomicPublish.committed(spark, base)
+      require(parent >= 0, s"no committed version under $base")
+      val m = metaAt(spark, base, parent).getOrElse(sys.error(
+        s"no table meta under $base"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(schema.fieldNames.contains(name),
+        s"column `$name` does not exist under $base")
+      require(!splitKeys(m.key).contains(name),
+        s"column `$name` is part of the clustering key (the row " +
+          "identity): key columns cannot be dropped")
+      val phys = m.phys(name)
+      val m2 = m.copy(
+        schemaJson = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(_.name == name)).json,
+        colMap = m.colMap.filterNot(_._1 == name),
+        physUsed = (m.physUsed :+ phys).distinct,
+        statsCols = m.statsCols.filterNot(_ == name))
+      AtomicPublish.tryPublish(spark, base,
+        payload(spark, base, parent, manifestDfAt(spark, base, parent),
+          None, Some(m2)), retain, parent) match {
+        case Some(v) => result = v
+        case None => ()
       }
     }
     result
@@ -1248,7 +1519,8 @@ object CowTable {
     val newEntries =
       if (rows.isEmpty) Seq.empty
       else writePool(spark, base, rows, m.key,
-        numFiles = math.max(1, replaced.size), m.statsCols)
+        numFiles = math.max(1, replaced.size), m.statsCols,
+        colMap = m.physMap)
     if (replaced.isEmpty && newEntries.isEmpty)
       return AtomicPublish.committed(spark, base) // no-op
     val replacedDf = replaced.toDF("file", "_gf_dv").localCheckpoint()

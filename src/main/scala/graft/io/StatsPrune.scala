@@ -36,9 +36,10 @@ private[graft] object StatsPrune {
     * comparison is exact string order, not the lossy long encoding
     * kmin/kmax carry for the bucket join. */
   def mayContain(pred: Column, key: String,
-                 stringKey: Boolean = false): Column =
+                 stringKey: Boolean = false,
+                 rename: Map[String, String] = Map.empty): Column =
     translate(org.apache.spark.sql.graftbridge.ColumnBridge.expression(pred),
-      if (stringKey) "" else key).getOrElse(lit(true))
+      if (stringKey) "" else key, rename).getOrElse(lit(true))
 
   private def attrName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute => Some(a.name)
@@ -57,60 +58,65 @@ private[graft] object StatsPrune {
     * cast to long (casting the long bound down to a narrower literal
     * type could overflow); for stats columns the stored strings are
     * cast to the literal's type. */
-  private def bound(n: String, key: String, l: Literal)
+  private def bound(n: String, key: String, l: Literal,
+                    rename: Map[String, String])
                    (test: (Column, Column, Column) => Column): Option[Column] = {
     if (l.value == null) return None // null literal: matches nothing; skip
+    // predicates name LOGICAL columns; the stats maps are keyed by
+    // PHYSICAL names (stable across column renames)
+    val pn = rename.getOrElse(n, n)
     val (lo, hi, v) =
       if (n == key)
         (col("kmin"), col("kmax"), litCol(l).cast("long"))
       else
-        (element_at(col("smin"), lit(n)).cast(l.dataType),
-          element_at(col("smax"), lit(n)).cast(l.dataType),
+        (element_at(col("smin"), lit(pn)).cast(l.dataType),
+          element_at(col("smax"), lit(pn)).cast(l.dataType),
           litCol(l))
     // NULL bounds (column not in the stats set, or an all-null file)
     // keep the file
     Some(coalesce(test(lo, hi, v), lit(true)))
   }
 
-  private def translate(e: Expression, key: String): Option[Column] = e match {
+  private def translate(e: Expression, key: String,
+                        rename: Map[String, String]): Option[Column] = e match {
     case And(a, b) =>
-      (translate(a, key), translate(b, key)) match {
+      (translate(a, key, rename), translate(b, key, rename)) match {
         case (None, None) => None
         case (x, y) => Some(x.getOrElse(lit(true)) && y.getOrElse(lit(true)))
       }
     case Or(a, b) =>
-      for (x <- translate(a, key); y <- translate(b, key)) yield x || y
+      for (x <- translate(a, key, rename); y <- translate(b, key, rename)) yield x || y
 
     case EqualTo(a, l: Literal) =>
-      attrName(a).flatMap(n => bound(n, key, l)((lo, hi, v) =>
+      attrName(a).flatMap(n => bound(n, key, l, rename)((lo, hi, v) =>
         lo <= v && hi >= v))
-    case EqualTo(l: Literal, a) => translate(EqualTo(a, l), key)
+    case EqualTo(l: Literal, a) => translate(EqualTo(a, l), key, rename)
     case EqualNullSafe(a, l: Literal) if l.value != null =>
-      translate(EqualTo(a, l), key)
+      translate(EqualTo(a, l), key, rename)
     case EqualNullSafe(l: Literal, a) if l.value != null =>
-      translate(EqualTo(a, l), key)
+      translate(EqualTo(a, l), key, rename)
 
     case GreaterThan(a, l: Literal) =>
-      attrName(a).flatMap(n => bound(n, key, l)((_, hi, v) => hi > v))
-    case GreaterThan(l: Literal, a) => translate(LessThan(a, l), key)
+      attrName(a).flatMap(n => bound(n, key, l, rename)((_, hi, v) => hi > v))
+    case GreaterThan(l: Literal, a) => translate(LessThan(a, l), key, rename)
     case GreaterThanOrEqual(a, l: Literal) =>
-      attrName(a).flatMap(n => bound(n, key, l)((_, hi, v) => hi >= v))
+      attrName(a).flatMap(n => bound(n, key, l, rename)((_, hi, v) => hi >= v))
     case GreaterThanOrEqual(l: Literal, a) =>
-      translate(LessThanOrEqual(a, l), key)
+      translate(LessThanOrEqual(a, l), key, rename)
     case LessThan(a, l: Literal) =>
-      attrName(a).flatMap(n => bound(n, key, l)((lo, _, v) => lo < v))
-    case LessThan(l: Literal, a) => translate(GreaterThan(a, l), key)
+      attrName(a).flatMap(n => bound(n, key, l, rename)((lo, _, v) => lo < v))
+    case LessThan(l: Literal, a) => translate(GreaterThan(a, l), key, rename)
     case LessThanOrEqual(a, l: Literal) =>
-      attrName(a).flatMap(n => bound(n, key, l)((lo, _, v) => lo <= v))
+      attrName(a).flatMap(n => bound(n, key, l, rename)((lo, _, v) => lo <= v))
     case LessThanOrEqual(l: Literal, a) =>
-      translate(GreaterThanOrEqual(a, l), key)
+      translate(GreaterThanOrEqual(a, l), key, rename)
 
     case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       attrName(a).map { n =>
         // IN = OR of equalities; a null element matches nothing and is
         // dropped. All-null list -> false would be aggressive; keep true.
         val terms = vs.collect { case l: Literal if l.value != null =>
-          bound(n, key, l)((lo, hi, v) => lo <= v && hi >= v)
+          bound(n, key, l, rename)((lo, hi, v) => lo <= v && hi >= v)
         }.flatten
         if (terms.isEmpty) lit(true) else terms.reduce(_ || _)
       }
@@ -122,15 +128,15 @@ private[graft] object StatsPrune {
         if f.nameParts.size == 1 =>
       (f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
         f.arguments.toList) match {
-        case ("and", a :: b :: Nil) => translate(And(a, b), key)
-        case ("or", a :: b :: Nil) => translate(Or(a, b), key)
-        case ("=" | "==", a :: b :: Nil) => translate(EqualTo(a, b), key)
-        case ("<=>", a :: b :: Nil) => translate(EqualNullSafe(a, b), key)
-        case ("<", a :: b :: Nil) => translate(LessThan(a, b), key)
-        case ("<=", a :: b :: Nil) => translate(LessThanOrEqual(a, b), key)
-        case (">", a :: b :: Nil) => translate(GreaterThan(a, b), key)
-        case (">=", a :: b :: Nil) => translate(GreaterThanOrEqual(a, b), key)
-        case ("in", a :: rest) if rest.nonEmpty => translate(In(a, rest), key)
+        case ("and", a :: b :: Nil) => translate(And(a, b), key, rename)
+        case ("or", a :: b :: Nil) => translate(Or(a, b), key, rename)
+        case ("=" | "==", a :: b :: Nil) => translate(EqualTo(a, b), key, rename)
+        case ("<=>", a :: b :: Nil) => translate(EqualNullSafe(a, b), key, rename)
+        case ("<", a :: b :: Nil) => translate(LessThan(a, b), key, rename)
+        case ("<=", a :: b :: Nil) => translate(LessThanOrEqual(a, b), key, rename)
+        case (">", a :: b :: Nil) => translate(GreaterThan(a, b), key, rename)
+        case (">=", a :: b :: Nil) => translate(GreaterThanOrEqual(a, b), key, rename)
+        case ("in", a :: rest) if rest.nonEmpty => translate(In(a, rest), key, rename)
         case _ => None
       }
 

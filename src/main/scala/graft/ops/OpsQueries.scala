@@ -377,6 +377,19 @@ object OpsQueries {
     // rewrite is runtime-pruned to the matched files (group-based COW)
     "cow_sql_merge_pruned" -> ((s, dir) =>
       graft.sources.GraftCatalog.mergePrunedCheck(s, dir)),
+    // composite clustering key (l_orderkey, l_linenumber): MERGE joins
+    // on the full tuple (group route, runtime-pruned), UPDATE row-
+    // identifies by the tuple (delta route, vectors)
+    "cow_composite_key" -> ((s, dir) =>
+      graft.sources.GraftCatalog.compositeKeyCheck(s, dir)),
+    // column mapping: RENAME/DROP COLUMN metadata-only over immutable
+    // physical names; re-added names never resurrect dropped data
+    "cow_col_mapping" -> ((s, dir) =>
+      graft.sources.GraftCatalog.colMappingCheck(s, dir)),
+    // spark.readStream.table("graft.t"): bootstrap snapshot + live
+    // append batches through the catalog, folded == whole table
+    "stream_table_read" -> ((s, dir) =>
+      graft.streaming.TableFeed.check(s, dir)),
     // SQL time travel: VERSION AS OF / TIMESTAMP AS OF through the catalog
     "cow_time_travel" -> ((s, dir) =>
       graft.sources.GraftCatalog.timeTravelCheck(s, dir)),
@@ -718,6 +731,9 @@ object OpsQueries {
     "cow_sql_delete" -> graft.sources.GraftCatalog.checkSql,
     "cow_sql_merge" -> graft.sources.GraftCatalog.mergeCheckSql,
     "cow_sql_merge_pruned" -> graft.sources.GraftCatalog.mergePrunedSql,
+    "cow_composite_key" -> graft.sources.GraftCatalog.compositeKeySql,
+    "cow_col_mapping" -> graft.sources.GraftCatalog.colMappingSql,
+    "stream_table_read" -> graft.streaming.TableFeed.checkSql,
     "cow_time_travel" -> graft.sources.GraftCatalog.timeTravelSql,
     "cow_sql_registry" -> graft.sources.GraftCatalog.registrySql,
     "stream_cdf" -> graft.streaming.CdfStream.checkSql,

@@ -76,7 +76,10 @@ private[sources] class CowRowLevelOperation(base: String, key: String,
       override def build(): DeltaWrite = new CowDeltaWrite(base, key, info)
     }
 
-  override def rowId(): Array[NamedReference] = Array(Expressions.column(key))
+  /** The row identity: EVERY clustering-key column (composite keys —
+    * the reference's SCD2/fact grains — delete by the full tuple). */
+  override def rowId(): Array[NamedReference] =
+    CowTable.splitKeys(key).map(Expressions.column).toArray
 
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
@@ -286,7 +289,8 @@ private[sources] class CowDeltaBatchWrite(base: String, key: String,
   private val dataSchema = info.schema()
   private val rowIdSchema: StructType =
     if (info.rowIdSchema().isPresent) info.rowIdSchema().get()
-    else new StructType().add(key, LongType)
+    else CowTable.splitKeys(key)
+      .foldLeft(new StructType())((s, k) => s.add(k, LongType))
 
   override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory =
     new CowDeltaWriterFactory(staging, dataSchema.json, rowIdSchema.json,
@@ -305,7 +309,9 @@ private[sources] class CowDeltaBatchWrite(base: String, key: String,
           else Some(spark.read.schema(dataSchema).parquet(ins: _*))
         val deleteKeys =
           if (dels.isEmpty)
-            spark.range(0).select(col("id").as(key))
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              StructType(rowIdSchema.fields.map(_.copy(nullable = true))))
           else spark.read.schema(
             StructType(rowIdSchema.fields.map(_.copy(nullable = true))))
             .parquet(dels: _*)

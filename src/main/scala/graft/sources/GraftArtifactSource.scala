@@ -191,6 +191,38 @@ private[sources] class ArtifactScan(base: String, dataset: String,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** COLUMN MAPPING (cow tables only): logical → physical column names
+    * from the scanned version's meta. Pool files and footer stats carry
+    * PHYSICAL names; everything Spark sees here is logical. Resolved at
+    * the scanned version (the `dir` pins it), so a time-travel read
+    * before a rename maps with that version's names. */
+  private lazy val physRename: Map[String, String] =
+    if (!cow) Map.empty
+    else {
+      val spark = SparkSession.active
+      val v = "/v(\\d+)/manifest$".r.findFirstMatchIn(dir)
+        .map(_.group(1).toLong)
+      v.flatMap(graft.io.CowTable.metaAt(spark, base, _))
+        .orElse(graft.io.CowTable.meta(spark, base))
+        .map(_.physMap).getOrElse(Map.empty)
+    }
+
+  private def physName(n: String): String = physRename.getOrElse(n, n)
+
+  /** Pushed filters with attribute names translated to PHYSICAL — what
+    * footer pruning and parquet record predicates compare against. */
+  private lazy val pushedPhys: Array[Filter] =
+    if (physRename.isEmpty) pushed
+    else pushed.map {
+      case EqualTo(a, v) => EqualTo(physName(a), v)
+      case In(a, vs) => In(physName(a), vs)
+      case GreaterThan(a, v) => GreaterThan(physName(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(physName(a), v)
+      case LessThan(a, v) => LessThan(physName(a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(physName(a), v)
+      case other => other
+    }
+
   /** RUNTIME file filtering on the virtual `_file` column — what lets
     * Spark's own `RowLevelOperationRuntimeGroupFiltering` prune a
     * group-based MERGE's target scan to the files that actually hold a
@@ -253,10 +285,17 @@ private[sources] class ArtifactScan(base: String, dataset: String,
           "(the table's clustering key, for the row-level diff)")
       new CdfMicroBatchStream(base, keyCol, startVersion, required,
         checkpointLocation)
+    } else if (cow) {
+      // `spark.readStream.table("graft.t")`: the TABLE-SCHEMA feed — a
+      // bootstrap snapshot batch, then each committed version's
+      // insert/update POST-IMAGES (deletes are not representable in the
+      // table schema; subscribe changeFeed=true for full I/U/D)
+      require(keyCol.nonEmpty,
+        "streaming a cow table requires its clustering key (the catalog " +
+          "passes it; raw format readers add .option(\"key\", ...))")
+      new TableFeedMicroBatchStream(base, keyCol, startVersion, required,
+        checkpointLocation)
     } else {
-      require(!cow, "cow tables stream by commit-log version, whose payload " +
-        "is a manifest (rewrites re-reference rows); stream changeFeed=true " +
-        "for row-level changes, or the underlying publishes")
       new ArtifactMicroBatchStream(base, dataset, startVersion, required)
     }
   }
@@ -310,14 +349,19 @@ private[sources] class ArtifactScan(base: String, dataset: String,
     // footer reads are independent I/O — a sequential pass over a
     // 100k-file table costs minutes of driver wall; a bounded pool
     // keeps it tens of seconds (the order of `kept` is restored from
-    // the listing so partition planning stays deterministic)
+    // the listing so partition planning stays deterministic).
+    // `pushedPhys` is FORCED here, on the initializing thread: lazy
+    // vals of one object share the `this` monitor, so a future thread
+    // touching an uninitialized lazy while this thread awaits inside
+    // keptFiles' own initializer would deadlock.
+    val pushedP = pushedPhys
     def evalOne(f: String, dv: String, dvRows: Long): Option[ArtifactScan.Kept] = {
       val in = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(f), conf))
       try {
         val blocks = in.getFooter.getBlocks.asScala
         val mayMatch = blocks.exists { b =>
-          pushed.forall { flt =>
+          pushedP.forall { flt =>
             val colOf = ArtifactScan.filterColumn(flt)
             b.getColumns.asScala
               .find(_.getPath.toDotString == colOf)
@@ -376,9 +420,17 @@ private[sources] class ArtifactScan(base: String, dataset: String,
       java.util.OptionalLong.of(keptFiles.map(_.rows).sum)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ArtifactReaderFactory(required.json, pushed, new SerializableHadoopConf(
-      SparkSession.active.sparkContext.hadoopConfiguration))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the reader projects by PHYSICAL field name; output rows are
+    // positional, so Spark still sees the logical `required` schema.
+    // `_file` is virtual and never mapped.
+    val requiredPhys = StructType(required.fields.map(f =>
+      if (f.name == ArtifactScan.FileCol) f
+      else f.copy(name = physName(f.name))))
+    new ArtifactReaderFactory(requiredPhys.json, pushedPhys,
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+  }
 
   override def description(): String =
     s"graft-artifact $dir pushed=[${pushed.mkString(", ")}] " +
@@ -518,6 +570,74 @@ private[sources] class CdfMicroBatchStream(base: String, key: String,
   override def stop(): Unit = ()
 }
 
+/** `spark.readStream.table("graft.t")` — the TABLE-SCHEMA subscription
+  * to a [[graft.io.CowTable]]: the first batch is the earliest retained
+  * snapshot (bootstrap), every later committed version becomes one
+  * exactly-once micro-batch of its row-level insert/update POST-IMAGES
+  * (cost O(changed files), never a re-scan). Deletes have no
+  * representation in the table schema and are omitted by design — a
+  * consumer that must see them subscribes `changeFeed=true` (the
+  * [[CdfMicroBatchStream]] twin, which carries `_change_type`).
+  * Batches are materialized once under the stream's checkpoint so a
+  * replayed batch re-serves identical files. */
+private[sources] class TableFeedMicroBatchStream(base: String, key: String,
+                                                 startVersion: Option[Long],
+                                                 required: StructType,
+                                                 checkpointLocation: String)
+  extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private def fs = new Path(base)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Offset −1 = "nothing consumed": the next batch bootstraps from the
+    * earliest retained snapshot. `startVersion` skips the bootstrap and
+    * begins at that version's diff (the CDF cursor convention). */
+  override def initialOffset(): Offset =
+    VersionOffset(startVersion.map(_ - 1).getOrElse(-1L))
+
+  override def latestOffset(): Offset =
+    VersionOffset(graft.io.AtomicPublish.committed(spark, base))
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset("""-?\d+""".r.findFirstIn(json)
+      .getOrElse(sys.error(s"bad offset: $json")).toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].version
+    val e = end.asInstanceOf[VersionOffset].version
+    if (e <= s) return Array.empty
+    val committed = graft.io.AtomicPublish.versions(spark, base)
+    val span = committed.filter(v => v > s && v <= e)
+    span.flatMap { v =>
+      val prev = committed.filter(_ < v).lastOption
+      val out = new Path(checkpointLocation, s"_graft_feed/v$v")
+      if (!fs.exists(new Path(out, "_SUCCESS"))) {
+        val batch = prev match {
+          case None => // earliest retained version: bootstrap snapshot
+            graft.io.CowTable.readAt(spark, base, v)
+          case Some(p) =>
+            graft.io.CowTable.changes(spark, base, p, v, key)
+              .filter(org.apache.spark.sql.functions
+                .col("_change_type") =!= "delete")
+              .drop("_change_type")
+        }
+        batch.write.mode("overwrite").parquet(out.toString)
+      }
+      fs.listStatus(out).toSeq.map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+        .map(p => ArtifactPartition(p.toString))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArtifactReaderFactory(required.json, Array.empty,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 private[sources] object ArtifactScan {
 
   /** The virtual metadata column naming each row's physical file (the
@@ -547,7 +667,19 @@ private[sources] object ArtifactScan {
     case _ => false
   }
 
+  /** Parquet stores DATE as INT32 epoch days, but a pushed Filter's
+    * literal arrives as java.sql.Date / LocalDate — normalize to days. */
+  private def epochDays(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
   private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y) if integral(x) && epochDays(y).isDefined =>
+      java.lang.Long.compare(x.longValue(), epochDays(y).get)
+    case (x, y: Number) if integral(y) && epochDays(x).isDefined =>
+      java.lang.Long.compare(epochDays(x).get, y.longValue())
     // both integral: compare as longs — a double comparison collapses
     // values beyond 2^53 (max=2^53+1 vs GreaterThan(2^53) would compare
     // EQUAL and prune a file that contains matching rows: silent row
@@ -624,7 +756,11 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
   /** The (row positions) this partition's deletion vector voids for its
     * file: the vector directory's parts are read through a parquet-mr
     * record filter on `file = <this file>`, so only this file's share of
-    * the (shared, cumulative) vector is materialized. */
+    * the (shared, cumulative) vector is materialized. Vector content
+    * references files by BASENAME (relocatable tables); legacy vectors
+    * stored the full write-time path — matched as the OR of both (a
+    * legacy-vectored table cannot have moved, so its write-time path IS
+    * the current one). */
   private def deletedPositions(conf: Configuration, dvDir: String,
                                file: String): java.util.HashSet[java.lang.Long] = {
     val set = new java.util.HashSet[java.lang.Long]()
@@ -634,8 +770,12 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
     dvConf.unset(ReadSupport.PARQUET_READ_SCHEMA)
     val p = new Path(dvDir)
     val fs = p.getFileSystem(dvConf)
-    val pred = FilterApi.eq(FilterApi.binaryColumn("file"),
-      org.apache.parquet.io.api.Binary.fromString(file))
+    val pred = FilterApi.or(
+      FilterApi.eq(FilterApi.binaryColumn("file"),
+        org.apache.parquet.io.api.Binary.fromString(
+          file.substring(file.lastIndexOf('/') + 1))),
+      FilterApi.eq(FilterApi.binaryColumn("file"),
+        org.apache.parquet.io.api.Binary.fromString(file)))
     fs.listStatus(p).toSeq.map(_.getPath)
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
       .foreach { part =>

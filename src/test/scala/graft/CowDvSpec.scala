@@ -195,4 +195,45 @@ class CowDvSpec extends SparkSpec {
     assert(CowTable.lastTxn(spark, base, "s2") === 0L)
     assert(CowTable.read(spark, base).count() === 3L)
   }
+
+  test("a live-DV table is relocatable: RENAME TO serves identical " +
+    "rows (vectors reference files by basename)") {
+    val wh = Files.createTempDirectory("cow_dvren").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      val df = (1 to 400).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      CowTable.create(spark, s"$wh/dv_live", df, "id", numFiles = 4)
+      // scattered delete: every file vectored, none rewritten
+      CowTable.dvDelete(spark, s"$wh/dv_live", col("id") % 7 === 0)
+      val m = CowTable.manifest(spark, s"$wh/dv_live")
+      assert(m.forall(_.dvRows > 0), "every file must carry a vector")
+      val agg = "SELECT SUM(CAST(v AS DECIMAL(18,2))), COUNT(*) FROM "
+      val before = spark.sql(agg + "graft.dv_live").head()
+      spark.sql("ALTER TABLE graft.dv_live RENAME TO dv_moved")
+      val after = spark.sql(agg + "graft.dv_moved").head()
+      assert(after === before,
+        "the moved table must serve the identical vectored snapshot")
+      // the API path re-roots too
+      assert(CowTable.read(spark, s"$wh/dv_moved")
+        .filter(col("id") % 7 === 0).count() === 0L)
+      // and a post-move delta commit keeps working (cumulative vector
+      // over the re-rooted one)
+      CowTable.dvDelete(spark, s"$wh/dv_moved", col("id") % 11 === 0)
+      assert(CowTable.read(spark, s"$wh/dv_moved")
+        .filter(col("id") % 11 === 0 || col("id") % 7 === 0).count() === 0L)
+
+      // a LEGACY vector (no _RELOC marker) still refuses relocation
+      val dv0 = CowTable.manifest(spark, s"$wh/dv_moved")
+        .map(_.dv).filter(_.nonEmpty).head
+      new java.io.File(dv0, "_RELOC").delete()
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.dv_moved RENAME TO dv_again")
+      }
+      assert(e.getMessage.contains("LEGACY deletion vector"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft.warehouse")
+    }
+  }
 }

@@ -430,11 +430,30 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("UPDATE graft.t_reg SET note = 'x' WHERE id <= 5")
       assert(spark.sql("SELECT COUNT(note) FROM graft.t_reg")
         .head().getLong(0) === 5L)
-      // non-additive changes are refused
+      // COLUMN MAPPING: rename is metadata-only — the physical data in
+      // old files serves under the new logical name on every path
+      val preRen = CowTable.manifest(spark, s"$wh/t_reg").map(_.file).toSet
+      spark.sql("ALTER TABLE graft.t_reg RENAME COLUMN note TO memo")
+      assert(CowTable.manifest(spark, s"$wh/t_reg").map(_.file).toSet
+        === preRen, "RENAME COLUMN must not rewrite data files")
+      assert(spark.sql("SELECT COUNT(memo) FROM graft.t_reg")
+        .head().getLong(0) === 5L)
+      assert(CowTable.read(spark, s"$wh/t_reg")
+        .filter(col("memo") === "x").count() === 5L,
+        "the API path must map the renamed column too")
+      // DROP leaves old files intact; RE-ADDING the name must NOT
+      // resurrect the dropped physical values
+      spark.sql("ALTER TABLE graft.t_reg DROP COLUMN memo")
+      assert(!spark.table("graft.t_reg").columns.contains("memo"))
+      spark.sql("ALTER TABLE graft.t_reg ADD COLUMN memo STRING")
+      assert(spark.sql("SELECT COUNT(memo) FROM graft.t_reg")
+        .head().getLong(0) === 0L,
+        "a re-added column must read NULL, not the dropped data")
+      // key columns stay immutable identity
       val e = intercept[Exception] {
-        spark.sql("ALTER TABLE graft.t_reg DROP COLUMN note")
+        spark.sql("ALTER TABLE graft.t_reg RENAME COLUMN id TO id2")
       }
-      assert(e.getMessage.contains("ADD COLUMN"))
+      assert(e.getMessage.contains("clustering key"))
       // maintenance procedures accept warehouse-relative names too
       assert(spark.sql(
         "CALL graft.compact(`table` => 't_reg', target_rows => 1000)")
