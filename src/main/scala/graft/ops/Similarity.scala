@@ -538,14 +538,49 @@ object Similarity {
     */
   def semDedup(spark: SparkSession, dir: String,
                threshold: Double = 0.9,
-               corpus: VecCorpus = Similarity.embCorpus): DataFrame = {
-    val e = corpus.normalizedOf(spark, dir)
+               corpus: VecCorpus = Similarity.embCorpus,
+               maxList: Int = 0,
+               onBound: (Long, Long) => Unit = Similarity.logBound): DataFrame = {
+    val e0 = corpus.normalizedOf(spark, dir)
       .join(graft.ops.Ivf.assignments(spark, dir, corpus), "vec_id")
-    val a = e.select(col("centroid_id"), col("vec_id").as("keep_c"),
-      col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("centroid_id"), col("vec_id").as("drop_id"),
-      col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("centroid_id"))
+    // PER-LIST PAIR BOUND (maxList > 0): a pathologically hot inverted
+    // list — a true-dup cluster densified far beyond the sqrt-law —
+    // degrades the O(sum list^2) pair stage quadratically. Lists longer
+    // than maxList produce pairs only WITHIN deterministic maxList-sized
+    // chunks (ordered by vec_id), so pair production is bounded by
+    // n*maxList/2 however skewed the density; cross-chunk near-dup
+    // pairs are DROPPED and reported loudly via `onBound(oversizedLists,
+    // droppedPairs)` — never a silent cap. The registered queries run
+    // unbounded (fixture lists are sqrt-law bounded); the bound is the
+    // 100 TB degenerate-density guard (tools/SemDedupScale measures it).
+    val e =
+      if (maxList <= 0) e0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("centroid_id").orderBy("vec_id")
+        val chunked = e0.withColumn("_chunk",
+          ((row_number().over(w) - lit(1)) / lit(maxList)).cast("long"))
+        val full = floor(col("n") / lit(maxList)).cast("long")
+        val rem = col("n") % lit(maxList)
+        val rep = chunked.groupBy("centroid_id")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxList)
+          .agg(count(lit(1)),
+            sum(col("n") * (col("n") - 1) / lit(2)
+              - full * lit(maxList.toLong * (maxList - 1) / 2)
+              - rem * (rem - 1) / lit(2)).cast("long"))
+          .head()
+        if (!rep.isNullAt(0) && rep.getLong(0) > 0)
+          onBound(rep.getLong(0), rep.getLong(1))
+        chunked
+      }
+    val pairCols = if (maxList <= 0) Seq("centroid_id")
+                   else Seq("centroid_id", "_chunk")
+    val a = e.select((pairCols.map(col) :+ col("vec_id").as("keep_c") :+
+      col("v").as("va") :+ col("norm").as("na")): _*)
+    val b = e.select((pairCols.map(col) :+ col("vec_id").as("drop_id") :+
+      col("v").as("vb") :+ col("norm").as("nb")): _*)
+    a.join(b, pairCols)
       .filter(col("keep_c") < col("drop_id"))
       .select(col("centroid_id"), col("drop_id"), col("keep_c"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -557,6 +592,13 @@ object Similarity {
       .select(col("centroid_id"), col("drop_id"), col("keep_id"),
         col("cosine_sim"))
   }
+
+  /** Default bound report: loud, in-band with driver logs. */
+  private def logBound(lists: Long, dropped: Long): Unit =
+    System.err.println(s"[semDedup] per-list pair bound engaged: " +
+      s"$lists oversized list(s), $dropped candidate pair(s) dropped " +
+      "(cross-chunk near-dups in those lists are not compared; " +
+      "exact/MinHash dedup layers still catch identical content)")
 
   /** DuckDB twin: same IVF assignment CTEs, same pair filter, `arg_min`
     * for the keeper's cosine.

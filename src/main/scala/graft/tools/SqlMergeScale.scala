@@ -19,13 +19,24 @@ import graft.io.CowTable
   *   - `untouched`: manifest entries carried byte-identical (must be
   *     files−1: only the matched file rewrites; inserts append).
   *
-  * Usage: runMain graft.tools.SqlMergeScale <sfDir> [copies] [files]
+  * Usage: runMain graft.tools.SqlMergeScale <sfDir> [copies] [files] [mode]
+  *
+  * `mode` (default `long`) re-runs the identical protocol over the two
+  * other key paths the engine serves:
+  *   - `string`: a VARCHAR clustering key with an adversarial shared
+  *     prefix (`Customer#000…` — zero-padded, every key shares 9+
+  *     chars), exercising the LCP-stripped 7-byte bucket encoding at
+  *     scale;
+  *   - `warehouse`: the long-key table addressed BY NAME through the
+  *     catalog registry (`graft.<name>` + warehouse conf) — proves
+  *     name resolution adds no scan cost.
   */
 object SqlMergeScale {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val copies = if (args.length > 1) args(1).toInt else 100
     val files = if (args.length > 2) args(2).toInt else 64
+    val mode = if (args.length > 3) args(3) else "long"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -34,13 +45,16 @@ object SqlMergeScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (mode == "string") { stringMode(spark, src, copies, files); return }
+
     val orders0 = graft.Tables.orders(spark, src)
     val mx0 = orders0.agg(max("o_orderkey")).head().getLong(0) + 1
     val orders = (0 until copies).map(c =>
       orders0.withColumn("o_orderkey", col("o_orderkey") + lit(c * mx0)))
       .reduce(_ unionAll _)
 
-    val base = s"/tmp/graft_sqlmerge_scale_$copies/t"
+    val wh = s"/tmp/graft_sqlmerge_scale_$copies"
+    val base = s"$wh/t"
     val p = new org.apache.hadoop.fs.Path(base)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     val t0 = System.nanoTime()
@@ -50,6 +64,13 @@ object SqlMergeScale {
 
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
+    // warehouse mode: the SAME table addressed by NAME through the
+    // registry — resolution goes conf → warehouse dir → cow meta
+    val tref =
+      if (mode == "warehouse") {
+        spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        "graft.t"
+      } else s"graft.`$base`"
     // matched keys: the lowest eighth of copy 0 = 1/(8·copies) of the
     // keyspace — ONE file's range at any copies ≥ files/8
     val k = col("o_orderkey")
@@ -62,7 +83,7 @@ object SqlMergeScale {
 
     val t1 = System.nanoTime()
     spark.sql(
-      s"""MERGE INTO graft.`$base` t USING mrg_src s
+      s"""MERGE INTO $tref t USING mrg_src s
          |ON t.o_orderkey = s.o_orderkey
          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
          |WHEN NOT MATCHED THEN INSERT
@@ -76,11 +97,73 @@ object SqlMergeScale {
 
     val t2 = System.nanoTime()
     val total = spark.sql(
-      s"SELECT SUM(o_totalprice) FROM graft.`$base`").head().getDouble(0)
+      s"SELECT SUM(o_totalprice) FROM $tref").head().getDouble(0)
     val fullScanS = (System.nanoTime() - t2) / 1e9
 
-    println(f"""{"copies":$copies,"rows":$nRows,"files":$files,""" +
-      f""""create_s":$createS%.1f,"merge_s":$mergeS%.1f,""" +
+    println(f"""{"mode":"$mode%s","copies":$copies,"rows":$nRows,""" +
+      f""""files":$files,"create_s":$createS%.1f,"merge_s":$mergeS%.1f,""" +
+      f""""full_scan_s":$fullScanS%.1f,"untouched":$untouched,""" +
+      f""""sum":$total%.2f}""")
+    spark.stop()
+  }
+
+  /** The identical range-local protocol over a VARCHAR clustering key
+    * whose every value shares a long zero-padded prefix — the
+    * adversarial shape for the LCP-stripped order-preserving encoding
+    * the string bucket join prunes on. */
+  private def stringMode(spark: SparkSession, src: String, copies: Int,
+                         files: Int): Unit = {
+    val cust0 = graft.Tables.customer(spark, src)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val mx0 = cust0.agg(max("c_custkey")).head().getLong(0) + 1
+    def nameOf(keyCol: org.apache.spark.sql.Column) =
+      concat(lit("Customer#"), lpad(keyCol.cast("string"), 12, "0"))
+    val cust = (0 until copies).map(c =>
+      cust0.withColumn("c_custkey", col("c_custkey") + lit(c * mx0)))
+      .reduce(_ unionAll _)
+      .withColumn("c_name", nameOf(col("c_custkey")))
+
+    val base = s"/tmp/graft_strmerge_scale_$copies/t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val t0 = System.nanoTime()
+    CowTable.create(spark, base, cust, "c_name", numFiles = files)
+    val createS = (System.nanoTime() - t0) / 1e9
+    val nRows = CowTable.manifest(spark, base).map(_.rows).sum
+
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    // matched NAMES: the zero-padded encoding makes name order = key
+    // order, so copy 0's lowest eighth is ONE file's range
+    val k = col("c_custkey")
+    val srcDf = cust0.filter(k * 8 <= lit(mx0) && k % 7 === 0)
+      .withColumn("c_name", nameOf(k))
+      .withColumn("c_acctbal", col("c_acctbal") + lit(5.0))
+      .unionByName(cust0.filter(k % 103 === 5)
+        .withColumn("c_name", nameOf(k + lit(copies.toLong * mx0)))
+        .withColumn("c_custkey", k + lit(copies.toLong * mx0)))
+    srcDf.createOrReplaceTempView("mrg_str_src")
+    val pre = CowTable.manifest(spark, base).map(_.file).toSet
+
+    val t1 = System.nanoTime()
+    spark.sql(
+      s"""MERGE INTO graft.`$base` t USING mrg_str_src s
+         |ON t.c_name = s.c_name
+         |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+         |WHEN NOT MATCHED THEN INSERT
+         |  (c_custkey, c_mktsegment, c_acctbal, c_name)
+         |  VALUES (s.c_custkey, 'NEW', s.c_acctbal, s.c_name)""".stripMargin)
+    val mergeS = (System.nanoTime() - t1) / 1e9
+    val untouched = CowTable.manifest(spark, base).map(_.file).toSet
+      .intersect(pre).size
+
+    val t2 = System.nanoTime()
+    val total = spark.sql(
+      s"SELECT SUM(c_acctbal) FROM graft.`$base`").head().getDouble(0)
+    val fullScanS = (System.nanoTime() - t2) / 1e9
+
+    println(f"""{"mode":"string","copies":$copies,"rows":$nRows,""" +
+      f""""files":$files,"create_s":$createS%.1f,"merge_s":$mergeS%.1f,""" +
       f""""full_scan_s":$fullScanS%.1f,"untouched":$untouched,""" +
       f""""sum":$total%.2f}""")
     spark.stop()

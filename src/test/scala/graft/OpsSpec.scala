@@ -1300,4 +1300,34 @@ class OpsSpec extends SparkSpec {
     assert(sampleMean > corpusMean,
       s"sample mean weight $sampleMean not above corpus mean $corpusMean")
   }
+
+  test("semDedup per-list pair bound: subset of the unbounded result, " +
+    "loud dropped-pairs report, no-op when lists fit") {
+    import graft.ops.Similarity
+    val unbounded = Similarity.semDedup(spark, sf0001, threshold = 0.3)
+      .select("drop_id", "keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a bound far above every list size must not change anything (and
+    // must not fire the report)
+    var fired = 0
+    val loose = Similarity.semDedup(spark, sf0001, threshold = 0.3,
+      maxList = 1000000, onBound = (_, _) => fired += 1)
+      .select("drop_id", "keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fired === 0 && loose === unbounded,
+      "a non-binding bound must be a no-op")
+    // a tight bound reports and only ever REMOVES candidate pairs —
+    // drop decisions are per-pair, so survivors are a subset at the
+    // (drop_id) grain
+    var lists = 0L
+    var dropped = 0L
+    val tight = Similarity.semDedup(spark, sf0001, threshold = 0.3,
+      maxList = 4, onBound = (l, d) => { lists = l; dropped = d })
+      .select("drop_id").collect().map(_.getLong(0)).toSet
+    assert(lists > 0 && dropped > 0,
+      "a binding bound must report the recall trade")
+    val unboundedDrops = unbounded.map(_._1)
+    assert(tight.subsetOf(unboundedDrops),
+      "chunked pair production can only lose drop candidates")
+  }
 }
