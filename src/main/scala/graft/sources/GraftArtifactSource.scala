@@ -608,6 +608,14 @@ private[sources] class TableFeedMicroBatchStream(base: String, key: String,
     val e = end.asInstanceOf[VersionOffset].version
     if (e <= s) return Array.empty
     val committed = graft.io.AtomicPublish.versions(spark, base)
+    // a consumer that has consumed THROUGH version s must diff FROM s:
+    // if retention pruned it, re-bootstrapping would silently duplicate
+    // rows the checkpoint already delivered — fail fast instead (the
+    // CDF stream's contract)
+    require(s < 0 || committed.contains(s),
+      s"feed base version $s under $base is pruned or was never " +
+        "committed; increase the writer's retain window for streaming " +
+        "readers")
     val span = committed.filter(v => v > s && v <= e)
     span.flatMap { v =>
       val prev = committed.filter(_ < v).lastOption
