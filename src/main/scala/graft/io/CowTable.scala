@@ -238,8 +238,12 @@ object CowTable {
       // a STRING leading key's natural (exact, full-string) min/max
       // always rides in the stats maps — discovery and predicate pruning
       // compare strings exactly there; the long kmin/kmax carry the
-      // lossy order-preserving encoding for the bucket join
-      val sCols = (statsCols ++ (if (isStringKey(kDt)) Seq(ks.head) else Nil))
+      // lossy order-preserving encoding for the bucket join. NON-LEADING
+      // key columns always get stats too: the sort makes them locally
+      // clustered within each leading range, so predicates on the rest
+      // of the tuple (the SCD2 `effective_from`) prune for free.
+      val sCols = (statsCols ++ (if (isStringKey(kDt)) Seq(ks.head) else Nil)
+        ++ ks.tail)
         .distinct.filter(df.columns.contains)
       val sminE =
         if (sCols.isEmpty) typedLit(Map.empty[String, String])

@@ -107,4 +107,49 @@ class ArtifactStreamSpec extends SparkSpec {
       assert(got.select("tag").as[String].collect() === Array("v2"))
     } finally q.stop()
   }
+
+  test("readStream.table: checkpoint restart resumes after the last " +
+    "version; a pruned base fails fast instead of re-bootstrapping") {
+    val wh = Files.createTempDirectory("tfeed_wh").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      val base = s"$wh/tf"
+      graft.io.CowTable.create(spark, base,
+        (1 to 40).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+        "id", numFiles = 2, retain = 4)
+      val ck = Files.createTempDirectory("tfeed_ck").toString
+      val out = Files.createTempDirectory("tfeed_out").toString
+      // the memory sink cannot recover a checkpoint; the FILE sink can —
+      // restart semantics are exactly what this spec pins
+      def drain(): Long = {
+        val q = spark.readStream.table("graft.tf")
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally q.stop()
+        spark.read.parquet(out).count()
+      }
+      assert(drain() === 40L, "bootstrap snapshot")
+      graft.io.CowTable.append(spark, base,
+        Seq((100L, 1.0)).toDF("id", "v"), retain = 4)
+      // RESTART from the same checkpoint: only the append arrives —
+      // a re-bootstrap would deliver 40 duplicate rows
+      assert(drain() === 41L,
+        "restart must resume after the consumed version, not re-bootstrap")
+
+      // prune past the consumed offset: retain=1 commits collapse
+      // history; the restarted consumer must fail fast, not duplicate
+      (0 until 3).foreach(i => graft.io.CowTable.append(spark, base,
+        Seq((200L + i, 1.0)).toDF("id", "v"), retain = 1))
+      val e = intercept[Exception] { drain() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("pruned")),
+        s"expected a pruned-base failure, got: ${msgs(e).mkString(" | ")}")
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
 }

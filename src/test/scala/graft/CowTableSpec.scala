@@ -458,6 +458,23 @@ class CowTableSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(probe.filter(col("user_id") === 1L).count() === 2L)
   }
 
+  test("non-leading key columns carry per-file stats: a predicate on " +
+    "the tuple's tail prunes discovery") {
+    val base = Files.createTempDirectory("cow_tailstats").toString + "/t"
+    // (user_id, seq): seq correlates with user_id under the key sort,
+    // so each file covers a narrow seq range
+    val df = (1 to 800).map(i => (i.toLong / 4, i.toLong, s"v$i"))
+      .toDF("user_id", "seq", "payload")
+    CowTable.create(spark, base, df, "user_id,seq", numFiles = 8)
+    var scanned = -1L
+    var total = -1L
+    CowTable.deleteWhere(spark, base, col("seq") > 780L, "user_id,seq",
+      onDiscovery = (s, t) => { scanned = s; total = t })
+    assert(total === 8L && scanned > 0 && scanned < total,
+      s"tail-key stats must prune discovery: scanned $scanned/$total")
+    assert(CowTable.read(spark, base).count() === 780L)
+  }
+
   test("replaceFiles with a scan version refuses ANY intervening commit " +
     "(serializable group MERGE, no write skew)") {
     val base = Files.createTempDirectory("cow_ser").toString + "/t"
