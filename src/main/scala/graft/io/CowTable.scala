@@ -115,6 +115,15 @@ object CowTable {
     def physMap: Map[String, String] = colMap.toMap
   }
 
+  /** Column-mapping entries serialize as `l=p;l=p` in the meta table —
+    * a name carrying the separators would corrupt the parse. Enforced
+    * only where mapping entries are MINTED (rename/add); identity
+    * columns never enter the map. */
+  private def requireMappableName(n: String): Unit =
+    require(!n.contains(";") && !n.contains("=") && n.nonEmpty,
+      s"column name `$n` cannot carry ';' or '=' (column-mapping " +
+        "serialization)")
+
   /** A collision-free PHYSICAL name for a new logical column: taken =
     * every physical name ever used (dropped/renamed included) plus the
     * live schema's physical names (covers pre-mapping metas with an
@@ -1388,8 +1397,11 @@ object CowTable {
         s"no table meta under $base — addColumns needs a created cow table"))
       val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      fields.foreach(f => require(!schema.fieldNames.contains(f.name),
-        s"column `${f.name}` already exists under $base"))
+      fields.foreach { f =>
+        require(!schema.fieldNames.contains(f.name),
+          s"column `${f.name}` already exists under $base")
+        requireMappableName(f.name)
+      }
       val widened = org.apache.spark.sql.types.StructType(
         schema.fields ++ fields.map(_.copy(nullable = true)))
       // column mapping: a new column whose name was EVER used physically
@@ -1433,6 +1445,8 @@ object CowTable {
         s"column `$from` does not exist under $base")
       require(!schema.fieldNames.contains(to),
         s"column `$to` already exists under $base")
+      requireMappableName(to)
+      requireMappableName(from)
       require(!splitKeys(m.key).contains(from),
         s"column `$from` is part of the clustering key (the row " +
           "identity): key columns cannot be renamed")
