@@ -76,9 +76,15 @@ class GraftArtifactSource extends TableProvider with DataSourceRegister {
     val data =
       if (cow(options)) {
         // a COW table's version payload is its manifest; the DATA schema
-        // comes from the table meta (survives an emptied table) or, for
-        // legacy tables, the pool files the manifest references
-        graft.io.CowTable.meta(spark, options.get("base")) match {
+        // comes from the table meta AT THE RESOLVED VERSION (so a
+        // version-pinned read of a later-renamed column sees that
+        // version's names, consistently with the scan's column mapping)
+        // or, for legacy tables, the pool files the manifest references
+        val base = options.get("base")
+        val v = Option(options.get("version")).map(_.toLong)
+          .getOrElse(graft.io.AtomicPublish.committed(spark, base))
+        graft.io.CowTable.metaAt(spark, base, v)
+          .orElse(graft.io.CowTable.meta(spark, base)) match {
           case Some(m) =>
             DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
           case None =>
