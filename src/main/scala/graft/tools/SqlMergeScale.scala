@@ -29,7 +29,12 @@ import graft.io.CowTable
   *     scale;
   *   - `warehouse`: the long-key table addressed BY NAME through the
   *     catalog registry (`graft.<name>` + warehouse conf) — proves
-  *     name resolution adds no scan cost.
+  *     name resolution adds no scan cost;
+  *   - `composite`: the tuple-keyed table (`(o_custkey, o_orderkey)` —
+  *     the leading column alone non-unique) merged ON both key columns
+  *     with matches confined to the lowest leading range — proves
+  *     runtime pruning and the tuple row identity stay O(matched
+  *     files) at 100×.
   */
 object SqlMergeScale {
   def main(args: Array[String]): Unit = {
@@ -46,6 +51,7 @@ object SqlMergeScale {
     spark.sparkContext.setLogLevel("WARN")
 
     if (mode == "string") { stringMode(spark, src, copies, files); return }
+    if (mode == "composite") { compositeMode(spark, src, copies, files); return }
 
     val orders0 = graft.Tables.orders(spark, src)
     val mx0 = orders0.agg(max("o_orderkey")).head().getLong(0) + 1
@@ -101,6 +107,67 @@ object SqlMergeScale {
     val fullScanS = (System.nanoTime() - t2) / 1e9
 
     println(f"""{"mode":"$mode%s","copies":$copies,"rows":$nRows,""" +
+      f""""files":$files,"create_s":$createS%.1f,"merge_s":$mergeS%.1f,""" +
+      f""""full_scan_s":$fullScanS%.1f,"untouched":$untouched,""" +
+      f""""sum":$total%.2f}""")
+    spark.stop()
+  }
+
+  /** The identical range-local protocol over the COMPOSITE clustering
+    * key `(o_custkey, o_orderkey)`: replication multiplies the CUSTOMER
+    * space (leading key), matches confine to copy 0's lowest eighth of
+    * customers, and the MERGE joins on the full tuple. */
+  private def compositeMode(spark: SparkSession, src: String, copies: Int,
+                            files: Int): Unit = {
+    val orders0 = graft.Tables.orders(spark, src)
+      .select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+    val cmx0 = orders0.agg(max("o_custkey")).head().getLong(0) + 1
+    val mx0 = orders0.agg(max("o_orderkey")).head().getLong(0) + 1
+    val orders = (0 until copies).map(c =>
+      orders0.withColumn("o_custkey", col("o_custkey") + lit(c * cmx0))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(c * mx0)))
+      .reduce(_ unionAll _)
+
+    val base = s"/tmp/graft_ckmerge_scale_$copies/t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val t0 = System.nanoTime()
+    CowTable.create(spark, base, orders, "o_custkey,o_orderkey",
+      numFiles = files)
+    val createS = (System.nanoTime() - t0) / 1e9
+    val nRows = CowTable.manifest(spark, base).map(_.rows).sum
+
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    val ck = col("o_custkey")
+    val srcDf = orders0
+      .filter(ck * 8 <= lit(cmx0) && col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+      .unionByName(orders0.filter(col("o_orderkey") % 103 === 5)
+        .withColumn("o_orderkey",
+          col("o_orderkey") + lit(copies.toLong * mx0)))
+    srcDf.createOrReplaceTempView("mrg_ck_src")
+    val pre = CowTable.manifest(spark, base).map(_.file).toSet
+
+    val t1 = System.nanoTime()
+    spark.sql(
+      s"""MERGE INTO graft.`$base` t USING mrg_ck_src s
+         |ON t.o_custkey = s.o_custkey AND t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT
+         |  (o_custkey, o_orderkey, o_orderstatus, o_totalprice)
+         |  VALUES (s.o_custkey, s.o_orderkey, 'I', s.o_totalprice)
+         |""".stripMargin)
+    val mergeS = (System.nanoTime() - t1) / 1e9
+    val untouched = CowTable.manifest(spark, base).map(_.file).toSet
+      .intersect(pre).size
+
+    val t2 = System.nanoTime()
+    val total = spark.sql(
+      s"SELECT SUM(o_totalprice) FROM graft.`$base`").head().getDouble(0)
+    val fullScanS = (System.nanoTime() - t2) / 1e9
+
+    println(f"""{"mode":"composite","copies":$copies,"rows":$nRows,""" +
       f""""files":$files,"create_s":$createS%.1f,"merge_s":$mergeS%.1f,""" +
       f""""full_scan_s":$fullScanS%.1f,"untouched":$untouched,""" +
       f""""sum":$total%.2f}""")
