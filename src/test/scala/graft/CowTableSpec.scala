@@ -458,6 +458,42 @@ class CowTableSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(probe.filter(col("user_id") === 1L).count() === 2L)
   }
 
+  test("a composite key with a STRING leading column discovers " +
+    "range-locally and row-identifies by tuple") {
+    val base = Files.createTempDirectory("cow_strcomp").toString + "/t"
+    // (user_name, version): many versions per name — name alone is not
+    // a row identity; every name shares the `user_` prefix (the LCP
+    // strip must still spread discovery buckets)
+    val df = (0 until 400).map(i =>
+      (f"user_${i / 4}%04d", (i % 4).toLong, i * 1.0))
+      .toDF("user_name", "version", "v")
+    CowTable.create(spark, base, df, "user_name,version", numFiles = 4)
+    val pre = CowTable.manifest(spark, base).map(_.file).toSet
+
+    // range-local merge: names in the lowest quarter only
+    val batch = (0 until 25).map(i =>
+      (f"user_${i}%04d", 1L, -1.0, false))
+      .toDF("user_name", "version", "v", "_delete")
+    CowTable.merge(spark, base, batch, "user_name,version")
+    val kept = CowTable.manifest(spark, base).map(_.file).toSet
+      .intersect(pre)
+    assert(kept.size === 3,
+      s"string-leading composite discovery must be range-local: " +
+        s"kept ${kept.size}/4")
+    // exactly one version of each touched name updated
+    assert(CowTable.read(spark, base).filter(col("v") === -1.0)
+      .count() === 25L)
+    assert(CowTable.read(spark, base).count() === 400L)
+
+    // SQL UPDATE by the full tuple (delta route, string+long rowId)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql(s"UPDATE graft.`$base` SET v = -2.0 " +
+      "WHERE user_name = 'user_0099' AND version = 3")
+    assert(CowTable.read(spark, base).filter(col("v") === -2.0)
+      .count() === 1L)
+  }
+
   test("non-leading key columns carry per-file stats: a predicate on " +
     "the tuple's tail prunes discovery") {
     val base = Files.createTempDirectory("cow_tailstats").toString + "/t"
