@@ -219,6 +219,11 @@ object Bench {
     // retimed_full_run.
     val prev = sys.env.get("SPARK_GRAFT_PREV").map(prevQueries)
       .getOrElse(Map.empty)
+    // shape drift in the previous round's JSON silently disables the
+    // rule — say so instead of quietly skipping every retime
+    if (sys.env.contains("SPARK_GRAFT_PREV") && prev.isEmpty)
+      System.err.println("[bench] SPARK_GRAFT_PREV parsed to an empty " +
+        "query map: the round-over-round retime rule is OFF this run")
     val prevSuspects = afterCohort.collect {
       case (name, t)
           if t > 0.5 && !failed.contains(name) &&
@@ -248,7 +253,9 @@ object Bench {
       .mkString("{", ",", "}")
     val streamFull = streamNames
       .map(k => "\"" + k + "\":" + fullRun(k)).mkString("{", ",", "}")
-    val retimedFull = (outliers ++ prevSuspects)
+    // a query flagged by BOTH rules must emit its key once (duplicate
+    // JSON keys), with the later stage's pre-retime figure winning
+    val retimedFull = (outliers ++ prevSuspects).distinct
       .map(k => "\"" + k + "\":" +
         prevSuspects.find(_ == k).flatMap(n => afterCohort.toMap.get(n))
           .getOrElse(fullRun(k)))

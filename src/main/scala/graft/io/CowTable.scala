@@ -87,6 +87,20 @@ import org.apache.spark.sql.functions._
   * foreachBatch writer gets exactly-once MERGE semantics across
   * checkpoint replays ([[exactlyOnceMerge]]).
   */
+/** A serializability conflict on a cow-table commit: the statement
+  * planned against a snapshot that a concurrent commit has since
+  * invalidated. TYPED (not a bare require/IllegalArgumentException) so
+  * callers can classify it as retryable and re-run the statement against
+  * the new snapshot — the same contract as Delta's
+  * ConcurrentModificationException family. The conflict test is
+  * deliberately snapshot-strict (any intervening commit conflicts, not
+  * just overlapping key ranges): the statement's match set was derived
+  * from a discovery join against the WHOLE snapshot, so a concurrent
+  * append can introduce newly-matched keys in files outside the replaced
+  * set — committing anyway would be write skew. */
+class ConcurrentWriteException(message: String)
+  extends RuntimeException(message)
+
 object CowTable {
 
   case class Entry(file: String, rows: Long, kmin: Long, kmax: Long,
@@ -373,6 +387,13 @@ object CowTable {
                         version: Long): Seq[Entry] =
     collectEntries(manifestDfAt(spark, base, version))
 
+  /** Manifest entries of version `v` — what lets the table-feed stream
+    * serve a bootstrap batch DIRECTLY from the version's immutable pool
+    * files (with their vectors) instead of copying the snapshot. */
+  private[graft] def entriesAtVersion(spark: SparkSession, base: String,
+                                      v: Long): Seq[Entry] =
+    entriesAt(spark, base, v)
+
   private def metaDf(spark: SparkSession, m: Meta): DataFrame = {
     import spark.implicits._
     Seq((m.schemaJson, m.key, m.statsCols.mkString(","),
@@ -649,6 +670,10 @@ object CowTable {
   def create(spark: SparkSession, base: String, df: DataFrame, key: String,
              numFiles: Int, retain: Int = 1,
              statsCols: Seq[String] = Nil): Long = {
+    // every column name may later enter the mapping's `physUsed`
+    // reservation (dropColumn appends the physical name verbatim), so
+    // the separator guard applies at BIRTH, not just when entries mint
+    df.schema.fieldNames.foreach(requireMappableName)
     val entries = writePool(spark, base, df, key, numFiles, statsCols)
     AtomicPublish.publish(spark, base,
       payload(spark, base, -1L, entriesDf(spark, entries), None,
@@ -665,6 +690,7 @@ object CowTable {
                   statsCols: Seq[String] = Nil, retain: Int = 1): Long = {
     splitKeys(key).foreach(k => require(schema.fieldNames.contains(k),
       s"clustering key column `$k` is not a column of the table schema"))
+    schema.fieldNames.foreach(requireMappableName) // see create
     require(!AtomicPublish.exists(spark, base),
       s"cow table already exists under $base")
     AtomicPublish.publish(spark, base,
@@ -838,6 +864,7 @@ object CowTable {
           val extra = e.fields.drop(ts.length)
           var m2 = pm
           extra.foreach { f =>
+            requireMappableName(f.name)
             val p0 = freshPhys(m2, ts, f.name)
             m2 = m2.copy(
               colMap = if (p0 == f.name) m2.colMap
@@ -1488,6 +1515,9 @@ object CowTable {
         s"column `$name` is part of the clustering key (the row " +
           "identity): key columns cannot be dropped")
       val phys = m.phys(name)
+      // the physical name joins physUsed, whose serialization splits on
+      // ';' — a legacy (pre-guard) table could still carry one
+      requireMappableName(phys)
       val m2 = m.copy(
         schemaJson = org.apache.spark.sql.types.StructType(
           schema.fields.filterNot(_.name == name)).json,
@@ -1550,17 +1580,19 @@ object CowTable {
       // scanVersion — any later commit may hold newly-matched keys in
       // files OUTSIDE the replaced set, so it conflicts even if the
       // replaced entries themselves are untouched
-      scanVersion.foreach(sv => require(parent == sv,
-        s"concurrent update conflict under $base: the statement planned " +
-          s"against v$sv but v$parent has since committed — retry the " +
-          "statement against the new snapshot"))
+      scanVersion.foreach(sv => if (parent != sv)
+        throw new ConcurrentWriteException(
+          s"concurrent update conflict under $base: the statement planned " +
+            s"against v$sv but v$parent has since committed — retry the " +
+            "statement against the new snapshot"))
       val mDf = manifestDfAt(spark, base, parent)
       val live = mDf.join(replacedDf, Seq("file"))
         .filter(col("dv") === col("_gf_dv")).count()
-      require(live == replaced.size,
-        s"concurrent update conflict under $base: ${replaced.size - live} " +
-          s"of ${replaced.size} replaced files were rewritten or vectored " +
-          "since the statement's scan — retry the statement")
+      if (live != replaced.size)
+        throw new ConcurrentWriteException(
+          s"concurrent update conflict under $base: ${replaced.size - live} " +
+            s"of ${replaced.size} replaced files were rewritten or vectored " +
+            "since the statement's scan — retry the statement")
       val untouched = mDf.join(replacedDf.select("file"), Seq("file"),
         "left_anti")
       AtomicPublish.tryPublish(spark, base,

@@ -377,7 +377,7 @@ object OpsQueries {
     // rewrite is runtime-pruned to the matched files (group-based COW)
     "cow_sql_merge_pruned" -> ((s, dir) =>
       graft.sources.GraftCatalog.mergePrunedCheck(s, dir)),
-    // composite clustering key (l_orderkey, l_linenumber): MERGE joins
+    // composite clustering key (o_custkey, o_orderkey): MERGE joins
     // on the full tuple (group route, runtime-pruned), UPDATE row-
     // identifies by the tuple (delta route, vectors)
     "cow_composite_key" -> ((s, dir) =>

@@ -106,7 +106,9 @@ class GraftArtifactSource extends TableProvider with DataSourceRegister {
       Option(opts.get("startVersion")).map(_.toLong),
       cow(opts), changeFeed(opts),
       Option(opts.get("key")).getOrElse(""),
-      resolveDir(opts), schema)
+      resolveDir(opts), schema,
+      skipChangeCommits =
+        Option(opts.get("skipChangeCommits")).exists(_.toBoolean))
   }
 }
 
@@ -115,7 +117,8 @@ private[sources] class ArtifactTable(base: String, dataset: String,
                                      cow: Boolean,
                                      changeFeed: Boolean = false,
                                      keyCol: String = "",
-                                     dir: String, tableSchema: StructType)
+                                     dir: String, tableSchema: StructType,
+                                     skipChangeCommits: Boolean = false)
   extends Table with SupportsRead {
   override def name(): String = s"graft-artifact `$dir`"
   override def schema(): StructType = tableSchema
@@ -124,7 +127,7 @@ private[sources] class ArtifactTable(base: String, dataset: String,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArtifactScanBuilder(base, dataset, startVersion, cow, changeFeed,
-      keyCol, dir, tableSchema)
+      keyCol, dir, tableSchema, skipChangeCommits)
 }
 
 private[sources] class ArtifactScanBuilder(base: String, dataset: String,
@@ -132,7 +135,8 @@ private[sources] class ArtifactScanBuilder(base: String, dataset: String,
                                            cow: Boolean,
                                            changeFeed: Boolean,
                                            keyCol: String,
-                                           dir: String, full: StructType)
+                                           dir: String, full: StructType,
+                                           skipChangeCommits: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -174,7 +178,7 @@ private[sources] class ArtifactScanBuilder(base: String, dataset: String,
       else requiredSchema
   override def build(): Scan =
     new ArtifactScan(base, dataset, startVersion, cow, changeFeed, keyCol,
-      dir, full, required, pushed)
+      dir, full, required, pushed, skipChangeCommits)
 }
 
 /** One pool file; `dv` (optional) is the deletion-vector directory the
@@ -190,7 +194,8 @@ private[sources] class ArtifactScan(base: String, dataset: String,
                                     keyCol: String,
                                     dir: String, full: StructType,
                                     required: StructType,
-                                    pushed: Array[Filter])
+                                    pushed: Array[Filter],
+                                    skipChangeCommits: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -294,13 +299,17 @@ private[sources] class ArtifactScan(base: String, dataset: String,
     } else if (cow) {
       // `spark.readStream.table("graft.t")`: the TABLE-SCHEMA feed — a
       // bootstrap snapshot batch, then each committed version's
-      // insert/update POST-IMAGES (deletes are not representable in the
-      // table schema; subscribe changeFeed=true for full I/U/D)
+      // insert/update POST-IMAGES. A version carrying DELETES (or
+      // UPDATES, which an append-mode sink would double-count) FAILS
+      // FAST by default — deletes are not representable in the table
+      // schema, so serving the rest would silently diverge from the
+      // table; `skipChangeCommits=true` opts into post-images-only,
+      // and changeFeed=true carries full I/U/D fidelity.
       require(keyCol.nonEmpty,
         "streaming a cow table requires its clustering key (the catalog " +
           "passes it; raw format readers add .option(\"key\", ...))")
       new TableFeedMicroBatchStream(base, keyCol, startVersion, required,
-        checkpointLocation)
+        checkpointLocation, skipChangeCommits)
     } else {
       new ArtifactMicroBatchStream(base, dataset, startVersion, required)
     }
@@ -572,24 +581,50 @@ private[sources] class CdfMicroBatchStream(base: String, key: String,
     new ArtifactReaderFactory(required.json, Array.empty,
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
 
-  override def commit(end: Offset): Unit = ()
+  /** Reclaim materialized diff directories for batches at or below the
+    * committed offset — same O(in-flight) checkpoint-storage contract as
+    * the table feed's commit. Dir names are `v<to>-from-<prev>`. */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[VersionOffset].version
+    val dir = new Path(checkpointLocation, "_graft_cdf")
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") &&
+        n.drop(1).takeWhile(_ != '-').toLongOption.exists(_ <= e))
+        fs.delete(st.getPath, true)
+    }
+  }
   override def stop(): Unit = ()
 }
 
 /** `spark.readStream.table("graft.t")` — the TABLE-SCHEMA subscription
   * to a [[graft.io.CowTable]]: the first batch is the earliest retained
-  * snapshot (bootstrap), every later committed version becomes one
-  * exactly-once micro-batch of its row-level insert/update POST-IMAGES
-  * (cost O(changed files), never a re-scan). Deletes have no
-  * representation in the table schema and are omitted by design — a
-  * consumer that must see them subscribes `changeFeed=true` (the
-  * [[CdfMicroBatchStream]] twin, which carries `_change_type`).
-  * Batches are materialized once under the stream's checkpoint so a
-  * replayed batch re-serves identical files. */
+  * snapshot (bootstrap — served DIRECTLY from that version's immutable
+  * pool files, never copied, whenever the version carries no column
+  * mapping), every later committed version becomes one exactly-once
+  * micro-batch of its row-level insert POST-IMAGES (cost O(changed
+  * files), never a re-scan).
+  *
+  * DELETE- or UPDATE-bearing versions FAIL FAST by default: a delete
+  * has no representation in the table schema and an update's post-image
+  * double-counts in an append-mode sink, so serving either silently
+  * diverges the subscriber from the table — at 100 TB an unfindable
+  * drift (the same contract as Delta's `readStream.table`, which errors
+  * on data-changing commits). The error names the two remedies:
+  * `changeFeed=true` (the [[CdfMicroBatchStream]] twin, full I/U/D
+  * fidelity) or the explicit `skipChangeCommits=true` opt-out, which
+  * restores post-images-only (inserts + update post-images, deletes
+  * omitted).
+  *
+  * Diff batches are materialized once under the stream's checkpoint so
+  * a replayed batch re-serves identical files; [[commit]] prunes the
+  * materialized directories at or below the committed offset, so
+  * checkpoint storage is O(in-flight batches), not O(table history). */
 private[sources] class TableFeedMicroBatchStream(base: String, key: String,
                                                  startVersion: Option[Long],
                                                  required: StructType,
-                                                 checkpointLocation: String)
+                                                 checkpointLocation: String,
+                                                 skipChangeCommits: Boolean = false)
   extends MicroBatchStream {
 
   private def spark = SparkSession.active
@@ -625,22 +660,54 @@ private[sources] class TableFeedMicroBatchStream(base: String, key: String,
     val span = committed.filter(v => v > s && v <= e)
     span.flatMap { v =>
       val prev = committed.filter(_ < v).lastOption
-      val out = new Path(checkpointLocation, s"_graft_feed/v$v")
-      if (!fs.exists(new Path(out, "_SUCCESS"))) {
-        val batch = prev match {
-          case None => // earliest retained version: bootstrap snapshot
-            graft.io.CowTable.readAt(spark, base, v)
-          case Some(p) =>
-            graft.io.CowTable.changes(spark, base, p, v, key)
-              .filter(org.apache.spark.sql.functions
-                .col("_change_type") =!= "delete")
-              .drop("_change_type")
-        }
-        batch.write.mode("overwrite").parquet(out.toString)
+      prev match {
+        case None
+          if graft.io.CowTable.metaAt(spark, base, v)
+            .forall(_.physMap.isEmpty) =>
+          // bootstrap from the earliest retained version: the snapshot
+          // IS its immutable pool files (DVs subtracted by the reader),
+          // so serve them in place — a copy under the checkpoint would
+          // be O(table) storage for nothing. A replay re-resolves the
+          // same entries (fail-fast if retention pruned them). Mapped
+          // tables (logical ≠ physical names) fall through to the
+          // materialized path below, which writes logical names.
+          graft.io.CowTable.entriesAtVersion(spark, base, v)
+            .map(en => ArtifactPartition(en.file, en.dv))
+        case _ =>
+          val out = new Path(checkpointLocation, s"_graft_feed/v$v")
+          if (!fs.exists(new Path(out, "_SUCCESS"))) {
+            val batch = prev match {
+              case None => // mapped-table bootstrap: materialize once
+                graft.io.CowTable.readAt(spark, base, v)
+              case Some(p) =>
+                val ch = graft.io.CowTable.changes(spark, base, p, v, key)
+                  .localCheckpoint() // one diff: guard check + the write
+                if (!skipChangeCommits) {
+                  val kinds = ch
+                    .filter(org.apache.spark.sql.functions
+                      .col("_change_type").isin("delete", "update"))
+                    .select("_change_type").distinct()
+                    .collect().map(_.getString(0)).sorted
+                  require(kinds.isEmpty,
+                    s"version $v of $base carries ${kinds.mkString("/")} " +
+                      "changes, which the table-schema stream cannot " +
+                      "represent faithfully (deletes vanish, update " +
+                      "post-images double-count in append sinks): " +
+                      "subscribe with changeFeed=true for full I/U/D " +
+                      "fidelity, or set skipChangeCommits=true to " +
+                      "receive insert/update post-images only")
+                }
+                ch.filter(org.apache.spark.sql.functions
+                    .col("_change_type") =!= "delete")
+                  .drop("_change_type")
+            }
+            batch.write.mode("overwrite").parquet(out.toString)
+          }
+          fs.listStatus(out).toSeq.map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet") &&
+              !p.getName.startsWith("."))
+            .map(p => ArtifactPartition(p.toString))
       }
-      fs.listStatus(out).toSeq.map(_.getPath)
-        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
-        .map(p => ArtifactPartition(p.toString))
     }.toArray
   }
 
@@ -648,7 +715,19 @@ private[sources] class TableFeedMicroBatchStream(base: String, key: String,
     new ArtifactReaderFactory(required.json, Array.empty,
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
 
-  override def commit(end: Offset): Unit = ()
+  /** Batches at or below the committed offset are never replanned —
+    * reclaim their materialized directories (a long-lived subscriber's
+    * checkpoint must not grow O(history)). */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[VersionOffset].version
+    val dir = new Path(checkpointLocation, "_graft_feed")
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") &&
+        n.drop(1).toLongOption.exists(_ <= e))
+        fs.delete(st.getPath, true)
+    }
+  }
   override def stop(): Unit = ()
 }
 

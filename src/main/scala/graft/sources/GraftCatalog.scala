@@ -909,7 +909,9 @@ private[sources] class CowSqlTable(base: String,
     new ArtifactScanBuilder(base, "manifest",
       Option(options.get("startVersion")).map(_.toLong),
       cow = true, changeFeed = false, keyCol = tableMeta.key,
-      s"$base/v$v/manifest", schema())
+      s"$base/v$v/manifest", schema(),
+      skipChangeCommits =
+        Option(options.get("skipChangeCommits")).exists(_.toBoolean))
   }
 
   // ---- DELETE FROM … WHERE … --------------------------------------

@@ -152,4 +152,102 @@ class ArtifactStreamSpec extends SparkSpec {
         s"expected a pruned-base failure, got: ${msgs(e).mkString(" | ")}")
     } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
   }
+
+  private def chainedMsgs(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else Option(t.getMessage).toSeq ++ chainedMsgs(t.getCause)
+
+  test("readStream.table FAILS FAST on a delete-bearing version " +
+    "(naming changeFeed=true); skipChangeCommits opts into " +
+    "post-images-only") {
+    val wh = Files.createTempDirectory("tfeed_del_wh").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      val base = s"$wh/tfd"
+      graft.io.CowTable.create(spark, base,
+        (1 to 40).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+        "id", numFiles = 2, retain = 8)
+      graft.io.CowTable.deleteWhere(spark, base, col("id") > 30L, "id",
+        retain = 8) // v1 carries deletes
+      val out = Files.createTempDirectory("tfeed_del_out").toString
+      val q = spark.readStream.table("graft.tfd")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("tfeed_del_ck").toString)
+        .outputMode("append").start()
+      val e = intercept[Exception] {
+        try q.processAllAvailable() finally q.stop()
+      }
+      val ms = chainedMsgs(e)
+      assert(ms.exists(m => m.contains("delete") &&
+        m.contains("changeFeed=true") && m.contains("skipChangeCommits")),
+        s"the default must refuse delete-bearing versions and name the " +
+          s"remedies, got: ${ms.mkString(" | ")}")
+
+      // the explicit opt-out restores post-images-only: bootstrap +
+      // nothing for the delete-only version (deletes are omitted — the
+      // subscriber KNOWINGLY diverges, which is the point of the option)
+      val out2 = Files.createTempDirectory("tfeed_skip_out").toString
+      val q2 = spark.readStream.option("skipChangeCommits", "true")
+        .table("graft.tfd")
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation",
+          Files.createTempDirectory("tfeed_skip_ck").toString)
+        .outputMode("append").start()
+      try q2.processAllAvailable() finally q2.stop()
+      // bootstrap is the EARLIEST retained snapshot (40 rows at v0);
+      // v1's delete rows are dropped, so nothing else arrives
+      assert(spark.read.parquet(out2).count() === 40L,
+        "skipChangeCommits must serve post-images only")
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
+
+  test("readStream.table: bootstrap is served from pool files (never " +
+    "copied) and committed diff batches are pruned from the checkpoint") {
+    val wh = Files.createTempDirectory("tfeed_gc_wh").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      val base = s"$wh/tfg"
+      graft.io.CowTable.create(spark, base,
+        (1 to 40).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+        "id", numFiles = 2, retain = 8)
+      val ck = Files.createTempDirectory("tfeed_gc_ck").toString
+      val out = Files.createTempDirectory("tfeed_gc_out").toString
+      val q = spark.readStream.table("graft.tfg")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        graft.io.CowTable.append(spark, base,
+          Seq((100L, 1.0)).toDF("id", "v"), retain = 8)
+        q.processAllAvailable()
+        graft.io.CowTable.append(spark, base,
+          Seq((101L, 1.0)).toDF("id", "v"), retain = 8)
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(spark.read.parquet(out).count() === 42L)
+      // the materialized-batch ledger under the source checkpoint: the
+      // bootstrap must never appear (served in place from the pool) and
+      // committed diff batches must be reclaimed — at most the newest
+      // (not-yet-committed) batch dir may remain
+      val feedDirs = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (!f.isDirectory) Seq.empty
+          else if (f.getName == "_graft_feed")
+            Option(f.listFiles()).toSeq.flatten.toSeq
+          else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        walk(new java.io.File(ck))
+      }
+      assert(!feedDirs.exists(_.getName == "v0"),
+        "the bootstrap snapshot must not be copied under the checkpoint")
+      assert(feedDirs.size <= 1,
+        s"committed batch dirs must be pruned, found: " +
+          feedDirs.map(_.getName).mkString(", "))
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
 }

@@ -521,7 +521,10 @@ class CowTableSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // commit must conflict even though the replaced entries are intact
     CowTable.append(spark, base,
       Seq((500L, "late", 1.0)).toDF("id", "nm", "amt"))
-    val e = intercept[Exception] {
+    // TYPED so SQL-layer callers can classify it as retryable (the
+    // lakehouse ConcurrentModificationException contract), not a bare
+    // IllegalArgumentException
+    val e = intercept[graft.io.ConcurrentWriteException] {
       CowTable.replaceFiles(spark, base,
         Seq((m.head.file, m.head.dv)),
         table(10), scanVersion = Some(v0))
