@@ -189,6 +189,36 @@ object AtomicPublish {
       .foldLeft(-1L)(math.max)
   }
 
+  /** TIME-BASED retention (`VACUUM … OLDER THAN ts`): prune committed
+    * versions whose commit instant predates `tsMillis` — never the
+    * current head, which must stay readable no matter how old. Pruning
+    * stays PREFIX-BY-ID (the invariant the CDC cursor and the streaming
+    * sources rely on: a readable base version proves no committed
+    * version inside a span was pruned): the cutoff is the LARGEST
+    * non-head committed version with instant < ts, and every committed
+    * version at or below it goes, regardless of instant skew. Versions
+    * without a durable instant (legacy layouts) are never time-pruned.
+    * Returns the pruned ids, ascending. */
+  def pruneOlderThan(spark: SparkSession, base: String,
+                     tsMillis: Long): Seq[Long] = {
+    val b = new Path(base)
+    val fs = fsOf(spark, b)
+    val head = committed(spark, base)
+    val cutoffV = committedVersions(spark, b)
+      .filter(v => v != head &&
+        commitInstant(spark, base, v).exists(_ < tsMillis))
+      .foldLeft(-1L)(math.max)
+    if (cutoffV < 0) return Seq.empty
+    val doomed = committedVersions(spark, b)
+      .filter(v => v <= cutoffV && v != head).sorted
+    doomed.foreach { n =>
+      fs.delete(new Path(b, s"v$n"), true)
+      fs.delete(new Path(b, s"_commits/v$n"), false)
+      fs.delete(new Path(b, s"_commits/.orphan-v$n"), false)
+    }
+    doomed
+  }
+
   /** Read dataset `name` of the committed version. */
   def read(spark: SparkSession, base: String, name: String): DataFrame = {
     val v = committed(spark, base)

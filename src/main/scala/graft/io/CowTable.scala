@@ -511,6 +511,43 @@ object CowTable {
     if (isStringKey(kDt)) stringCandidates(mDf, keys, statKey)
     else intervalCandidates(mDf, keys)
 
+  /** TAIL-KEY candidate narrowing: the manifest filter keeping files
+    * whose non-leading key-column stats MAY intersect the given bounds.
+    * Discovery buckets on the LEADING key's ranges, which is useless
+    * when the leading key is low-cardinality (the SCD2 grain
+    * `(user_id, effective_from)` — one user, many versions: every file
+    * holding the user is a leading-range candidate). But [[writePool]]
+    * records per-file min/max for every non-leading key column, and a
+    * file whose tail range cannot intersect the SOURCE's tail hull
+    * cannot hold a row matching any source tuple — the full-tuple row
+    * identity proves it. Each entry is (physical stats-map name, natural
+    * type, source lo, source hi); a missing stats entry (legacy file)
+    * keeps the file — conservative, never correctness. */
+  private def tailMayIntersect(
+      bounds: Seq[(String, org.apache.spark.sql.types.DataType, Any, Any)]): Column =
+    bounds.collect { case (pn, dt, lo, hi) if lo != null && hi != null =>
+      coalesce(element_at(col("smax"), lit(pn)).cast(dt) >= lit(lo) &&
+        element_at(col("smin"), lit(pn)).cast(dt) <= lit(hi), lit(true))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** The source's tail-column hull: one aggregate over the (checkpointed)
+    * key frame, min/max per non-leading key column in its natural type.
+    * `nameOf` maps a key column to the frame's column carrying it. */
+  private def tailBoundsOf(frame: DataFrame, ks: Seq[String],
+                           nameOf: String => String,
+                           dtOf: String => org.apache.spark.sql.types.DataType,
+                           phys: String => String
+                          ): Seq[(String, org.apache.spark.sql.types.DataType, Any, Any)] =
+    if (ks.size <= 1) Nil
+    else {
+      val aggs = ks.tail.flatMap(k => Seq(
+        min(col(nameOf(k)).cast(dtOf(k))), max(col(nameOf(k)).cast(dtOf(k)))))
+      val r = frame.agg(aggs.head, aggs.tail: _*).head()
+      ks.tail.zipWithIndex.map { case (k, i) =>
+        (phys(k), dtOf(k), r.get(2 * i), r.get(2 * i + 1))
+      }
+    }
+
   /** Distributed interval-containment discovery over LONG bounds
     * (`loC`/`hiC` evaluated per manifest row; `keys` carries `_gf_kb`,
     * the long bucket key, and `_gf_kx`, the exact-comparison key):
@@ -882,8 +919,15 @@ object CowTable {
           .getOrElse(src.schema(name).dataType)
       val kDt = colDt(ks.head)
       val srcKeys = src.select(col(ks.head).cast(kDt).as("_gf_k")).distinct()
+      // leading-range candidates, narrowed by the source's TAIL-column
+      // hull: for a low-cardinality leading key (the SCD2 grain) the
+      // leading ranges admit every file holding a touched user — the
+      // tail stats cut the rewrite to the files whose tail range can
+      // actually hold a matched tuple
       val affectedDf = discoverCandidates(mDf, srcKeys,
         mergeMap.getOrElse(ks.head, ks.head), kDt)
+        .filter(tailMayIntersect(tailBoundsOf(src, ks, identity, colDt,
+          k => mergeMap.getOrElse(k, k))))
         .localCheckpoint()
       val affected = collectEntries(affectedDf) // merge-footprint bounded
       val untouched = mDf.join(affectedDf.select("file"), Seq("file"),
@@ -1076,6 +1120,22 @@ object CowTable {
         now - st.getModificationTime >= graceMs)
     doomed.foreach(st => fs.delete(st.getPath, true)) // dv entries are dirs
     doomed.size
+  }
+
+  /** TIME-BASED VACUUM — the Delta/Iceberg `VACUUM … OLDER THAN <ts>`
+    * retention idiom, possible because every commit marker carries a
+    * durable instant ([[AtomicPublish.commitInstant]]): prune versions
+    * committed before `tsMillis` (prefix-by-id, never the current head),
+    * then reclaim the pool files no retained version references.
+    * `TIMESTAMP AS OF` inside the kept window still serves; beyond it
+    * the read fails fast (no silent fallback to a younger snapshot).
+    * Returns (versions pruned, pool files reclaimed). The same
+    * in-flight-writer caveat as [[vacuum]] applies — `graceMs` guards
+    * staged-but-uncommitted files. */
+  def vacuumOlderThan(spark: SparkSession, base: String, tsMillis: Long,
+                      graceMs: Long = 0L): (Int, Int) = {
+    val pruned = AtomicPublish.pruneOlderThan(spark, base, tsMillis)
+    (pruned.size, vacuum(spark, base, graceMs))
   }
 
   /** DELETE by DELETION VECTOR (merge-on-read): writes only the (file,
@@ -1307,6 +1367,12 @@ object CowTable {
       .localCheckpoint() // evaluated once across retries
     val keys = keyActions.select(col(gfk.head)).distinct()
     val anyDeletes = keys.limit(1).count() > 0
+    // the delete set's tail-column hull — same discovery narrowing as
+    // [[merge]] (position rediscovery scans only files that can hold a
+    // deleted tuple)
+    val tailBounds =
+      if (!anyDeletes) Nil
+      else tailBoundsOf(keyActions, ks, k => gfk(ks.indexOf(k)), dtOf, m.phys)
     // pure no-op delta (MERGE whose every action filtered out): nothing
     // to write, nothing to commit — the parent version IS the result
     // (a txn-stamped no-op still commits, to record its batch id)
@@ -1328,7 +1394,7 @@ object CowTable {
         if (!anyDeletes) mDf
         else {
           val cand = collectEntries(discoverCandidates(mDf, keys,
-            m.phys(ks.head), kDt))
+            m.phys(ks.head), kDt).filter(tailMayIntersect(tailBounds)))
           if (cand.isEmpty) mDf
           else {
             // positions of the doomed LIVE rows (the scan subtracts each

@@ -377,6 +377,11 @@ object OpsQueries {
     // rewrite is runtime-pruned to the matched files (group-based COW)
     "cow_sql_merge_pruned" -> ((s, dir) =>
       graft.sources.GraftCatalog.mergePrunedCheck(s, dir)),
+    // MERGE WITH SCHEMA EVOLUTION: a source-only column auto-ADDs
+    // through column mapping (fresh physical name); untouched files
+    // stay untouched and read back NULL
+    "cow_sql_merge_evolve" -> ((s, dir) =>
+      graft.sources.GraftCatalog.mergeEvolveCheck(s, dir)),
     // composite clustering key (o_custkey, o_orderkey): MERGE joins
     // on the full tuple (group route, runtime-pruned), UPDATE row-
     // identifies by the tuple (delta route, vectors)
@@ -731,6 +736,7 @@ object OpsQueries {
     "cow_sql_delete" -> graft.sources.GraftCatalog.checkSql,
     "cow_sql_merge" -> graft.sources.GraftCatalog.mergeCheckSql,
     "cow_sql_merge_pruned" -> graft.sources.GraftCatalog.mergePrunedSql,
+    "cow_sql_merge_evolve" -> graft.sources.GraftCatalog.mergeEvolveSql,
     "cow_composite_key" -> graft.sources.GraftCatalog.compositeKeySql,
     "cow_col_mapping" -> graft.sources.GraftCatalog.colMappingSql,
     "stream_table_read" -> graft.streaming.TableFeed.checkSql,

@@ -489,6 +489,86 @@ object GraftCatalog {
       |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SQL MERGE SCHEMA EVOLUTION end-to-end — `MERGE WITH SCHEMA
+    * EVOLUTION INTO` whose source carries a column the table lacks
+    * (`o_note`): Spark diffs source vs target and drives this catalog's
+    * `alterTable(AddColumn)` (gated by the AUTOMATIC_SCHEMA_EVOLUTION
+    * capability), the add routes through COLUMN MAPPING (fresh physical
+    * name), and the group-based rewrite then lands the evolved rows —
+    * the SQL twin of the API [[CowTable.merge]]'s source-driven
+    * evolution ([[CowTable.evolveCheck]]), the reference's DDL-first
+    * ALTER+UPDATE workflow collapsed into one statement. In-band: the
+    * range-local match set keeps ≥ 5/8 original files untouched (they
+    * read back NULL for the new column), no deletion vectors. The
+    * oracle replays the evolution relationally. */
+  def mergeEvolveCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_sql_merge_evolve", dir, "cow_sqlme") {
+      val base = graft.io.FsUtil.stateDir("cow_sqlme", dir)
+      new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true) // self-contained
+      val orders = graft.Tables.orders(spark, dir)
+      CowTable.create(spark, base, orders, "o_orderkey", numFiles = 8)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+      val pre = CowTable.manifest(spark, base).map(_.file).toSet
+
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val k = col("o_orderkey")
+      val lo = k * 8 <= lit(mx)
+      val srcDf = orders.filter(lo && k % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+        .withColumn("o_note", lit("U"))
+        .unionByName(orders.filter(k % 103 === 5)
+          .withColumn("o_orderkey", k + lit(mx))
+          .withColumn("o_orderstatus", lit("I"))
+          .withColumn("o_note", lit("I")))
+      val srcView = "cow_sqlme_src_" +
+        java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+      srcDf.createOrReplaceTempView(srcView)
+
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$base` t
+           |USING $srcView s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+      val m = CowTable.manifest(spark, base)
+      val referenced = m.map(_.file).toSet.intersect(pre)
+      require(referenced.size >= 5,
+        "schema evolution must not rewrite unmatched files: kept only " +
+          s"${referenced.size}/8")
+      require(m.map(_.dvRows).sum == 0L,
+        "a group-based SQL MERGE is copy-on-write: no deletion vectors")
+      spark.sql(
+        s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |       CAST(COUNT(o_note) AS BIGINT) AS n_noted,
+           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |FROM graft.`$base` GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
+
+  val mergeEvolveSql: String =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      |final AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey * 8 <= m AND o_orderkey % 7 = 0
+      |              THEN o_totalprice + 5.0 ELSE o_totalprice
+      |         END AS o_totalprice,
+      |         o_orderstatus,
+      |         CASE WHEN o_orderkey * 8 <= m AND o_orderkey % 7 = 0
+      |              THEN 'U' END AS o_note
+      |  FROM orders, mx
+      |  UNION ALL
+      |  SELECT o_orderkey + m, o_totalprice, 'I', 'I'
+      |  FROM orders, mx WHERE o_orderkey % 103 = 5
+      |)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(COUNT(o_note) AS BIGINT) AS n_noted,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The 100 TB proof for SQL MERGE: a RANGE-LOCAL merge (updates and
     * deletes confined to the lowest eighth of the key space — the same
     * batch the API [[CowTable.mergeCheck]] applies — plus inserts
@@ -893,9 +973,16 @@ private[sources] class CowSqlTable(base: String,
       if (ks.contains(f.name)) f.copy(nullable = false) else f))
   }
 
+  /** AUTOMATIC_SCHEMA_EVOLUTION gates `MERGE WITH SCHEMA EVOLUTION`:
+    * Spark's ResolveMergeIntoSchemaEvolution diffs source vs target and
+    * calls this catalog's alterTable(AddColumn) — which routes through
+    * COLUMN MAPPING, so the evolved column gets a fresh physical name
+    * and old files serve NULL for it. Plain MERGE (no clause) is
+    * unaffected: the capability only arms the explicit syntax. */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Batch reads scan the pinned/committed manifest;
     * `spark.readStream.table("graft.t")` subscribes to the table feed
@@ -1068,26 +1155,40 @@ private[sources] object GraftProcedures {
     }
   }
 
-  /** `CALL graft.vacuum(table, grace_ms)` → (reclaimed_files):
-    * deletes pool files referenced by no retained version
-    * ([[CowTable.vacuum]]); `grace_ms` guards in-flight writers. */
+  /** `CALL graft.vacuum(table, grace_ms[, older_than_ms])` →
+    * (reclaimed_files, pruned_versions): deletes pool files referenced
+    * by no retained version ([[CowTable.vacuum]]); `grace_ms` guards
+    * in-flight writers. With `older_than_ms` (epoch millis) it is the
+    * TIME-BASED retention statement — versions committed before the
+    * cutoff are pruned first (never the head), then the pool is
+    * reclaimed ([[CowTable.vacuumOlderThan]]). */
   object Vacuum extends UnboundProcedure with BoundProcedure {
     override def name(): String = "vacuum"
     override def description(): String =
-      "reclaim pool files referenced by no retained version"
+      "reclaim pool files referenced by no retained version; with " +
+        "older_than_ms also prune versions committed before the cutoff"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType)
         .comment("cow table base path").build(),
       ProcedureParameter.in("grace_ms", LongType)
-        .defaultValue("0").comment("skip files younger than this").build())
+        .defaultValue("0").comment("skip files younger than this").build(),
+      ProcedureParameter.in("older_than_ms", LongType)
+        .defaultValue("-1")
+        .comment("prune versions committed before this epoch-millis " +
+          "instant (-1 = keep all retained versions)").build())
     override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val b = base(input)
-      val n = CowTable.vacuum(spark, b,
-        if (input.isNullAt(1)) 0L else input.getLong(1))
-      result(new StructType().add("reclaimed_files", LongType), n.toLong)
+      val grace = if (input.isNullAt(1)) 0L else input.getLong(1)
+      val olderThan = if (input.isNullAt(2)) -1L else input.getLong(2)
+      val (pruned, reclaimed) =
+        if (olderThan >= 0L) CowTable.vacuumOlderThan(spark, b, olderThan, grace)
+        else (0, CowTable.vacuum(spark, b, grace))
+      result(new StructType().add("reclaimed_files", LongType)
+        .add("pruned_versions", LongType),
+        reclaimed.toLong, pruned.toLong)
     }
   }
 

@@ -293,6 +293,41 @@ class CowTableSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(v1 === v0 + 1)
   }
 
+  test("time-based vacuum prunes versions older than the cutoff; travel " +
+    "inside the kept window serves, beyond it fails fast, head survives") {
+    val base = Files.createTempDirectory("cow_ttv").toString + "/t"
+    val v0 = CowTable.create(spark, base, table(100), "id",
+      numFiles = 2, retain = 10)
+    Thread.sleep(5) // commit instants must strictly order across versions
+    val v1 = CowTable.merge(spark, base,
+      Seq((1L, "u1", 0.0, false)).toDF("id", "nm", "amt", "_delete"),
+      "id", retain = 10)
+    Thread.sleep(5)
+    val v2 = CowTable.merge(spark, base,
+      Seq((2L, "u2", 0.0, false)).toDF("id", "nm", "amt", "_delete"),
+      "id", retain = 10)
+    val cutoff = AtomicPublish.commitInstant(spark, base, v1).get
+    // strictly-older versions go: v0 (instant < v1's); v1, v2 stay
+    val (pruned, reclaimed) = CowTable.vacuumOlderThan(spark, base, cutoff)
+    assert(pruned === 1, s"exactly v0 must be pruned, got $pruned")
+    assert(reclaimed > 0, "v0's superseded rewrite must be reclaimed")
+    assert(AtomicPublish.versions(spark, base) === Seq(v1, v2))
+    assert(CowTable.readAt(spark, base, v1).count() === 100L,
+      "travel inside the kept window must still serve")
+    assert(intercept[Exception] {
+      CowTable.readAt(spark, base, v0).count()
+    }.getMessage.contains("not published"),
+      "travel beyond the window must fail fast")
+    // TIMESTAMP AS OF before every kept instant resolves to nothing —
+    // never silently to a younger snapshot
+    assert(AtomicPublish.committedAsOf(spark, base, cutoff - 1) === -1L)
+    // a far-future cutoff must never touch the head
+    val (p2, _) = CowTable.vacuumOlderThan(spark, base,
+      System.currentTimeMillis() + 3600000L)
+    assert(p2 === 1 && AtomicPublish.committed(spark, base) === v2)
+    assert(CowTable.read(spark, base).count() === 100L)
+  }
+
   test("a string clustering key discovers range-locally despite a shared " +
     "prefix; point lookups and predicate deletes prune") {
     val base = Files.createTempDirectory("cow_strk").toString + "/t"
@@ -509,6 +544,37 @@ class CowTableSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(total === 8L && scanned > 0 && scanned < total,
       s"tail-key stats must prune discovery: scanned $scanned/$total")
     assert(CowTable.read(spark, base).count() === 780L)
+  }
+
+  test("MERGE discovery intersects tail-column bounds: a low-cardinality " +
+    "leading key (SCD2 grain) still rewrites only the tail-range files") {
+    val base = Files.createTempDirectory("cow_tailm").toString + "/t"
+    // 4 users × 200 versions each: the LEADING key admits every file a
+    // touched user appears in, so leading-range discovery alone would
+    // rewrite the whole table for any all-users batch
+    val df = (1 to 800).map(i => (i.toLong % 4, i.toLong, s"v$i"))
+      .toDF("user_id", "seq", "payload")
+    CowTable.create(spark, base, df, "user_id,seq", numFiles = 8)
+    val pre = CowTable.manifest(spark, base).map(_.file).toSet
+
+    // every user, LOW seq only: the tail hull [1, 160] must confine the
+    // rewrite to the head-of-sequence files of each user
+    val src = df.filter(col("seq") <= 160L)
+      .withColumn("payload", concat(lit("U"), col("payload")))
+      .withColumn("_delete", lit(false))
+    CowTable.merge(spark, base, src, "user_id,seq")
+    val kept = CowTable.manifest(spark, base).map(_.file).toSet.intersect(pre)
+    assert(kept.size >= 3,
+      s"tail-bound narrowing must keep the high-seq files untouched: " +
+        s"kept ${kept.size}/8")
+
+    val got = CowTable.read(spark, base)
+    assert(got.count() === 800L)
+    assert(got.filter(col("payload").startsWith("U")).count() ===
+      df.filter(col("seq") <= 160L).count(),
+      "every low-seq tuple must carry the update")
+    assert(got.filter(col("seq") > 160L &&
+      col("payload").startsWith("U")).count() === 0L)
   }
 
   test("replaceFiles with a scan version refuses ANY intervening commit " +

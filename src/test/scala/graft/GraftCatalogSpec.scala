@@ -215,6 +215,62 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 90L)
   }
 
+  test("CALL graft.vacuum(older_than_ms) prunes history from SQL; the " +
+    "pruned version's time travel fails fast") {
+    val base = Files.createTempDirectory("gcat_ttv").toString + "/t"
+    val v0 = CowTable.create(spark, base, table(100), "id",
+      numFiles = 4, retain = 10)
+    Thread.sleep(5) // instants must strictly order
+    CowTable.merge(spark, base,
+      Seq((1L, "u", 0.0, false)).toDF("id", "nm", "amt", "_delete"),
+      "id", retain = 10)
+    val v1 = graft.io.AtomicPublish.committed(spark, base)
+    val cutoff = graft.io.AtomicPublish.commitInstant(spark, base, v1).get
+    val r = spark.sql(s"CALL graft.vacuum(`table` => '$base', " +
+      s"older_than_ms => ${cutoff}L)").head()
+    assert(r.getLong(1) === 1L, "exactly v0 pruned")
+    assert(r.getLong(0) > 0L, "v0's superseded rewrite reclaimed")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$base`")
+      .head().getLong(0) === 100L)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) FROM graft.`$base` VERSION AS OF $v0")
+        .head()
+    }
+    assert(e.getMessage.contains("pruned"),
+      s"pruned-version travel must fail fast, got: ${e.getMessage}")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION auto-ADDs a source-only column; old " +
+    "rows read NULL, untouched files stay untouched") {
+    val base = Files.createTempDirectory("gcat_msev").toString + "/t"
+    CowTable.create(spark, base, table(400), "id", numFiles = 8)
+    val pre = CowTable.manifest(spark, base).map(_.file).toSet
+    // range-local source carrying a column the table lacks
+    table(400).filter(col("id") <= 50)
+      .withColumn("flag", lit("NEW"))
+      .createOrReplaceTempView("gcat_msev_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$base` t
+         |USING gcat_msev_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(s"SELECT COUNT(*) AS n, COUNT(flag) AS f " +
+      s"FROM graft.`$base`").head()
+    assert(got.getLong(0) === 400L)
+    assert(got.getLong(1) === 50L,
+      "matched rows carry the evolved column; the rest read NULL")
+    val kept = CowTable.manifest(spark, base).map(_.file).toSet.intersect(pre)
+    assert(kept.size >= 5,
+      s"evolution must not rewrite unmatched files: kept ${kept.size}/8")
+    // the evolved column went through COLUMN MAPPING: dropping it and
+    // re-adding the same name must NOT resurrect the old values
+    spark.sql(s"ALTER TABLE graft.`$base` DROP COLUMN flag")
+    spark.sql(s"ALTER TABLE graft.`$base` ADD COLUMN flag STRING")
+    assert(spark.sql(s"SELECT COUNT(flag) FROM graft.`$base`")
+      .head().getLong(0) === 0L,
+      "a re-added column must read NULL, never the dropped data")
+  }
+
   test("applyDelta rediscovers key positions across a competing rewrite") {
     val base = Files.createTempDirectory("gcat_race").toString + "/t"
     CowTable.create(spark, base, table(100), "id", numFiles = 4)
