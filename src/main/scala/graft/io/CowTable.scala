@@ -225,10 +225,16 @@ object CowTable {
   /** `colMap` (logical → physical) renames columns on the way INTO the
     * pool: files always carry PHYSICAL names, so a later logical
     * RENAME/DROP is metadata-only and old files stay valid. */
+  /** `layout` overrides the physical ordering: files are range-split and
+    * sorted by the given expression (a Morton code for OPTIMIZE ZORDER)
+    * instead of the clustering key — the key stays the row identity and
+    * the manifest still records its per-file ranges (which may then
+    * overlap; stats columns carry the skipping value). */
   private def writePool(spark: SparkSession, base: String, df: DataFrame,
                         key: String, numFiles: Int,
                         statsCols: Seq[String] = Nil,
-                        colMap: Map[String, String] = Map.empty): Seq[Entry] = {
+                        colMap: Map[String, String] = Map.empty,
+                        layout: Option[Column] = None): Seq[Entry] = {
     val ks = splitKeys(key)
     ks.foreach(k => require(df.columns.contains(k),
       s"clustering key column `$k` is not a column of " +
@@ -237,8 +243,13 @@ object CowTable {
     val fs = fsOf(spark, base)
     val token = java.util.UUID.randomUUID().toString
     val tmp = new Path(base, s".data-$token")
-    df.repartitionByRange(math.max(1, numFiles), ks.map(col): _*)
-      .sortWithinPartitions(ks.head, ks.tail: _*)
+    val parted = layout match {
+      case Some(z) => df.repartitionByRange(math.max(1, numFiles), z)
+        .sortWithinPartitions(z)
+      case None => df.repartitionByRange(math.max(1, numFiles), ks.map(col): _*)
+        .sortWithinPartitions(ks.head, ks.tail: _*)
+    }
+    parted
       .select(df.columns.map(c => col(c).as(ph(c))).toIndexedSeq: _*)
       .write.mode("overwrite").parquet(tmp.toString)
     val pool = new Path(base, "files")
@@ -1050,9 +1061,25 @@ object CowTable {
     * one — are referenced untouched; only multi-file groups rewrite.
     * Decided entirely from manifest row counts: no data is read to
     * PLAN the compaction, only the rewritten groups are read to DO it.
+    *
+    * With `zorder` (an ordered column list) the compaction is OPTIMIZE
+    * ZORDER BY: every file rewrites, re-clustered along the Morton curve
+    * of the named columns ([[graft.ops.Layout.morton]] — each column
+    * normalized to the grid via its exact integer table-wide bounds), so
+    * per-file min/max stats bound a RECTANGLE in the z-space and a 2-D
+    * predicate prunes on both columns (a key-sorted layout prunes on the
+    * key alone). The z-columns join the meta's stats set, so the new
+    * manifest — and every later write — records their per-file ranges;
+    * the clustering KEY stays the row identity (its kmin/kmax ranges may
+    * now overlap, degrading key-range pruning in favor of the 2-D
+    * skipping — the trade OPTIMIZE ZORDER is). Deletion vectors
+    * materialize as in plain compaction.
     */
   def compact(spark: SparkSession, base: String, targetRows: Long,
-              key: String, retain: Int = 1): Long = {
+              key: String, retain: Int = 1,
+              zorder: Seq[String] = Nil): Long = {
+    if (zorder.nonEmpty) return compactZorder(spark, base, targetRows, key,
+      retain, zorder)
     var result = -1L
     while (result < 0) {
       val parent = AtomicPublish.committed(spark, base)
@@ -1094,6 +1121,59 @@ object CowTable {
         payload(spark, base, parent,
           entriesDf(spark, keep.flatten ++ newEntries), None),
         retain, parent) match {
+        case Some(v) => result = v
+        case None => ()
+      }
+    }
+    result
+  }
+
+  /** OPTIMIZE ZORDER BY: rewrite the WHOLE table (re-clustering is
+    * global by nature) into ~targetRows files ordered by the Morton code
+    * of `zorder`, with those columns' per-file min/max recorded in the
+    * manifest and committed into the meta's stats set. One CAS commit;
+    * conflicts recompute against the new state. */
+  private def compactZorder(spark: SparkSession, base: String,
+                            targetRows: Long, key: String, retain: Int,
+                            zorder: Seq[String]): Long = {
+    var result = -1L
+    while (result < 0) {
+      val parent = AtomicPublish.committed(spark, base)
+      require(parent >= 0, s"no committed version under $base")
+      val schema = dataSchemaAt(spark, base, parent)
+      zorder.foreach(c => require(
+        schema.forall(_.fieldNames.contains(c)),
+        s"zorder column `$c` is not a column of the table"))
+      val entries = entriesAt(spark, base, parent)
+      if (entries.isEmpty) return parent // nothing to lay out
+      val cm = colMapAt(spark, base, parent)
+      val data = scanEntries(spark, entries, schema = schema, colMap = cm)
+        .localCheckpoint() // one scan: bounds + the rewrite
+      // exact integer bounds per z-column (one tiny aggregate) — the
+      // normalization every production z-order does first
+      val aggExprs = zorder.flatMap(c =>
+        Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+      val bRow = data.agg(aggExprs.head, aggExprs.tail: _*).head()
+      val bounds = zorder.indices.map { i =>
+        require(!bRow.isNullAt(2 * i),
+          s"zorder column `${zorder(i)}` is all-null or not castable " +
+            "to long: nothing to cluster on")
+        (bRow.getLong(2 * i), bRow.getLong(2 * i + 1))
+      }
+      val z = graft.ops.Layout.morton(zorder.map(col), bounds)
+      val liveRows = entries.map(e => e.rows - e.dvRows).sum
+      val nFiles = math.max(1L,
+        (liveRows + targetRows - 1) / math.max(1L, targetRows)).toInt
+      val m = metaAt(spark, base, parent)
+      val statsCols = (m.map(_.statsCols).getOrElse(Nil) ++ zorder).distinct
+      val newEntries = writePool(spark, base, data, key, nFiles,
+        statsCols, colMap = cm, layout = Some(z))
+      // the widened stats set becomes table metadata: every LATER write
+      // keeps recording the z-columns' per-file ranges
+      val newMeta = m.map(_.copy(statsCols = statsCols))
+      AtomicPublish.tryPublish(spark, base,
+        payload(spark, base, parent, entriesDf(spark, newEntries), None,
+          newMeta), retain, parent) match {
         case Some(v) => result = v
         case None => ()
       }

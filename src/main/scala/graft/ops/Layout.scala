@@ -51,6 +51,34 @@ object Layout {
         shiftright(d, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
 
+  /** The reusable N-dimension Morton code over `cols` with exact integer
+    * `bounds` — what `CALL graft.compact(zorder => …)` re-clusters a cow
+    * table's files by. Each column is normalized to the 2^[[bits]] grid
+    * via its (min, max) bound (see the class doc for why raw values
+    * degenerate), nulls clustering at the low edge; bits interleave
+    * round-robin across dimensions. Bound guard: (span · grid) must stay
+    * under 2^53 so the normalization's double division is exact —
+    * enforced, never silent. */
+  def morton(cols: Seq[Column], bounds: Seq[(Long, Long)]): Column = {
+    require(cols.nonEmpty && cols.size == bounds.size,
+      "morton: one (min,max) bound per column")
+    require(cols.size * bits <= 62,
+      s"morton: ${cols.size} dimensions x $bits bits overflow a long")
+    val grid = 1L << bits
+    val normed = cols.zip(bounds).map { case (c, (lo, hi)) =>
+      require(hi >= lo, s"morton: empty bound [$lo, $hi]")
+      require((BigInt(hi) - BigInt(lo) + 1) * grid < BigInt(1L << 53),
+        s"morton: span [$lo, $hi] too wide for exact grid normalization")
+      val span = math.max(1L, hi - lo + 1L)
+      (((coalesce(c.cast("long"), lit(lo)) - lit(lo)) * lit(grid)) /
+        lit(span)).cast("long")
+    }
+    val n = cols.size
+    (0 until bits).flatMap(i => normed.zipWithIndex.map { case (nc, d) =>
+      shiftright(nc, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + d))
+    }).reduce(_ + _)
+  }
+
   /** (u, d, un, dn, zfile, ufile) — normalized cells + both layouts'
     * file assignments, the shared input of the footprint report and the
     * measured-skipping write.

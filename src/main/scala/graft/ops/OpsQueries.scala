@@ -382,6 +382,11 @@ object OpsQueries {
     // stay untouched and read back NULL
     "cow_sql_merge_evolve" -> ((s, dir) =>
       graft.sources.GraftCatalog.mergeEvolveCheck(s, dir)),
+    // OPTIMIZE ZORDER: CALL graft.compact(zorder => 'user_id,d')
+    // re-clusters along the Morton curve; a 2-D box predicate proves
+    // strictly fewer may-contain files (manifest stats, in-band)
+    "cow_zorder_compact" -> ((s, dir) =>
+      graft.sources.GraftCatalog.zorderCompactCheck(s, dir)),
     // composite clustering key (o_custkey, o_orderkey): MERGE joins
     // on the full tuple (group route, runtime-pruned), UPDATE row-
     // identifies by the tuple (delta route, vectors)
@@ -737,6 +742,7 @@ object OpsQueries {
     "cow_sql_merge" -> graft.sources.GraftCatalog.mergeCheckSql,
     "cow_sql_merge_pruned" -> graft.sources.GraftCatalog.mergePrunedSql,
     "cow_sql_merge_evolve" -> graft.sources.GraftCatalog.mergeEvolveSql,
+    "cow_zorder_compact" -> graft.sources.GraftCatalog.zorderCompactSql,
     "cow_composite_key" -> graft.sources.GraftCatalog.compositeKeySql,
     "cow_col_mapping" -> graft.sources.GraftCatalog.colMappingSql,
     "stream_table_read" -> graft.streaming.TableFeed.checkSql,

@@ -639,6 +639,99 @@ object GraftCatalog {
   /** Same relational outcome as the API range-local merge. */
   val mergePrunedSql: String = CowTable.mergeSql
 
+  /** OPTIMIZE ZORDER end-to-end — `CALL graft.compact(zorder =>
+    * 'user_id,d')` on a TIME-clustered events table, then a 2-D box
+    * predicate (middle quarter of each dimension, integer math both
+    * engines share). Before: per-file stats bound the day tightly but
+    * the user span is full width, so the box's may-contain candidate
+    * set is every file the day-quarter touches. After the z-order
+    * rewrite each file is a bounded RECTANGLE in (user, day) space —
+    * the in-band require proves STRICTLY FEWER candidate files for the
+    * same box (counted from the committed manifest's smin/smax, the
+    * exact stats the DSv2 scan and StatsPrune consult), and row count
+    * is conserved. The registered output is the box aggregate through
+    * the catalog scan; the oracle replays box arithmetic relationally —
+    * a rewrite that lost or duplicated a row breaks the hash. */
+  def zorderCompactCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_zorder_compact", dir, "cow_zo") {
+      val base = graft.io.FsUtil.stateDir("cow_zo", dir)
+      new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true) // self-contained
+      val ev = graft.Tables.events(spark, dir)
+        .withColumn("_k", unix_timestamp(col("ts")))
+        .withColumn("d", expr("unix_micros(ts) div 86400000000"))
+        .select("_k", "user_id", "d", "event_type", "value")
+      // 64 files: an 8x8 z-tile grid — coarser layouts leave the box
+      // straddling tile boundaries and the candidate gap in the noise
+      CowTable.create(spark, base, ev, "_k", numFiles = 64,
+        statsCols = Seq("user_id", "d"))
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+
+      // the 2-D box: middle quarter of each dimension, exact integer
+      // arithmetic (the oracle replays it verbatim)
+      val b = ev.agg(min("user_id"), max("user_id"), min("d"), max("d"))
+        .head()
+      def quarter(lo: Long, hi: Long): (Long, Long) = {
+        val span = hi - lo + 1
+        (lo + span / 4, lo + span / 2 - 1)
+      }
+      val (ulo, uhi) = quarter(b.getLong(0), b.getLong(1))
+      val (dlo, dhi) = quarter(b.getLong(2), b.getLong(3))
+      // may-contain candidates from the committed manifest's stats maps
+      // (exactly what StatsPrune and the scan's footer pruning consult)
+      def cands(): Int = CowTable.manifest(spark, base).count { e =>
+        def ok(cn: String, lo: Long, hi: Long) =
+          (e.smin.get(cn), e.smax.get(cn)) match {
+            case (Some(a), Some(x)) => x.toLong >= lo && a.toLong <= hi
+            case _ => true
+          }
+        ok("user_id", ulo, uhi) && ok("d", dlo, dhi)
+      }
+      val total = ev.count()
+      val pre = cands()
+      spark.sql(s"CALL graft.compact(`table` => '$base', " +
+        s"target_rows => ${math.max(1L, total / 64)}, " +
+        "zorder => 'user_id,d')")
+      val post = cands()
+      require(post < pre,
+        s"z-order must shrink the 2-D box's candidate files: $pre -> $post")
+      require(CowTable.read(spark, base).count() == total,
+        "re-clustering must conserve every row")
+
+      spark.sql(
+        s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+           |                 AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+           |FROM graft.`$base`
+           |WHERE user_id BETWEEN $ulo AND $uhi AND d BETWEEN $dlo AND $dhi
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
+
+  val zorderCompactSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |         event_type, value
+      |  FROM events
+      |), b AS (
+      |  SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+      |         MIN(d) AS dmin, MAX(d) AS dmax FROM ev
+      |), box AS (
+      |  SELECT umin + (umax - umin + 1) // 4 AS ulo,
+      |         umin + (umax - umin + 1) // 2 - 1 AS uhi,
+      |         dmin + (dmax - dmin + 1) // 4 AS dlo,
+      |         dmin + (dmax - dmin + 1) // 2 - 1 AS dhi
+      |  FROM b
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |                 AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+      |FROM ev, box
+      |WHERE user_id BETWEEN ulo AND uhi AND d BETWEEN dlo AND dhi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** SQL TIME TRAVEL through the catalog: create (v0) → range-local
     * merge (v1) → `SELECT … VERSION AS OF v0` must serve the PRE-merge
     * snapshot — the registered output IS that snapshot's aggregate, so
@@ -1129,26 +1222,39 @@ private[sources] object GraftProcedures {
     b
   }
 
-  /** `CALL graft.compact(table, target_rows)` → (version, data_files):
-    * bin-packs undersized neighbors and materializes deletion vectors
-    * ([[CowTable.compact]]); a no-op returns the current version. */
+  /** `CALL graft.compact(table, target_rows[, zorder])` →
+    * (version, data_files): bin-packs undersized neighbors and
+    * materializes deletion vectors ([[CowTable.compact]]); a no-op
+    * returns the current version. With `zorder` (a comma-separated
+    * column list) it is OPTIMIZE ZORDER BY — the whole table re-clusters
+    * along the Morton curve of those columns so per-file stats prune
+    * multi-column predicates. */
   object Compact extends UnboundProcedure with BoundProcedure {
     override def name(): String = "compact"
     override def description(): String =
       "bin-pack a cow table's files to ~target_rows and materialize " +
-        "deletion vectors"
+        "deletion vectors; with zorder, re-cluster along the Morton curve"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType)
         .comment("cow table base path").build(),
       ProcedureParameter.in("target_rows", LongType)
-        .comment("rows per packed file").build())
+        .comment("rows per packed file").build(),
+      ProcedureParameter.in("zorder", StringType)
+        .defaultValue("''")
+        .comment("comma-separated columns to z-order the layout by " +
+          "(empty = plain bin-packing)").build())
     override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val b = base(input)
       val key = CowTable.meta(spark, b).get.key
-      val v = CowTable.compact(spark, b, input.getLong(1), key)
+      val zorder =
+        if (input.isNullAt(2)) Nil
+        else input.getUTF8String(2).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val v = CowTable.compact(spark, b, input.getLong(1), key,
+        zorder = zorder)
       result(new StructType().add("version", LongType)
         .add("data_files", LongType),
         v, CowTable.manifest(spark, b).size.toLong)

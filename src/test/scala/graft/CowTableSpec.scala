@@ -293,6 +293,45 @@ class CowTableSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(v1 === v0 + 1)
   }
 
+  test("compact with zorder re-clusters along the Morton curve: 2-D box " +
+    "candidates shrink, content and vectors conserved, stats set widened") {
+    val base = Files.createTempDirectory("cow_zo").toString + "/t"
+    // (seq, x, y): seq-clustered at create, x/y independent — the 2-D
+    // predicate shape a single-key sort cannot prune on both sides of
+    val df = (0 until 4096).map { i =>
+      (i.toLong, (i * 37 % 64).toLong, (i * 53 % 64).toLong)
+    }.toDF("seq", "x", "y")
+    CowTable.create(spark, base, df, "seq", numFiles = 16,
+      statsCols = Seq("x", "y"))
+    CowTable.dvDelete(spark, base, col("seq") % 100 === 7) // MoR debt
+    val expected = CowTable.read(spark, base).collect().toSet
+    def cands(): Int = CowTable.manifest(spark, base).count { e =>
+      def ok(cn: String) = (e.smin.get(cn), e.smax.get(cn)) match {
+        case (Some(a), Some(b)) => b.toLong >= 16L && a.toLong <= 31L
+        case _ => true
+      }
+      ok("x") && ok("y")
+    }
+    val pre = cands()
+    assert(pre === 16, "seq-sorted files span full x/y: every file a candidate")
+    CowTable.compact(spark, base, targetRows = 256, "seq",
+      zorder = Seq("x", "y"))
+    val m = CowTable.manifest(spark, base)
+    assert(m.forall(_.dvRows === 0L), "zorder compact materializes vectors")
+    val post = cands()
+    assert(post < pre / 2,
+      s"z-order must bound both dimensions per file: $pre -> $post")
+    assert(CowTable.read(spark, base).collect().toSet === expected,
+      "re-clustering must conserve every row exactly")
+    // the z-columns joined the meta stats set: a later append keeps
+    // recording their per-file ranges
+    CowTable.append(spark, base, Seq((9999L, 1L, 1L)).toDF("seq", "x", "y"))
+    val appended = CowTable.manifest(spark, base)
+      .filter(e => e.kmin <= 9999L && e.kmax >= 9999L)
+    assert(appended.exists(e => e.smin.contains("x") && e.smin.contains("y")),
+      "later writes must keep recording the z-columns' stats")
+  }
+
   test("time-based vacuum prunes versions older than the cutoff; travel " +
     "inside the kept window serves, beyond it fails fast, head survives") {
     val base = Files.createTempDirectory("cow_ttv").toString + "/t"
