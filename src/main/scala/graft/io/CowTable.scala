@@ -120,10 +120,18 @@ object CowTable {
     * that differ, and `physUsed` every physical name ever occupied (so
     * re-adding a dropped/renamed name gets a FRESH physical name
     * instead of resurrecting stale values from old files). */
+  /** `retain` is TABLE-LEVEL retention (how many committed versions every
+    * write keeps readable — the time-travel/CDC depth), set at create
+    * (`TBLPROPERTIES ('retain'='8')` on the SQL path) and honored as a
+    * MINIMUM by every later write including SQL DML: without it a
+    * `retain=1` UPDATE would silently collapse the history a change-feed
+    * subscriber depends on. A per-call `retain` argument can only deepen
+    * it. */
   private[graft] case class Meta(schemaJson: String, key: String,
                                  statsCols: Seq[String],
                                  colMap: Seq[(String, String)] = Nil,
-                                 physUsed: Seq[String] = Nil) {
+                                 physUsed: Seq[String] = Nil,
+                                 retain: Int = 1) {
     /** logical → physical; identity for unmapped columns. */
     def phys(name: String): String = colMap.toMap.getOrElse(name, name)
     def physMap: Map[String, String] = colMap.toMap
@@ -409,8 +417,8 @@ object CowTable {
     import spark.implicits._
     Seq((m.schemaJson, m.key, m.statsCols.mkString(","),
       m.colMap.map { case (l, p) => s"$l=$p" }.mkString(";"),
-      m.physUsed.mkString(";")))
-      .toDF("schemaJson", "key", "statsCols", "colMap", "physUsed")
+      m.physUsed.mkString(";"), m.retain))
+      .toDF("schemaJson", "key", "statsCols", "colMap", "physUsed", "retain")
   }
 
   private[graft] def metaAt(spark: SparkSession, base: String,
@@ -421,19 +429,27 @@ object CowTable {
       val df = AtomicPublish.readVersion(spark, base, "meta", v)
       val mapped = df.columns.contains("colMap") // pre-mapping metas lack it
       val r = df.head()
-      val base3 = Meta(r.getString(0), r.getString(1),
+      val m0 = Meta(r.getString(0), r.getString(1),
         r.getString(2).split(",").filter(_.nonEmpty).toSeq)
-      Some(if (!mapped) base3
-      else base3.copy(
-        colMap = r.getAs[String]("colMap").split(";").filter(_.contains("="))
-          .map { kv =>
-            val i = kv.indexOf('=')
-            (kv.substring(0, i), kv.substring(i + 1))
-          }.toSeq,
-        physUsed = r.getAs[String]("physUsed").split(";")
-          .filter(_.nonEmpty).toSeq))
+      val m1 =
+        if (!mapped) m0
+        else m0.copy(
+          colMap = r.getAs[String]("colMap").split(";").filter(_.contains("="))
+            .map { kv =>
+              val i = kv.indexOf('=')
+              (kv.substring(0, i), kv.substring(i + 1))
+            }.toSeq,
+          physUsed = r.getAs[String]("physUsed").split(";")
+            .filter(_.nonEmpty).toSeq)
+      Some(if (!df.columns.contains("retain")) m1 // pre-retention metas
+      else m1.copy(retain = r.getAs[Int]("retain")))
     }
   }
+
+  /** The EFFECTIVE retention for a write: the per-call argument deepened
+    * to the table-level floor ([[Meta.retain]]). */
+  private def effRetain(m: Option[Meta], retain: Int): Int =
+    math.max(retain, m.map(_.retain).getOrElse(1))
 
   /** The committed table metadata (schema / key / stats columns). */
   private[graft] def meta(spark: SparkSession, base: String): Option[Meta] =
@@ -725,7 +741,7 @@ object CowTable {
     val entries = writePool(spark, base, df, key, numFiles, statsCols)
     AtomicPublish.publish(spark, base,
       payload(spark, base, -1L, entriesDf(spark, entries), None,
-        Some(Meta(df.schema.json, key, statsCols))), retain)
+        Some(Meta(df.schema.json, key, statsCols, retain = retain))), retain)
   }
 
   /** DDL-style creation of an EMPTY table: version 0 is a zero-entry
@@ -743,7 +759,7 @@ object CowTable {
       s"cow table already exists under $base")
     AtomicPublish.publish(spark, base,
       payload(spark, base, -1L, entriesDf(spark, Seq.empty), None,
-        Some(Meta(schema.json, key, statsCols))), retain)
+        Some(Meta(schema.json, key, statsCols, retain = retain))), retain)
   }
 
   /** An empty frame with the table's DATA schema — the version's `meta`
@@ -963,7 +979,7 @@ object CowTable {
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           untouched.unionByName(entriesDf(spark, newEntries)), txn, newMeta),
-        retain, parent) match {
+        effRetain(parentMeta, retain), parent) match {
         case Some(v) => result = v
         case None => () // conflict: recompute against the new committed
       }
@@ -990,7 +1006,8 @@ object CowTable {
       val manifest = manifestDfAt(spark, base, parent)
         .unionByName(entriesDf(spark, newEntries))
       AtomicPublish.tryPublish(spark, base,
-        payload(spark, base, parent, manifest, None), retain, parent) match {
+        payload(spark, base, parent, manifest, None),
+        effRetain(Some(m), retain), parent) match {
         case Some(v) => result = v
         case None => () // conflict: re-commit against the new manifest
       }
@@ -1048,7 +1065,7 @@ object CowTable {
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           untouched.unionByName(entriesDf(spark, newEntries)), None),
-        retain, parent) match {
+        effRetain(pMeta, retain), parent) match {
         case Some(v) => result = v
         case None => ()
       }
@@ -1120,7 +1137,7 @@ object CowTable {
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           entriesDf(spark, keep.flatten ++ newEntries), None),
-        retain, parent) match {
+        effRetain(metaAt(spark, base, parent), retain), parent) match {
         case Some(v) => result = v
         case None => ()
       }
@@ -1173,7 +1190,7 @@ object CowTable {
       val newMeta = m.map(_.copy(statsCols = statsCols))
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent, entriesDf(spark, newEntries), None,
-          newMeta), retain, parent) match {
+          newMeta), effRetain(m, retain), parent) match {
         case Some(v) => result = v
         case None => ()
       }
@@ -1271,7 +1288,8 @@ object CowTable {
         .withColumn("dvRows", col("dvRows") + coalesce(col("_gf_n"), lit(0L)))
         .select(ManifestCols.map(col): _*)
       AtomicPublish.tryPublish(spark, base,
-        payload(spark, base, parent, cum, None), retain, parent) match {
+        payload(spark, base, parent, cum, None),
+        effRetain(metaAt(spark, base, parent), retain), parent) match {
         case Some(v) => result = v
         case None => () // conflict: recompute against the new committed
       }
@@ -1379,7 +1397,8 @@ object CowTable {
       import spark.implicits._
       AtomicPublish.publish(spark, base,
         Seq("manifest" -> entriesDf(spark, entries),
-          "meta" -> metaDf(spark, Meta(upserts.schema.json, key, Nil)),
+          "meta" -> metaDf(spark,
+            Meta(upserts.schema.json, key, Nil, retain = retain)),
           "txn" -> Seq((stream, batchId)).toDF("stream", "batch")), retain)
     } else if (lastTxn(spark, base, stream) >= batchId) {
       AtomicPublish.committed(spark, base) // replay: already applied
@@ -1542,8 +1561,8 @@ object CowTable {
       if (staleDv.isEmpty && newEntries.isEmpty && txn.isEmpty) return parent
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
-          cum.unionByName(entriesDf(spark, newEntries)), txn), retain,
-        parent) match {
+          cum.unionByName(entriesDf(spark, newEntries)), txn),
+        effRetain(Some(m), retain), parent) match {
         case Some(v) => result = v; staleDv = None // committed: referenced
         case None => () // conflict: rediscover positions against the new state
       }
@@ -1591,7 +1610,7 @@ object CowTable {
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent, manifestDfAt(spark, base, parent),
           None, Some(m2.copy(schemaJson = widened.json))),
-        retain, parent) match {
+        effRetain(Some(m), retain), parent) match {
         case Some(v) => result = v
         case None => () // concurrent commit: re-widen against its schema
       }
@@ -1632,7 +1651,7 @@ object CowTable {
         statsCols = m.statsCols.map(c => if (c == from) to else c))
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent, manifestDfAt(spark, base, parent),
-          None, Some(m2)), retain, parent) match {
+          None, Some(m2)), effRetain(Some(m), retain), parent) match {
         case Some(v) => result = v
         case None => ()
       }
@@ -1672,7 +1691,7 @@ object CowTable {
         statsCols = m.statsCols.filterNot(_ == name))
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent, manifestDfAt(spark, base, parent),
-          None, Some(m2)), retain, parent) match {
+          None, Some(m2)), effRetain(Some(m), retain), parent) match {
         case Some(v) => result = v
         case None => ()
       }
@@ -1744,7 +1763,7 @@ object CowTable {
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           untouched.unionByName(entriesDf(spark, newEntries)), None),
-        retain, parent) match {
+        effRetain(Some(m), retain), parent) match {
         case Some(v) => result = v
         case None => () // unrelated commit won the slot: re-validate, re-land
       }

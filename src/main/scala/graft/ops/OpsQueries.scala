@@ -410,6 +410,11 @@ object OpsQueries {
     // streaming change-data-feed: each committed version = one
     // micro-batch of I/U/D rows; folded stream == final snapshot
     "stream_cdf" -> ((s, dir) => graft.streaming.CdfStream.check(s, dir)),
+    // mutating-table CDC fidelity: SQL UPDATE/DELETE/compact folded via
+    // changeFeed=true into a replica cow table; compaction emits zero
+    // change rows (layout-only), replica == table bit-for-bit
+    "stream_cdc_mutate" -> ((s, dir) =>
+      graft.streaming.CdfStream.mutateCheck(s, dir)),
     // commit-log streaming: every AtomicPublish version = one exactly-once
     // micro-batch of the graft-artifact DSv2 source (offsets = version ids)
     "stream_publish_feed" -> ((s, dir) => graft.streaming.PublishFeed.check(s, dir)),
@@ -749,6 +754,7 @@ object OpsQueries {
     "cow_time_travel" -> graft.sources.GraftCatalog.timeTravelSql,
     "cow_sql_registry" -> graft.sources.GraftCatalog.registrySql,
     "stream_cdf" -> graft.streaming.CdfStream.checkSql,
+    "stream_cdc_mutate" -> graft.streaming.CdfStream.mutateSql,
     "stream_publish_feed" -> graft.streaming.PublishFeed.checkSql,
     "snapshot_diff" -> SnapshotDiff.reportSql,
     "schema_evolution" -> graft.io.SchemaEvolution.reportSql,

@@ -180,7 +180,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       .orElse(Option(properties.get("statsCols")))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    CowTable.createEmpty(SparkSession.active, base, schema, key, statsCols)
+    // 'retain' is TABLE-LEVEL retention: how many committed versions
+    // every later write (SQL DML included) keeps readable — the
+    // time-travel / change-feed depth a subscriber can rely on
+    val retain = Option(properties.get("retain")).map(_.trim.toInt)
+      .getOrElse(1)
+    CowTable.createEmpty(SparkSession.active, base, schema, key, statsCols,
+      retain = retain)
     new CowSqlTable(base)
   }
 

@@ -140,10 +140,14 @@ class ArtifactStreamSpec extends SparkSpec {
       assert(drain() === 41L,
         "restart must resume after the consumed version, not re-bootstrap")
 
-      // prune past the consumed offset: retain=1 commits collapse
-      // history; the restarted consumer must fail fast, not duplicate
+      // prune past the consumed offset (table-level retention is a
+      // floor, so per-call retain=1 can no longer collapse history —
+      // the time-based vacuum is the sanctioned way to): the restarted
+      // consumer must fail fast, not duplicate
       (0 until 3).foreach(i => graft.io.CowTable.append(spark, base,
-        Seq((200L + i, 1.0)).toDF("id", "v"), retain = 1))
+        Seq((200L + i, 1.0)).toDF("id", "v")))
+      graft.io.AtomicPublish.pruneOlderThan(spark, base,
+        System.currentTimeMillis() + 3600000L)
       val e = intercept[Exception] { drain() }
       def msgs(t: Throwable): Seq[String] =
         if (t == null) Seq.empty

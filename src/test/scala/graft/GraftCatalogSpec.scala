@@ -215,6 +215,26 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 90L)
   }
 
+  test("TBLPROPERTIES retain: table-level retention makes SQL DML keep " +
+    "time-travel/CDC depth instead of collapsing history") {
+    val base = Files.createTempDirectory("gcat_ret").toString + "/t"
+    table(100).createOrReplaceTempView("gcat_ret_src")
+    spark.sql(s"CREATE TABLE graft.`$base` " +
+      "TBLPROPERTIES ('key'='id', 'retain'='4') AS " +
+      "SELECT * FROM gcat_ret_src")
+    // CTAS = create (v0, empty) + insert (v1); two row-level statements
+    // land v2 and v3 — each would prune its predecessors at the default
+    // retain=1, stranding any change-feed subscriber
+    spark.sql(s"UPDATE graft.`$base` SET amt = amt + 1 WHERE id % 10 = 1")
+    spark.sql(s"DELETE FROM graft.`$base` WHERE id % 10 = 2")
+    val vs = graft.io.AtomicPublish.versions(spark, base)
+    assert(vs.size >= 4,
+      s"table-level retain=4 must keep the DML history, got $vs")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$base` VERSION AS OF 1")
+      .head().getLong(0) === 100L,
+      "the pre-DML snapshot must stay readable")
+  }
+
   test("CALL graft.vacuum(older_than_ms) prunes history from SQL; the " +
     "pruned version's time travel fails fast") {
     val base = Files.createTempDirectory("gcat_ttv").toString + "/t"
