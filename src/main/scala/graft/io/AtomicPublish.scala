@@ -357,6 +357,16 @@ object AtomicPublish {
     stage
   }
 
+  /** The writer token sealed into version `v`'s `_PUBLISHED` marker — a
+    * UUID unique per version CREATION (a dropped and re-created table
+    * reuses version IDS, never tokens), so it is the durable identity
+    * immutable-version caches key on. One small FS read. */
+  private[io] def versionToken(spark: SparkSession, base: String,
+                               v: Long): Option[String] = {
+    val b = new Path(base)
+    tokenOf(fsOf(spark, b), new Path(b, s"v$v"))
+  }
+
   private def tokenOf(fs: org.apache.hadoop.fs.FileSystem,
                       dir: Path): Option[String] = {
     val m = new Path(dir, "_PUBLISHED")

@@ -421,8 +421,37 @@ object CowTable {
       .toDF("schemaJson", "key", "statsCols", "colMap", "physUsed", "retain")
   }
 
+  /** Parsed-Meta cache. A committed version's meta is IMMUTABLE, but a
+    * (base, version) pair is not a durable identity — DROP TABLE +
+    * re-CREATE reuses v0 — so entries key on the version's writer TOKEN
+    * ([[AtomicPublish.versionToken]]), unique per version creation. The
+    * hit path replaces a Spark parquet job with one tiny marker read;
+    * every SQL statement consults the meta several times (schema, key,
+    * mapping, retention), so the constant matters at statement cadence.
+    * Bounded by wholesale clear — the entries are a few hundred bytes,
+    * the bound is a leak guard, not an eviction policy. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), Meta]()
+
   private[graft] def metaAt(spark: SparkSession, base: String,
                             v: Long): Option[Meta] = {
+    val token = if (v < 0) None
+                else AtomicPublish.versionToken(spark, base, v)
+    val cacheKey = token.map(t => (norm(base), v, t))
+    cacheKey.flatMap(k => Option(metaCache.get(k))) match {
+      case hit @ Some(_) => hit
+      case None =>
+        val loaded = metaAtUncached(spark, base, v)
+        for (m <- loaded; k <- cacheKey) {
+          if (metaCache.size > 4096) metaCache.clear()
+          metaCache.put(k, m)
+        }
+        loaded
+    }
+  }
+
+  private def metaAtUncached(spark: SparkSession, base: String,
+                             v: Long): Option[Meta] = {
     if (v < 0) return None
     if (!fsOf(spark, base).exists(new Path(base, s"v$v/meta"))) None
     else {
