@@ -166,6 +166,22 @@ object AtomicPublish {
     }
   }
 
+  /** The OPERATION recorded in version `v`'s commit marker (`op=` line
+    * of the marker payload) — what `CALL graft.history` surfaces. None
+    * for legacy markers written before operations were recorded. */
+  def commitOp(spark: SparkSession, base: String, v: Long): Option[String] = {
+    val b = new Path(base)
+    val fs = fsOf(spark, b)
+    val m = new Path(b, s"_commits/v$v")
+    if (!fs.exists(m) || fs.getFileStatus(m).getLen == 0L) None
+    else {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .collectFirst { case l if l.startsWith("op=") => l.drop(3) }
+      finally in.close()
+    }
+  }
+
   /** Latest version whose COMMIT INSTANT is at or before `tsMillis` —
     * the `TIMESTAMP AS OF` resolution. The instant is the epoch-millis
     * payload written into the per-version marker at commit time
@@ -259,7 +275,8 @@ object AtomicPublish {
     * version. `retain = 1` is the storage-O(1) default.
     */
   def publish(spark: SparkSession, base: String,
-              datasets: Seq[(String, DataFrame)], retain: Int): Long = {
+              datasets: Seq[(String, DataFrame)], retain: Int,
+              op: Option[String] = None): Long = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val b = new Path(base)
     val fs = fsOf(spark, b)
@@ -289,7 +306,7 @@ object AtomicPublish {
         v += 1
       }
     }
-    commitAndPrune(spark, b, token, v, retain)
+    commitAndPrune(spark, b, token, v, retain, op)
     v
   }
 
@@ -311,7 +328,7 @@ object AtomicPublish {
     */
   def tryPublish(spark: SparkSession, base: String,
                  datasets: Seq[(String, DataFrame)], retain: Int,
-                 parent: Long): Option[Long] = {
+                 parent: Long, op: Option[String] = None): Option[Long] = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val b = new Path(base)
     val fs = fsOf(spark, b)
@@ -335,7 +352,7 @@ object AtomicPublish {
       fs.delete(stage, true)
       None
     } else {
-      commitAndPrune(spark, b, token, v, retain)
+      commitAndPrune(spark, b, token, v, retain, op)
       Some(v)
     }
   }
@@ -390,7 +407,8 @@ object AtomicPublish {
     * forever.
     */
   private def commitAndPrune(spark: SparkSession, b: Path, token: String,
-                             v: Long, retain: Int): Unit = {
+                             v: Long, retain: Int,
+                             op: Option[String] = None): Unit = {
     val fs = fsOf(spark, b)
     fs.mkdirs(new Path(b, "_commits"))
     val ctmp = new Path(b, s".commit-$token")
@@ -398,9 +416,14 @@ object AtomicPublish {
     // TIMESTAMP AS OF metadata that survives relocation — a directory
     // copy rewrites every mtime to the copy instant, which would
     // silently flatten the version history if mtime were the source of
-    // truth
+    // truth. Later lines are `key=value` commit METADATA — today the
+    // operation name ([[commitOp]], the history surface); the instant
+    // parser reads only the first line, so the payload stays
+    // forward-extensible and legacy markers (instant-only or empty)
+    // remain valid.
     val out = fs.create(ctmp, true)
-    try out.write(String.valueOf(System.currentTimeMillis())
+    try out.write((String.valueOf(System.currentTimeMillis()) +
+      op.map(o => "\nop=" + o.replace('\n', ' ')).getOrElse(""))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(ctmp, new Path(b, s"_commits/v$v")) && fs.exists(ctmp))

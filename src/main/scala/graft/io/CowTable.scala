@@ -770,7 +770,8 @@ object CowTable {
     val entries = writePool(spark, base, df, key, numFiles, statsCols)
     AtomicPublish.publish(spark, base,
       payload(spark, base, -1L, entriesDf(spark, entries), None,
-        Some(Meta(df.schema.json, key, statsCols, retain = retain))), retain)
+        Some(Meta(df.schema.json, key, statsCols, retain = retain))), retain,
+      op = Some("CREATE"))
   }
 
   /** DDL-style creation of an EMPTY table: version 0 is a zero-entry
@@ -788,7 +789,8 @@ object CowTable {
       s"cow table already exists under $base")
     AtomicPublish.publish(spark, base,
       payload(spark, base, -1L, entriesDf(spark, Seq.empty), None,
-        Some(Meta(schema.json, key, statsCols, retain = retain))), retain)
+        Some(Meta(schema.json, key, statsCols, retain = retain))), retain,
+      op = Some("CREATE"))
   }
 
   /** An empty frame with the table's DATA schema — the version's `meta`
@@ -1008,7 +1010,7 @@ object CowTable {
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           untouched.unionByName(entriesDf(spark, newEntries)), txn, newMeta),
-        effRetain(parentMeta, retain), parent) match {
+        effRetain(parentMeta, retain), parent, op = Some("MERGE")) match {
         case Some(v) => result = v
         case None => () // conflict: recompute against the new committed
       }
@@ -1036,7 +1038,7 @@ object CowTable {
         .unionByName(entriesDf(spark, newEntries))
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent, manifest, None),
-        effRetain(Some(m), retain), parent) match {
+        effRetain(Some(m), retain), parent, op = Some("APPEND")) match {
         case Some(v) => result = v
         case None => () // conflict: re-commit against the new manifest
       }
@@ -1094,7 +1096,7 @@ object CowTable {
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           untouched.unionByName(entriesDf(spark, newEntries)), None),
-        effRetain(pMeta, retain), parent) match {
+        effRetain(pMeta, retain), parent, op = Some("DELETE")) match {
         case Some(v) => result = v
         case None => ()
       }
@@ -1166,7 +1168,8 @@ object CowTable {
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           entriesDf(spark, keep.flatten ++ newEntries), None),
-        effRetain(metaAt(spark, base, parent), retain), parent) match {
+        effRetain(metaAt(spark, base, parent), retain), parent,
+        op = Some("COMPACT")) match {
         case Some(v) => result = v
         case None => ()
       }
@@ -1219,7 +1222,8 @@ object CowTable {
       val newMeta = m.map(_.copy(statsCols = statsCols))
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent, entriesDf(spark, newEntries), None,
-          newMeta), effRetain(m, retain), parent) match {
+          newMeta), effRetain(m, retain), parent,
+        op = Some("ZORDER")) match {
         case Some(v) => result = v
         case None => ()
       }
@@ -1262,6 +1266,44 @@ object CowTable {
                       graceMs: Long = 0L): (Int, Int) = {
     val pruned = AtomicPublish.pruneOlderThan(spark, base, tsMillis)
     (pruned.size, vacuum(spark, base, graceMs))
+  }
+
+  /** RESTORE the table to retained version `toVersion` as a NEW commit —
+    * the lakehouse rollback idiom: the restored state lands at head+1 (a
+    * forward-moving commit, so concurrent readers, the CAS discipline
+    * and the CDC cursor are all undisturbed; the change feed emits the
+    * INVERSE delta of everything being rolled back, and a `startVersion`
+    * subscriber past the bad commit heals without re-bootstrapping).
+    * METADATA-ONLY: the new version re-references `toVersion`'s
+    * immutable pool files and deletion vectors — no data is read or
+    * written, whatever the table size — and carries `toVersion`'s meta,
+    * so schema changes (added/renamed/dropped columns) roll back with
+    * the rows and the column mapping stays consistent with the restored
+    * schema. Serializable via the same CAS retry as every row-level
+    * commit. No-op (parent returned) when the head already equals the
+    * restored state's manifest version. */
+  def restore(spark: SparkSession, base: String, toVersion: Long,
+              retain: Int = 1): Long = {
+    var result = -1L
+    while (result < 0) {
+      val parent = AtomicPublish.committed(spark, base)
+      require(parent >= 0, s"no committed version under $base")
+      if (parent == toVersion) return parent
+      require(AtomicPublish.isCommitted(spark, base, toVersion),
+        s"cannot RESTORE $base to v$toVersion: not a readable committed " +
+          "version (pruned by retention, an orphan, or never committed) " +
+          "— raise the table's `retain` property to keep deeper history")
+      val m = metaAt(spark, base, toVersion)
+      AtomicPublish.tryPublish(spark, base,
+        payload(spark, base, parent, manifestDfAt(spark, base, toVersion),
+          None, newMeta = m),
+        effRetain(m, retain), parent,
+        op = Some(s"RESTORE v$toVersion")) match {
+        case Some(v) => result = v
+        case None => () // concurrent commit: re-validate against new head
+      }
+    }
+    result
   }
 
   /** DELETE by DELETION VECTOR (merge-on-read): writes only the (file,
@@ -1318,7 +1360,8 @@ object CowTable {
         .select(ManifestCols.map(col): _*)
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent, cum, None),
-        effRetain(metaAt(spark, base, parent), retain), parent) match {
+        effRetain(metaAt(spark, base, parent), retain), parent,
+        op = Some("DELETE")) match {
         case Some(v) => result = v
         case None => () // conflict: recompute against the new committed
       }
@@ -1428,7 +1471,8 @@ object CowTable {
         Seq("manifest" -> entriesDf(spark, entries),
           "meta" -> metaDf(spark,
             Meta(upserts.schema.json, key, Nil, retain = retain)),
-          "txn" -> Seq((stream, batchId)).toDF("stream", "batch")), retain)
+          "txn" -> Seq((stream, batchId)).toDF("stream", "batch")), retain,
+        op = Some("MERGE"))
     } else if (lastTxn(spark, base, stream) >= batchId) {
       AtomicPublish.committed(spark, base) // replay: already applied
     } else {
@@ -1456,7 +1500,8 @@ object CowTable {
   def applyDelta(spark: SparkSession, base: String, deleteKeys: DataFrame,
                  inserts: Option[DataFrame], retain: Int = 1,
                  txn: Option[(String, Long)] = None,
-                 beforeCommit: () => Unit = () => ()): Long = {
+                 beforeCommit: () => Unit = () => (),
+                 op: String = "WRITE DELTA"): Long = {
     import spark.implicits._
     val m = meta(spark, base).getOrElse(sys.error(
       s"no table meta under $base — applyDelta needs a created cow table"))
@@ -1591,7 +1636,7 @@ object CowTable {
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           cum.unionByName(entriesDf(spark, newEntries)), txn),
-        effRetain(Some(m), retain), parent) match {
+        effRetain(Some(m), retain), parent, op = Some(op)) match {
         case Some(v) => result = v; staleDv = None // committed: referenced
         case None => () // conflict: rediscover positions against the new state
       }
@@ -1639,7 +1684,8 @@ object CowTable {
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent, manifestDfAt(spark, base, parent),
           None, Some(m2.copy(schemaJson = widened.json))),
-        effRetain(Some(m), retain), parent) match {
+        effRetain(Some(m), retain), parent,
+        op = Some("ADD COLUMNS")) match {
         case Some(v) => result = v
         case None => () // concurrent commit: re-widen against its schema
       }
@@ -1680,7 +1726,8 @@ object CowTable {
         statsCols = m.statsCols.map(c => if (c == from) to else c))
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent, manifestDfAt(spark, base, parent),
-          None, Some(m2)), effRetain(Some(m), retain), parent) match {
+          None, Some(m2)), effRetain(Some(m), retain), parent,
+        op = Some("RENAME COLUMN")) match {
         case Some(v) => result = v
         case None => ()
       }
@@ -1720,7 +1767,8 @@ object CowTable {
         statsCols = m.statsCols.filterNot(_ == name))
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent, manifestDfAt(spark, base, parent),
-          None, Some(m2)), effRetain(Some(m), retain), parent) match {
+          None, Some(m2)), effRetain(Some(m), retain), parent,
+        op = Some("DROP COLUMN")) match {
         case Some(v) => result = v
         case None => ()
       }
@@ -1753,7 +1801,8 @@ object CowTable {
     */
   def replaceFiles(spark: SparkSession, base: String,
                    replaced: Seq[(String, String)], rows: DataFrame,
-                   retain: Int = 1, scanVersion: Option[Long] = None): Long = {
+                   retain: Int = 1, scanVersion: Option[Long] = None,
+                   opName: String = "REPLACE FILES"): Long = {
     import spark.implicits._
     val m = meta(spark, base).getOrElse(sys.error(
       s"no table meta under $base — replaceFiles needs a created cow table"))
@@ -1792,7 +1841,7 @@ object CowTable {
       AtomicPublish.tryPublish(spark, base,
         payload(spark, base, parent,
           untouched.unionByName(entriesDf(spark, newEntries)), None),
-        effRetain(Some(m), retain), parent) match {
+        effRetain(Some(m), retain), parent, op = Some(opName)) match {
         case Some(v) => result = v
         case None => () // unrelated commit won the slot: re-validate, re-land
       }

@@ -403,6 +403,10 @@ object OpsQueries {
     // SQL time travel: VERSION AS OF / TIMESTAMP AS OF through the catalog
     "cow_time_travel" -> ((s, dir) =>
       graft.sources.GraftCatalog.timeTravelCheck(s, dir)),
+    // RESTORE to a retained version (new metadata-only commit) +
+    // CALL graft.history (the DESCRIBE HISTORY commit log)
+    "cow_restore" -> ((s, dir) =>
+      graft.sources.GraftCatalog.restoreCheck(s, dir)),
     // warehouse registry: CREATE TABLE graft.<name> / SHOW TABLES /
     // ALTER TABLE ADD COLUMN (metadata-only) / UPDATE the new column
     "cow_sql_registry" -> ((s, dir) =>
@@ -752,6 +756,7 @@ object OpsQueries {
     "cow_col_mapping" -> graft.sources.GraftCatalog.colMappingSql,
     "stream_table_read" -> graft.streaming.TableFeed.checkSql,
     "cow_time_travel" -> graft.sources.GraftCatalog.timeTravelSql,
+    "cow_restore" -> graft.sources.GraftCatalog.restoreSql,
     "cow_sql_registry" -> graft.sources.GraftCatalog.registrySql,
     "stream_cdf" -> graft.streaming.CdfStream.checkSql,
     "stream_cdc_mutate" -> graft.streaming.CdfStream.mutateSql,

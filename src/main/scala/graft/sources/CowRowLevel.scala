@@ -73,7 +73,7 @@ private[sources] class CowRowLevelOperation(base: String, key: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new CowDeltaWrite(base, key, info)
+      override def build(): DeltaWrite = new CowDeltaWrite(base, key, info, cmd)
     }
 
   /** The row identity: EVERY clustering-key column (composite keys —
@@ -87,8 +87,11 @@ private[sources] class CowRowLevelOperation(base: String, key: String,
 }
 
 private[sources] class CowDeltaWrite(base: String, key: String,
-                                     info: LogicalWriteInfo) extends DeltaWrite {
-  override def toBatch: DeltaBatchWrite = new CowDeltaBatchWrite(base, key, info)
+                                     info: LogicalWriteInfo,
+                                     cmd: RowLevelOperation.Command)
+  extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite =
+    new CowDeltaBatchWrite(base, key, info, cmd)
   override def description(): String = s"cow-delta write to $base"
 }
 
@@ -215,7 +218,8 @@ private[sources] class CowReplaceBatchWrite(base: String,
           StructType(stagedSchema.fields.map(_.copy(nullable = true))))
           .parquet(staged: _*)
       CowTable.replaceFiles(spark, base, replaced,
-        rows.select(tableCols.map(col): _*), scanVersion = op.scanVersion)
+        rows.select(tableCols.map(col): _*), scanVersion = op.scanVersion,
+        opName = "MERGE")
       ()
     } finally cleanup()
   }
@@ -282,7 +286,8 @@ private[sources] case class CowDeltaMessage(insertFiles: Seq[String],
   extends WriterCommitMessage
 
 private[sources] class CowDeltaBatchWrite(base: String, key: String,
-                                          info: LogicalWriteInfo)
+                                          info: LogicalWriteInfo,
+                                          cmd: RowLevelOperation.Command)
   extends DeltaBatchWrite {
 
   private val staging = s"$base/.delta-${info.queryId()}"
@@ -315,7 +320,8 @@ private[sources] class CowDeltaBatchWrite(base: String, key: String,
           else spark.read.schema(
             StructType(rowIdSchema.fields.map(_.copy(nullable = true))))
             .parquet(dels: _*)
-        CowTable.applyDelta(spark, base, deleteKeys, inserts)
+        CowTable.applyDelta(spark, base, deleteKeys, inserts,
+          op = cmd.toString) // DELETE / UPDATE / MERGE, as issued
       }
     } finally cleanup()
   }

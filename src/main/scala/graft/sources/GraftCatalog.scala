@@ -791,6 +791,72 @@ object GraftCatalog {
       |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** RESTORE + DESCRIBE HISTORY end-to-end: create (v0) → row-level
+    * `UPDATE` (v1) → `DELETE FROM` (v2) → `CALL graft.restore(v0)`
+    * (v3) — the rollback lands as a NEW commit whose state equals v0,
+    * so the DuckDB oracle (plain `orders`) directly verifies the
+    * restored table. In-band requires: `CALL graft.history` names the
+    * four operations in order (CREATE / UPDATE / DELETE / RESTORE v0 —
+    * the commit log every lakehouse exposes as DESCRIBE HISTORY, each
+    * with a commit instant), the restore wrote ZERO new pool files
+    * (metadata-only — v0's immutable files are re-referenced, the
+    * 100 TB contract), the head moved FORWARD (concurrent readers and
+    * the CDC cursor are undisturbed), and the change feed emits the
+    * restore's INVERSE delta (a subscriber past the bad commits heals
+    * without re-bootstrapping). */
+  def restoreCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_restore", dir, "cow_rst") {
+      val base = graft.io.FsUtil.stateDir("cow_rst", dir)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // self-contained
+      val orders = graft.Tables.orders(spark, dir)
+      val v0 = CowTable.create(spark, base, orders, "o_orderkey",
+        numFiles = 8, retain = 4)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+      spark.sql(s"UPDATE graft.`$base` SET o_totalprice = o_totalprice + 1 " +
+        "WHERE o_orderkey % 3 = 0") // v1
+      spark.sql(s"DELETE FROM graft.`$base` WHERE o_orderkey % 11 = 2") // v2
+      val v2 = graft.io.AtomicPublish.committed(spark, base)
+
+      def poolCount(): Int =
+        fs.listStatus(new org.apache.hadoop.fs.Path(base, "files")).length
+      val before = poolCount()
+      val restored = spark.sql(
+        s"CALL graft.restore(`table` => '$base', version => $v0)")
+        .head()
+      val v3 = restored.getLong(0)
+      require(v3 == v2 + 1 && restored.getLong(1) == v0,
+        s"restore must land as a NEW commit: got v$v3 from v${restored.getLong(1)}")
+      require(poolCount() == before,
+        "RESTORE is metadata-only: no new pool files may be written")
+      val hist = spark.sql(s"CALL graft.history(`table` => '$base')")
+        .collect()
+      require(hist.map(_.getLong(0)).toSeq == Seq(v0, v0 + 1, v2, v3) &&
+        hist.forall(!_.isNullAt(1)),
+        "history must list the four commits ascending, each with an instant")
+      val ops = hist.map(_.getString(2)).toSeq
+      require(ops == Seq("CREATE", "UPDATE", "DELETE", s"RESTORE v$v0"),
+        s"history must name the operations, got: ${ops.mkString(", ")}")
+      require(CowTable.changes(spark, base, v2, v3, "o_orderkey")
+        .limit(1).count() == 1L,
+        "the change feed must carry the restore's inverse delta")
+
+      spark.sql(
+        s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |FROM graft.`$base` GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
+
+  /** The restored head IS the source table. */
+  val restoreSql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** CATALOG REGISTRY + DDL evolution end-to-end: a WAREHOUSE-rooted
     * name-addressed table (`CREATE TABLE graft.<name> … AS SELECT`),
     * discovered by `SHOW TABLES IN graft` (the reference's own tests
@@ -1204,9 +1270,14 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
   private def result(schema: StructType, values: Any*): java.util.Iterator[Scan] =
+    resultRows(schema, Seq(values.toArray))
+
+  private def resultRows(schema: StructType,
+                         rs: Seq[Array[Any]]): java.util.Iterator[Scan] =
     Collections.singletonList[Scan](new LocalScan {
       override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-        Array(new GenericInternalRow(values.toArray))
+        rs.map(new GenericInternalRow(_)
+          : org.apache.spark.sql.catalyst.InternalRow).toArray
       override def readSchema(): StructType = schema
     }).iterator()
 
@@ -1304,6 +1375,65 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL graft.history(table)` → one row per READABLE committed
+    * version, ascending: (version, instant_ms, operation) — the
+    * DESCRIBE HISTORY surface. The operation is the `op=` line recorded
+    * in the version's commit marker at commit time (CREATE / APPEND /
+    * MERGE / DELETE / UPDATE / COMPACT / ZORDER / RESTORE vN / DDL);
+    * NULL for commits that predate operation recording. Listing is
+    * O(retained versions) marker reads — no data or manifest scan. */
+  object History extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "list a cow table's retained commits: version, instant, operation"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("cow table base path or warehouse name").build())
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val b = base(input)
+      val rows = graft.io.AtomicPublish.versions(spark, b).map { v =>
+        Array[Any](v,
+          graft.io.AtomicPublish.commitInstant(spark, b, v)
+            .map(Long.box).orNull,
+          graft.io.AtomicPublish.commitOp(spark, b, v)
+            .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+            .orNull)
+      }
+      resultRows(new StructType().add("version", LongType)
+        .add("instant_ms", LongType).add("operation", StringType), rows)
+    }
+  }
+
+  /** `CALL graft.restore(table, version)` → (version, restored_from):
+    * roll the table back to a retained version as a NEW metadata-only
+    * commit ([[CowTable.restore]] — pool files are re-referenced, never
+    * copied; schema and column mapping roll back with the rows; the
+    * change feed emits the inverse delta). */
+  object Restore extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "restore"
+    override def description(): String =
+      "restore a cow table to a retained version as a new commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("cow table base path or warehouse name").build(),
+      ProcedureParameter.in("version", LongType)
+        .comment("retained committed version to restore to").build())
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val b = base(input)
+      val to = input.getLong(1)
+      val v = CowTable.restore(spark, b, to)
+      result(new StructType().add("version", LongType)
+        .add("restored_from", LongType), v, to)
+    }
+  }
+
   val byName: Map[String, UnboundProcedure] =
-    Map("compact" -> Compact, "vacuum" -> Vacuum)
+    Map("compact" -> Compact, "vacuum" -> Vacuum,
+      "history" -> History, "restore" -> Restore)
 }

@@ -641,4 +641,39 @@ class CowTableSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       table(10), scanVersion = Some(v2))
     assert(AtomicPublish.committed(spark, base) === v2 + 1)
   }
+
+  test("RESTORE rolls back rows AND schema as a new metadata-only " +
+    "commit; a pruned target fails fast naming the retain remedy") {
+    val base = Files.createTempDirectory("cow_rst").toString + "/t"
+    val v0 = CowTable.create(spark, base, table(100), "id", numFiles = 2,
+      retain = 4)
+    CowTable.merge(spark, base,
+      Seq((5L, "edit", 1.0, false), (500L, "new", 2.0, false))
+        .toDF("id", "nm", "amt", "_delete"), "id", retain = 4)
+    CowTable.addColumns(spark, base,
+      Seq(org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)), retain = 4)
+    assert(CowTable.read(spark, base).columns.contains("note"))
+
+    // restore to v0: head moves FORWARD, rows and schema both roll back
+    val v3 = CowTable.restore(spark, base, v0, retain = 4)
+    assert(v3 === v0 + 3)
+    val got = CowTable.read(spark, base)
+    assert(!got.columns.contains("note"),
+      "restore must roll the schema back with the rows")
+    assert(got.orderBy("id").collect().toSeq ===
+      table(100).orderBy("id").collect().toSeq)
+    // restoring to the state the head already has is a no-op
+    assert(CowTable.restore(spark, base, v3, retain = 4) === v3)
+
+    // a target outside the retention window fails fast with the remedy
+    val tight = Files.createTempDirectory("cow_rst2").toString + "/t"
+    CowTable.create(spark, tight, table(10), "id", numFiles = 1)
+    CowTable.append(spark, tight, Seq((11L, "x", 1.0)).toDF("id", "nm", "amt"))
+    val e = intercept[IllegalArgumentException] {
+      CowTable.restore(spark, tight, 0L)
+    }
+    assert(e.getMessage.contains("retain"),
+      s"the error must name the retention remedy: ${e.getMessage}")
+  }
 }
