@@ -131,10 +131,32 @@ object CowTable {
                                  statsCols: Seq[String],
                                  colMap: Seq[(String, String)] = Nil,
                                  physUsed: Seq[String] = Nil,
-                                 retain: Int = 1) {
+                                 retain: Int = 1,
+                                 checks: Seq[(String, String)] = Nil) {
     /** logical → physical; identity for unmapped columns. */
     def phys(name: String): String = colMap.toMap.getOrElse(name, name)
     def physMap: Map[String, String] = colMap.toMap
+  }
+
+  /** CHECK-constraint entries serialize base64-per-field (`name:pred`
+    * pairs joined by `;`): a predicate is arbitrary SQL text, so unlike
+    * column-mapping entries it cannot be separator-guarded — encoding
+    * sidesteps the problem entirely. */
+  private def encChecks(cs: Seq[(String, String)]): String = {
+    val enc = java.util.Base64.getEncoder
+    def b64(s: String) =
+      enc.encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    cs.map { case (n, p) => s"${b64(n)}:${b64(p)}" }.mkString(";")
+  }
+
+  private def decChecks(s: String): Seq[(String, String)] = {
+    val dec = java.util.Base64.getDecoder
+    def un(x: String) =
+      new String(dec.decode(x), java.nio.charset.StandardCharsets.UTF_8)
+    s.split(";").filter(_.contains(":")).toSeq.map { pair =>
+      val i = pair.indexOf(':')
+      (un(pair.substring(0, i)), un(pair.substring(i + 1)))
+    }
   }
 
   /** Column-mapping entries serialize as `l=p;l=p` in the meta table —
@@ -238,11 +260,31 @@ object CowTable {
     * instead of the clustering key — the key stays the row identity and
     * the manifest still records its per-file ranges (which may then
     * overlap; stats columns carry the skipping value). */
-  private def writePool(spark: SparkSession, base: String, df: DataFrame,
+  /** Per-row CHECK-constraint enforcement fused into a write's own
+    * projection — one pass, codegen'd, no extra job: the first column's
+    * value is routed through `assert_true(pred OR pred IS NULL)` (SQL
+    * CHECK semantics: UNKNOWN passes), so a violating row fails the
+    * STATEMENT with the constraint's name before anything commits —
+    * the Delta invariant-checker contract. Rewrite paths (compact,
+    * zorder, delete survivors) skip the wrap: their rows were validated
+    * when first written. */
+  private def withChecks(df: DataFrame,
+                         checks: Seq[(String, String)]): DataFrame =
+    checks.foldLeft(df) { case (d, (n, p)) =>
+      val ok = coalesce(expr(p).cast("boolean"), lit(true))
+      val c0 = d.columns.head
+      d.withColumn(c0, when(assert_true(ok, lit(
+        s"CHECK constraint `$n` violated: ($p) is not satisfied by a " +
+          "written row — the statement was rolled back")).isNull, col(c0)))
+    }
+
+  private def writePool(spark: SparkSession, base: String, df0: DataFrame,
                         key: String, numFiles: Int,
                         statsCols: Seq[String] = Nil,
                         colMap: Map[String, String] = Map.empty,
-                        layout: Option[Column] = None): Seq[Entry] = {
+                        layout: Option[Column] = None,
+                        checks: Seq[(String, String)] = Nil): Seq[Entry] = {
+    val df = withChecks(df0, checks)
     val ks = splitKeys(key)
     ks.foreach(k => require(df.columns.contains(k),
       s"clustering key column `$k` is not a column of " +
@@ -417,8 +459,9 @@ object CowTable {
     import spark.implicits._
     Seq((m.schemaJson, m.key, m.statsCols.mkString(","),
       m.colMap.map { case (l, p) => s"$l=$p" }.mkString(";"),
-      m.physUsed.mkString(";"), m.retain))
-      .toDF("schemaJson", "key", "statsCols", "colMap", "physUsed", "retain")
+      m.physUsed.mkString(";"), m.retain, encChecks(m.checks)))
+      .toDF("schemaJson", "key", "statsCols", "colMap", "physUsed",
+        "retain", "checks")
   }
 
   /** Parsed-Meta cache. A committed version's meta is IMMUTABLE, but a
@@ -470,8 +513,11 @@ object CowTable {
             }.toSeq,
           physUsed = r.getAs[String]("physUsed").split(";")
             .filter(_.nonEmpty).toSeq)
-      Some(if (!df.columns.contains("retain")) m1 // pre-retention metas
-      else m1.copy(retain = r.getAs[Int]("retain")))
+      val m2 =
+        if (!df.columns.contains("retain")) m1 // pre-retention metas
+        else m1.copy(retain = r.getAs[Int]("retain"))
+      Some(if (!df.columns.contains("checks")) m2 // pre-constraint metas
+      else m2.copy(checks = decChecks(r.getAs[String]("checks"))))
     }
   }
 
@@ -1004,7 +1050,8 @@ object CowTable {
           .unionByName(upserts, allowMissingColumns = false)
       val statsCols = parentMeta.map(_.statsCols).getOrElse(Nil)
       val newEntries = writePool(spark, base, survivors, key,
-        math.max(1, affected.size), statsCols, colMap = mergeMap)
+        math.max(1, affected.size), statsCols, colMap = mergeMap,
+        checks = parentMeta.map(_.checks).getOrElse(Nil))
       beforeCommit()
       val newMeta = evolvedMeta
       AtomicPublish.tryPublish(spark, base,
@@ -1029,7 +1076,7 @@ object CowTable {
     val m = meta(spark, base).getOrElse(sys.error(
       s"no table meta under $base — append needs a created cow table"))
     val newEntries = writePool(spark, base, df, m.key, numFiles, m.statsCols,
-      colMap = m.physMap)
+      colMap = m.physMap, checks = m.checks)
     var result = -1L
     while (result < 0) {
       val parent = AtomicPublish.committed(spark, base)
@@ -1509,7 +1556,7 @@ object CowTable {
     // inserts become pool files ONCE — only the manifest CAS retries
     val newEntries = inserts.map { df =>
       writePool(spark, base, df, key, numFiles = 1, m.statsCols,
-        colMap = m.physMap)
+        colMap = m.physMap, checks = m.checks)
     }.getOrElse(Seq.empty)
     val ks = splitKeys(key)
     val tblSchema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
@@ -1717,6 +1764,10 @@ object CowTable {
       require(!splitKeys(m.key).contains(from),
         s"column `$from` is part of the clustering key (the row " +
           "identity): key columns cannot be renamed")
+      m.checks.filter(c => checkReferences(spark, c._2, from)).foreach { c =>
+        sys.error(s"column `$from` is referenced by CHECK constraint " +
+          s"`${c._1}` (${c._2}): DROP CONSTRAINT first, rename, re-add")
+      }
       val phys = m.phys(from)
       val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(
         f => if (f.name == from) f.copy(name = to) else f))
@@ -1759,6 +1810,10 @@ object CowTable {
       // the physical name joins physUsed, whose serialization splits on
       // ';' — a legacy (pre-guard) table could still carry one
       requireMappableName(phys)
+      m.checks.filter(c => checkReferences(spark, c._2, name)).foreach { c =>
+        sys.error(s"column `$name` is referenced by CHECK constraint " +
+          s"`${c._1}` (${c._2}): DROP CONSTRAINT first")
+      }
       val m2 = m.copy(
         schemaJson = org.apache.spark.sql.types.StructType(
           schema.fields.filterNot(_.name == name)).json,
@@ -1769,6 +1824,79 @@ object CowTable {
         payload(spark, base, parent, manifestDfAt(spark, base, parent),
           None, Some(m2)), effRetain(Some(m), retain), parent,
         op = Some("DROP COLUMN")) match {
+        case Some(v) => result = v
+        case None => ()
+      }
+    }
+    result
+  }
+
+  /** Whether CHECK predicate `p` references column `col` — parsed, not
+    * substring-matched (a predicate on `total` must not pin `tot`). */
+  private def checkReferences(spark: SparkSession, p: String,
+                              colName: String): Boolean =
+    scala.util.Try(spark.sessionState.sqlParser.parseExpression(p).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last
+    }.exists(_.equalsIgnoreCase(colName))).getOrElse(true) // unparsable: safe
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (pred)` as a metadata-only
+    * commit — after VALIDATING the existing data (one pruned table scan,
+    * fail-fast on the first violating row: a constraint that the table
+    * already breaks must never be recorded, the Delta contract). From
+    * then on every row entering the table through ANY write path (API
+    * merge/append, SQL INSERT/UPDATE/MERGE — all data funnels through
+    * [[writePool]]) is enforced per-row inside the write's own
+    * projection; a violation fails the statement before its commit.
+    * SQL CHECK semantics: a predicate evaluating to NULL passes. */
+  def addCheck(spark: SparkSession, base: String, name: String,
+               predicateSql: String, retain: Int = 1): Long = {
+    require(name.nonEmpty, "constraint name must be non-empty")
+    var result = -1L
+    while (result < 0) {
+      val parent = AtomicPublish.committed(spark, base)
+      require(parent >= 0, s"no committed version under $base")
+      val m = metaAt(spark, base, parent).getOrElse(sys.error(
+        s"no table meta under $base"))
+      require(!m.checks.exists(_._1 == name),
+        s"a CHECK constraint named `$name` already exists under $base")
+      // the predicate must resolve against the table schema AND hold on
+      // every existing row — evaluated through the same snapshot scan
+      // (DV-aware, column-mapped) every reader uses
+      val bad = readAt(spark, base, parent)
+        .filter(!coalesce(expr(predicateSql).cast("boolean"), lit(true)))
+        .limit(1).count()
+      require(bad == 0L,
+        s"cannot ADD CONSTRAINT `$name`: ($predicateSql) is violated by " +
+          s"existing rows of $base — fix the data first")
+      AtomicPublish.tryPublish(spark, base,
+        payload(spark, base, parent, manifestDfAt(spark, base, parent),
+          None, Some(m.copy(checks = m.checks :+ ((name, predicateSql))))),
+        effRetain(Some(m), retain), parent,
+        op = Some(s"ADD CONSTRAINT $name")) match {
+        case Some(v) => result = v
+        case None => () // concurrent commit: re-validate against new head
+      }
+    }
+    result
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT name` — metadata-only. */
+  def dropCheck(spark: SparkSession, base: String, name: String,
+                retain: Int = 1): Long = {
+    var result = -1L
+    while (result < 0) {
+      val parent = AtomicPublish.committed(spark, base)
+      require(parent >= 0, s"no committed version under $base")
+      val m = metaAt(spark, base, parent).getOrElse(sys.error(
+        s"no table meta under $base"))
+      require(m.checks.exists(_._1 == name),
+        s"no CHECK constraint named `$name` under $base")
+      AtomicPublish.tryPublish(spark, base,
+        payload(spark, base, parent, manifestDfAt(spark, base, parent),
+          None, Some(m.copy(checks = m.checks.filterNot(_._1 == name)))),
+        effRetain(Some(m), retain), parent,
+        op = Some(s"DROP CONSTRAINT $name")) match {
         case Some(v) => result = v
         case None => ()
       }
@@ -1811,7 +1939,7 @@ object CowTable {
       if (rows.isEmpty) Seq.empty
       else writePool(spark, base, rows, m.key,
         numFiles = math.max(1, replaced.size), m.statsCols,
-        colMap = m.physMap)
+        colMap = m.physMap, checks = m.checks)
     if (replaced.isEmpty && newEntries.isEmpty)
       return AtomicPublish.committed(spark, base) // no-op
     val replacedDf = replaced.toDF("file", "_gf_dv").localCheckpoint()

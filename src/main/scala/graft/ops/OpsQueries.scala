@@ -407,6 +407,10 @@ object OpsQueries {
     // CALL graft.history (the DESCRIBE HISTORY commit log)
     "cow_restore" -> ((s, dir) =>
       graft.sources.GraftCatalog.restoreCheck(s, dir)),
+    // CHECK constraints: ADD CONSTRAINT validates + stores, every write
+    // path enforces per-row, a violating statement fails whole
+    "cow_constraint" -> ((s, dir) =>
+      graft.sources.GraftCatalog.constraintCheck(s, dir)),
     // warehouse registry: CREATE TABLE graft.<name> / SHOW TABLES /
     // ALTER TABLE ADD COLUMN (metadata-only) / UPDATE the new column
     "cow_sql_registry" -> ((s, dir) =>
@@ -757,6 +761,7 @@ object OpsQueries {
     "stream_table_read" -> graft.streaming.TableFeed.checkSql,
     "cow_time_travel" -> graft.sources.GraftCatalog.timeTravelSql,
     "cow_restore" -> graft.sources.GraftCatalog.restoreSql,
+    "cow_constraint" -> graft.sources.GraftCatalog.constraintSql,
     "cow_sql_registry" -> graft.sources.GraftCatalog.registrySql,
     "stream_cdf" -> graft.streaming.CdfStream.checkSql,
     "stream_cdc_mutate" -> graft.streaming.CdfStream.mutateSql,

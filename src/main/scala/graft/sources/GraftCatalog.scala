@@ -61,6 +61,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                           options: CaseInsensitiveStringMap): Unit =
     catalogName = name
 
+  /** SUPPORT_TABLE_CONSTRAINT arms `ALTER TABLE … ADD/DROP CONSTRAINT`:
+    * the analyzer refuses the statement outright for catalogs that
+    * don't declare it ([[alterTable]] then stores CHECK constraints in
+    * the cow meta; enforcement lives in the pool writer). */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def name(): String = catalogName
 
   /** Warehouse root for NAME-addressed tables, read from the LIVE
@@ -221,9 +230,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"DROP COLUMN supports top-level columns only, got " +
             d.fieldNames().mkString("."))
         CowTable.dropColumn(spark, base, d.fieldNames().head)
+      case a: TableChange.AddConstraint =>
+        a.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            CowTable.addCheck(spark, base, c.name(), c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            "cow tables enforce CHECK constraints only (UNIQUE / PRIMARY " +
+              s"KEY / FOREIGN KEY are not enforced): got ${other.toDDL()}")
+        }
+      case d: TableChange.DropConstraint =>
+        CowTable.dropCheck(spark, base, d.name())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE on a cow table supports ADD/RENAME/DROP COLUMN " +
-          s"only, got ${other.getClass.getSimpleName}")
+          s"and ADD/DROP CONSTRAINT … CHECK, got " +
+          other.getClass.getSimpleName)
     }
     new CowSqlTable(base)
   }
@@ -857,6 +877,78 @@ object GraftCatalog {
       |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CHECK CONSTRAINTS end-to-end: `ALTER TABLE … ADD CONSTRAINT …
+    * CHECK` (validated against existing rows, stored in the table meta,
+    * recorded in the commit history), then ENFORCED per-row inside every
+    * write's own projection — a valid row-level `UPDATE` lands, a
+    * VIOLATING `UPDATE` and a violating `INSERT` each fail their whole
+    * statement naming the constraint, leaving the table byte-identical
+    * (asserted in-band via the committed version id). The oracle
+    * replays the one valid update relationally — any leaked violating
+    * row breaks the hash. */
+  def constraintCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_constraint", dir, "cow_chk") {
+      val base = graft.io.FsUtil.stateDir("cow_chk", dir)
+      new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true) // self-contained
+      val orders = graft.Tables.orders(spark, dir)
+      // table-level retain: the history assertion below needs the
+      // CREATE and ADD CONSTRAINT commits readable after the UPDATE
+      CowTable.create(spark, base, orders, "o_orderkey", numFiles = 8,
+        retain = 6)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+      spark.sql(s"ALTER TABLE graft.`$base` " +
+        "ADD CONSTRAINT price_pos CHECK (o_totalprice >= 0.0)")
+      spark.sql(s"UPDATE graft.`$base` " +
+        "SET o_totalprice = o_totalprice + 100.0 WHERE o_orderkey % 13 = 1")
+      val vOk = graft.io.AtomicPublish.committed(spark, base)
+
+      def mustViolate(stmt: String): Unit = {
+        val r = scala.util.Try(spark.sql(stmt))
+        require(r.isFailure, s"a violating statement must fail: $stmt")
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        require(msgs(r.failed.get).exists(_.contains("price_pos")),
+          "the failure must name the violated constraint, got: " +
+            s"${r.failed.get.getClass.getName}: " +
+            msgs(r.failed.get).mkString(" | "))
+      }
+      mustViolate(s"UPDATE graft.`$base` SET o_totalprice = -1.0 " +
+        "WHERE o_orderkey % 17 = 2")
+      mustViolate(s"INSERT INTO graft.`$base` " +
+        "SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, " +
+        s"-5.0, o_orderdate, o_orderpriority FROM graft.`$base` LIMIT 1")
+      require(graft.io.AtomicPublish.committed(spark, base) == vOk,
+        "a failed statement must not move the committed version")
+      val ops = spark.sql(s"CALL graft.history(`table` => '$base')")
+        .collect().map(_.getString(2)).toSeq
+      require(ops.contains("ADD CONSTRAINT price_pos"),
+        s"history must record the constraint DDL, got: $ops")
+
+      spark.sql(
+        s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |FROM graft.`$base` GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
+
+  /** Replay the one valid update; violating statements left no trace. */
+  val constraintSql: String =
+    """WITH final AS (
+      |  SELECT o_orderstatus,
+      |         CASE WHEN o_orderkey % 13 = 1
+      |              THEN o_totalprice + 100.0 ELSE o_totalprice
+      |         END AS o_totalprice
+      |  FROM orders
+      |)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** CATALOG REGISTRY + DDL evolution end-to-end: a WAREHOUSE-rooted
     * name-addressed table (`CREATE TABLE graft.<name> … AS SELECT`),
     * discovered by `SHOW TABLES IN graft` (the reference's own tests
@@ -1137,6 +1229,20 @@ private[sources] class CowSqlTable(base: String,
     StructType(s.fields.map(f =>
       if (ks.contains(f.name)) f.copy(nullable = false) else f))
   }
+
+  /** The table's CHECK constraints, surfaced through the DSv2 contract
+    * (`DESCRIBE TABLE EXTENDED` lists them; Spark's write analysis may
+    * additionally inject its own validation). Enforcement does NOT rely
+    * on the engine honoring these: every write path funnels through
+    * [[CowTable]]'s pool writer, which asserts each recorded predicate
+    * per row inside the write's own projection. */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    tableMeta.checks.map { case (n, p) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(p).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** AUTOMATIC_SCHEMA_EVOLUTION gates `MERGE WITH SCHEMA EVOLUTION`:
     * Spark's ResolveMergeIntoSchemaEvolution diffs source vs target and

@@ -235,6 +235,76 @@ class GraftCatalogSpec extends SparkSpec {
       "the pre-DML snapshot must stay readable")
   }
 
+  test("ADD CONSTRAINT … CHECK enforces per-row on every write path; " +
+    "existing-data validation, DROP CONSTRAINT, column guards") {
+    val base = Files.createTempDirectory("gcat_chk").toString + "/t"
+    // amt is NULLABLE: the CHECK-passes-on-UNKNOWN case below must hit
+    // the constraint, not a schema NOT NULL assertion
+    CowTable.create(spark, base,
+      (1 to 100).map(i => (i.toLong, s"name$i", Option(i * 10.0)))
+        .toDF("id", "nm", "amt"),
+      "id", numFiles = 4, retain = 8)
+
+    // a constraint the existing data violates must be refused
+    val eBad = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$base` ADD CONSTRAINT big CHECK (amt > 500.0)")
+    }
+    assert(eBad.getMessage != null)
+    assert(graft.io.CowTable.meta(spark, base).get.checks.isEmpty,
+      "a failed ADD CONSTRAINT must record nothing")
+
+    spark.sql(s"ALTER TABLE graft.`$base` " +
+      "ADD CONSTRAINT amt_pos CHECK (amt >= 0.0)")
+    assert(graft.io.CowTable.meta(spark, base).get.checks ===
+      Seq(("amt_pos", "amt >= 0.0")))
+
+    // valid writes pass through every path
+    spark.sql(s"INSERT INTO graft.`$base` VALUES (200, 'ok', 5.0)")
+    spark.sql(s"UPDATE graft.`$base` SET amt = amt + 1 WHERE id = 1")
+    CowTable.merge(spark, base,
+      Seq((201L, "m", 7.0, false)).toDF("id", "nm", "amt", "_delete"), "id")
+
+    // violating writes fail the STATEMENT on each path: SQL INSERT,
+    // SQL UPDATE (delta route), API merge, API append
+    def violates(f: => Unit): Unit = {
+      val e = intercept[Exception](f)
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("amt_pos")),
+        s"the failure must name the constraint: ${msgs(e).mkString(" | ")}")
+    }
+    violates(spark.sql(s"INSERT INTO graft.`$base` VALUES (300, 'bad', -1.0)"))
+    violates(spark.sql(s"UPDATE graft.`$base` SET amt = -5.0 WHERE id = 2"))
+    violates(CowTable.merge(spark, base,
+      Seq((301L, "bm", -2.0, false)).toDF("id", "nm", "amt", "_delete"), "id"))
+    violates(CowTable.append(spark, base,
+      Seq((302L, "ba", -3.0)).toDF("id", "nm", "amt")))
+    // nothing landed: the table still aggregates clean
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$base` WHERE amt < 0")
+      .head().getLong(0) === 0L)
+
+    // NULL passes (SQL CHECK: UNKNOWN is not a violation)
+    spark.sql(s"INSERT INTO graft.`$base` VALUES (303, 'nullamt', NULL)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$base` WHERE id = 303")
+      .head().getLong(0) === 1L)
+
+    // a referenced column can be neither dropped nor renamed
+    val eDrop = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$base` DROP COLUMN amt")
+    }
+    assert(eDrop.getMessage.contains("amt_pos"))
+
+    // DROP CONSTRAINT lifts enforcement; history records both DDL ops
+    spark.sql(s"ALTER TABLE graft.`$base` DROP CONSTRAINT amt_pos")
+    spark.sql(s"INSERT INTO graft.`$base` VALUES (304, 'nowok', -9.0)")
+    val ops = spark.sql(s"CALL graft.history(`table` => '$base')")
+      .collect().map(_.getString(2)).toSeq
+    assert(ops.contains("ADD CONSTRAINT amt_pos") &&
+      ops.contains("DROP CONSTRAINT amt_pos"),
+      s"history must record the constraint DDL, got: $ops")
+  }
+
   test("CALL graft.vacuum(older_than_ms) prunes history from SQL; the " +
     "pruned version's time travel fails fast") {
     val base = Files.createTempDirectory("gcat_ttv").toString + "/t"
