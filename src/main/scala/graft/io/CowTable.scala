@@ -1831,6 +1831,61 @@ object CowTable {
     result
   }
 
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT v` / `DROP DEFAULT` as a
+    * metadata-only commit: the default lives in the column's StructField
+    * metadata inside the schema JSON (`CURRENT_DEFAULT` fills future
+    * INSERTs that omit the column; `EXISTS_DEFAULT` makes files written
+    * BEFORE the column existed read back v — the parquet reader honors
+    * it from the read schema, so no data moves). The expression must be
+    * a constant: it is validated by evaluating it once, cast to the
+    * column's type, before anything commits. */
+  def setColumnDefault(spark: SparkSession, base: String, name: String,
+                       newDefault: Option[String],
+                       retain: Int = 1): Long = {
+    var result = -1L
+    while (result < 0) {
+      val parent = AtomicPublish.committed(spark, base)
+      require(parent >= 0, s"no committed version under $base")
+      val m = metaAt(spark, base, parent).getOrElse(sys.error(
+        s"no table meta under $base"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val f = schema.fields.find(_.name == name).getOrElse(sys.error(
+        s"column `$name` does not exist under $base"))
+      newDefault.foreach { sql =>
+        require(spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+        }.isEmpty, s"DEFAULT must be a constant expression, got: $sql")
+        spark.range(1).select(expr(sql).cast(f.dataType)).head() // evaluates
+      }
+      // CURRENT_DEFAULT only: SET/DROP DEFAULT governs FUTURE inserts.
+      // EXISTS_DEFAULT — what pre-column files read back — is fixed at
+      // ADD COLUMN time and never changes retroactively (standard SQL /
+      // Delta semantics: rows that existed before the column keep the
+      // value they were given when it appeared).
+      val md = newDefault match {
+        case Some(sql) => new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", sql).build()
+        case None => new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove("CURRENT_DEFAULT").build()
+      }
+      val m2 = m.copy(schemaJson = org.apache.spark.sql.types.StructType(
+        schema.fields.map(x =>
+          if (x.name == name) x.copy(metadata = md) else x)).json)
+      AtomicPublish.tryPublish(spark, base,
+        payload(spark, base, parent, manifestDfAt(spark, base, parent),
+          None, Some(m2)), effRetain(Some(m), retain), parent,
+        op = Some(newDefault.fold(s"DROP DEFAULT $name")(_ =>
+          s"SET DEFAULT $name"))) match {
+        case Some(v) => result = v
+        case None => ()
+      }
+    }
+    result
+  }
+
   /** Whether CHECK predicate `p` references column `col` — parsed, not
     * substring-matched (a predicate on `total` must not pin `tot`). */
   private def checkReferences(spark: SparkSession, p: String,

@@ -411,6 +411,10 @@ object OpsQueries {
     // path enforces per-row, a violating statement fails whole
     "cow_constraint" -> ((s, dir) =>
       graft.sources.GraftCatalog.constraintCheck(s, dir)),
+    // column DEFAULT values: ADD COLUMN DEFAULT fills existing rows
+    // metadata-only; INSERT omission + SET DEFAULT + UPDATE ... DEFAULT
+    "cow_defaults" -> ((s, dir) =>
+      graft.sources.GraftCatalog.defaultsCheck(s, dir)),
     // warehouse registry: CREATE TABLE graft.<name> / SHOW TABLES /
     // ALTER TABLE ADD COLUMN (metadata-only) / UPDATE the new column
     "cow_sql_registry" -> ((s, dir) =>
@@ -762,6 +766,7 @@ object OpsQueries {
     "cow_time_travel" -> graft.sources.GraftCatalog.timeTravelSql,
     "cow_restore" -> graft.sources.GraftCatalog.restoreSql,
     "cow_constraint" -> graft.sources.GraftCatalog.constraintSql,
+    "cow_defaults" -> graft.sources.GraftCatalog.defaultsSql,
     "cow_sql_registry" -> graft.sources.GraftCatalog.registrySql,
     "stream_cdf" -> graft.streaming.CdfStream.checkSql,
     "stream_cdc_mutate" -> graft.streaming.CdfStream.mutateSql,

@@ -917,7 +917,15 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
     // vectored files only, never correctness.
     val predicate =
       if (part.dv.nonEmpty) None
-      else pushed.flatMap(ArtifactScan.toParquet(_, required))
+      else pushed
+        // a filter on a column this FILE predates (additive evolution /
+        // ADD COLUMN DEFAULT) must not reach parquet-mr: the record
+        // filter treats the missing column as NULL and silently drops
+        // every row that should fill the exists-default. Spark
+        // re-applies all filters above the scan, so skipping the
+        // pushdown for this file costs I/O only, never correctness.
+        .filter(_.references.forall(fileSchema.containsField))
+        .flatMap(ArtifactScan.toParquet(_, required))
         .reduceOption[FilterPredicate](FilterApi.and)
     val builder = org.apache.parquet.hadoop.ParquetReader
       .builder(new GroupReadSupport(), path)
@@ -926,6 +934,7 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
       .map(pr => builder.withFilter(FilterCompat.get(pr)).build())
       .getOrElse(builder.build())
     val fileVal = UTF8String.fromString(part.path)
+    val fills = ArtifactRows.existsDefaults(required)
     if (part.dv.isEmpty)
       new PartitionReader[InternalRow] {
         private var current: Group = _
@@ -934,7 +943,7 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
           current != null
         }
         override def get(): InternalRow =
-          ArtifactRows.toRow(current, required, fileVal)
+          ArtifactRows.toRow(current, required, fileVal, fills)
         override def close(): Unit = reader.close()
       }
     else {
@@ -952,7 +961,7 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
           current != null
         }
         override def get(): InternalRow =
-          ArtifactRows.toRow(current, required, fileVal)
+          ArtifactRows.toRow(current, required, fileVal, fills)
         override def close(): Unit = reader.close()
       }
     }
@@ -961,8 +970,26 @@ private[sources] class ArtifactReaderFactory(requiredJson: String,
 
 private[sources] object ArtifactRows {
 
+  /** Per-field EXISTS_DEFAULT fill values for files that physically lack
+    * a column (written before the column existed): the column's recorded
+    * constant, evaluated ONCE per partition — the same contract Spark's
+    * own parquet reader honors from read-schema metadata. Fields without
+    * a default fill NULL (additive evolution's contract). */
+  def existsDefaults(schema: StructType): Array[Any] =
+    schema.fields.map { f =>
+      if (!f.metadata.contains("EXISTS_DEFAULT")) null
+      else {
+        val sql = f.metadata.getString("EXISTS_DEFAULT")
+        val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(sql)
+        org.apache.spark.sql.catalyst.expressions
+          .Cast(e, f.dataType, Some("UTC")).eval(null)
+      }
+    }
+
   def toRow(g: Group, schema: StructType,
-            file: UTF8String = null): InternalRow = {
+            file: UTF8String = null,
+            fills: Array[Any] = null): InternalRow = {
     val out = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
@@ -970,8 +997,10 @@ private[sources] object ArtifactRows {
       out(i) =
         // the virtual `_file` column comes from the partition, not the file
         if (f.name == ArtifactScan.FileCol && file != null) file
-        // absent field = written before an additive evolution: NULL
-        else if (!g.getType.containsField(f.name)) null
+        // absent field = written before an additive evolution: the
+        // column's exists-default if recorded, else NULL
+        else if (!g.getType.containsField(f.name))
+          (if (fills != null) fills(i) else null)
         else {
           val idx = g.getType.getFieldIndex(f.name)
           if (g.getFieldRepetitionCount(idx) == 0) null

@@ -67,8 +67,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * the cow meta; enforcement lives in the pool writer). */
   override def capabilities(): util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def name(): String = catalogName
 
@@ -217,9 +220,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             a.fieldNames().mkString("."))
         require(a.isNullable,
           "added columns must be nullable: existing rows have no value")
+        // `… DEFAULT v`: CURRENT_DEFAULT fills future INSERTs that omit
+        // the column (the analyzer reads it through Table.columns());
+        // EXISTS_DEFAULT makes EXISTING files — which physically lack
+        // the column — read back v instead of NULL (the parquet reader
+        // honors it from the read schema's field metadata). Both carry
+        // the validated constant-foldable SQL text.
+        val md = Option(a.defaultValue()).map { dv =>
+          val sql = Option(dv.getSql)
+            .getOrElse(String.valueOf(dv.getValue))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql).build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
         CowTable.addColumns(spark, base,
           Seq(org.apache.spark.sql.types.StructField(
-            a.fieldNames().head, a.dataType(), nullable = true)))
+            a.fieldNames().head, a.dataType(), nullable = true,
+            metadata = md)))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           s"RENAME COLUMN supports top-level columns only, got " +
@@ -240,6 +257,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         }
       case d: TableChange.DropConstraint =>
         CowTable.dropCheck(spark, base, d.name())
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames().length == 1,
+          s"SET/DROP DEFAULT supports top-level columns only, got " +
+            u.fieldNames().mkString("."))
+        CowTable.setColumnDefault(spark, base, u.fieldNames().head,
+          Option(u.newCurrentDefault()).map(d =>
+            Option(d.getSql).getOrElse(String.valueOf(d.getExpression))))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE on a cow table supports ADD/RENAME/DROP COLUMN " +
           s"and ADD/DROP CONSTRAINT … CHECK, got " +
@@ -945,6 +969,80 @@ object GraftCatalog {
       |  FROM orders
       |)
       |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** COLUMN DEFAULT VALUES end-to-end: `ALTER TABLE … ADD COLUMN …
+    * DEFAULT 1` is metadata-only yet every EXISTING row reads back 1
+    * (the exists-default fills files that physically lack the column —
+    * in-band require, zero pool growth), an `INSERT` omitting the
+    * column gets the CURRENT default (the analyzer fills it through the
+    * DSv2 `columns()` contract), `ALTER COLUMN … SET DEFAULT 2` governs
+    * FUTURE writes only (never retroactive — pre-column files keep
+    * reading the ADD-time value), and `UPDATE … SET c = DEFAULT`
+    * resolves the keyword. The oracle replays the default arithmetic
+    * relationally. */
+  def defaultsCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_defaults", dir, "cow_def") {
+      val base = graft.io.FsUtil.stateDir("cow_def", dir)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // self-contained
+      val orders = graft.Tables.orders(spark, dir)
+      val total = orders.count()
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      CowTable.create(spark, base, orders, "o_orderkey", numFiles = 8,
+        retain = 8)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+
+      def poolCount(): Int =
+        fs.listStatus(new org.apache.hadoop.fs.Path(base, "files")).length
+      val before = poolCount()
+      spark.sql(s"ALTER TABLE graft.`$base` ADD COLUMN o_flag INT DEFAULT 1")
+      require(poolCount() == before,
+        "ADD COLUMN DEFAULT must be metadata-only: no pool files written")
+      require(spark.sql(
+        s"SELECT COUNT(*) FROM graft.`$base` WHERE o_flag = 1")
+        .head().getLong(0) == total,
+        "every pre-column row must read the exists-default, not NULL")
+
+      spark.sql(s"INSERT INTO graft.`$base` (o_orderkey, o_custkey, " +
+        "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority) " +
+        s"SELECT o_orderkey + ${mx}L, o_custkey, 'I', o_totalprice, " +
+        s"o_orderdate, o_orderpriority FROM graft.`$base` " +
+        "WHERE o_orderkey % 103 = 5") // o_flag omitted -> current default 1
+      spark.sql(s"ALTER TABLE graft.`$base` " +
+        "ALTER COLUMN o_flag SET DEFAULT 2")
+      require(spark.sql(
+        s"SELECT COUNT(*) FROM graft.`$base` WHERE o_flag != 1")
+        .head().getLong(0) == 0L,
+        "SET DEFAULT must not retroactively change existing rows")
+      spark.sql(s"UPDATE graft.`$base` SET o_flag = DEFAULT " +
+        "WHERE o_orderkey % 7 = 0") // the new current default: 2
+
+      spark.sql(
+        s"""SELECT o_flag, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |FROM graft.`$base` GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
+
+  /** Replay: all rows flag 1, inserts flag 1, the %7 update flags 2. */
+  val defaultsSql: String =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      |allrows AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + m, o_totalprice FROM orders, mx
+      |  WHERE o_orderkey % 103 = 5
+      |), final AS (
+      |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END AS o_flag,
+      |         o_totalprice
+      |  FROM allrows
+      |)
+      |SELECT o_flag, CAST(COUNT(*) AS BIGINT) AS n_orders,
       |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
       |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin

@@ -305,6 +305,45 @@ class GraftCatalogSpec extends SparkSpec {
       s"history must record the constraint DDL, got: $ops")
   }
 
+  test("column DEFAULT lifecycle: exists-default fills pre-column files " +
+    "(even under a pushed filter), SET DEFAULT is never retroactive, " +
+    "DROP DEFAULT nulls future omissions") {
+    val base = Files.createTempDirectory("gcat_def").toString + "/t"
+    CowTable.create(spark, base,
+      (1 to 4).map(i => (i.toLong, s"n$i")).toDF("id", "nm"), "id",
+      numFiles = 1, retain = 10)
+    spark.sql(s"ALTER TABLE graft.`$base` ADD COLUMN flag INT DEFAULT 7")
+    def flags(): Seq[(Long, Any)] =
+      spark.sql(s"SELECT id, flag FROM graft.`$base` ORDER BY id")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getInt(1))).toSeq
+    assert(flags() === Seq((1L, 7), (2L, 7), (3L, 7), (4L, 7)),
+      "pre-column rows must read the exists-default")
+    // a PUSHED filter on the defaulted column must not drop pre-column
+    // files (parquet-mr would treat the missing column as NULL)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$base` WHERE flag = 7")
+      .head().getLong(0) === 4L)
+
+    spark.sql(s"INSERT INTO graft.`$base` (id, nm) VALUES (10, 'a')")
+    spark.sql(s"ALTER TABLE graft.`$base` ALTER COLUMN flag SET DEFAULT 9")
+    spark.sql(s"INSERT INTO graft.`$base` (id, nm) VALUES (11, 'b')")
+    spark.sql(s"INSERT INTO graft.`$base` VALUES (12, 'c', DEFAULT)")
+    spark.sql(s"UPDATE graft.`$base` SET flag = DEFAULT WHERE id = 10")
+    // SET DEFAULT governs future writes only: rows 1-4 still read 7
+    assert(flags() === Seq((1L, 7), (2L, 7), (3L, 7), (4L, 7),
+      (10L, 9), (11L, 9), (12L, 9)))
+
+    spark.sql(s"ALTER TABLE graft.`$base` ALTER COLUMN flag DROP DEFAULT")
+    spark.sql(s"INSERT INTO graft.`$base` (id, nm) VALUES (13, 'd')")
+    assert(flags().last === ((13L, null)),
+      "after DROP DEFAULT an omitted column is NULL")
+    // the DDL trail is in the history
+    val ops = spark.sql(s"CALL graft.history(`table` => '$base')")
+      .collect().map(_.getString(2)).toSeq
+    assert(ops.count(_ == "SET DEFAULT flag") === 1 &&
+      ops.count(_ == "DROP DEFAULT flag") === 1, s"got: $ops")
+  }
+
   test("CALL graft.vacuum(older_than_ms) prunes history from SQL; the " +
     "pruned version's time travel fails fast") {
     val base = Files.createTempDirectory("gcat_ttv").toString + "/t"
