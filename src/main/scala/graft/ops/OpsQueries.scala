@@ -415,6 +415,9 @@ object OpsQueries {
     // metadata-only; INSERT omission + SET DEFAULT + UPDATE ... DEFAULT
     "cow_defaults" -> ((s, dir) =>
       graft.sources.GraftCatalog.defaultsCheck(s, dir)),
+    // DESCRIBE DETAIL: manifest/meta facts, O(1) rows, no data scan
+    "cow_detail" -> ((s, dir) =>
+      graft.sources.GraftCatalog.detailCheck(s, dir)),
     // warehouse registry: CREATE TABLE graft.<name> / SHOW TABLES /
     // ALTER TABLE ADD COLUMN (metadata-only) / UPDATE the new column
     "cow_sql_registry" -> ((s, dir) =>
@@ -767,6 +770,7 @@ object OpsQueries {
     "cow_restore" -> graft.sources.GraftCatalog.restoreSql,
     "cow_constraint" -> graft.sources.GraftCatalog.constraintSql,
     "cow_defaults" -> graft.sources.GraftCatalog.defaultsSql,
+    "cow_detail" -> graft.sources.GraftCatalog.detailSql,
     "cow_sql_registry" -> graft.sources.GraftCatalog.registrySql,
     "stream_cdf" -> graft.streaming.CdfStream.checkSql,
     "stream_cdc_mutate" -> graft.streaming.CdfStream.mutateSql,

@@ -973,6 +973,44 @@ object GraftCatalog {
       |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DESCRIBE DETAIL end-to-end: `CALL graft.detail` answers version /
+    * file / row / vector facts from the manifest and meta alone (no
+    * data scan — the output is O(1) rows whatever the table size). The
+    * harness creates the table, vectors a scattered DELETE, and
+    * registers the deterministic detail columns; the oracle recomputes
+    * each from `orders` relationally. */
+  def detailCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_detail", dir, "cow_dtl") {
+      val base = graft.io.FsUtil.stateDir("cow_dtl", dir)
+      new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true) // self-contained
+      val orders = graft.Tables.orders(spark, dir)
+      CowTable.create(spark, base, orders, "o_orderkey", numFiles = 8)
+      CowTable.dvDelete(spark, base, col("o_orderkey") % 7 === 3)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+      spark.sql(s"CALL graft.detail(`table` => '$base')")
+        .select(col("version"), col("data_files"), col("num_rows"),
+          col("dv_rows"), col("live_rows"), col("key"), col("retain"),
+          col("num_checks"), col("column_mapped"))
+    }
+
+  /** Recompute every detail fact from the source relation. */
+  val detailSql: String =
+    """SELECT CAST(1 AS BIGINT) AS version,
+      |       CAST(8 AS BIGINT) AS data_files,
+      |       CAST(COUNT(*) AS BIGINT) AS num_rows,
+      |       CAST(SUM(CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS dv_rows,
+      |       CAST(SUM(CASE WHEN o_orderkey % 7 = 3 THEN 0 ELSE 1 END)
+      |            AS BIGINT) AS live_rows,
+      |       'o_orderkey' AS key,
+      |       CAST(1 AS BIGINT) AS retain,
+      |       CAST(0 AS BIGINT) AS num_checks,
+      |       FALSE AS column_mapped
+      |FROM orders""".stripMargin
+
   /** COLUMN DEFAULT VALUES end-to-end: `ALTER TABLE … ADD COLUMN …
     * DEFAULT 1` is metadata-only yet every EXISTING row reads back 1
     * (the exists-default fills files that physically lack the column —
@@ -1637,7 +1675,49 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL graft.detail(table)` → one row of table facts (the DESCRIBE
+    * DETAIL surface): committed version, data files, total/deleted/live
+    * rows, pool bytes, clustering key, retention floor, constraint
+    * count, whether any column is mapped. Everything but pool bytes
+    * comes from the manifest + meta — no data scan; bytes is one pool
+    * listing. */
+  object Detail extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "detail"
+    override def description(): String =
+      "describe a cow table: version, files, rows, bytes, key, " +
+        "retention, constraints"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("cow table base path or warehouse name").build())
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val b = base(input)
+      val v = graft.io.AtomicPublish.committed(spark, b)
+      val m = CowTable.meta(spark, b).get
+      val entries = CowTable.manifest(spark, b)
+      val pool = new org.apache.hadoop.fs.Path(b, "files")
+      val fs = pool.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes =
+        if (!fs.exists(pool)) 0L
+        else fs.listStatus(pool).map(_.getLen).sum
+      import org.apache.spark.sql.types.BooleanType
+      resultRows(new StructType()
+        .add("version", LongType).add("data_files", LongType)
+        .add("num_rows", LongType).add("dv_rows", LongType)
+        .add("live_rows", LongType).add("pool_bytes", LongType)
+        .add("key", StringType).add("retain", LongType)
+        .add("num_checks", LongType).add("column_mapped", BooleanType),
+        Seq(Array[Any](v, entries.size.toLong,
+          entries.map(_.rows).sum, entries.map(_.dvRows).sum,
+          entries.map(e => e.rows - e.dvRows).sum, bytes,
+          org.apache.spark.unsafe.types.UTF8String.fromString(m.key),
+          m.retain.toLong, m.checks.size.toLong, m.colMap.nonEmpty)))
+    }
+  }
+
   val byName: Map[String, UnboundProcedure] =
     Map("compact" -> Compact, "vacuum" -> Vacuum,
-      "history" -> History, "restore" -> Restore)
+      "history" -> History, "restore" -> Restore, "detail" -> Detail)
 }
