@@ -278,13 +278,39 @@ object CowTable {
           "written row — the statement was rolled back")).isNull, col(c0)))
     }
 
+  /** A table's `GENERATED ALWAYS AS` columns: (name, type, expression)
+    * from the schema's field metadata. */
+  private def gensOf(m: Meta): Seq[(String, org.apache.spark.sql.types.DataType, String)] = {
+    val st = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    st.fields.toSeq.collect {
+      case f if f.metadata.contains("GENERATION_EXPRESSION") =>
+        (f.name, f.dataType, f.metadata.getString("GENERATION_EXPRESSION"))
+    }
+  }
+
+  /** GENERATED ALWAYS AS semantics (the PostgreSQL stored-generated
+    * contract): the column is RECOMPUTED from its expression on every
+    * data-bearing write — whatever the incoming frame carried is
+    * replaced, so an UPDATE that touches a source column can never
+    * leave the generated value stale, and a user-provided value can
+    * never diverge from the expression. One projection, codegen'd. */
+  private def withGens(df: DataFrame,
+                       gens: Seq[(String, org.apache.spark.sql.types.DataType, String)]
+                      ): DataFrame =
+    gens.foldLeft(df) { case (d, (n, dt, g)) =>
+      d.withColumn(n, expr(g).cast(dt))
+    }
+
   private def writePool(spark: SparkSession, base: String, df0: DataFrame,
                         key: String, numFiles: Int,
                         statsCols: Seq[String] = Nil,
                         colMap: Map[String, String] = Map.empty,
                         layout: Option[Column] = None,
-                        checks: Seq[(String, String)] = Nil): Seq[Entry] = {
-    val df = withChecks(df0, checks)
+                        checks: Seq[(String, String)] = Nil,
+                        gens: Seq[(String, org.apache.spark.sql.types.DataType, String)] = Nil
+                       ): Seq[Entry] = {
+    val df = withChecks(withGens(df0, gens), checks)
     val ks = splitKeys(key)
     ks.foreach(k => require(df.columns.contains(k),
       s"clustering key column `$k` is not a column of " +
@@ -1051,7 +1077,8 @@ object CowTable {
       val statsCols = parentMeta.map(_.statsCols).getOrElse(Nil)
       val newEntries = writePool(spark, base, survivors, key,
         math.max(1, affected.size), statsCols, colMap = mergeMap,
-        checks = parentMeta.map(_.checks).getOrElse(Nil))
+        checks = parentMeta.map(_.checks).getOrElse(Nil),
+        gens = parentMeta.map(gensOf).getOrElse(Nil))
       beforeCommit()
       val newMeta = evolvedMeta
       AtomicPublish.tryPublish(spark, base,
@@ -1076,7 +1103,7 @@ object CowTable {
     val m = meta(spark, base).getOrElse(sys.error(
       s"no table meta under $base — append needs a created cow table"))
     val newEntries = writePool(spark, base, df, m.key, numFiles, m.statsCols,
-      colMap = m.physMap, checks = m.checks)
+      colMap = m.physMap, checks = m.checks, gens = gensOf(m))
     var result = -1L
     while (result < 0) {
       val parent = AtomicPublish.committed(spark, base)
@@ -1556,7 +1583,7 @@ object CowTable {
     // inserts become pool files ONCE — only the manifest CAS retries
     val newEntries = inserts.map { df =>
       writePool(spark, base, df, key, numFiles = 1, m.statsCols,
-        colMap = m.physMap, checks = m.checks)
+        colMap = m.physMap, checks = m.checks, gens = gensOf(m))
     }.getOrElse(Seq.empty)
     val ks = splitKeys(key)
     val tblSchema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
@@ -1768,6 +1795,10 @@ object CowTable {
         sys.error(s"column `$from` is referenced by CHECK constraint " +
           s"`${c._1}` (${c._2}): DROP CONSTRAINT first, rename, re-add")
       }
+      gensOf(m).filter(g => checkReferences(spark, g._3, from)).foreach { g =>
+        sys.error(s"column `$from` is referenced by generated column " +
+          s"`${g._1}` (${g._3}): a rename would orphan the expression")
+      }
       val phys = m.phys(from)
       val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(
         f => if (f.name == from) f.copy(name = to) else f))
@@ -1813,6 +1844,11 @@ object CowTable {
       m.checks.filter(c => checkReferences(spark, c._2, name)).foreach { c =>
         sys.error(s"column `$name` is referenced by CHECK constraint " +
           s"`${c._1}` (${c._2}): DROP CONSTRAINT first")
+      }
+      gensOf(m).filter(g => g._1 != name &&
+        checkReferences(spark, g._3, name)).foreach { g =>
+        sys.error(s"column `$name` is referenced by generated column " +
+          s"`${g._1}` (${g._3}): drop the generated column first")
       }
       val m2 = m.copy(
         schemaJson = org.apache.spark.sql.types.StructType(
@@ -1994,7 +2030,7 @@ object CowTable {
       if (rows.isEmpty) Seq.empty
       else writePool(spark, base, rows, m.key,
         numFiles = math.max(1, replaced.size), m.statsCols,
-        colMap = m.physMap, checks = m.checks)
+        colMap = m.physMap, checks = m.checks, gens = gensOf(m))
     if (replaced.isEmpty && newEntries.isEmpty)
       return AtomicPublish.committed(spark, base) // no-op
     val replacedDf = replaced.toDF("file", "_gf_dv").localCheckpoint()

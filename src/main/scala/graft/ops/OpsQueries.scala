@@ -418,6 +418,9 @@ object OpsQueries {
     // DESCRIBE DETAIL: manifest/meta facts, O(1) rows, no data scan
     "cow_detail" -> ((s, dir) =>
       graft.sources.GraftCatalog.detailCheck(s, dir)),
+    // GENERATED ALWAYS AS: expression recomputed on every write
+    "cow_generated" -> ((s, dir) =>
+      graft.sources.GraftCatalog.generatedCheck(s, dir)),
     // warehouse registry: CREATE TABLE graft.<name> / SHOW TABLES /
     // ALTER TABLE ADD COLUMN (metadata-only) / UPDATE the new column
     "cow_sql_registry" -> ((s, dir) =>
@@ -771,6 +774,7 @@ object OpsQueries {
     "cow_constraint" -> graft.sources.GraftCatalog.constraintSql,
     "cow_defaults" -> graft.sources.GraftCatalog.defaultsSql,
     "cow_detail" -> graft.sources.GraftCatalog.detailSql,
+    "cow_generated" -> graft.sources.GraftCatalog.generatedSql,
     "cow_sql_registry" -> graft.sources.GraftCatalog.registrySql,
     "stream_cdf" -> graft.streaming.CdfStream.checkSql,
     "stream_cdc_mutate" -> graft.streaming.CdfStream.mutateSql,

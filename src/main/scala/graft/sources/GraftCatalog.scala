@@ -71,7 +71,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   override def name(): String = catalogName
 
@@ -176,6 +178,32 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * min/max columns). Version 0 is an empty manifest carrying the
     * meta; CTAS works too (Spark creates then appends through the
     * table's write builder). */
+  /** The V2-column CREATE path: Spark routes `CREATE TABLE` through
+    * this variant when any column carries a DEFAULT or `GENERATED
+    * ALWAYS AS` clause. The default StructType conversion DROPS both,
+    * so they are re-encoded here as field metadata — defaults under the
+    * analyzer's own CURRENT_DEFAULT/EXISTS_DEFAULT keys, generation
+    * expressions under GENERATION_EXPRESSION (engine-internal: the pool
+    * writer recomputes the column on every data-bearing write). */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val fields = columns.map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.defaultValue()).foreach { dv =>
+        val sql = Option(dv.getSql).getOrElse(String.valueOf(dv.getValue))
+        mb.putString("CURRENT_DEFAULT", sql)
+        mb.putString("EXISTS_DEFAULT", sql)
+      }
+      Option(c.generationExpression()).foreach(g =>
+        mb.putString("GENERATION_EXPRESSION", g))
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), mb.build())
+    }
+    createTable(ident, StructType(fields), partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -969,6 +997,71 @@ object GraftCatalog {
       |  FROM orders
       |)
       |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** GENERATED COLUMNS end-to-end: `CREATE TABLE … (o_year INT
+    * GENERATED ALWAYS AS (YEAR(o_orderdate)))` stores the expression in
+    * the table meta (the V2-column create path), and the pool writer
+    * RECOMPUTES the column on every data-bearing write — the PostgreSQL
+    * stored-generated contract: an INSERT carrying a WRONG value is
+    * overwritten by the expression (in-band require), and an UPDATE of
+    * the SOURCE column can never leave the generated value stale (the
+    * oracle's aggregate catches any staleness). */
+  def generatedCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_generated", dir, "cow_gen") {
+      val wh = graft.io.FsUtil.stateDir("cow_gen_wh", dir)
+      new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(wh), true) // self-contained
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      try {
+        spark.sql("CREATE TABLE graft.cow_gen_t (" +
+          "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE, " +
+          "o_year INT GENERATED ALWAYS AS (YEAR(o_orderdate))) " +
+          "TBLPROPERTIES ('key'='o_orderkey')")
+        val v = "cow_gen_src_" +
+          java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+        graft.Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+          .createOrReplaceTempView(v)
+        // the INSERT provides a DELIBERATELY WRONG generated value —
+        // GENERATED ALWAYS recomputes it from the expression
+        spark.sql("INSERT INTO graft.cow_gen_t " +
+          s"SELECT o_orderkey, o_totalprice, o_orderdate, -1 FROM $v")
+        require(spark.sql(
+          "SELECT COUNT(*) FROM graft.cow_gen_t WHERE o_year = -1")
+          .head().getLong(0) == 0L,
+          "a user-provided generated value must be recomputed, not stored")
+        require(spark.sql("SELECT COUNT(*) FROM graft.cow_gen_t " +
+          "WHERE o_year != YEAR(o_orderdate)").head().getLong(0) == 0L,
+          "the generated column must equal its expression on every row")
+        spark.sql("UPDATE graft.cow_gen_t " +
+          "SET o_orderdate = o_orderdate + INTERVAL '1' YEAR " +
+          "WHERE o_orderkey % 19 = 4") // o_year must recompute
+
+        spark.sql(
+          """SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n_orders,
+            |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
+            |FROM graft.cow_gen_t GROUP BY 1 ORDER BY 1""".stripMargin)
+      } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+    }
+
+  /** Replay: the %19 slice shifts one year; the year IS the grouping. */
+  val generatedSql: String =
+    """WITH final AS (
+      |  SELECT CASE WHEN o_orderkey % 19 = 4
+      |              THEN CAST(YEAR(o_orderdate) + 1 AS INT)
+      |              ELSE CAST(YEAR(o_orderdate) AS INT)
+      |         END AS o_year,
+      |         o_totalprice
+      |  FROM orders
+      |)
+      |SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n_orders,
       |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
       |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin

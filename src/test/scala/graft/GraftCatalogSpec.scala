@@ -344,6 +344,41 @@ class GraftCatalogSpec extends SparkSpec {
       ops.count(_ == "DROP DEFAULT flag") === 1, s"got: $ops")
   }
 
+  test("GENERATED ALWAYS AS: recompute on write, source-column DDL " +
+    "guards, generated column droppable") {
+    val wh = Files.createTempDirectory("gcat_gen_wh").toString
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE graft.gt (id BIGINT, ts TIMESTAMP, " +
+        "d DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+        "TBLPROPERTIES ('key'='id')")
+      spark.sql("INSERT INTO graft.gt VALUES " +
+        "(1, TIMESTAMP '2024-03-05 10:00:00', DATE '1999-01-01')")
+      assert(spark.sql("SELECT CAST(d AS STRING) FROM graft.gt")
+        .head().getString(0) === "2024-03-05",
+        "a provided value must be recomputed from the expression")
+      spark.sql("UPDATE graft.gt SET ts = TIMESTAMP '2025-07-09 09:00:00' " +
+        "WHERE id = 1")
+      assert(spark.sql("SELECT CAST(d AS STRING) FROM graft.gt")
+        .head().getString(0) === "2025-07-09",
+        "updating the source column must recompute the generated one")
+      // the source column is pinned by the expression
+      val eDrop = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.gt DROP COLUMN ts")
+      }
+      assert(eDrop.getMessage.contains("generated column"))
+      val eRen = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.gt RENAME COLUMN ts TO ts2")
+      }
+      assert(eRen.getMessage.contains("generated column"))
+      // the generated column itself CAN be dropped (metadata goes with it)
+      spark.sql("ALTER TABLE graft.gt DROP COLUMN d")
+      assert(!spark.sql("SELECT * FROM graft.gt").columns.contains("d"))
+      spark.sql("ALTER TABLE graft.gt DROP COLUMN ts") // now unpinned
+      spark.sql("DROP TABLE graft.gt")
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
+
   test("CALL graft.vacuum(older_than_ms) prunes history from SQL; the " +
     "pruned version's time travel fails fast") {
     val base = Files.createTempDirectory("gcat_ttv").toString + "/t"
