@@ -132,7 +132,8 @@ object CowTable {
                                  colMap: Seq[(String, String)] = Nil,
                                  physUsed: Seq[String] = Nil,
                                  retain: Int = 1,
-                                 checks: Seq[(String, String)] = Nil) {
+                                 checks: Seq[(String, String)] = Nil,
+                                 idHwm: Long = Long.MinValue) {
     /** logical → physical; identity for unmapped columns. */
     def phys(name: String): String = colMap.toMap.getOrElse(name, name)
     def physMap: Map[String, String] = colMap.toMap
@@ -289,6 +290,62 @@ object CowTable {
     }
   }
 
+  /** The table's identity column, if any: (name, start, step,
+    * allowExplicitInsert) from the schema's field metadata. At most one
+    * per table ([[graft.sources.GraftCatalog]] enforces it at CREATE),
+    * BIGINT, never the clustering key. */
+  private[graft] def identityOf(m: Meta): Option[(String, Long, Long, Boolean)] = {
+    val st = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    st.fields.collectFirst {
+      case f if f.metadata.contains("IDENTITY_START") =>
+        (f.name, f.metadata.getLong("IDENTITY_START"),
+          f.metadata.getLong("IDENTITY_STEP"),
+          f.metadata.contains("IDENTITY_ALLOW_EXPLICIT") &&
+            f.metadata.getBoolean("IDENTITY_ALLOW_EXPLICIT"))
+    }
+  }
+
+  /** Assign identity values to the NULL-id rows of an append batch:
+    * values are `hwm + step, hwm + 2·step, …` in a deterministic
+    * zip-with-index order, pinned by a localCheckpoint so a pool-write
+    * retry can never re-roll them. Returns (assigned frame, new hwm).
+    * Explicit non-NULL values are refused for GENERATED ALWAYS
+    * (`allowExplicit = false`); for GENERATED BY DEFAULT they pass
+    * through and, when they outrun the high-water mark, advance it so
+    * later generated values never collide. */
+  private def assignIdentity(spark: SparkSession, df: DataFrame,
+                             id: (String, Long, Long, Boolean),
+                             hwm: Long): (DataFrame, Long) = {
+    val (name, start, step, allowExplicit) = id
+    val base0 = if (hwm == Long.MinValue) start - step else hwm
+    val nulls = df.filter(col(name).isNull)
+    val given = df.filter(col(name).isNotNull)
+    if (!allowExplicit)
+      require(given.limit(1).count() == 0L,
+        s"identity column `$name` is GENERATED ALWAYS: explicit values " +
+          "are not accepted — omit the column (or declare it GENERATED " +
+          "BY DEFAULT AS IDENTITY)")
+    val schema = df.schema
+    val idIdx = schema.fieldIndex(name)
+    val rdd = nulls.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(
+        r.toSeq.updated(idIdx, base0 + step * (i + 1)))
+    }
+    val assigned = spark.createDataFrame(rdd, schema)
+    val out = given.unionByName(assigned).localCheckpoint()
+    val nAssigned = out.count() - given.count() // post-checkpoint: pinned
+    val afterGen = base0 + step * nAssigned
+    val maxGiven = given.agg(
+      (if (step >= 0) max(col(name)) else min(col(name))).cast("long"))
+      .head()
+    val newHwm =
+      if (maxGiven.isNullAt(0)) afterGen
+      else if (step >= 0) math.max(afterGen, maxGiven.getLong(0))
+      else math.min(afterGen, maxGiven.getLong(0))
+    (out, newHwm)
+  }
+
   /** GENERATED ALWAYS AS semantics (the PostgreSQL stored-generated
     * contract): the column is RECOMPUTED from its expression on every
     * data-bearing write — whatever the incoming frame carried is
@@ -308,9 +365,22 @@ object CowTable {
                         colMap: Map[String, String] = Map.empty,
                         layout: Option[Column] = None,
                         checks: Seq[(String, String)] = Nil,
-                        gens: Seq[(String, org.apache.spark.sql.types.DataType, String)] = Nil
+                        gens: Seq[(String, org.apache.spark.sql.types.DataType, String)] = Nil,
+                        idNotNull: Option[String] = None
                        ): Seq[Entry] = {
-    val df = withChecks(withGens(df0, gens), checks)
+    // a NULL identity value reaching a non-append write path means the
+    // row was never assigned: only INSERT/append mints identity values
+    // (v1 contract) — fail the statement, per-row, before it commits
+    val guarded = idNotNull.foldLeft(df0) { (d, n) =>
+      if (!d.columns.contains(n)) d
+      else d.withColumn(n, when(assert_true(col(n).isNotNull, lit(
+        s"identity column `$n` is NULL: identity values are minted by " +
+          "INSERT/append — a MERGE insert must route new rows through " +
+          "INSERT, or carry explicit values on a GENERATED BY DEFAULT " +
+          "column")).isNull, col(n)).cast(
+        d.schema(d.schema.fieldIndex(n)).dataType))
+    }
+    val df = withChecks(withGens(guarded, gens), checks)
     val ks = splitKeys(key)
     ks.foreach(k => require(df.columns.contains(k),
       s"clustering key column `$k` is not a column of " +
@@ -485,9 +555,9 @@ object CowTable {
     import spark.implicits._
     Seq((m.schemaJson, m.key, m.statsCols.mkString(","),
       m.colMap.map { case (l, p) => s"$l=$p" }.mkString(";"),
-      m.physUsed.mkString(";"), m.retain, encChecks(m.checks)))
+      m.physUsed.mkString(";"), m.retain, encChecks(m.checks), m.idHwm))
       .toDF("schemaJson", "key", "statsCols", "colMap", "physUsed",
-        "retain", "checks")
+        "retain", "checks", "idHwm")
   }
 
   /** Parsed-Meta cache. A committed version's meta is IMMUTABLE, but a
@@ -542,8 +612,11 @@ object CowTable {
       val m2 =
         if (!df.columns.contains("retain")) m1 // pre-retention metas
         else m1.copy(retain = r.getAs[Int]("retain"))
-      Some(if (!df.columns.contains("checks")) m2 // pre-constraint metas
-      else m2.copy(checks = decChecks(r.getAs[String]("checks"))))
+      val m3 =
+        if (!df.columns.contains("checks")) m2 // pre-constraint metas
+        else m2.copy(checks = decChecks(r.getAs[String]("checks")))
+      Some(if (!df.columns.contains("idHwm")) m3 // pre-identity metas
+      else m3.copy(idHwm = r.getAs[Long]("idHwm")))
     }
   }
 
@@ -1078,7 +1151,8 @@ object CowTable {
       val newEntries = writePool(spark, base, survivors, key,
         math.max(1, affected.size), statsCols, colMap = mergeMap,
         checks = parentMeta.map(_.checks).getOrElse(Nil),
-        gens = parentMeta.map(gensOf).getOrElse(Nil))
+        gens = parentMeta.map(gensOf).getOrElse(Nil),
+        idNotNull = parentMeta.flatMap(identityOf).map(_._1))
       beforeCommit()
       val newMeta = evolvedMeta
       AtomicPublish.tryPublish(spark, base,
@@ -1102,6 +1176,8 @@ object CowTable {
              numFiles: Int = 1, retain: Int = 1): Long = {
     val m = meta(spark, base).getOrElse(sys.error(
       s"no table meta under $base — append needs a created cow table"))
+    if (identityOf(m).isDefined)
+      return appendWithIdentity(spark, base, df, numFiles, retain)
     val newEntries = writePool(spark, base, df, m.key, numFiles, m.statsCols,
       colMap = m.physMap, checks = m.checks, gens = gensOf(m))
     var result = -1L
@@ -1115,6 +1191,44 @@ object CowTable {
         effRetain(Some(m), retain), parent, op = Some("APPEND")) match {
         case Some(v) => result = v
         case None => () // conflict: re-commit against the new manifest
+      }
+    }
+    result
+  }
+
+  /** Append to a table with an IDENTITY column: generated values derive
+    * from the committed meta's high-water mark, so — unlike the plain
+    * append, whose pool files are written once outside the CAS loop —
+    * assignment AND the pool write live INSIDE the loop: a concurrent
+    * commit invalidates the reserved range (two writers reading the same
+    * hwm would mint the same ids), the loser re-reads the new mark and
+    * re-assigns. A lost attempt's pool files are unreferenced and
+    * reclaimed by vacuum. The new hwm commits atomically WITH the rows
+    * (same meta payload, same CAS) — no window where values are visible
+    * but the mark is stale. */
+  private def appendWithIdentity(spark: SparkSession, base: String,
+                                 df: DataFrame, numFiles: Int,
+                                 retain: Int): Long = {
+    val src = df.localCheckpoint() // one evaluation across retries
+    var result = -1L
+    while (result < 0) {
+      val parent = AtomicPublish.committed(spark, base)
+      require(parent >= 0, s"no committed version under $base")
+      val m = metaAt(spark, base, parent).getOrElse(sys.error(
+        s"no table meta under $base"))
+      val id = identityOf(m).get
+      val (assigned, newHwm) = assignIdentity(spark, src, id, m.idHwm)
+      val newEntries = writePool(spark, base, assigned, m.key, numFiles,
+        m.statsCols, colMap = m.physMap, checks = m.checks,
+        gens = gensOf(m))
+      val manifest = manifestDfAt(spark, base, parent)
+        .unionByName(entriesDf(spark, newEntries))
+      AtomicPublish.tryPublish(spark, base,
+        payload(spark, base, parent, manifest, None,
+          Some(m.copy(idHwm = newHwm))),
+        effRetain(Some(m), retain), parent, op = Some("APPEND")) match {
+        case Some(v) => result = v
+        case None => () // conflict: the hwm moved — re-assign, re-write
       }
     }
     result
@@ -1583,7 +1697,8 @@ object CowTable {
     // inserts become pool files ONCE — only the manifest CAS retries
     val newEntries = inserts.map { df =>
       writePool(spark, base, df, key, numFiles = 1, m.statsCols,
-        colMap = m.physMap, checks = m.checks, gens = gensOf(m))
+        colMap = m.physMap, checks = m.checks, gens = gensOf(m),
+        idNotNull = identityOf(m).map(_._1))
     }.getOrElse(Seq.empty)
     val ks = splitKeys(key)
     val tblSchema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
@@ -2030,7 +2145,8 @@ object CowTable {
       if (rows.isEmpty) Seq.empty
       else writePool(spark, base, rows, m.key,
         numFiles = math.max(1, replaced.size), m.statsCols,
-        colMap = m.physMap, checks = m.checks, gens = gensOf(m))
+        colMap = m.physMap, checks = m.checks, gens = gensOf(m),
+        idNotNull = identityOf(m).map(_._1))
     if (replaced.isEmpty && newEntries.isEmpty)
       return AtomicPublish.committed(spark, base) // no-op
     val replacedDf = replaced.toDF("file", "_gf_dv").localCheckpoint()

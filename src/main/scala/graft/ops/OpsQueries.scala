@@ -421,6 +421,9 @@ object OpsQueries {
     // GENERATED ALWAYS AS: expression recomputed on every write
     "cow_generated" -> ((s, dir) =>
       graft.sources.GraftCatalog.generatedCheck(s, dir)),
+    // IDENTITY surrogate keys: hwm-committed assignment, dense id space
+    "cow_identity" -> ((s, dir) =>
+      graft.sources.GraftCatalog.identityCheck(s, dir)),
     // warehouse registry: CREATE TABLE graft.<name> / SHOW TABLES /
     // ALTER TABLE ADD COLUMN (metadata-only) / UPDATE the new column
     "cow_sql_registry" -> ((s, dir) =>
@@ -775,6 +778,7 @@ object OpsQueries {
     "cow_defaults" -> graft.sources.GraftCatalog.defaultsSql,
     "cow_detail" -> graft.sources.GraftCatalog.detailSql,
     "cow_generated" -> graft.sources.GraftCatalog.generatedSql,
+    "cow_identity" -> graft.sources.GraftCatalog.identitySql,
     "cow_sql_registry" -> graft.sources.GraftCatalog.registrySql,
     "stream_cdf" -> graft.streaming.CdfStream.checkSql,
     "stream_cdc_mutate" -> graft.streaming.CdfStream.mutateSql,

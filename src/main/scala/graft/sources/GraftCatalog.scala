@@ -73,7 +73,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def name(): String = catalogName
 
@@ -198,6 +200,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       }
       Option(c.generationExpression()).foreach(g =>
         mb.putString("GENERATION_EXPRESSION", g))
+      Option(c.identityColumnSpec()).foreach { i =>
+        mb.putLong("IDENTITY_START", i.getStart)
+        mb.putLong("IDENTITY_STEP", i.getStep)
+        mb.putBoolean("IDENTITY_ALLOW_EXPLICIT", i.isAllowExplicitInsert)
+      }
       org.apache.spark.sql.types.StructField(
         c.name(), c.dataType(), c.nullable(), mb.build())
     }
@@ -216,6 +223,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         "(per-file key ranges + stats columns replace directory partitions)")
     val key = Option(properties.get("key")).getOrElse(sys.error(
       "CREATE TABLE on a graft table requires TBLPROPERTIES ('key'='<col>')"))
+    // identity constraints (v1 contract): one BIGINT identity column,
+    // never the clustering key — the key is the row identity the delta
+    // writers address by, and identity values are minted at append time,
+    // after the key has already bucketed the write
+    val idCols = schema.fields.filter(_.metadata.contains("IDENTITY_START"))
+    require(idCols.length <= 1,
+      "at most one identity column per table")
+    idCols.foreach { f =>
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"identity column `${f.name}` must be BIGINT")
+      require(!CowTable.splitKeys(key).contains(f.name),
+        s"identity column `${f.name}` cannot be the clustering key: " +
+          "identity values are assigned at append time, after the key " +
+          "has bucketed the write — cluster on a natural key instead")
+    }
     val statsCols = Option(properties.get("statscols"))
       .orElse(Option(properties.get("statsCols")))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -1066,6 +1088,70 @@ object GraftCatalog {
       |                 AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** IDENTITY COLUMNS end-to-end: `CREATE TABLE … (sk BIGINT GENERATED
+    * ALWAYS AS IDENTITY)` mints surrogate keys at append time from a
+    * high-water mark that commits ATOMICALLY with the rows (same meta
+    * payload, same CAS — two racing writers can never assign the same
+    * range, the loser re-reads the mark and re-assigns). Two INSERTs
+    * omitting the column produce dense 1..N ids across commits; an
+    * explicit value is refused (GENERATED ALWAYS, in-band); a row-level
+    * UPDATE of other columns preserves assigned ids. The registered
+    * output is the id-space shape (count, distinct, min, max) — dense
+    * and deterministic however the assignment ordered rows — which the
+    * oracle recomputes from the source cardinalities. */
+  def identityCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo(spark, "cow_identity", dir, "cow_idn") {
+      val wh = graft.io.FsUtil.stateDir("cow_idn_wh", dir)
+      new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(wh), true) // self-contained
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      try {
+        spark.sql("CREATE TABLE graft.cow_idn_t (" +
+          "o_orderkey BIGINT, sk BIGINT GENERATED ALWAYS AS IDENTITY, " +
+          "o_totalprice DOUBLE) TBLPROPERTIES ('key'='o_orderkey')")
+        val v = "cow_idn_src_" +
+          java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+        graft.Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .createOrReplaceTempView(v)
+        spark.sql("INSERT INTO graft.cow_idn_t (o_orderkey, o_totalprice) " +
+          s"SELECT o_orderkey, o_totalprice FROM $v")
+        // the mark survives the commit: a second batch continues at N+1
+        spark.sql("INSERT INTO graft.cow_idn_t (o_orderkey, o_totalprice) " +
+          s"SELECT o_orderkey + 1000000000, o_totalprice FROM $v " +
+          "WHERE o_orderkey % 103 = 5")
+        require(scala.util.Try(spark.sql(
+          "INSERT INTO graft.cow_idn_t VALUES (1, 999999, 0.0)")).isFailure,
+          "GENERATED ALWAYS must refuse an explicit identity value")
+        spark.sql("UPDATE graft.cow_idn_t SET o_totalprice = 0.0 " +
+          "WHERE o_orderkey % 11 = 7") // ids must survive the delta write
+
+        spark.sql(
+          """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            |       CAST(COUNT(DISTINCT sk) AS BIGINT) AS n_ids,
+            |       CAST(MIN(sk) AS BIGINT) AS min_id,
+            |       CAST(MAX(sk) AS BIGINT) AS max_id
+            |FROM graft.cow_idn_t""".stripMargin)
+      } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+    }
+
+  /** The id space is dense 1..N whatever order assignment chose. */
+  val identitySql: String =
+    """WITH n AS (
+      |  SELECT COUNT(*) +
+      |         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 103 = 5)
+      |         AS total
+      |  FROM orders
+      |)
+      |SELECT CAST(total AS BIGINT) AS n_rows,
+      |       CAST(total AS BIGINT) AS n_ids,
+      |       CAST(1 AS BIGINT) AS min_id,
+      |       CAST(total AS BIGINT) AS max_id
+      |FROM n""".stripMargin
+
   /** DESCRIBE DETAIL end-to-end: `CALL graft.detail` answers version /
     * file / row / vector facts from the manifest and meta alone (no
     * data scan — the output is O(1) rows whatever the table size). The
@@ -1455,8 +1541,18 @@ private[sources] class CowSqlTable(base: String,
     val m = tableMeta
     val ks = CowTable.splitKeys(m.key).toSet
     val s = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    StructType(s.fields.map(f =>
-      if (ks.contains(f.name)) f.copy(nullable = false) else f))
+    StructType(s.fields.map { f0 =>
+      // an identity column surfaces a NULL current-default so an INSERT
+      // may OMIT it (the analyzer fills NULL; the append path assigns
+      // the real value from the high-water mark before anything lands)
+      val f =
+        if (!f0.metadata.contains("IDENTITY_START")) f0
+        else f0.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f0.metadata)
+            .putString("CURRENT_DEFAULT", "CAST(NULL AS BIGINT)").build())
+      if (ks.contains(f.name)) f.copy(nullable = false) else f
+    })
   }
 
   /** The table's CHECK constraints, surfaced through the DSv2 contract

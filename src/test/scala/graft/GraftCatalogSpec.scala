@@ -379,6 +379,69 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
   }
 
+  test("IDENTITY: two RACING appends never mint the same id (hwm " +
+    "commits with the rows); key/type/count guards at CREATE") {
+    val wh = Files.createTempDirectory("gcat_idn_wh").toString
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE graft.idr (k BIGINT, " +
+        "sk BIGINT GENERATED ALWAYS AS IDENTITY, v DOUBLE) " +
+        "TBLPROPERTIES ('key'='k')")
+      val base = s"$wh/idr"
+      def batch(off: Int) = (1 to 50)
+        .map(i => (off * 100L + i, None: Option[Long], i * 1.0))
+        .toDF("k", "sk", "v")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def runner(off: Int) = new Thread(() =>
+        try CowTable.append(spark, base, batch(off))
+        catch { case t: Throwable => errs.add(t); () })
+      val t1 = runner(1)
+      val t2 = runner(2)
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(errs.isEmpty, s"appends must not fail: ${errs.peek()}")
+      val ids = spark.sql("SELECT sk FROM graft.idr")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === (1L to 100L),
+        s"racing appends must partition the id space, got: ${ids.take(10)}…")
+
+      // CREATE guards: identity as clustering key, non-BIGINT, two
+      val e1 = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.idbad1 (" +
+          "sk BIGINT GENERATED ALWAYS AS IDENTITY, v DOUBLE) " +
+          "TBLPROPERTIES ('key'='sk')")
+      }
+      assert(e1.getMessage.contains("cannot be the clustering key"))
+      val e2 = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.idbad2 (k BIGINT, " +
+          "sk INT GENERATED ALWAYS AS IDENTITY) " +
+          "TBLPROPERTIES ('key'='k')")
+      }
+      assert(e2.getMessage.contains("must be BIGINT"))
+      // an INSERT-ONLY merge routes through the append path, so the
+      // identity is ASSIGNED (not refused): the id space stays dense
+      Seq((999L, 9.9)).toDF("k", "v").createOrReplaceTempView("idr_src")
+      spark.sql("MERGE INTO graft.idr t USING idr_src s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+      assert(spark.sql("SELECT sk FROM graft.idr WHERE k = 999")
+        .head().getLong(0) === 101L,
+        "an insert-only MERGE must mint the next identity value")
+      // a MIXED merge's inserts go through the row-level writer, which
+      // cannot mint values: the NULL identity is refused loudly
+      Seq((999L, 1.0), (998L, 2.0)).toDF("k", "v")
+        .createOrReplaceTempView("idr_src2")
+      val e3 = intercept[Exception] {
+        spark.sql("MERGE INTO graft.idr t USING idr_src2 s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET v = s.v " +
+          "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e3).exists(m => m.contains("identity") &&
+        m.contains("INSERT/append")), s"got: ${msgs(e3).take(3)}")
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
+
   test("CALL graft.vacuum(older_than_ms) prunes history from SQL; the " +
     "pruned version's time travel fails fast") {
     val base = Files.createTempDirectory("gcat_ttv").toString + "/t"
