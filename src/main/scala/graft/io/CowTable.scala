@@ -498,17 +498,84 @@ object CowTable {
     df.withColumn("file", re(col("file"))).withColumn("dv", re(col("dv")))
   }
 
+  /** Collected-manifest cache. Every SQL statement reads the committed
+    * manifest several times (discovery, untouched carry-over, in-band
+    * requires), each read a Spark parquet job plus driver listing —
+    * at statement cadence the dominant share of the per-commit
+    * constant. A committed version's manifest is IMMUTABLE, and the
+    * (base, version, writer-token) key is the same durable identity
+    * [[metaCache]] uses (DROP + re-CREATE reuses ids, never tokens).
+    * SCALE BOUND: only manifests whose parquet dataset is small
+    * ([[ManifestCacheMaxBytes]] on disk, [[ManifestCacheMaxEntries]]
+    * rows after the one read) are cached — a 100 TB table's
+    * million-file manifest stays on the executors-only DataFrame path
+    * below, so no file-count ceiling is introduced; the cache is a
+    * fast path, never a requirement. Entries are stored POST-pad/
+    * reroot (the served form). */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), Seq[Entry]]()
+  private val ManifestCacheMaxBytes = 8L << 20
+  private val ManifestCacheMaxEntries = 16384
+
+  /** The cached entries of (base, version), populating on miss when the
+    * manifest dataset is small enough; None = too large (or no token),
+    * callers stay on the distributed path. */
+  private def cachedEntriesAt(spark: SparkSession, base: String,
+                              version: Long): Option[Seq[Entry]] = {
+    val token = AtomicPublish.versionToken(spark, base, version)
+    val key = token.map(t => (norm(base), version, t))
+    key.flatMap(k => Option(manifestCache.get(k))) match {
+      case hit @ Some(_) => hit
+      case None =>
+        key.flatMap { k =>
+          val fs = fsOf(spark, base)
+          val dir = new Path(base, s"v$version/manifest")
+          val small = try {
+            fs.exists(dir) &&
+              fs.listStatus(dir).map(_.getLen).sum <= ManifestCacheMaxBytes
+          } catch { case _: Throwable => false }
+          if (!small) None
+          else {
+            val es = collectEntries(reroot(pad(
+              AtomicPublish.readVersion(spark, base, "manifest", version)),
+              base))
+            if (es.size > ManifestCacheMaxEntries) None
+            else {
+              if (manifestCache.size > 1024) manifestCache.clear()
+              manifestCache.put(k, es)
+              Some(es)
+            }
+          }
+        }
+    }
+  }
+
+  /** The (file, dv, dvRows) triples of a version's manifest in served
+    * (padded, re-rooted) form — the DSv2 scan's candidate list, from
+    * the cache when the manifest is small; None = stay on the parquet
+    * read. */
+  private[graft] def manifestTriples(spark: SparkSession, base: String,
+                                     version: Long): Option[Seq[(String, String, Long)]] =
+    cachedEntriesAt(spark, base, version)
+      .map(_.map(e => (e.file, e.dv, e.dvRows)))
+
   /** The manifest AS A DATAFRAME — the scale-true form: every
     * manifest-wide operation (discovery joins, untouched-file
     * carry-over, stats pruning) composes on this without ever
     * materializing the file list on the driver, so no file-count
     * ceiling exists on the table itself. Only operation FOOTPRINTS
     * (affected/candidate file lists, which must be enumerated to be
-    * scanned at all) are collected. */
+    * scanned at all) are collected. Small manifests serve from
+    * [[manifestCache]] as a local relation — same rows, no parquet
+    * job; large ones keep the distributed parquet scan. */
   private def manifestDfAt(spark: SparkSession, base: String,
                            version: Long): DataFrame =
-    reroot(pad(AtomicPublish.readVersion(spark, base, "manifest", version)),
-      base)
+    cachedEntriesAt(spark, base, version) match {
+      case Some(es) => entriesDf(spark, es)
+      case None =>
+        reroot(pad(AtomicPublish.readVersion(spark, base, "manifest", version)),
+          base)
+    }
 
   /** RENAME/relocation precondition. Deletion vectors written by this
     * version of the engine reference files by BASENAME (the `_RELOC`
@@ -542,7 +609,8 @@ object CowTable {
 
   private def entriesAt(spark: SparkSession, base: String,
                         version: Long): Seq[Entry] =
-    collectEntries(manifestDfAt(spark, base, version))
+    cachedEntriesAt(spark, base, version)
+      .getOrElse(collectEntries(manifestDfAt(spark, base, version)))
 
   /** Manifest entries of version `v` — what lets the table-feed stream
     * serve a bootstrap batch DIRECTLY from the version's immutable pool
@@ -768,6 +836,20 @@ object CowTable {
     val withB = mDf.withColumn("_gf_lo", loC).withColumn("_gf_hi", hiC)
       .withColumn("_gf_xlo", exactLo).withColumn("_gf_xhi", exactHi)
     val live = withB.filter(col("_gf_hi") >= col("_gf_lo"))
+    // SMALL-MANIFEST fast path: when the manifest is already a local
+    // relation (a [[manifestCache]] hit — bounded rows by construction),
+    // the span statistics + bucket-explode + shuffled equi-join below
+    // collapse to ONE broadcast range join over the keys: same exact
+    // containment post-condition, 3 fewer exchanges per discovery. The
+    // bucket join remains the unbounded path for manifests too large to
+    // cache — scale-adaptive, not a local-mode constant.
+    val isLocal = mDf.queryExecution.logical.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    if (isLocal)
+      return keys.join(broadcast(live),
+          exact(col("_gf_kx"), col("_gf_xlo"), col("_gf_xhi")))
+        .select(ManifestCols.map(col): _*)
+        .dropDuplicates("file")
     val agg = live.agg(min("_gf_lo"), max("_gf_hi"), count(lit(1)),
       sum((col("_gf_hi") - col("_gf_lo")).cast("double") + 1.0)).head()
     if (agg.isNullAt(0)) return mDf.limit(0)

@@ -325,38 +325,54 @@ private[sources] class ArtifactScan(base: String, dataset: String,
     * stays conservative unchanged). The same footer pass accumulates
     * each kept file's ROW COUNT and compressed byte size — the post-
     * pruning statistics [[estimateStatistics]] hands Catalyst. */
+  /** The manifest's (file, dv, dvRows) via a distributed parquet read —
+    * the large-manifest path (small ones serve from CowTable's cache). */
+  private def readManifestTriples(dir: String): Seq[(String, String, Long)] = {
+    val m = SparkSession.active.read.parquet(dir)
+    // mirror CowTable.pad: each vector column is substituted
+    // independently when absent — a legacy manifest can carry `dv`
+    // without `dvRows` (pad tolerates that shape on the API path,
+    // so the DSv2 path must too)
+    val dvC =
+      if (m.columns.contains("dv")) m("dv")
+      else org.apache.spark.sql.functions.lit("")
+    val dvRowsC =
+      if (m.columns.contains("dvRows")) m("dvRows")
+      else org.apache.spark.sql.functions.lit(0L)
+    val withDv = m.select(m("file"), dvC.as("dv"), dvRowsC.as("dvRows"))
+    // re-root stored paths to the CURRENT base (mirrors CowTable's
+    // read-time re-rooting: basenames are the durable identity, so
+    // a renamed/relocated table serves unchanged). Normalized with
+    // the SAME Path-based form CowTable.reroot uses — raw string
+    // concat over a scheme'd or doubled-slash base would spell the
+    // same file two ways and break the group-MERGE commit's
+    // replaceFiles join on `file`.
+    val pool = new Path(new Path(base), "files").toUri.getPath
+    def re(s: String): String =
+      if (s == null || s.isEmpty) s
+      else pool + s.substring(s.lastIndexOf('/'))
+    withDv.collect()
+      .map(r => (re(r.getString(0)), re(r.getString(1)), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+  }
+
   private lazy val (allFiles, keptFiles): (Seq[(String, String)], Seq[ArtifactScan.Kept]) = {
     val p = new Path(dir)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
     val files =
       if (cow) {
-        val m = SparkSession.active.read.parquet(dir)
-        // mirror CowTable.pad: each vector column is substituted
-        // independently when absent — a legacy manifest can carry `dv`
-        // without `dvRows` (pad tolerates that shape on the API path,
-        // so the DSv2 path must too)
-        val dvC =
-          if (m.columns.contains("dv")) m("dv")
-          else org.apache.spark.sql.functions.lit("")
-        val dvRowsC =
-          if (m.columns.contains("dvRows")) m("dvRows")
-          else org.apache.spark.sql.functions.lit(0L)
-        val withDv = m.select(m("file"), dvC.as("dv"), dvRowsC.as("dvRows"))
-        // re-root stored paths to the CURRENT base (mirrors CowTable's
-        // read-time re-rooting: basenames are the durable identity, so
-        // a renamed/relocated table serves unchanged). Normalized with
-        // the SAME Path-based form CowTable.reroot uses — raw string
-        // concat over a scheme'd or doubled-slash base would spell the
-        // same file two ways and break the group-MERGE commit's
-        // replaceFiles join on `file`.
-        val pool = new Path(new Path(base), "files").toUri.getPath
-        def re(s: String): String =
-          if (s == null || s.isEmpty) s
-          else pool + s.substring(s.lastIndexOf('/'))
-        withDv.collect()
-          .map(r => (re(r.getString(0)), re(r.getString(1)), r.getLong(2)))
-          .toSeq.sortBy(_._1)
+        // small manifests serve from CowTable's collected cache (same
+        // padded, re-rooted triples) — no parquet job per catalog scan;
+        // large manifests keep the distributed read below
+        val vOfDir = "/v(\\d+)/manifest/?$".r.findFirstMatchIn(dir)
+          .map(_.group(1).toLong)
+        val cached = vOfDir.flatMap(v =>
+          graft.io.CowTable.manifestTriples(SparkSession.active, base, v))
+        cached match {
+          case Some(ts) => ts.sortBy(_._1)
+          case None => readManifestTriples(dir)
+        }
       }
       else fs.listStatus(p).toSeq.map(_.getPath)
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
