@@ -65,6 +65,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // File-listing parallelism cutoff: below this many paths the scan
+      // lists driver-side instead of spawning a listing JOB. On local
+      // disk / HDFS a few hundred sequential listStatus calls are
+      // microseconds each, while every listing job costs a full job
+      // round-trip (measured 0.6 s per job at sf0.1); object-store
+      // deployments, where per-call latency dominates, set the env back
+      // to Spark's default 32.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "512"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopKRewrite.register(spark)

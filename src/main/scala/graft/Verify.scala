@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench: driver-side listing below 512 paths (local/HDFS
+      // default; object stores set the env to 32)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "512"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // window-filter top-k rewrites to the native heap operator (results

@@ -365,7 +365,19 @@ object AtomicPublish {
     val fs = fsOf(spark, b)
     val stage = new Path(b, s".stage-$token")
     datasets.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(new Path(stage, name).toString)
+      // a provably-local small frame (manifest/meta/txn of a cow
+      // commit) is written by the driver in one parquet file — the
+      // lakehouse metadata-file discipline; anything distributed keeps
+      // the Spark write (see LocalParquet for the bound)
+      LocalParquet.localRows(df) match {
+        case Some((schema, rows)) =>
+          val dir = new Path(stage, name)
+          fs.mkdirs(dir)
+          LocalParquet.write(spark,
+            new Path(dir, s"part-00000-$token.snappy.parquet"), schema, rows)
+        case None =>
+          df.write.mode("overwrite").parquet(new Path(stage, name).toString)
+      }
     }
     val marker = fs.create(new Path(stage, "_PUBLISHED"), true)
     try marker.write((token +: datasets.map(_._1)).mkString("\n")

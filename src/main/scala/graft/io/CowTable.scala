@@ -1248,6 +1248,24 @@ object CowTable {
     result
   }
 
+  /** One OPTIMISTIC ATTEMPT of a retrying writer: run `body` (the reads
+    * pinned to `parent` plus the CAS) and classify a failure as a
+    * CONFLICT — not an error — when another writer has committed past
+    * `parent` meanwhile. The hole this closes: with `retain = 1` the
+    * winning writer's commit PRUNES the parent version out from under
+    * the loser's in-flight reads (meta / manifest at `parent`), which
+    * then fail "not published" BEFORE reaching the CAS that would have
+    * reported the conflict — observed as the racing-appends spec flake.
+    * Re-deriving against the new head is exactly what the loser must do
+    * anyway; a genuine fault reproduces on the retry, when no concurrent
+    * commit excuses it. */
+  private def attemptAt[T](spark: SparkSession, base: String, parent: Long)(
+      body: => Option[T]): Option[T] =
+    try body catch {
+      case scala.util.control.NonFatal(_)
+          if AtomicPublish.committed(spark, base) != parent => None
+    }
+
   /** INSERT-style append: `df` becomes `numFiles` new pool files added
     * to the manifest; no existing file is read or touched, and the pool
     * write happens ONCE — only the manifest commit retries on conflict
@@ -1266,11 +1284,13 @@ object CowTable {
     while (result < 0) {
       val parent = AtomicPublish.committed(spark, base)
       require(parent >= 0, s"no committed version under $base")
-      val manifest = manifestDfAt(spark, base, parent)
-        .unionByName(entriesDf(spark, newEntries))
-      AtomicPublish.tryPublish(spark, base,
-        payload(spark, base, parent, manifest, None),
-        effRetain(Some(m), retain), parent, op = Some("APPEND")) match {
+      attemptAt(spark, base, parent) {
+        val manifest = manifestDfAt(spark, base, parent)
+          .unionByName(entriesDf(spark, newEntries))
+        AtomicPublish.tryPublish(spark, base,
+          payload(spark, base, parent, manifest, None),
+          effRetain(Some(m), retain), parent, op = Some("APPEND"))
+      } match {
         case Some(v) => result = v
         case None => () // conflict: re-commit against the new manifest
       }
@@ -1296,19 +1316,21 @@ object CowTable {
     while (result < 0) {
       val parent = AtomicPublish.committed(spark, base)
       require(parent >= 0, s"no committed version under $base")
-      val m = metaAt(spark, base, parent).getOrElse(sys.error(
-        s"no table meta under $base"))
-      val id = identityOf(m).get
-      val (assigned, newHwm) = assignIdentity(spark, src, id, m.idHwm)
-      val newEntries = writePool(spark, base, assigned, m.key, numFiles,
-        m.statsCols, colMap = m.physMap, checks = m.checks,
-        gens = gensOf(m))
-      val manifest = manifestDfAt(spark, base, parent)
-        .unionByName(entriesDf(spark, newEntries))
-      AtomicPublish.tryPublish(spark, base,
-        payload(spark, base, parent, manifest, None,
-          Some(m.copy(idHwm = newHwm))),
-        effRetain(Some(m), retain), parent, op = Some("APPEND")) match {
+      attemptAt(spark, base, parent) {
+        val m = metaAt(spark, base, parent).getOrElse(sys.error(
+          s"no table meta under $base"))
+        val id = identityOf(m).get
+        val (assigned, newHwm) = assignIdentity(spark, src, id, m.idHwm)
+        val newEntries = writePool(spark, base, assigned, m.key, numFiles,
+          m.statsCols, colMap = m.physMap, checks = m.checks,
+          gens = gensOf(m))
+        val manifest = manifestDfAt(spark, base, parent)
+          .unionByName(entriesDf(spark, newEntries))
+        AtomicPublish.tryPublish(spark, base,
+          payload(spark, base, parent, manifest, None,
+            Some(m.copy(idHwm = newHwm))),
+          effRetain(Some(m), retain), parent, op = Some("APPEND"))
+      } match {
         case Some(v) => result = v
         case None => () // conflict: the hwm moved — re-assign, re-write
       }

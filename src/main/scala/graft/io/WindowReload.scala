@@ -266,12 +266,34 @@ object WindowReload {
     gcTrees(spark, fs, p)
   }
 
+  /** Partition-dir counts up to this are enumerated DRIVER-side (one
+    * listStatus per dir, milliseconds on any filesystem) instead of
+    * letting the scan's InMemoryFileIndex spawn distributed listing
+    * jobs — at bench scale those listing jobs cost more than the reads
+    * they plan (measured: 0.6 s per listing job for ~30 dirs). Larger
+    * reloads keep Spark's parallel discovery, which is what a 100k-
+    * partition table needs. */
+  private val DriverListMaxDirs = 64
+
   private def readEntries(spark: SparkSession, target: String,
                           entries: Seq[(LocalDate, String)]): DataFrame =
     entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (tree, parts) =>
       val root = if (tree.isEmpty) target else s"$target/$tree"
-      spark.read.option("basePath", root)
-        .parquet(parts.map { case (d, _) => s"$root/$PartCol=$d" }: _*)
+      val dirs = parts.map { case (d, _) => s"$root/$PartCol=$d" }
+      val paths: Seq[String] =
+        if (dirs.size > DriverListMaxDirs) dirs
+        else {
+          val fs = new Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val files = dirs.flatMap { d =>
+            fs.listStatus(new Path(d)).toSeq.map(_.getPath)
+              .filter(f => f.getName.endsWith(".parquet") &&
+                !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+              .map(_.toString)
+          }
+          if (files.isEmpty) dirs else files // empty: let Spark report it
+        }
+      spark.read.option("basePath", root).parquet(paths: _*)
     }.reduce(_.unionByName(_))
 
   /** Drop trees no retained manifest version references, sparing trees

@@ -25,6 +25,8 @@ object JobProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "512"))
     // A/B experiments: SPARK_EXTRA_CONF="k1=v1;k2=v2"
     sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
       val i = kv.indexOf('=')
